@@ -1,0 +1,197 @@
+"""Independent, deliberately-naive NumPy oracle implementations.
+
+Loop-based (per pixel / per series) re-statements of the reference
+semantics, used to verify the vectorized engine kernels — the
+dual-implementation equivalence strategy of the reference's own tests
+(/root/reference/tests/testthat/test-vrt-set-mask.R:270-282).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# --------------------------------------------------------- compositing ----
+
+def composite_pixel(series: np.ndarray, how: str, q: float = 0.5) -> float:
+    """One pixel's time series (1-D, NaN for nodata) → scalar."""
+    v = series[~np.isnan(series)]
+    if len(v) == 0:
+        return np.nan
+    if how == "median":
+        return float(np.median(v))
+    if how == "mean":
+        return float(np.mean(v))
+    if how == "geomean":
+        return float(np.exp(np.mean(np.log(v))))
+    if how == "quantile":
+        return float(np.quantile(v, q))
+    if how == "mean_db":
+        return float(10 * np.log10(np.mean(v)))
+    if how == "min":
+        return float(np.min(v))
+    if how == "max":
+        return float(np.max(v))
+    if how == "sum":
+        return float(np.sum(v))
+    raise ValueError(how)
+
+
+def composite_stack(stack: np.ndarray, how: str, q: float = 0.5) -> np.ndarray:
+    """(T,B,H,W) → (B,H,W), pixel by pixel."""
+    T_, B, H, W = stack.shape
+    out = np.empty((B, H, W))
+    for b in range(B):
+        for i in range(H):
+            for j in range(W):
+                out[b, i, j] = composite_pixel(stack[:, b, i, j], how, q)
+    return out
+
+
+def mosaic_stack(stack: np.ndarray) -> np.ndarray:
+    T_, B, H, W = stack.shape
+    out = np.full((B, H, W), np.nan)
+    for b in range(B):
+        for i in range(H):
+            for j in range(W):
+                for t in range(T_):
+                    if not np.isnan(stack[t, b, i, j]):
+                        out[b, i, j] = stack[t, b, i, j]
+    return out
+
+
+# ------------------------------------------------- multiband reducers ----
+
+def weiszfeld_1(X: np.ndarray, nitermax=100, epsilon=1e-8) -> np.ndarray:
+    """Geometric median of complete rows of (T,B); NaN if none."""
+    comp = X[~np.isnan(X).any(axis=1)]
+    if len(comp) == 0:
+        return np.array([np.nanmedian(X[:, b]) for b in range(X.shape[1])])
+    y = np.median(comp, axis=0)
+    for _ in range(nitermax):
+        d = np.sqrt(((comp - y) ** 2).sum(axis=1))
+        w = 1.0 / np.maximum(d, epsilon)
+        y_new = (comp * w[:, None]).sum(axis=0) / w.sum()
+        if np.abs(y_new - y).max() < epsilon:
+            return y_new
+        y = y_new
+    return y
+
+
+def xoid_1(X: np.ndarray, stat, impute_na=True, distance="euclidean",
+           impute_stat=None):
+    """xoid_generator semantics (multiband_reduce_funs.R:273-307) for a
+    single (T,B) matrix. ``stat`` maps a (T,B') matrix → (B',) vector
+    (nan-aware)."""
+    X = X[~np.all(np.isnan(X), axis=1)]  # drop all-NA observations
+    if len(X) == 0:
+        return np.full(X.shape[1], np.nan)
+    na_cols = np.where(np.isnan(X).any(axis=0))[0]
+    keep = [b for b in range(X.shape[1]) if b not in set(na_cols)]
+    if keep:
+        xc = X[:, keep]
+        target = np.asarray(stat(xc), dtype=float)
+        if distance == "euclidean":
+            d = np.sqrt(((xc - target) ** 2).sum(axis=1))
+        elif distance == "manhattan":
+            d = np.abs(xc - target).sum(axis=1)
+        else:
+            raise ValueError(distance)
+        best = int(np.argmin(d))
+    else:
+        best = 0
+    result = X[best].astype(float).copy()
+    if impute_na and np.isnan(result).any():
+        cols = np.where(np.isnan(result))[0]
+        ist = impute_stat or (lambda col: np.asarray(stat(col))[0])
+        for c in cols:
+            result[c] = ist(X[:, [c]])
+    return result
+
+
+def medoid_1(X, impute_na=True):
+    return xoid_1(X, lambda m: np.nanmedian(m, axis=0), impute_na)
+
+
+def quantoid_1(X, p=0.4, impute_na=True):
+    return xoid_1(X, lambda m: np.nanquantile(m, p, axis=0), impute_na)
+
+
+def geomedoid_1(X, impute_na=True):
+    # impute with per-band nanmedian (the engine's deterministic
+    # stand-in for the stochastic Gmedian imputation)
+    return xoid_1(X, lambda m: weiszfeld_1(m), impute_na,
+                  impute_stat=lambda col: float(np.nanmedian(col)))
+
+
+def multiband_stack(stack: np.ndarray, reducer_1) -> np.ndarray:
+    """(T,B,H,W) → (B,H,W) applying a (T,B)→(B,) reducer per pixel."""
+    T_, B, H, W = stack.shape
+    out = np.empty((B, H, W))
+    for i in range(H):
+        for j in range(W):
+            out[:, i, j] = reducer_1(stack[:, :, i, j])
+    return out
+
+
+# ------------------------------------------------------------ hampel ----
+
+def hampel_1(x: np.ndarray, k: int, t0=3.0, impute_na=False) -> np.ndarray:
+    """One series — direct restatement of hampel-filter-matrix.cpp."""
+    x = np.asarray(x, dtype=float)
+    out = x.copy()
+    vi = np.where(~np.isnan(x))[0]
+    v = x[vi]
+    f = v.copy()
+    n = len(v)
+    if n >= 2 * k + 1:
+        for i in range(k, n - k):
+            win = v[i - k:i + k + 1]
+            x0 = np.median(win)
+            S0 = 1.4826 * np.median(np.abs(win - x0))
+            if abs(v[i] - x0) > t0 * S0:
+                f[i] = x0
+    out[vi] = f
+    if impute_na:
+        for i in range(len(out)):
+            if np.isnan(out[i]):
+                for j in range(i - 1, -1, -1):
+                    if not np.isnan(out[j]):
+                        out[i] = out[j]
+                        break
+    return out
+
+
+# ------------------------------------------------------ spatial oracle ----
+
+def brute_force_join(images_pdf, aoi_pdf, min_coverage=None):
+    """Exact (aoi_id, image_id) pair set via per-pair polygon clipping."""
+    from vrtility_spark.join import intersection_area_wkt, parse_wkt_polygon, polygon_area
+    pairs = []
+    for a in aoi_pdf.itertuples(index=False):
+        a_zone = int(a.srs.split(":")[1])
+        area = polygon_area(parse_wkt_polygon(a.geom_wkt))
+        for im in images_pdf.itertuples(index=False):
+            if im.zone != a_zone:
+                continue
+            isect = intersection_area_wkt(a.geom_wkt, im.xmin, im.ymin,
+                                          im.xmax, im.ymax)
+            if isect > 0 and (min_coverage is None or isect / area > min_coverage):
+                pairs.append((a.aoi_id, im.image_id))
+    return sorted(set(pairs))
+
+
+def brute_force_knn(images_pdf, queries_pdf):
+    """Exact kNN over tile centers (ties broken by image_id)."""
+    out = {}
+    for q in queries_pdf.itertuples(index=False):
+        cands = []
+        for im in images_pdf.itertuples(index=False):
+            if im.zone != q.zone:
+                continue
+            cx, cy = (im.xmin + im.xmax) / 2, (im.ymin + im.ymax) / 2
+            d = float(np.hypot(cx - q.x, cy - q.y))
+            cands.append((d, im.image_id))
+        cands.sort()
+        out[q.query_id] = cands[: q.k]
+    return out

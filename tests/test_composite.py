@@ -1,0 +1,151 @@
+"""Composite reducers: tiny-matrix unit tests (reference pattern:
+test-multiband_reduce_funs.R), vectorized-vs-oracle parity, pairwise
+distinctness (test-py-pixel-funs.R:22-59), and the Spark grouped path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import oracle
+from vrtility_spark import codec, composite, datagen, schema, warp
+
+
+# ------------------------------------------------ tiny-matrix units ----
+
+def test_medoid_tiny_no_na():
+    X = np.array([[1.0, 10.0], [2.0, 20.0], [9.0, 90.0]])
+    # column medians (2, 20) → row 1 is exactly it
+    got = composite.medoid_mb(X[:, :, None])[:, 0]
+    assert (got == np.array([2.0, 20.0])).all()
+
+
+def test_medoid_tiny_with_na_imputed():
+    X = np.array([[1.0, np.nan], [2.0, 20.0], [9.0, 90.0], [2.5, 21.0]])
+    # band 1 has an NA → distances use band 0 only; median(b0)=2.25 → row 1 (2.0)
+    got = composite.medoid_mb(X[:, :, None], impute_na=True)[:, 0]
+    exp = oracle.medoid_1(X)
+    np.testing.assert_allclose(got, exp)
+    assert got[0] == 2.0
+
+
+def test_medoid_na_not_imputed():
+    X = np.array([[np.nan, 5.0], [np.nan, 7.0], [np.nan, 6.0]])
+    got = composite.medoid_mb(X[:, :, None], impute_na=False)[:, 0]
+    assert np.isnan(got[0]) and got[1] == 6.0
+    # an all-NaN band has no statistic to impute from → stays NaN even
+    # with impute_na (colMedians(na.rm=TRUE) of an all-NA column is NA)
+    got_i = composite.medoid_mb(X[:, :, None], impute_na=True)[:, 0]
+    assert np.isnan(got_i[0]) and got_i[1] == 6.0
+
+
+def test_quantoid_tiny():
+    X = np.array([[1.0, 10.0], [2.0, 20.0], [9.0, 90.0], [4.0, 40.0]])
+    got = composite.quantoid_mb(X[:, :, None], probability=0.4)[:, 0]
+    exp = oracle.quantoid_1(X, 0.4)
+    np.testing.assert_allclose(got, exp)
+
+
+def test_geomedian_weiszfeld_tiny():
+    X = np.array([[0.0, 0.0], [10.0, 0.0], [5.0, 8.66]])
+    got = composite.geomedian_mb(X[:, :, None], impute_na=False)[:, 0]
+    exp = oracle.weiszfeld_1(X)
+    np.testing.assert_allclose(got, exp, atol=1e-5)
+    # geometric median of a near-equilateral triangle ≈ its Fermat point
+    assert np.linalg.norm(got - np.array([5.0, 2.9])) < 0.5
+
+
+def test_geomedoid_tiny():
+    X = np.array([[1.0, 1.0], [5.0, 5.0], [6.0, 6.0], [100.0, 100.0]])
+    got = composite.geomedoid_mb(X[:, :, None])[:, 0]
+    exp = oracle.geomedoid_1(X)
+    np.testing.assert_allclose(got, exp)
+    assert got[0] in X[:, 0]  # selects a real observation
+
+
+# -------------------------------------------- vectorized vs oracle ----
+
+@pytest.fixture(scope="module")
+def stack():
+    rng = np.random.default_rng(7)
+    s = rng.uniform(1, 1000, size=(6, 3, 5, 4))
+    s[rng.random(s.shape) < 0.15] = np.nan
+    s[:, :, 0, 0] = np.nan  # one fully-empty pixel
+    s[0, :, 1, 1] = np.nan  # one all-NA observation
+    return s
+
+
+@pytest.mark.parametrize("how", ["median", "mean", "geomean", "mean_db",
+                                 "min", "max"])
+def test_singleband_vs_oracle(stack, how):
+    got = composite.REDUCERS[how](stack)
+    exp = oracle.composite_stack(stack, how)
+    np.testing.assert_allclose(got, exp, rtol=1e-10, equal_nan=True)
+
+
+def test_quantile_vs_oracle(stack):
+    got = composite.quantile_t(0.25)(stack)
+    exp = oracle.composite_stack(stack, "quantile", 0.25)
+    np.testing.assert_allclose(got, exp, rtol=1e-10, equal_nan=True)
+
+
+def test_mosaic_vs_oracle(stack):
+    np.testing.assert_allclose(composite.mosaic_t(stack),
+                               oracle.mosaic_stack(stack), equal_nan=True)
+
+
+@pytest.mark.parametrize("name,red1", [
+    ("medoid", oracle.medoid_1),
+    ("quantoid", lambda X: oracle.quantoid_1(X, 0.4)),
+    ("geomedoid", oracle.geomedoid_1),
+])
+def test_multiband_vs_oracle(stack, name, red1):
+    got = composite.REDUCERS[name](stack)
+    exp = oracle.multiband_stack(stack, red1)
+    np.testing.assert_allclose(got, exp, rtol=1e-8, equal_nan=True)
+
+
+def test_geomedian_vs_oracle_no_na():
+    rng = np.random.default_rng(8)
+    s = rng.uniform(1, 1000, size=(6, 3, 4, 4))
+    got = composite.REDUCERS["geomedian"](s)
+    exp = oracle.multiband_stack(s, lambda X: oracle.weiszfeld_1(X))
+    np.testing.assert_allclose(got, exp, atol=1e-4)
+
+
+def test_reducers_pairwise_distinct(stack):
+    """All composite reducers produce pairwise-distinct outputs
+    (test-py-pixel-funs.R:22-59)."""
+    names = ["median", "mean", "geomean", "q25", "mosaic",
+             "medoid", "quantoid", "geomedian"]
+    outs = {n: composite.REDUCERS[n](stack) for n in names}
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            assert not np.allclose(outs[a], outs[b], equal_nan=True), (a, b)
+
+
+# ------------------------------------------------------- spark path ----
+
+def test_spark_composite_matches_oracle(spark, tiny_images, tiny_images_pdf):
+    df = warp.assign_cells(tiny_images, datagen.TILE_RES)
+    out = composite.composite(df, "median").toPandas()
+    # 3 zones x 2x2 tiles
+    assert len(out) == 12
+    # pick one cell and compare decoded pixels against the oracle
+    from vrtility_spark import cells
+    row = out.iloc[0]
+    zone, res, ix, iy = [int(v) for v in cells.decode_np(row.cell_id)]
+    grp = tiny_images_pdf[
+        (tiny_images_pdf.zone == zone)
+        & (tiny_images_pdf.xmin / datagen.TILE_SPAN == ix)
+        & (tiny_images_pdf.ymin / datagen.TILE_SPAN == iy)]
+    assert len(grp) == 5
+    stack = np.stack([
+        codec.to_float_masked(codec.decode(r.bytes, r.w, r.h, r.fmt), 0)
+        for _, r in grp.sort_values("datetime").iterrows()])
+    exp = codec.from_float(oracle.composite_stack(stack, "median"), 0, "uint16")
+    got = codec.decode(row.bytes, row.w, row.h, row.fmt)
+    assert (got == exp).all()
+    # caption passthrough: all 5 scene captions survive, sorted
+    assert row.caption_agg == "|".join(sorted(grp.caption))
+    assert row.n_scenes == 5

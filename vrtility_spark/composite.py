@@ -1,0 +1,329 @@
+"""Temporal compositing — single-band and multiband (cross-band) reducers.
+
+Single-band reducers (per band, per pixel, over the time axis) match
+the reference's composite pixel functions exactly
+(/root/reference/R/zvrt-pixel-funs-composite.R):
+
+- ``median``/``mean``/``geomean``/``quantile(q)``/``mean_db`` — nodata
+  sentinel masked out, reduce over time, refill sentinel (:7-169).
+- ``mosaic`` — GDAL last-valid-source-wins stacking
+  (/root/reference/R/vrt-compute.R:74-84): later scenes overlay earlier.
+- the GDAL built-in pixfun family min/max/sum/sqrt/expression
+  (/root/reference/R/vrt-set-gdal-pixfun.R:58-224).
+
+Multiband reducers consume the per-pixel (time × band) matrix — the
+``multiband_reduce`` path (/root/reference/R/multiband_reduce.R:103-259,
+reducers R/multiband_reduce_funs.R):
+
+- ``medoid``/``quantoid(p)``/``geomedoid`` — xoid family
+  (multiband_reduce_funs.R:273-307): drop all-NA observations, exclude
+  bands containing any NA from the distance, pick the observation
+  nearest the per-band statistic, optionally impute remaining NAs.
+  These *select real observations* → row-exact reproducibility.
+- ``geomedian`` — geometric median. The reference's default (Gmedian
+  SGD, :51-60) is stochastic; we implement the reference's own
+  deterministic switch (``weizfeld=TRUE``, :61-82): Weiszfeld iteration
+  with fixed ``nitermax``/``epsilon``, initialized at per-band medians.
+  NA bands are imputed with per-band medians (deterministic stand-in
+  for the Gmedian imputation — documented deviation).
+
+All kernels are NumPy-vectorized over every pixel of a tile at once
+(the two Rcpp pivot kernels, src/multiband-reduce.cpp and
+src/restructure-cells.cpp, vanish into reshapes). The Spark wrapper is
+one ``groupBy(cell_id).applyInPandas`` — the shuffle that brings a
+pixel's full time series to one task (the reference's ``vrt_stack``,
+R/vrt-stack.R:27-77).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vrtility_spark import codec
+
+# ------------------------------------------------ single-band kernels ----
+# stack: (T, B, H, W) float64 with NaN for nodata → (B, H, W) float64
+
+
+def median_t(stack: np.ndarray) -> np.ndarray:
+    return np.nanmedian(stack, axis=0)
+
+
+def mean_t(stack: np.ndarray) -> np.ndarray:
+    return np.nanmean(stack, axis=0)
+
+
+def geomean_t(stack: np.ndarray) -> np.ndarray:
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.exp(np.nanmean(np.log(stack), axis=0))
+
+
+def quantile_t(q: float) -> Callable[[np.ndarray], np.ndarray]:
+    def f(stack: np.ndarray) -> np.ndarray:
+        return np.nanquantile(stack, q, axis=0)
+    f.__name__ = f"quantile_{q}"
+    return f
+
+
+def mean_db_t(stack: np.ndarray) -> np.ndarray:
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return 10.0 * np.log10(np.nanmean(stack, axis=0))
+
+
+def min_t(stack): return np.nanmin(stack, axis=0)
+def max_t(stack): return np.nanmax(stack, axis=0)
+def sum_t(stack): return np.nansum(stack, axis=0)
+
+
+def mosaic_t(stack: np.ndarray) -> np.ndarray:
+    """Last valid observation wins (time ascending), per pixel per band."""
+    out = np.full(stack.shape[1:], np.nan)
+    for t in range(stack.shape[0]):
+        valid = ~np.isnan(stack[t])
+        out[valid] = stack[t][valid]
+    return out
+
+
+def first_t(stack: np.ndarray) -> np.ndarray:
+    """First valid observation wins."""
+    return mosaic_t(stack[::-1])
+
+
+# ------------------------------------------------- multiband kernels ----
+# X: (T, B, P) float64 with NaN → (B, P)
+
+
+def _valid_rows(X: np.ndarray) -> np.ndarray:
+    """~(all-NA observation) per pixel — the C++ pivot's row filter
+    (src/multiband-reduce.cpp:39-77)."""
+    return ~np.all(np.isnan(X), axis=1)  # (T, P)
+
+
+def weiszfeld(X: np.ndarray, nitermax: int = 100, epsilon: float = 1e-8,
+              col_w: np.ndarray | None = None) -> np.ndarray:
+    """Geometric median over complete observations, vectorized per pixel.
+
+    Init at per-band nanmedians (the reference's Gmedian init,
+    multiband_reduce_funs.R:55); observations containing any NaN are
+    excluded (Weiszfeld requires complete cases, :36-38).
+
+    ``col_w`` (B,P in {0,1}) restricts the distance to an included-band
+    subset — the xoid ``xc = x[, non_na_cols]`` semantics
+    (multiband_reduce_funs.R:276-288). With ``col_w`` given, a row is
+    usable iff it is not all-NaN (it is then complete within the
+    included bands by construction).
+    """
+    T, B, P = X.shape
+    if col_w is None:
+        complete = ~np.any(np.isnan(X), axis=1)  # (T, P)
+        cw = np.ones((1, B, P))
+    else:
+        complete = ~np.all(np.isnan(X), axis=1)
+        cw = col_w.reshape(1, B, P)
+    Xz = np.where(np.isnan(X), 0.0, X)
+    wrow = complete.astype(np.float64)[:, None, :]  # (T,1,P)
+    with np.errstate(all="ignore"):
+        y = np.nanmedian(X, axis=0)  # (B, P) init
+    y = np.where(np.isnan(y), 0.0, y)
+    for _ in range(nitermax):
+        d = np.sqrt(np.sum(cw * (Xz - y[None]) ** 2, axis=1, keepdims=True))
+        w = wrow / np.maximum(d, epsilon)
+        denom = np.sum(w, axis=0)  # (1,P)
+        y_new = np.sum(w * Xz, axis=0) / np.maximum(denom, epsilon)
+        if np.nanmax(np.abs(y_new - y)) < epsilon:
+            y = y_new
+            break
+        y = y_new
+    no_obs = complete.sum(axis=0) == 0  # pixels with no usable obs
+    if np.any(no_obs):
+        with np.errstate(all="ignore"):
+            fallback = np.nanmedian(X, axis=0)
+        y[:, no_obs] = fallback[:, no_obs]
+    return y
+
+
+def geomedian_mb(X: np.ndarray, nitermax: int = 100, epsilon: float = 1e-8,
+                 impute_na: bool = True) -> np.ndarray:
+    y = weiszfeld(X, nitermax, epsilon)
+    if impute_na:
+        vr = _valid_rows(X)
+        col_has_na = np.any(np.isnan(X) & vr[:, None, :], axis=0)  # (B,P)
+        med = np.nanmedian(X, axis=0)
+        y = np.where(col_has_na, med, y)
+    return y
+
+
+_DISTANCES = {}
+
+
+def _register(name):
+    def deco(f):
+        _DISTANCES[name] = f
+        return f
+    return deco
+
+
+@_register("euclidean")
+def _d_euclid(X, stat, w):
+    return np.sqrt(np.nansum(w * (X - stat[None]) ** 2, axis=1))
+
+
+@_register("manhattan")
+def _d_manhattan(X, stat, w):
+    return np.nansum(w * np.abs(X - stat[None]), axis=1)
+
+
+@_register("maximum")
+def _d_maximum(X, stat, w):
+    return np.nanmax(np.where(w > 0, np.abs(X - stat[None]), 0.0), axis=1)
+
+
+@_register("canberra")
+def _d_canberra(X, stat, w):
+    denom = np.abs(X) + np.abs(stat[None])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        term = np.abs(X - stat[None]) / denom
+    return np.nansum(np.where((w > 0) & (denom > 0), term, 0.0), axis=1)
+
+
+@_register("cosine")
+def _d_cosine(X, stat, w):
+    num = np.nansum(w * X * stat[None], axis=1)
+    na = np.sqrt(np.nansum(w * X * X, axis=1))
+    nb = np.sqrt(np.nansum(w * stat[None] ** 2, axis=1))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return 1.0 - num / np.maximum(na * nb, 1e-300)
+
+
+def xoid_mb(X: np.ndarray, stat_fn: Callable[[np.ndarray], np.ndarray],
+            distance_type: str = "euclidean", impute_na: bool = True,
+            impute_fn: Callable[[np.ndarray], np.ndarray] | None = None) -> np.ndarray:
+    """Vectorized xoid_generator (multiband_reduce_funs.R:273-307).
+
+    Per pixel: drop all-NA observations; bands with any NA among the
+    remaining observations are excluded from the distance (``na_cols``
+    at :276-278); pick argmin (first on ties, like R ``which.min``);
+    impute the selected row's NAs with ``impute_fn`` per band.
+    """
+    T, B, P = X.shape
+    vr = _valid_rows(X)  # (T,P)
+    col_has_na = np.any(np.isnan(X) & vr[:, None, :], axis=0)  # (B,P)
+    w = (~col_has_na).astype(np.float64)[None]  # (1,B,P) band inclusion
+    with np.errstate(all="ignore"):
+        stat = stat_fn(X, w[0])  # (B,P) per-band statistic over included cols
+    stat_z = np.where(np.isnan(stat), 0.0, stat)
+    Xz = np.where(np.isnan(X), 0.0, X)
+    dist = _DISTANCES[distance_type](Xz, stat_z, w)  # (T,P)
+    dist = np.where(vr, dist, np.inf)
+    best = np.argmin(dist, axis=0)  # (P,)
+    result = np.take_along_axis(X, best[None, None, :].repeat(B, axis=1), axis=0)[0]
+    if impute_na:
+        with np.errstate(all="ignore"):
+            istat = (impute_fn or stat_fn)(X, w[0])
+        result = np.where(np.isnan(result), istat, result)
+    return result
+
+
+def _nanmedian_stat(x, w=None):
+    return np.nanmedian(x, axis=0)
+
+
+def medoid_mb(X, distance_type="euclidean", impute_na=True):
+    return xoid_mb(X, _nanmedian_stat, distance_type, impute_na)
+
+
+def quantoid_mb(X, probability=0.4, distance_type="euclidean", impute_na=True):
+    return xoid_mb(X, lambda x, w=None: np.nanquantile(x, probability, axis=0),
+                   distance_type, impute_na)
+
+
+def geomedoid_mb(X, distance_type="euclidean", impute_na=True,
+                 nitermax=100, epsilon=1e-8):
+    """Target = geometric median of the included-band subset; NAs in the
+    selected observation are imputed with per-band medians (deterministic
+    stand-in for the reference's stochastic Gmedian imputation)."""
+    return xoid_mb(X, lambda x, w: weiszfeld(x, nitermax, epsilon, col_w=w),
+                   distance_type, impute_na, impute_fn=_nanmedian_stat)
+
+
+REDUCERS: dict[str, Callable[[np.ndarray], np.ndarray]] = {}
+
+
+def _mb_as_stack(f):
+    """Adapt an (T,B,P) multiband reducer to the (T,B,H,W) stack shape."""
+    def g(stack: np.ndarray) -> np.ndarray:
+        T, B, H, W = stack.shape
+        return f(stack.reshape(T, B, H * W)).reshape(B, H, W)
+    return g
+
+
+REDUCERS.update(
+    median=median_t, mean=mean_t, geomean=geomean_t, mean_db=mean_db_t,
+    min=min_t, max=max_t, sum=sum_t, mosaic=mosaic_t, first=first_t,
+    q25=quantile_t(0.25), q75=quantile_t(0.75),
+    medoid=_mb_as_stack(medoid_mb),
+    quantoid=_mb_as_stack(quantoid_mb),
+    geomedoid=_mb_as_stack(geomedoid_mb),
+    geomedian=_mb_as_stack(geomedian_mb),
+)
+
+COMPOSITE_SCHEMA = (
+    "cell_id long, bytes binary, w int, h int, fmt string, n_scenes int, "
+    "datetime_median timestamp, nodata double, caption_agg string"
+)
+
+
+def composite(df: DataFrame, reducer: str | Callable[[np.ndarray], np.ndarray],
+              key: str = "cell_id") -> DataFrame:
+    """``groupBy(cell).applyInPandas(reduce)`` — the whole
+    multiband_reduce driver (R/multiband_reduce.R:103-259) as one
+    shuffle + one Arrow-vectorized grouped map.
+
+    Expects an images DataFrame carrying ``cell_id`` (see
+    :func:`vrtility_spark.warp.assign_cells`); scenes in a group share
+    the tile grid (the ``vrt_collection_warped`` invariant).
+    Stamps the median acquisition datetime on each composite
+    (R/vrt-compute.R:547-590) and carries captions through sorted (the
+    caption-passthrough invariant of BASELINE.json).
+    """
+    fn = REDUCERS[reducer] if isinstance(reducer, str) else reducer
+
+    def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("datetime", kind="mergesort")
+        w, h, fmt = int(pdf.w.iloc[0]), int(pdf.h.iloc[0]), pdf.fmt.iloc[0]
+        nodata = float(pdf.nodata.iloc[0])
+        dtype = codec.dtype_for(fmt)
+        stack = np.stack([
+            codec.to_float_masked(codec.decode(r.bytes, r.w, r.h, r.fmt), nodata)
+            for r in pdf.itertuples(index=False)
+        ])  # (T, B, H, W)
+        out = fn(stack)
+        payload = codec.from_float(out, nodata, dtype)
+        dt = pdf["datetime"].sort_values().reset_index(drop=True)
+        med_dt = dt.iloc[(len(dt) - 1) // 2]
+        return pd.DataFrame([{
+            "cell_id": int(pdf[key].iloc[0]),
+            "bytes": codec.encode(payload, fmt),
+            "w": w, "h": h, "fmt": fmt, "n_scenes": len(pdf),
+            "datetime_median": med_dt, "nodata": nodata,
+            "caption_agg": "|".join(sorted(pdf.caption.tolist())),
+        }])
+
+    return df.groupBy(key).applyInPandas(reduce_group, schema=COMPOSITE_SCHEMA)
+
+
+def scalar_composite_cols(reducer: str, col: str):
+    """Expression-path twins for scalar columns (parity tests / SQL
+    oracle): the same reductions via built-in functions only."""
+    c = F.col(col)
+    return {
+        "median": F.median(c), "mean": F.avg(c),
+        "geomean": F.exp(F.avg(F.log(c))),
+        "mean_db": F.log10(F.avg(c)) * 10.0,
+        "min": F.min(c), "max": F.max(c), "sum": F.sum(c),
+    }[reducer]

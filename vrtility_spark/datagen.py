@@ -1,0 +1,209 @@
+"""Deterministic synthetic fixtures (seed=42) per /root/repo/FIXTURES.md.
+
+Reproduces the *structure* of the reference's test fixtures
+(/root/reference/inst/s2-data: 5 uint16 bands B02,B03,B04,B08,SCL,
+nodata 0, scenes spanning 3 CRS, 5 fabricated datetimes;
+/root/reference/inst/hls-data: int16, scale 1e-4, nodata -9999, Fmask
+bit-flag band — creation script /root/reference/data-raw/s2-test-data-create.R)
+in the tabular image+caption shape mandated by BASELINE.json's
+``input_hint``. Pure NumPy so the pytest oracle can regenerate
+identical pixels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from vrtility_spark import codec
+from vrtility_spark.cells import ZONE_SPAN
+
+S2_BANDS = ["B02", "B03", "B04", "B08", "SCL"]
+HLS_BANDS = ["B02", "B03", "B04", "Fmask"]
+# the canonical SCL mask set used throughout reference tests
+# (tests/testthat/test-vrt-pipelines.R:28)
+S2_MASK_VALUES = [0, 1, 2, 3, 8, 9, 10, 11]
+# HLS bitmask bits (test-vrt-set-mask.R:19-23)
+HLS_MASK_BITS = [2, 3]
+
+DATES = pd.to_datetime(
+    ["2024-01-01", "2024-03-01", "2024-05-01", "2024-07-01", "2024-09-01"]
+)
+DEFAULT_ZONES = (30, 31, 27)
+TILE_RES = 4  # tiles are cells at res 4 → 65536 m squares
+TILE_SPAN = ZONE_SPAN / (1 << TILE_RES)
+
+
+def _phash(planes: np.ndarray) -> int:
+    """64-bit average-hash of the band-mean image (8x8 block means vs
+    their median), packed into a signed int64."""
+    img = planes[:-1].mean(axis=0) if planes.shape[0] > 1 else planes[0]
+    h, w = img.shape
+    bh, bw = max(h // 8, 1), max(w // 8, 1)
+    blocks = img[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    bits = (blocks > np.median(blocks)).ravel()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def _scene_pixels(rng: np.random.Generator, zone: int, tx: int, ty: int,
+                  date_i: int, w: int, h: int, profile: str) -> np.ndarray:
+    """Smooth seeded per-band fields + clustered 'cloud' blobs in the
+    mask plane, so composites are non-trivial and masking removes a
+    known fraction."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    nb = 4
+    base = np.empty((nb, h, w), dtype=np.float64)
+    for b in range(nb):
+        fx = 0.5 + 0.13 * b + 0.07 * (zone % 5)
+        fy = 0.7 + 0.11 * b
+        base[b] = (
+            3000
+            + 1500 * np.sin(2 * np.pi * (fx * xx / w + 0.1 * tx))
+            + 1200 * np.cos(2 * np.pi * (fy * yy / h + 0.1 * ty))
+            + 400 * date_i
+            + rng.normal(0, 60, size=(h, w))
+        )
+    base = np.clip(base, 1, 60000)
+
+    # cloud blobs: a few random disks
+    blob = np.zeros((h, w), dtype=bool)
+    for _ in range(rng.integers(1, 4)):
+        cx, cy = rng.uniform(0, w), rng.uniform(0, h)
+        r = rng.uniform(max(2, w * 0.06), w * 0.22)
+        blob |= (xx - cx) ** 2 + (yy - cy) ** 2 <= r * r
+
+    if profile == "s2":
+        scl = np.full((h, w), 4, dtype=np.float64)  # vegetation
+        scl[(xx + yy) % 7 < 2] = 5  # bare soil stripes
+        cloud_cls = rng.choice([8, 9, 10], size=blob.sum())
+        scl[blob] = cloud_cls
+        # sprinkle a little nodata (class 0) at scene edges
+        scl[0, : w // 8] = 0
+        arr = np.concatenate([base, scl[None]], axis=0)
+        arr[:-1][:, scl == 0] = 0  # nodata sentinel 0 in data bands
+        return np.clip(arr, 0, 65535).astype(np.uint16)
+    else:  # hls
+        fmask = np.zeros((h, w), dtype=np.int64)
+        fmask[blob] |= 1 << int(rng.choice(HLS_MASK_BITS))
+        fmask[(xx * yy) % 11 < 1] |= 1 << 0  # benign bit, never masked
+        arr = np.concatenate([base[:3], fmask[None].astype(np.float64)], axis=0)
+        arr[:3][:, np.zeros((h, w), dtype=bool)] = -9999
+        return np.clip(arr, -32768, 32767).astype(np.int16)
+
+
+def images_pandas(profile: str = "s2", zones=DEFAULT_ZONES, nx: int = 4,
+                  ny: int = 4, n_dates: int = 5, w: int = 32, h: int = 32,
+                  fmt: str | None = None, seed: int = 42) -> pd.DataFrame:
+    """The primary input table — exact ``input_hint`` schema plus the
+    derived metadata columns of FIXTURES.md §1."""
+    if fmt is None:
+        fmt = "raw16" if profile == "s2" else "raw16s"
+    bands = S2_BANDS if profile == "s2" else HLS_BANDS
+    nodata = 0.0 if profile == "s2" else -9999.0
+    scale = 1.0 if profile == "s2" else 1e-4
+    rows = []
+    for zi, zone in enumerate(zones):
+        for tx in range(nx):
+            for ty in range(ny):
+                for di in range(n_dates):
+                    rng = np.random.default_rng(
+                        seed + 1_000_003 * zi + 10_007 * (tx * ny + ty) + di
+                    )
+                    arr = _scene_pixels(rng, zone, tx, ty, di, w, h, profile)
+                    dt = DATES[di]
+                    image_id = f"Z{zone}_{tx}_{ty}_{dt:%Y%m%d}"
+                    if profile == "s2":
+                        cloudy = np.isin(arr[-1], [8, 9, 10]).mean() * 100
+                    else:
+                        m = np.zeros(arr[-1].shape, dtype=bool)
+                        for b in HLS_MASK_BITS:
+                            m |= (arr[-1] & (1 << b)) > 0
+                        cloudy = m.mean() * 100
+                    payload = arr.astype(np.uint16) if fmt in ("png", "png8") else arr
+                    rows.append({
+                        "image_id": image_id,
+                        "bytes": codec.encode(payload, fmt),
+                        "w": w, "h": h, "fmt": fmt,
+                        "caption": f"scene {image_id} over zone {zone} tile ({tx},{ty})",
+                        "phash": _phash(arr.astype(np.float64)),
+                        "datetime": dt,
+                        "srs": f"ZONE:{zone}",
+                        "zone": zone,
+                        "xmin": tx * TILE_SPAN, "ymin": ty * TILE_SPAN,
+                        "xmax": (tx + 1) * TILE_SPAN, "ymax": (ty + 1) * TILE_SPAN,
+                        "res_x": TILE_SPAN / w, "res_y": TILE_SPAN / h,
+                        "bands": bands, "nodata": nodata,
+                        "scale": scale, "offset": 0.0,
+                        "cloud_cover": float(cloudy),
+                        "platform": f"sentinel-2{'ab'[di % 2]}" if profile == "s2" else "hls",
+                        "orbit_state": ["ascending", "descending"][di % 2],
+                    })
+    return pd.DataFrame(rows)
+
+
+def aoi_pandas(zones=DEFAULT_ZONES, nx: int = 4, ny: int = 4) -> pd.DataFrame:
+    """AOI polygon table (FIXTURES.md §2): one hot AOI (~30% of zone 0's
+    footprints → cell skew / salting test), a disjoint AOI, a contained
+    AOI, a concave AOI, and one crossing a zone boundary."""
+    S = TILE_SPAN
+    z0, z1 = zones[0], zones[1]
+
+    def rect(xmin, ymin, xmax, ymax):
+        return (
+            f"POLYGON (({xmin} {ymin}, {xmax} {ymin}, {xmax} {ymax}, "
+            f"{xmin} {ymax}, {xmin} {ymin}))"
+        )
+
+    rows = [
+        # hot: covers ~nx*0.6 x ny*0.55 tiles of zone 0
+        {"aoi_id": "hot", "srs": f"ZONE:{z0}",
+         "geom_wkt": rect(0.2 * S, 0.1 * S, (0.2 + nx * 0.6) * S, (0.1 + ny * 0.55) * S)},
+        {"aoi_id": "disjoint", "srs": f"ZONE:{z0}",
+         "geom_wkt": rect((nx + 2) * S, (ny + 2) * S, (nx + 3) * S, (ny + 3) * S)},
+        {"aoi_id": "contained", "srs": f"ZONE:{z1}",
+         "geom_wkt": rect(0.3 * S, 0.3 * S, 0.6 * S, 0.6 * S)},
+        # concave L-shape in zone 1
+        {"aoi_id": "concave", "srs": f"ZONE:{z1}",
+         "geom_wkt": (
+             f"POLYGON (({0.1*S} {0.1*S}, {2.5*S} {0.1*S}, {2.5*S} {1.0*S}, "
+             f"{1.0*S} {1.0*S}, {1.0*S} {2.5*S}, {0.1*S} {2.5*S}, {0.1*S} {0.1*S}))"
+         )},
+        # "crossing a zone boundary": represented as one row per zone
+        {"aoi_id": "xzone", "srs": f"ZONE:{z0}",
+         "geom_wkt": rect((nx - 0.5) * S, 0.0, nx * S, 1.5 * S)},
+        {"aoi_id": "xzone", "srs": f"ZONE:{z1}",
+         "geom_wkt": rect(0.0, 0.0, 0.5 * S, 1.5 * S)},
+    ]
+    for r in rows:
+        xs, ys = _wkt_coords(r["geom_wkt"])
+        r.update(xmin=min(xs), ymin=min(ys), xmax=max(xs), ymax=max(ys),
+                 min_coverage=0.1)
+    return pd.DataFrame(rows)
+
+
+def _wkt_coords(wkt: str):
+    body = wkt[wkt.index("((") + 2 : wkt.index("))")]
+    pts = [p.strip().split() for p in body.split(",")]
+    xs = [float(p[0]) for p in pts]
+    ys = [float(p[1]) for p in pts]
+    return xs, ys
+
+
+def knn_queries_pandas(zones=DEFAULT_ZONES, n: int = 20, seed: int = 42) -> pd.DataFrame:
+    """kNN probe points (FIXTURES.md §3)."""
+    rng = np.random.default_rng(seed + 77)
+    rows = []
+    for i in range(n):
+        zone = zones[i % len(zones)]
+        rows.append({
+            "query_id": f"q{i:03d}",
+            "srs": f"ZONE:{zone}",
+            "zone": zone,
+            "x": float(rng.uniform(0, 4 * TILE_SPAN)),
+            "y": float(rng.uniform(0, 4 * TILE_SPAN)),
+            "k": int(rng.integers(1, 11)),
+        })
+    return pd.DataFrame(rows)

@@ -1,0 +1,134 @@
+"""Checkpoint / resume via snapshot manifests with per-partition lineage.
+
+The reference persists intermediate plans to a VRT cache directory and
+can re-build pipelines from saved bundles (R/vrt-save.R:51-109,
+R/cache-mgmt.R:28-50). The ``north_rule`` upgrade: durable snapshots
+with **per-partition lineage + metrics** enabling mid-job resume.
+
+No Iceberg runtime jar ships in this sandbox, so this implements the
+documented plan-B (SURVEY.md §7.3): an Iceberg-shaped snapshot manifest
+over immutable parquet directories — atomic snapshot ids, parent
+pointers, per-partition row counts/metrics — isolated behind this one
+module so a real Iceberg catalog can be swapped in on a cluster
+(``df.writeTo(tbl).append()``).
+
+Layout::
+
+    table_dir/
+      snap-000001/part=<key>/...parquet   (immutable data)
+      manifest-000001.json                (snapshot metadata, atomic rename)
+      CURRENT                             (points at live manifest)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SnapshotTable:
+    def __init__(self, table_dir: str):
+        self.dir = table_dir
+        os.makedirs(table_dir, exist_ok=True)
+
+    # ------------------------------------------------------- helpers
+    def _current_path(self):
+        return os.path.join(self.dir, "CURRENT")
+
+    def current_manifest(self) -> dict | None:
+        try:
+            with open(self._current_path()) as f:
+                name = f.read().strip()
+            with open(os.path.join(self.dir, name)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def completed_partitions(self) -> set[str]:
+        """Union of completed partition keys across the snapshot chain —
+        what resume() skips."""
+        m = self.current_manifest()
+        done: set[str] = set()
+        while m is not None:
+            done |= set(m["partitions"].keys())
+            parent = m.get("parent")
+            m = None
+            if parent:
+                with open(os.path.join(self.dir, parent)) as f:
+                    m = json.load(f)
+        return done
+
+    # -------------------------------------------------------- commit
+    def commit(self, df: DataFrame, partition_col: str) -> dict:
+        """Write a new immutable snapshot of ``df`` and atomically
+        publish a manifest recording per-partition row counts (the
+        lineage/metrics table)."""
+        snap_id = int(time.time() * 1000)
+        prev = self.current_manifest()
+        data_dir = os.path.join(self.dir, f"snap-{snap_id}")
+        (df.write.mode("errorifexists").partitionBy(partition_col)
+           .parquet(data_dir))
+        spark = df.sparkSession
+        stats = (
+            spark.read.parquet(data_dir)
+            .groupBy(partition_col).count().collect()
+        )
+        manifest = {
+            "snapshot_id": snap_id,
+            "uuid": str(uuid.uuid4()),
+            "parent": prev["self"] if prev else None,
+            "created_ms": snap_id,
+            "partition_col": partition_col,
+            "data_dir": f"snap-{snap_id}",
+            "partitions": {str(r[partition_col]): {"rows": r["count"]}
+                           for r in stats},
+            "self": f"manifest-{snap_id}.json",
+        }
+        mpath = os.path.join(self.dir, manifest["self"])
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, mpath)  # atomic publish
+        ctmp = self._current_path() + ".tmp"
+        with open(ctmp, "w") as f:
+            f.write(manifest["self"])
+        os.replace(ctmp, self._current_path())
+        return manifest
+
+    # -------------------------------------------------------- resume
+    def remaining(self, source: DataFrame, partition_col: str) -> DataFrame:
+        """Filter a source frame down to partitions NOT yet committed —
+        the mid-job resume entry point."""
+        done = self.completed_partitions()
+        if not done:
+            return source
+        return source.where(~F.col(partition_col).cast("string").isin(list(done)))
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Read the full committed state (all snapshots in the chain)."""
+        m = self.current_manifest()
+        dfs = []
+        while m is not None:
+            dfs.append(spark.read.parquet(os.path.join(self.dir, m["data_dir"])))
+            parent = m.get("parent")
+            m = None
+            if parent:
+                with open(os.path.join(self.dir, parent)) as f:
+                    m = json.load(f)
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+
+def partition_metrics(df: DataFrame) -> DataFrame:
+    """Physical-partition histogram — rows per Spark partition. Used by
+    the skew tests to demonstrate that salting actually flattens the
+    distribution (north_rule: 'skew handled explicitly')."""
+    return (df.withColumn("_pid", F.spark_partition_id())
+              .groupBy("_pid").count().orderBy("_pid"))

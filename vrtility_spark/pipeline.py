@@ -1,0 +1,99 @@
+"""Composable pipeline facade — the ``vrt_*`` verb chain, Spark-first.
+
+The reference composes lazy VRT XML documents
+(``vrt_collect |> vrt_set_maskfun |> vrt_warp |> vrt_stack |>
+vrt_set_py_pixelfun |> vrt_compute``, /root/reference/README.md:136-150).
+Here the lazy IR is Catalyst's logical plan: every verb is a DataFrame
+transformation; ``compute()`` is the single action. There is no VRT
+cache directory — lineage *is* the nested-VRT tree (SURVEY.md §1.1) —
+and no one-pixfun-per-band limit (R/vrt-tools.R:116-127 is a GDAL
+constraint we deliberately relax).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vrtility_spark import composite as _composite
+from vrtility_spark import join as _join
+from vrtility_spark import masks as _masks
+from vrtility_spark import timeseries as _ts
+from vrtility_spark import warp as _warp
+
+
+class Pipeline:
+    """Chainable wrapper over an images DataFrame.
+
+    >>> (Pipeline(images_df)
+    ...   .cloud_filter(40)
+    ...   .set_maskfun("int", [0,1,2,3,8,9,10,11], buffer_size=1)
+    ...   .warp(cell_res=4, out_w=32, out_h=32)
+    ...   .composite("median")
+    ...   .compute("/tmp/out"))
+    """
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # ------------------------------------------------ filters (P3-P6)
+    def cloud_filter(self, max_cloud: float) -> "Pipeline":
+        return Pipeline(_join.cloud_filter(self.df, max_cloud))
+
+    def orbit_filter(self, states: Sequence[str]) -> "Pipeline":
+        return Pipeline(_join.orbit_filter(self.df, states))
+
+    def drop_duplicates(self) -> "Pipeline":
+        return Pipeline(_join.drop_duplicates_stac(self.df))
+
+    def date_range(self, start, end) -> "Pipeline":
+        return Pipeline(self.df.where(F.col("datetime").between(start, end)))
+
+    # -------------------------------------------------- masking (P7-P10)
+    def set_maskfun(self, maskfun: str, mask_values, buffer_size: int = 0,
+                    drop_mask_band: bool = False) -> "Pipeline":
+        return Pipeline(_masks.vrt_set_maskfun(
+            self.df, maskfun, mask_values, buffer_size, drop_mask_band))
+
+    # ------------------------------------------------------- warp (J1)
+    def warp(self, cell_res: int, out_w: int | None = None,
+             out_h: int | None = None, resampling: str = "bilinear",
+             prefix_k: int = 2) -> "Pipeline":
+        df = _warp.assign_cells(self.df, cell_res, prefix_k)
+        if out_w is not None:
+            df = _warp.warp_to_grid(df, out_w, out_h or out_w, resampling)
+        return Pipeline(df)
+
+    # -------------------------------------------------- spatial (J4-J6)
+    def intersecting(self, aoi: DataFrame, **kw) -> "Pipeline":
+        return Pipeline(_join.spatial_semi_join(self.df, aoi, **kw))
+
+    # -------------------------------------------------- reduce (A1-A13)
+    def composite(self, reducer="median") -> "Pipeline":
+        return Pipeline(_composite.composite(self.df, reducer))
+
+    # ------------------------------------------------- m2m / W1-W2
+    def hampel(self, k: int, t0: float = 3.0, impute_na: bool = False) -> "Pipeline":
+        return Pipeline(_ts.hampel(self.df, k, t0, impute_na))
+
+    def m2m(self, fun: Callable[[np.ndarray], np.ndarray]) -> "Pipeline":
+        return Pipeline(_ts.singleband_m2m(self.df, fun))
+
+    # -------------------------------------------------------- sinks (S8)
+    def compute(self, path: str, partition_by: Sequence[str] = ()) -> None:
+        """Materialize — the single action (vrt_compute,
+        R/vrt-compute.R:133-246). Executors write their own partitions;
+        the reference's single-writer funnel
+        (R/gdalraster-async.r:41-50) intentionally does not exist here.
+        """
+        writer = self.df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+
+    def explain(self, mode: str = "formatted") -> "Pipeline":
+        self.df.explain(mode)
+        return self

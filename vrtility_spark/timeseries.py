@@ -1,0 +1,152 @@
+"""Time-series operators: Hampel outlier filter + many-to-many windows.
+
+Exact parity with the reference's C++ kernel
+(/root/reference/src/hampel-filter-matrix.cpp:24-124):
+
+- per series (pixel, band): NAs are *compacted out* first; the filter
+  runs over consecutive valid values only (:33-47);
+- for interior valid indices ``i`` in ``[k, n_valid-k)``: window of
+  ``2k+1`` valid values, ``x0 = median(window)``,
+  ``S0 = 1.4826 * median(|window - x0|)``; replace ``x[i]`` by ``x0``
+  iff ``|x[i] - x0| > t0*S0`` (:61-86). Decisions always compare
+  against the ORIGINAL values (the C++ writes into a separate copy);
+- edges (first/last k valid points) preserved; series with fewer than
+  ``2k+1`` valid points untouched (:51);
+- optional LOCF imputation of remaining NAs (:96-121).
+
+The whole filter is NumPy-vectorized across all pixels of a tile at
+once via a stable NaN-compaction argsort + strided sliding windows —
+the (time × pixels) matrix shape of ``singleband_m2m``
+(/root/reference/R/singleband-many-to-many.R:138-257).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from numpy.lib.stride_tricks import sliding_window_view
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vrtility_spark import codec
+
+
+def hampel_np(X: np.ndarray, k: int, t0: float = 3.0,
+              impute_na: bool = False) -> np.ndarray:
+    """Hampel filter on a (T, P) matrix, columns = independent series."""
+    X = np.asarray(X, dtype=np.float64)
+    T, P = X.shape
+    isna = np.isnan(X)
+    # stable compaction: valid values to the front, original order kept
+    order = np.argsort(isna, axis=0, kind="stable")  # (T,P)
+    V = np.take_along_axis(X, order, axis=0)  # compacted, NaNs at tail
+    n_valid = (~isna).sum(axis=0)  # (P,)
+    Fv = V.copy()
+    win = 2 * k + 1
+    if T >= win:
+        Wn = sliding_window_view(V, win, axis=0)  # (T-2k, P, win)
+        x0 = np.nanmedian(np.where(np.isnan(Wn), np.nan, Wn), axis=2)
+        S0 = 1.4826 * np.nanmedian(np.abs(Wn - x0[..., None]), axis=2)
+        centers = V[k: T - k]  # (T-2k, P)
+        # center index i (in compacted coords) = row + k; interior iff
+        # k <= i < n_valid - k  and n_valid >= 2k+1
+        idx = np.arange(k, T - k)[:, None]
+        interior = (idx < (n_valid[None, :] - k)) & (n_valid[None, :] >= win)
+        with np.errstate(invalid="ignore"):
+            outlier = interior & (np.abs(centers - x0) > t0 * S0)
+        Fv[k: T - k] = np.where(outlier, x0, centers)
+    # scatter back to original positions
+    out = np.empty_like(X)
+    np.put_along_axis(out, order, Fv, axis=0)
+    out[isna] = np.nan
+    if impute_na:
+        out = locf_np(out)
+    return out
+
+
+def locf_np(X: np.ndarray) -> np.ndarray:
+    """Last-observation-carried-forward along axis 0 (leading NaNs stay)."""
+    idx = np.where(np.isnan(X), -1, np.arange(X.shape[0])[:, None])
+    filled = np.maximum.accumulate(idx, axis=0)
+    out = np.where(filled >= 0,
+                   np.take_along_axis(X, np.maximum(filled, 0), axis=0), X)
+    return out
+
+
+def moving_mean_np(X: np.ndarray, half: int) -> np.ndarray:
+    """Centered moving mean over valid values, window ``2*half+1``
+    (truncated at edges) — the reference's documented m2m example
+    (R/singleband-many-to-many.R:106-123)."""
+    T, P = X.shape
+    out = np.full_like(X, np.nan, dtype=np.float64)
+    for i in range(T):
+        lo, hi = max(0, i - half), min(T, i + half + 1)
+        with np.errstate(invalid="ignore"):
+            out[i] = np.nanmean(X[lo:hi], axis=0)
+    out[np.isnan(X)] = np.nan
+    return out
+
+
+M2M_SCHEMA = (
+    "image_id string, cell_id long, datetime timestamp, bytes binary, "
+    "w int, h int, fmt string, nodata double, caption string"
+)
+
+
+def singleband_m2m(df: DataFrame,
+                   m2m_fun: Callable[[np.ndarray], np.ndarray],
+                   key: str = "cell_id") -> DataFrame:
+    """Grouped many-to-many map: per cell, stack the time series, apply
+    ``m2m_fun`` to each band's (time × pixels) matrix, emit one row per
+    input timestep — the ``singleband_m2m`` driver
+    (R/singleband-many-to-many.R:138-257) as a single
+    ``groupBy().applyInPandas`` with exploded output. The per-timestep
+    sink becomes ``write.partitionBy("datetime")``.
+    """
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("datetime", kind="mergesort").reset_index(drop=True)
+        nodata = float(pdf.nodata.iloc[0])
+        w, h, fmt = int(pdf.w.iloc[0]), int(pdf.h.iloc[0]), pdf.fmt.iloc[0]
+        dtype = codec.dtype_for(fmt)
+        stack = np.stack([
+            codec.to_float_masked(codec.decode(r.bytes, r.w, r.h, r.fmt), nodata)
+            for r in pdf.itertuples(index=False)
+        ])  # (T,B,H,W)
+        Tn, B, H, W = stack.shape
+        filtered = np.stack([
+            m2m_fun(stack[:, b].reshape(Tn, H * W)).reshape(Tn, H, W)
+            for b in range(B)
+        ], axis=1)
+        rows = []
+        for t in range(Tn):
+            rows.append({
+                "image_id": pdf.image_id.iloc[t],
+                "cell_id": int(pdf[key].iloc[t]),
+                "datetime": pdf.datetime.iloc[t],
+                "bytes": codec.encode(
+                    codec.from_float(filtered[t], nodata, dtype), fmt),
+                "w": w, "h": h, "fmt": fmt, "nodata": nodata,
+                "caption": pdf.caption.iloc[t],
+            })
+        return pd.DataFrame(rows)
+
+    return df.groupBy(key).applyInPandas(run, schema=M2M_SCHEMA)
+
+
+def hampel(df: DataFrame, k: int, t0: float = 3.0, impute_na: bool = False,
+           key: str = "cell_id") -> DataFrame:
+    return singleband_m2m(
+        df, lambda X: hampel_np(X, k, t0, impute_na), key=key)
+
+
+# ---------------------------------------------- scalar window twins ----
+
+def locf_col(col, order_col, partition_cols):
+    """LOCF via built-ins: last non-null over an unbounded-preceding
+    window (SURVEY.md §2.5 W1)."""
+    from pyspark.sql import Window
+    w = (Window.partitionBy(*partition_cols).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return F.last(col, ignorenulls=True).over(w)
