@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf", ...}.
+
+Each query is forced with a noop-format write (full execution, zero
+sink cost, nothing collected to the driver). The image-pipeline bench
+generates its synthetic input DISTRIBUTED (datagen.images_spark) and
+runs mask → cell-assign → composite(median & geomedian) + hampel —
+the reference's README pipeline at bench scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from vrtility_spark import datagen  # noqa: E402
+from vrtility_spark.pipeline import Pipeline  # noqa: E402
+from vrtility_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "pricing_summary", "shipping_priority", "local_supplier",
+    "mosaic_latest", "moving_avg", "dedup_first",
+    "cell_assign", "spatial_join", "knn", "hampel",
+    "dedup_exact_docs", "ngram_jaccard", "minhash_docs",
+    "token_stats", "quality_score", "lang_id", "fingerprint",
+    "embedding_topk", "embedding_lsh",
+]
+
+IMG = dict(zones=(30, 31, 27), nx=8, ny=8, n_dates=5, w=64, h=64)
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def image_pipeline_bench(spark):
+    images = datagen.images_spark(spark, **IMG).cache()
+    n = images.count()  # materialize generation outside the timed section
+    t0 = time.perf_counter()
+    comp = (Pipeline(images)
+            .set_maskfun("int", datagen.S2_MASK_VALUES)
+            .warp(cell_res=datagen.TILE_RES)
+            .composite("median").df)
+    _force(comp)
+    t_median = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    comp2 = (Pipeline(images)
+             .set_maskfun("int", datagen.S2_MASK_VALUES)
+             .warp(cell_res=datagen.TILE_RES)
+             .composite("geomedian").df)
+    _force(comp2)
+    t_geomedian = time.perf_counter() - t0
+    images.unpersist()
+    return n, {"image_median_composite": t_median,
+               "image_geomedian_composite": t_geomedian}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1
+    spark = get_spark("vrtility-bench", cores=cpus, shuffle_partitions=cpus)
+    queries = entrymod.queries()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        # timer wraps construction too: iterative operators (kNN ring
+        # expansion) do real work while building the plan
+        t0 = time.perf_counter()
+        _force(queries[name](spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    n_scenes, img_times = image_pipeline_bench(spark)
+    times.update({k: round(v, 3) for k, v in img_times.items()})
+
+    total = round(sum(times.values()), 3)
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": cpus,
+        "image_bench_scenes": n_scenes,
+        "scenes_per_sec_median_composite": round(
+            n_scenes / img_times["image_median_composite"], 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

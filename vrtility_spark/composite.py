@@ -119,14 +119,15 @@ def weiszfeld(X: np.ndarray, nitermax: int = 100, epsilon: float = 1e-8,
     included bands by construction).
     """
     T, B, P = X.shape
+    dt = X.dtype if X.dtype in (np.float32, np.float64) else np.float64
     if col_w is None:
         complete = ~np.any(np.isnan(X), axis=1)  # (T, P)
-        cw = np.ones((1, B, P))
+        cw = np.ones((1, B, P), dtype=dt)
     else:
         complete = ~np.all(np.isnan(X), axis=1)
-        cw = col_w.reshape(1, B, P)
-    Xz = np.where(np.isnan(X), 0.0, X)
-    wrow = complete.astype(np.float64)[:, None, :]  # (T,1,P)
+        cw = col_w.reshape(1, B, P).astype(dt)
+    Xz = np.where(np.isnan(X), dt.type(0.0), X)
+    wrow = complete.astype(dt)[:, None, :]  # (T,1,P)
     with np.errstate(all="ignore"):
         y = np.nanmedian(X, axis=0)  # (B, P) init
     y = np.where(np.isnan(y), 0.0, y)
@@ -212,8 +213,9 @@ def xoid_mb(X: np.ndarray, stat_fn: Callable[[np.ndarray], np.ndarray],
     """
     T, B, P = X.shape
     vr = _valid_rows(X)  # (T,P)
+    dt = X.dtype if X.dtype in (np.float32, np.float64) else np.float64
     col_has_na = np.any(np.isnan(X) & vr[:, None, :], axis=0)  # (B,P)
-    w = (~col_has_na).astype(np.float64)[None]  # (1,B,P) band inclusion
+    w = (~col_has_na).astype(dt)[None]  # (1,B,P) band inclusion
     with np.errstate(all="ignore"):
         stat = stat_fn(X, w[0])  # (B,P) per-band statistic over included cols
     stat_z = np.where(np.isnan(stat), 0.0, stat)
@@ -254,11 +256,29 @@ def geomedoid_mb(X, distance_type="euclidean", impute_na=True,
 REDUCERS: dict[str, Callable[[np.ndarray], np.ndarray]] = {}
 
 
+# pixels per multiband-reducer chunk: keeps the iterative kernels'
+# working set (~T*B*chunk*8B*~6 temporaries) L2-resident, so the 100
+# Weiszfeld iterations re-read cache instead of streaming DRAM. Without
+# chunking, per-core throughput collapses as workers contend for memory
+# bandwidth (measured: 8->32 workers gave only 1.5x). Chunk boundaries
+# don't change results: every reducer is independent per pixel.
+PIX_CHUNK = 4096
+
+
 def _mb_as_stack(f):
-    """Adapt an (T,B,P) multiband reducer to the (T,B,H,W) stack shape."""
+    """Adapt an (T,B,P) multiband reducer to the (T,B,H,W) stack shape,
+    processing pixels in cache-sized chunks."""
     def g(stack: np.ndarray) -> np.ndarray:
         T, B, H, W = stack.shape
-        return f(stack.reshape(T, B, H * W)).reshape(B, H, W)
+        flat = stack.reshape(T, B, H * W)
+        P = H * W
+        if P <= PIX_CHUNK:
+            return f(flat).reshape(B, H, W)
+        out = np.empty((B, P), dtype=flat.dtype)
+        for lo in range(0, P, PIX_CHUNK):
+            hi = min(lo + PIX_CHUNK, P)
+            out[:, lo:hi] = f(np.ascontiguousarray(flat[:, :, lo:hi]))
+        return out.reshape(B, H, W)
     return g
 
 
@@ -279,7 +299,7 @@ COMPOSITE_SCHEMA = (
 
 
 def composite(df: DataFrame, reducer: str | Callable[[np.ndarray], np.ndarray],
-              key: str = "cell_id") -> DataFrame:
+              key: str = "cell_id", compute_dtype: str = "float32") -> DataFrame:
     """``groupBy(cell).applyInPandas(reduce)`` — the whole
     multiband_reduce driver (R/multiband_reduce.R:103-259) as one
     shuffle + one Arrow-vectorized grouped map.
@@ -298,8 +318,14 @@ def composite(df: DataFrame, reducer: str | Callable[[np.ndarray], np.ndarray],
         w, h, fmt = int(pdf.w.iloc[0]), int(pdf.h.iloc[0]), pdf.fmt.iloc[0]
         nodata = float(pdf.nodata.iloc[0])
         dtype = codec.dtype_for(fmt)
+        # float32 compute by default: halves the kernels' memory
+        # traffic (the scaling bottleneck at high parallelism) and
+        # matches the reference's Float32 derived-band policy
+        # (R/vrt-derived-block.R:123); pass compute_dtype="float64"
+        # for bit-exact parity with the float64 NumPy oracle.
         stack = np.stack([
-            codec.to_float_masked(codec.decode(r.bytes, r.w, r.h, r.fmt), nodata)
+            codec.to_float_masked(codec.decode(r.bytes, r.w, r.h, r.fmt),
+                                  nodata).astype(compute_dtype)
             for r in pdf.itertuples(index=False)
         ])  # (T, B, H, W)
         out = fn(stack)

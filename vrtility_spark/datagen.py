@@ -96,52 +96,104 @@ def _scene_pixels(rng: np.random.Generator, zone: int, tx: int, ty: int,
 
 def images_pandas(profile: str = "s2", zones=DEFAULT_ZONES, nx: int = 4,
                   ny: int = 4, n_dates: int = 5, w: int = 32, h: int = 32,
-                  fmt: str | None = None, seed: int = 42) -> pd.DataFrame:
+                  fmt: str | None = None, seed: int = 42,
+                  _grid_pos=None) -> pd.DataFrame:
     """The primary input table — exact ``input_hint`` schema plus the
-    derived metadata columns of FIXTURES.md §1."""
+    derived metadata columns of FIXTURES.md §1.
+
+    ``_grid_pos=(zi, tx, ty, di, ny)`` generates the single scene at
+    that grid position with the seeds/footprint it would have inside the
+    full grid (used by :func:`images_spark` for distributed generation).
+    """
     if fmt is None:
         fmt = "raw16" if profile == "s2" else "raw16s"
     bands = S2_BANDS if profile == "s2" else HLS_BANDS
     nodata = 0.0 if profile == "s2" else -9999.0
     scale = 1.0 if profile == "s2" else 1e-4
+    if _grid_pos is not None:
+        g_zi, g_tx, g_ty, g_di, g_ny = _grid_pos
+        grid = [(g_zi, zones[0], g_tx, g_ty, g_di)]
+        eff_ny = g_ny
+    else:
+        grid = [(zi, zone, tx, ty, di)
+                for zi, zone in enumerate(zones)
+                for tx in range(nx) for ty in range(ny)
+                for di in range(n_dates)]
+        eff_ny = ny
     rows = []
-    for zi, zone in enumerate(zones):
-        for tx in range(nx):
-            for ty in range(ny):
-                for di in range(n_dates):
-                    rng = np.random.default_rng(
-                        seed + 1_000_003 * zi + 10_007 * (tx * ny + ty) + di
-                    )
-                    arr = _scene_pixels(rng, zone, tx, ty, di, w, h, profile)
-                    dt = DATES[di]
-                    image_id = f"Z{zone}_{tx}_{ty}_{dt:%Y%m%d}"
-                    if profile == "s2":
-                        cloudy = np.isin(arr[-1], [8, 9, 10]).mean() * 100
-                    else:
-                        m = np.zeros(arr[-1].shape, dtype=bool)
-                        for b in HLS_MASK_BITS:
-                            m |= (arr[-1] & (1 << b)) > 0
-                        cloudy = m.mean() * 100
-                    payload = arr.astype(np.uint16) if fmt in ("png", "png8") else arr
-                    rows.append({
-                        "image_id": image_id,
-                        "bytes": codec.encode(payload, fmt),
-                        "w": w, "h": h, "fmt": fmt,
-                        "caption": f"scene {image_id} over zone {zone} tile ({tx},{ty})",
-                        "phash": _phash(arr.astype(np.float64)),
-                        "datetime": dt,
-                        "srs": f"ZONE:{zone}",
-                        "zone": zone,
-                        "xmin": tx * TILE_SPAN, "ymin": ty * TILE_SPAN,
-                        "xmax": (tx + 1) * TILE_SPAN, "ymax": (ty + 1) * TILE_SPAN,
-                        "res_x": TILE_SPAN / w, "res_y": TILE_SPAN / h,
-                        "bands": bands, "nodata": nodata,
-                        "scale": scale, "offset": 0.0,
-                        "cloud_cover": float(cloudy),
-                        "platform": f"sentinel-2{'ab'[di % 2]}" if profile == "s2" else "hls",
-                        "orbit_state": ["ascending", "descending"][di % 2],
-                    })
+    for zi, zone, tx, ty, di in grid:
+            rng = np.random.default_rng(
+                seed + 1_000_003 * zi + 10_007 * (tx * eff_ny + ty) + di
+            )
+            arr = _scene_pixels(rng, zone, tx, ty, di, w, h, profile)
+            dt = DATES[di]
+            image_id = f"Z{zone}_{tx}_{ty}_{dt:%Y%m%d}"
+            if profile == "s2":
+                cloudy = np.isin(arr[-1], [8, 9, 10]).mean() * 100
+            else:
+                m = np.zeros(arr[-1].shape, dtype=bool)
+                for b in HLS_MASK_BITS:
+                    m |= (arr[-1] & (1 << b)) > 0
+                cloudy = m.mean() * 100
+            payload = arr.astype(np.uint16) if fmt in ("png", "png8") else arr
+            rows.append({
+                "image_id": image_id,
+                "bytes": codec.encode(payload, fmt),
+                "w": w, "h": h, "fmt": fmt,
+                "caption": f"scene {image_id} over zone {zone} tile ({tx},{ty})",
+                "phash": _phash(arr.astype(np.float64)),
+                "datetime": dt,
+                "srs": f"ZONE:{zone}",
+                "zone": zone,
+                "xmin": tx * TILE_SPAN, "ymin": ty * TILE_SPAN,
+                "xmax": (tx + 1) * TILE_SPAN, "ymax": (ty + 1) * TILE_SPAN,
+                "res_x": TILE_SPAN / w, "res_y": TILE_SPAN / h,
+                "bands": bands, "nodata": nodata,
+                "scale": scale, "offset": 0.0,
+                "cloud_cover": float(cloudy),
+                "platform": f"sentinel-2{'ab'[di % 2]}" if profile == "s2" else "hls",
+                "orbit_state": ["ascending", "descending"][di % 2],
+            })
     return pd.DataFrame(rows)
+
+
+def images_spark(spark, profile: str = "s2", zones=DEFAULT_ZONES, nx: int = 4,
+                 ny: int = 4, n_dates: int = 5, w: int = 32, h: int = 32,
+                 fmt: str | None = None, seed: int = 42,
+                 partitions: int | None = None):
+    """Distributed twin of :func:`images_pandas`: the (zone, tile, date)
+    seed grid is built driver-side (tiny), pixels are synthesized on
+    executors inside ``mapInPandas`` — the generation pattern that
+    scales to arbitrarily large fixtures (never materializes pixels on
+    the driver). Byte-identical to :func:`images_pandas` for the same
+    parameters."""
+    from pyspark.sql import functions as F  # local import keeps module light
+
+    from vrtility_spark.schema import IMAGE_SCHEMA
+
+    keys = [(zi, zone, tx, ty, di)
+            for zi, zone in enumerate(zones)
+            for tx in range(nx) for ty in range(ny)
+            for di in range(n_dates)]
+    seed_df = spark.createDataFrame(
+        keys, "zi int, zone int, tx int, ty int, di int")
+    if partitions:
+        seed_df = seed_df.repartition(partitions)
+    cols = [f.name for f in IMAGE_SCHEMA.fields]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                sub = images_pandas(profile=profile, zones=(int(r.zone),),
+                                    nx=1, ny=1, n_dates=1, w=w, h=h, fmt=fmt,
+                                    seed=seed, _grid_pos=(int(r.zi), int(r.tx),
+                                                          int(r.ty), int(r.di),
+                                                          ny))
+                rows.append(sub)
+            yield pd.concat(rows)[cols] if rows else pd.DataFrame(columns=cols)
+
+    return seed_df.mapInPandas(gen, schema=IMAGE_SCHEMA)
 
 
 def aoi_pandas(zones=DEFAULT_ZONES, nx: int = 4, ny: int = 4) -> pd.DataFrame:

@@ -74,8 +74,10 @@ class SnapshotTable:
         (df.write.mode("errorifexists").partitionBy(partition_col)
            .parquet(data_dir))
         spark = df.sparkSession
+        # schema passed explicitly: an empty snapshot (nothing left to
+        # resume) has no files to infer from
         stats = (
-            spark.read.parquet(data_dir)
+            spark.read.schema(df.schema).parquet(data_dir)
             .groupBy(partition_col).count().collect()
         )
         manifest = {
