@@ -262,6 +262,88 @@ def q_hampel(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join: for each click event, the user's latest purchase at
+    or before it — nearest-in-time matching via the engine's asof_join
+    operator (SURVEY §2.3 join coverage)."""
+    from vrtility_spark.join import asof_join
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"),
+        F.col("event_id").alias("p_event_id"), F.col("value").alias("pv"))
+    out = asof_join(clicks, purchases, on="user_id", left_time="ts",
+                    right_time="pts", left_id="event_id",
+                    tiebreak="p_event_id")
+    return out.select(F.col("l.event_id").alias("click_id"),
+                      F.col("p_event_id").alias("purchase_id"),
+                      F.round("pv", 4).alias("purchase_value"))
+
+
+def q_range_join(spark, sf_dir):
+    """Banded interval join: clicks of the same user within 2 days after
+    each purchase (band-join pattern for skewed interval joins)."""
+    from vrtility_spark.join import range_join
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("interval 2 days")).alias("hi"))
+    clicks = ev.where(F.col("event_type") == "click")
+    out = range_join(clicks, purchases, on="user_id", ts="ts",
+                     lo="lo", hi="hi", bucket_width_sec=2 * 86400)
+    return (out.groupBy("purchase_id")
+            .agg(F.count("*").alias("n_clicks"),
+                 F.round(F.sum(F.col("l.value")), 2).alias("sum_value")))
+
+
+def q_rollup(spark, sf_dir):
+    """ROLLUP aggregation (grouping-sets coverage, SURVEY §2.4 note)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
+
+
+def q_anti_join(spark, sf_dir):
+    """Anti join: customers with no URGENT order (NOT EXISTS coverage)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders") \
+        .where(F.col("o_orderpriority") == "1-URGENT")
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+            .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash near-dup candidates over embeddings: 32-bit sign
+    signature, 4x8-bit LSH bands for candidate generation, exact
+    Hamming refine (<= 10) — the banded SimHash dedup pattern."""
+    e = _t(spark, sf_dir, "embeddings")
+    sig = None
+    for i in range(1, 33):
+        bit = F.when(F.element_at(F.col("embedding"), i) > 0,
+                     F.lit(1 << (i - 1))).otherwise(0)
+        sig = bit if sig is None else sig + bit
+    keyed = e.select("vec_id", sig.cast("long").alias("sig"))
+    banded = keyed.select(
+        "vec_id", "sig",
+        F.explode(F.array(*[
+            (F.lit(b * 1000) + F.shiftright(F.col("sig"), 8 * b)
+             .bitwiseAND(F.lit(255))).alias(f"b{b}")
+            for b in range(4)])).alias("band"))
+    a = banded.select(F.col("vec_id").alias("a_id"), F.col("sig").alias("a_sig"),
+                      "band")
+    b = banded.select(F.col("vec_id").alias("b_id"), F.col("sig").alias("b_sig"),
+                      "band")
+    pairs = (a.join(b, "band").where(F.col("a_id") < F.col("b_id"))
+             .select("a_id", "b_id",
+                     F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig")))
+                     .alias("hamming"))
+             .distinct()
+             .where(F.col("hamming") <= 10))
+    return pairs
+
+
 # =====================================================================
 # training-data ops: dedup / text / fingerprint / similarity
 # =====================================================================
@@ -506,6 +588,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join": q_spatial_join,
         "knn": q_knn,
         "hampel": q_hampel,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "rollup": q_rollup,
+        "anti_join": q_anti_join,
+        "simhash": q_simhash,
         "dedup_exact_docs": q_dedup_exact_docs,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_docs": q_minhash_docs,
@@ -679,6 +766,60 @@ def oracle_sql() -> dict[str, str]:
                          then mads.x0 else t1.value end, 4) as filtered
             from t1 join mads on t1.event_id = mads.event_id
         """,
+
+        "asof_join": """
+            select click_id, purchase_id, round(pv, 4) as purchase_value
+            from (
+              select c.event_id as click_id, p.event_id as purchase_id,
+                     p.value as pv,
+                     row_number() over (partition by c.event_id
+                         order by p.ts desc, p.event_id desc) as rn
+              from events c
+              join events p on p.user_id = c.user_id
+                   and p.event_type = 'purchase' and p.ts <= c.ts
+              where c.event_type = 'click'
+            ) where rn = 1
+        """,
+        "range_join": """
+            select p.event_id as purchase_id, count(*) as n_clicks,
+                   round(sum(c.value), 2) as sum_value
+            from events p
+            join events c on c.user_id = p.user_id
+                 and c.event_type = 'click'
+                 and c.ts >= p.ts and c.ts < p.ts + interval 2 day
+            where p.event_type = 'purchase'
+            group by p.event_id
+        """,
+        "rollup": """
+            select l_returnflag, l_linestatus, count(*) as n,
+                   round(sum(l_quantity), 2) as sum_qty
+            from lineitem
+            group by rollup(l_returnflag, l_linestatus)
+        """,
+        "anti_join": """
+            select c_custkey, c_name, c_mktsegment from customer
+            where not exists (select 1 from orders
+                              where o_custkey = c_custkey
+                                and o_orderpriority = '1-URGENT')
+        """,
+        "simhash": """
+            with sig as (
+              select vec_id,
+                     cast({sig_expr} as bigint) as sig
+              from embeddings
+            ), banded as (
+              select vec_id, sig,
+                     b * 1000 + ((sig >> (8 * b)) & 255) as band
+              from sig, unnest([0, 1, 2, 3]) as t(b)
+            )
+            select distinct a.vec_id as a_id, b.vec_id as b_id,
+                   cast(bit_count(xor(a.sig, b.sig)) as int) as hamming
+            from banded a join banded b
+              on a.band = b.band and a.vec_id < b.vec_id
+            where bit_count(xor(a.sig, b.sig)) <= 10
+        """.format(sig_expr=" + ".join(
+            f"(case when embedding[{i}] > 0 then {1 << (i - 1)} else 0 end)"
+            for i in range(1, 33))),
         "dedup_exact_docs": """
             select doc_id, lang, n_chars
             from (select *, row_number() over (partition by md5(text)

@@ -28,6 +28,7 @@ BENCH_QUERIES = [
     "pricing_summary", "shipping_priority", "local_supplier",
     "mosaic_latest", "moving_avg", "dedup_first",
     "cell_assign", "spatial_join", "knn", "hampel",
+    "asof_join", "range_join", "rollup", "anti_join", "simhash",
     "dedup_exact_docs", "ngram_jaccard", "minhash_docs",
     "token_stats", "quality_score", "lang_id", "fingerprint",
     "embedding_topk", "embedding_lsh",

@@ -1,0 +1,136 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from vrtility_spark import bands, codec, datagen, mlmask, schema
+
+
+def _decode_first(pdf_out, src_pdf=None):
+    r = pdf_out.iloc[0]
+    return codec.decode(r.bytes, r.w, r.h, r.fmt), list(r.bands)
+
+
+def test_subset_and_reorder(spark, tiny_images):
+    df = tiny_images.limit(3)
+    out = bands.subset_bands(df, ["B04", "B02"]).toPandas()
+    arr, names = _decode_first(out)
+    assert names == ["B04", "B02"] and arr.shape[0] == 2
+    src = df.toPandas().iloc[0]
+    src_arr = codec.decode(src.bytes, src.w, src.h, src.fmt)
+    assert (arr[0] == src_arr[2]).all() and (arr[1] == src_arr[0]).all()
+
+    out2 = bands.move_band(df, "SCL", 1).toPandas()
+    arr2, names2 = _decode_first(out2)
+    assert names2[0] == "SCL" and (arr2[0] == src_arr[4]).all()
+
+
+def test_add_empty_and_rename(spark, tiny_images):
+    df = tiny_images.limit(2)
+    out = bands.add_empty_band(df, "EMPTY").toPandas()
+    arr, names = _decode_first(out)
+    assert names[-1] == "EMPTY" and (arr[-1] == 0).all()
+    ren = bands.set_band_names(df, ["a", "b", "c", "d", "e"]) \
+        .select("bands").first()[0]
+    assert ren == ["a", "b", "c", "d", "e"]
+
+
+def test_derived_ndvi(spark, tiny_images):
+    """NDVI semantics of the reference's derived-band tests
+    (test-vrt-derived-block.R:33-52): values in (-1, 1), nodata
+    propagates, and B04*0 == 0."""
+    df = tiny_images.limit(4)
+    # out_offset=-1 keeps NDVI's [-1,1] range clear of the 0 sentinel
+    ndvi = bands.derived_band(
+        df, "NDVI", lambda b: (b["B08"] - b["B04"]) / (b["B08"] + b["B04"]),
+        out_scale=1e-4, out_offset=-1.0)
+    out = ndvi.toPandas()
+    for _, r in out.iterrows():
+        arr = codec.decode(r.bytes, r.w, r.h, r.fmt)
+        assert list(r.bands)[-1] == "NDVI"
+        valid = arr[0] != 0
+        plane = arr[-1].astype(np.float64) * 1e-4 - 1.0
+        assert np.abs(plane[valid]).max() <= 1.0
+        assert -0.9 < plane[valid].mean() < 0.9  # non-degenerate
+        # nodata pixels in inputs stay sentinel in the derived plane
+        assert (arr[-1][~valid] == 0).all()
+
+    zero = bands.derived_band(df, "Z", lambda b: b["B04"] * 0.0).toPandas()
+    for _, r in zero.iterrows():
+        arr = codec.decode(r.bytes, r.w, r.h, r.fmt)
+        src_valid = codec.decode(r.bytes, r.w, r.h, r.fmt)[0] != 0
+        assert (arr[-1][src_valid] == 0).all()
+
+
+def test_scale_offset_semantics(spark, tiny_images):
+    """F2: scaling metadata changes decoded physical values by exactly
+    the scale factor (test-singleband-m2m.R:75-85 analogue)."""
+    df = bands.set_scale(tiny_images.limit(1), 1e-4)
+    row = df.first()
+    assert row.scale == 1e-4
+    arr = codec.decode(row.bytes, row.w, row.h, row.fmt)
+    physical = arr[0].astype(np.float64) * row.scale + row.offset
+    assert physical.max() <= 6.5536  # 65535 * 1e-4
+
+
+def test_stack_view(spark, tiny_images):
+    from vrtility_spark import warp
+    df = warp.assign_cells(tiny_images, datagen.TILE_RES)
+    st = bands.stack(df).toPandas()
+    assert len(st) == 12
+    assert (st.n_scenes == 5).all()
+    s = st.iloc[0].series
+    times = [x["datetime"] for x in s]
+    assert times == sorted(times)
+
+
+def test_mlmask_fake(spark, tiny_images):
+    df = tiny_images.limit(3)
+    out = mlmask.create_mlmask(df, model="fake").toPandas()
+    for _, r in out.iterrows():
+        arr = codec.decode(r.bytes, r.w, r.h, r.fmt)
+        assert list(r.bands)[-1] == "MLMASK"
+        mask = arr[-1]
+        assert set(np.unique(mask)) <= {0, 1}
+        assert 0.10 <= (mask == 0).mean() <= 0.20  # ~15% flagged
+    # determinism
+    out2 = mlmask.create_mlmask(df, model="fake").toPandas()
+    assert all(bytes(a) == bytes(b) for a, b in zip(out.bytes, out2.bytes))
+
+
+def test_mlmask_real_model_raises(spark, tiny_images):
+    import pytest
+    with pytest.raises((NotImplementedError, Exception)):
+        mlmask.create_mlmask(tiny_images.limit(1), model="omnicloudmask")
+
+
+def test_asof_and_range_join(spark):
+    from vrtility_spark.join import asof_join, range_join
+    left = spark.createDataFrame(
+        [(1, "k", "2024-01-05"), (2, "k", "2024-01-01"), (3, "x", "2024-01-05")],
+        "id int, k string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("k", "2024-01-02", 10.0), ("k", "2024-01-04", 20.0),
+         ("x", "2024-01-06", 30.0)],
+        "k string, rts string, v double"
+    ).withColumn("rts", F.to_timestamp("rts"))
+    got = asof_join(left, right, on="k", left_time="ts", right_time="rts",
+                    left_id="id").select("id", "v").toPandas()
+    assert dict(zip(got.id, got.v)) == {1: 20.0}  # id2: nothing before; id3: x after
+    fwd = asof_join(left, right, on="k", left_time="ts", right_time="rts",
+                    left_id="id", direction="forward") \
+        .select("id", "v").toPandas()
+    assert dict(zip(fwd.id, fwd.v)) == {2: 10.0, 3: 30.0}
+
+    windows = spark.createDataFrame(
+        [("k", "2024-01-01", "2024-01-03", "w1"),
+         ("k", "2024-01-03", "2024-01-10", "w2")],
+        "k string, lo string, hi string, wid string"
+    ).withColumn("lo", F.to_timestamp("lo")).withColumn("hi", F.to_timestamp("hi"))
+    for width in (None, 86400):
+        rj = range_join(left, windows, on="k", ts="ts", lo="lo", hi="hi",
+                        bucket_width_sec=width)
+        pairs = sorted((r.id, r.wid) for r in rj.select("id", "wid").collect())
+        assert pairs == [(1, "w2"), (2, "w1")], width

@@ -1,0 +1,159 @@
+"""Band-level operators: subset / reorder / rename / add-empty /
+derived band math / scale-offset / nodata.
+
+Reference parity:
+
+- ``vrt_subset_bands`` (P2, /root/reference/R/vrt-tools.R:163-236) —
+  project a subset of planes out of the payload.
+- ``vrt_move_band`` (O5, R/vrt-move-band.R:27-69) — reorder planes.
+- ``vrt_set_band_names`` (O7, R/vrt-set-band-names.R:6-65).
+- ``vrt_add_empty_band`` (O6, R/vrt-add-empty-band.R:30-120) —
+  nodata-initialized placeholder plane.
+- derived band math (F1, R/vrt-derived-block.R:47-154): formula over
+  bands (e.g. ``ndvi ~ (B08-B04)/(B08+B04)``) evaluated per pixel;
+  **scale/offset folded into the expression** at plan time
+  (:173-221) and the derived plane forced to Float32 (:123) — here the
+  derived plane is computed in float32 then quantized back into the
+  payload with its own scale/offset so integer storage round-trips.
+- ``vrt_set_scale`` (F2, R/vrt-set-scale.R:46-77), ``vrt_set_nodata``
+  (F3, R/vrt-set-nodata.R:36-77) — metadata column updates; the
+  sentinel convention lives in codec.to_float_masked/from_float.
+
+All payload transforms are narrow ``mapInPandas`` (no shuffle) and
+compose freely — the reference's one-pixfun-per-band limit
+(R/vrt-tools.R:116-127) is deliberately relaxed.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vrtility_spark import codec
+
+
+def _payload_map(df: DataFrame, fn, extra_schema: str | None = None) -> DataFrame:
+    """Run ``fn(arr, row) -> (arr, bands_list)`` over every payload."""
+    out_schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, bands_out = [], []
+            for row in pdf.itertuples(index=False):
+                arr = codec.decode(row.bytes, row.w, row.h, row.fmt)
+                arr2, bands2 = fn(arr, row)
+                blobs.append(codec.encode(arr2.astype(arr.dtype), row.fmt))
+                bands_out.append(bands2)
+            pdf = pdf.copy()
+            pdf["bytes"] = blobs
+            pdf["bands"] = bands_out
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def subset_bands(df: DataFrame, keep: Sequence[str]) -> DataFrame:
+    """vrt_subset_bands: keep named planes, in the given order."""
+    keep = list(keep)
+
+    def fn(arr, row):
+        names = list(row.bands)
+        idx = [names.index(b) for b in keep]
+        return arr[idx], keep
+
+    return _payload_map(df, fn)
+
+
+def move_band(df: DataFrame, band: str, position: int) -> DataFrame:
+    """vrt_move_band: move one plane to a 1-based position."""
+    def fn(arr, row):
+        names = list(row.bands)
+        i = names.index(band)
+        order = [j for j in range(len(names)) if j != i]
+        order.insert(position - 1, i)
+        return arr[order], [names[j] for j in order]
+
+    return _payload_map(df, fn)
+
+
+def set_band_names(df: DataFrame, names: Sequence[str]) -> DataFrame:
+    """vrt_set_band_names: metadata-only rename (no payload touch)."""
+    return df.withColumn("bands", F.array(*[F.lit(n) for n in names]))
+
+
+def add_empty_band(df: DataFrame, name: str) -> DataFrame:
+    """vrt_add_empty_band: append a nodata-filled plane."""
+    def fn(arr, row):
+        plane = np.full((1, arr.shape[1], arr.shape[2]), row.nodata, dtype=arr.dtype)
+        return np.concatenate([arr, plane]), list(row.bands) + [name]
+
+    return _payload_map(df, fn)
+
+
+def derived_band(df: DataFrame, name: str,
+                 formula: Callable[[dict], np.ndarray],
+                 out_scale: float = 1e-4, out_offset: float = 0.0,
+                 replace: bool = False) -> DataFrame:
+    """F1 derived band: ``formula`` receives ``{band: float32 plane}``
+    (scale/offset already applied, nodata already NaN — the reference's
+    folding) and returns a float plane; it is quantized into the
+    integer payload as ``round((v - out_offset) / out_scale)`` so the
+    stored plane round-trips through the standard scale/offset path.
+
+    >>> ndvi = lambda b: (b["B08"] - b["B04"]) / (b["B08"] + b["B04"])
+    >>> derived_band(images, "NDVI", ndvi)
+    """
+    def fn(arr, row):
+        names = list(row.bands)
+        fl = codec.to_float_masked(arr, row.nodata).astype(np.float32)
+        scaled = fl * np.float32(row.scale) + np.float32(row.offset)
+        env = {b: scaled[i] for i, b in enumerate(names)}
+        with np.errstate(all="ignore"):
+            v = np.asarray(formula(env), dtype=np.float32)
+        # NaN/inf (incl. propagated nodata) -> sentinel. A valid value
+        # that quantizes exactly to the sentinel is indistinguishable
+        # from nodata — pick out_offset so the valid range avoids it
+        # (the reference avoids this by storing derived bands as
+        # Float32; we keep integer payloads for the codec fast path).
+        q = (v - out_offset) / out_scale
+        info = np.iinfo(arr.dtype)
+        plane = np.where(np.isfinite(q),
+                         np.clip(np.round(q), info.min, info.max),
+                         row.nodata).astype(arr.dtype)[None]
+        if replace:
+            return plane, [name]
+        return np.concatenate([arr, plane]), names + [name]
+
+    return _payload_map(df, fn)
+
+
+def set_scale(df: DataFrame, scale: float, offset: float = 0.0) -> DataFrame:
+    """F2 vrt_set_scale: metadata update; decode paths apply it."""
+    return df.withColumn("scale", F.lit(float(scale))) \
+             .withColumn("offset", F.lit(float(offset)))
+
+
+def set_nodata(df: DataFrame, nodata: float) -> DataFrame:
+    """F3 vrt_set_nodata: re-declare the sentinel (metadata only,
+    matching the reference's NoDataValue rewrite semantics)."""
+    return df.withColumn("nodata", F.lit(float(nodata)))
+
+
+def stack(df: DataFrame, key: str = "cell_id") -> DataFrame:
+    """J2 vrt_stack: explicit per-cell time-series view — one row per
+    cell with time-ordered scene references (the reference errors on
+    mixed SRS, R/vrt-stack.R:30; here rows in a cell share the zone by
+    cell-id construction). Compositing normally fuses this shuffle into
+    applyInPandas; this operator exists for plan inspection and for
+    consumers that want the stacked rows themselves."""
+    return (df.groupBy(key).agg(
+        F.sort_array(F.collect_list(F.struct("datetime", "image_id", "bytes",
+                                             "w", "h", "fmt"))).alias("series"),
+        F.count("*").alias("n_scenes"),
+        F.min("datetime").alias("t0"),
+        F.max("datetime").alias("t1"),
+    ))

@@ -186,6 +186,68 @@ def spatial_anti_join(images: DataFrame, aoi: DataFrame, **kw) -> DataFrame:
     return images.join(pairs, "image_id", "left_anti")
 
 
+# ------------------------------------------------ temporal joins ----
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_time: str, right_time: str, left_id: str,
+              direction: str = "backward",
+              tiebreak: str | None = None) -> DataFrame:
+    """As-of join: for each left row, the single nearest right row at or
+    before (``backward``) / at or after (``forward``) its timestamp —
+    nearest-in-time scene matching (SURVEY.md §2.3 join coverage).
+
+    Implemented as equi-join on ``on`` + window top-1 per ``left_id``;
+    Catalyst plans the equi part as a hash join, and AQE handles skew.
+    """
+    assert direction in ("backward", "forward")
+    from pyspark.sql import Window
+    cond = (F.col(f"r.{right_time}") <= F.col(f"l.{left_time}")
+            if direction == "backward"
+            else F.col(f"r.{right_time}") >= F.col(f"l.{left_time}"))
+    joined = left.alias("l").join(
+        right.alias("r"),
+        (F.col(f"l.{on}") == F.col(f"r.{on}")) & cond, "inner")
+    order = [F.col(f"r.{right_time}").desc() if direction == "backward"
+             else F.col(f"r.{right_time}").asc()]
+    if tiebreak is not None:  # deterministic pick on equal timestamps
+        order.append(F.col(f"r.{tiebreak}").desc())
+    w = Window.partitionBy(f"l.{left_id}").orderBy(*order)
+    return joined.withColumn("_rn", F.row_number().over(w)).where("_rn = 1") \
+                 .drop("_rn")
+
+
+def range_join(left: DataFrame, right: DataFrame, on: str,
+               ts: str, lo: str, hi: str,
+               bucket_width_sec: int | None = None) -> DataFrame:
+    """Interval join: left rows whose ``ts`` falls in a right row's
+    [lo, hi) window, equi on ``on``.
+
+    With ``bucket_width_sec`` the join is *banded*: both sides get
+    time-bucket keys (the right side exploded over its covered
+    buckets), turning the theta join into an equi hash join + refine —
+    the band-join pattern for large skewed interval joins (PAPERS.md).
+    Without it, a plain equi+range condition is used (fine when ``on``
+    is selective).
+    """
+    if bucket_width_sec is None:
+        return left.alias("l").join(
+            right.alias("r"),
+            (F.col(f"l.{on}") == F.col(f"r.{on}"))
+            & (F.col(f"l.{ts}") >= F.col(f"r.{lo}"))
+            & (F.col(f"l.{ts}") < F.col(f"r.{hi}")), "inner")
+    wsec = F.lit(int(bucket_width_sec))
+    lbucket = F.floor(F.unix_timestamp(F.col(f"l.{ts}")) / wsec)
+    b0 = F.floor(F.unix_timestamp(F.col(f"r.{lo}")) / wsec)
+    b1 = F.floor(F.unix_timestamp(F.col(f"r.{hi}")) / wsec)
+    r = right.alias("r").withColumn("_b", F.explode(F.sequence(b0, b1)))
+    return (left.alias("l").withColumn("_b", lbucket)
+            .join(r, ["_b"], "inner")
+            .where((F.col(f"l.{on}") == F.col(f"r.{on}"))
+                   & (F.col(f"l.{ts}") >= F.col(f"r.{lo}"))
+                   & (F.col(f"l.{ts}") < F.col(f"r.{hi}")))
+            .drop("_b"))
+
+
 # ----------------------------------------------- catalog-style filters ----
 
 def cloud_filter(df: DataFrame, max_cloud: float) -> DataFrame:

@@ -1,0 +1,81 @@
+"""ML cloud-mask operator (P11, ``create_omnicloudmask``).
+
+The reference wraps the OmniCloudMask torch model as a pixel function
+over (red, green, nir) planes (/root/reference/R/zvrt-pixel-funs-mask.R:262-340)
+and materializes the mask eagerly per scene (R/vrt-create-mask.R:56-174).
+
+Spark shape: a batched-inference ``mapInPandas`` — the standard model-
+serving pattern (load model once per worker inside the generator, run
+whole Arrow batches). Torch is not available in this sandbox, so the
+model call is stubbed behind ``model="fake"``:
+
+- ``model="fake"`` — deterministic stand-in (brightness threshold on
+  the mean of the requested planes) so the full Spark plumbing (schema,
+  batching, plane injection) is real and tested;
+- ``model="omnicloudmask"`` — imports torch/omnicloudmask if present,
+  else raises ``NotImplementedError`` naming the missing dependency.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from vrtility_spark import codec
+
+
+def _fake_model(planes: np.ndarray) -> np.ndarray:
+    """Deterministic stand-in: cloud iff mean reflectance of the input
+    planes exceeds the scene's 85th percentile. Returns 0/1 mask
+    (1 = valid, 0 = cloud), matching the engine's mask polarity."""
+    mean = planes.mean(axis=0)
+    thr = np.percentile(mean, 85.0)
+    return (mean <= thr).astype(np.uint8)
+
+
+def create_mlmask(df: DataFrame, bands: Sequence[str] = ("B04", "B03", "B08"),
+                  model: str = "fake", mask_name: str = "MLMASK") -> DataFrame:
+    """Append an ML-predicted 0/1 mask plane computed from ``bands``.
+
+    The appended plane is a regular mask plane: feed the result to
+    ``masks.vrt_set_maskfun(df, "int", [0])`` to apply it (class 0 =
+    cloud), mirroring how the reference chains create-mask → set-mask.
+    """
+    if model == "omnicloudmask":
+        try:
+            import omnicloudmask  # noqa: F401
+            import torch  # noqa: F401
+        except ImportError as e:  # pragma: no cover - sandbox has no torch
+            raise NotImplementedError(
+                "model='omnicloudmask' needs the torch + omnicloudmask "
+                "packages (not available in this environment); use "
+                "model='fake' for the deterministic stand-in") from e
+    elif model != "fake":
+        raise ValueError(f"unknown model {model!r}")
+
+    wanted = list(bands)
+    out_schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # a real model would be loaded HERE, once per worker, outside
+        # the per-batch loop (the batched-inference pattern)
+        for pdf in batches:
+            blobs, bands_out = [], []
+            for row in pdf.itertuples(index=False):
+                arr = codec.decode(row.bytes, row.w, row.h, row.fmt)
+                names = list(row.bands)
+                planes = arr[[names.index(b) for b in wanted]].astype(np.float32)
+                mask = _fake_model(planes)
+                plane = mask.astype(arr.dtype)[None]
+                blobs.append(codec.encode(
+                    np.concatenate([arr, plane]).astype(arr.dtype), row.fmt))
+                bands_out.append(names + [mask_name])
+            pdf = pdf.copy()
+            pdf["bytes"] = blobs
+            pdf["bands"] = bands_out
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

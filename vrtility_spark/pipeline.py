@@ -52,11 +52,31 @@ class Pipeline:
     def date_range(self, start, end) -> "Pipeline":
         return Pipeline(self.df.where(F.col("datetime").between(start, end)))
 
-    # -------------------------------------------------- masking (P7-P10)
+    # -------------------------------------------------- masking (P7-P11)
     def set_maskfun(self, maskfun: str, mask_values, buffer_size: int = 0,
                     drop_mask_band: bool = False) -> "Pipeline":
         return Pipeline(_masks.vrt_set_maskfun(
             self.df, maskfun, mask_values, buffer_size, drop_mask_band))
+
+    def create_mlmask(self, bands=("B04", "B03", "B08"),
+                      model: str = "fake") -> "Pipeline":
+        from vrtility_spark.mlmask import create_mlmask
+        return Pipeline(create_mlmask(self.df, bands, model))
+
+    # ------------------------------------------- band ops (P2/O5-O7/F1-F3)
+    def subset_bands(self, keep) -> "Pipeline":
+        from vrtility_spark import bands as _b
+        return Pipeline(_b.subset_bands(self.df, keep))
+
+    def derived_band(self, name, formula, out_scale=1e-4,
+                     out_offset=0.0) -> "Pipeline":
+        from vrtility_spark import bands as _b
+        return Pipeline(_b.derived_band(self.df, name, formula,
+                                        out_scale, out_offset))
+
+    def set_scale(self, scale, offset=0.0) -> "Pipeline":
+        from vrtility_spark import bands as _b
+        return Pipeline(_b.set_scale(self.df, scale, offset))
 
     # ------------------------------------------------------- warp (J1)
     def warp(self, cell_res: int, out_w: int | None = None,

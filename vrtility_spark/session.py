@@ -23,6 +23,18 @@ def ship_package(spark: SparkSession) -> None:
     not share the driver's ``sys.path``."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     zpath = os.path.join(tempfile.gettempdir(), "vrtility_spark_pyfiles.zip")
+    # rebuild when any source file is newer than the zip (a stale zip
+    # ships old code to executors — ModuleNotFoundError at best, silent
+    # old behavior at worst)
+    src_mtime = max(
+        os.path.getmtime(os.path.join(root, f))
+        for root, _, files in os.walk(pkg_dir)
+        for f in files if f.endswith(".py"))
+    if os.path.exists(zpath) and os.path.getmtime(zpath) < src_mtime:
+        try:
+            os.remove(zpath)
+        except OSError:
+            pass
     if not os.path.exists(zpath):
         tmp = zpath + f".{os.getpid()}.tmp"
         with zipfile.ZipFile(tmp, "w") as z:
