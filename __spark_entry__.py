@@ -365,15 +365,17 @@ def q_dedup_exact_docs(spark, sf_dir):
 
 def _shingles_df(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    # guard: Spark's sequence(1, n) runs DESCENDING when n < 1, so short
-    # documents need an explicit empty-array branch
+    # words array materialized ONCE per row (inlining split() into every
+    # element_at re-evaluates it per shingle element — measured 40s vs
+    # ~4s at sf0.1); sequence(1, n) guard: Spark runs DESCENDING for n<1
     sh = F.expr(
-        "case when size(split(text,' ')) >= 3 then "
-        "transform(sequence(1, size(split(text,' ')) - 2), "
-        "i -> concat_ws(' ', element_at(split(text,' '), i), "
-        "element_at(split(text,' '), i+1), element_at(split(text,' '), i+2))) "
+        "case when size(w) >= 3 then "
+        "transform(sequence(1, size(w) - 2), "
+        "i -> concat_ws(' ', element_at(w, i), "
+        "element_at(w, i+1), element_at(w, i+2))) "
         "else array() end")
-    return (d.select("doc_id", F.explode(sh).alias("sh")).distinct())
+    return (d.withColumn("w", F.split(F.col("text"), " "))
+             .select("doc_id", F.explode(sh).alias("sh")).distinct())
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -497,10 +499,13 @@ def q_embedding_lsh(spark, sf_dir):
     leading dimensions, exact cosine refine inside buckets — the scale
     path (bucket join ≫ cross join at 10^12 rows)."""
     e = _t(spark, sf_dir, "embeddings")
-    def bkt(i):
-        return F.floor(F.element_at(F.col("embedding"), i).cast("double") * 4)
-    keyed = e.select("vec_id", "embedding",
-                     (bkt(1) * 100 + bkt(2)).alias("bucket"))
+    # 6 sign-bit dims → 64 buckets: keeps the candidate join ~64x below
+    # the cross product (2-dim quantization degenerated to ~4 buckets)
+    def bit(i):
+        return F.when(F.element_at(F.col("embedding"), i) > 0,
+                      F.lit(1 << (i - 1))).otherwise(0)
+    bucket = bit(1) + bit(2) + bit(3) + bit(4) + bit(5) + bit(6)
+    keyed = e.select("vec_id", "embedding", bucket.cast("long").alias("bucket"))
     a = keyed.select(F.col("vec_id").alias("a_id"),
                      F.col("embedding").alias("a_emb"), "bucket")
     b = keyed.select(F.col("vec_id").alias("b_id"),
@@ -918,9 +923,13 @@ def oracle_sql() -> dict[str, str]:
         "embedding_lsh": """
             with keyed as (
               select vec_id, embedding,
-                     cast(floor(cast(embedding[1] as double) * 4) * 100
-                       + floor(cast(embedding[2] as double) * 4) as bigint)
-                       as bucket
+                     cast((case when embedding[1] > 0 then 1 else 0 end)
+                        + (case when embedding[2] > 0 then 2 else 0 end)
+                        + (case when embedding[3] > 0 then 4 else 0 end)
+                        + (case when embedding[4] > 0 then 8 else 0 end)
+                        + (case when embedding[5] > 0 then 16 else 0 end)
+                        + (case when embedding[6] > 0 then 32 else 0 end)
+                        as bigint) as bucket
               from embeddings
             )
             select a.bucket, a.vec_id as a_id, b.vec_id as b_id,

@@ -70,6 +70,10 @@ def main() -> None:
     spark = get_spark("vrtility-bench", cores=cpus, shuffle_partitions=cpus)
     queries = entrymod.queries()
 
+    # warm up executors/python workers/parquet footers so the first
+    # timed query doesn't absorb session fixed costs
+    _force(queries["token_stats"](spark, sf_dir))
+
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         # timer wraps construction too: iterative operators (kNN ring

@@ -1,0 +1,113 @@
+"""Approximate nearest neighbour over embedding columns.
+
+Brute-force cosine top-k is the baseline (oracle-checked as the
+``embedding_topk`` driver query); this module is the scale path: an
+IVF (inverted-file) index — k-means coarse quantizer, cluster-pruned
+search — the standard recipe for 10^9+ vector corpora:
+
+- ``train_ivf``: distributed k-means (assignment in an Arrow-batched
+  pandas UDF against broadcast centroids; update via explode+groupBy —
+  centroids are tiny, vectors never leave executors). Deterministic:
+  init = first-k by id, fixed iterations.
+- ``ivf_assign``: adds the ``cluster`` column (the "cell index" of
+  vector space — same role cells.py plays for footprints).
+- ``ivf_search``: queries probe their ``nprobe`` nearest centroids,
+  candidates come from one equi-join on ``cluster`` (partition-pruned
+  at scale when the table is written partitioned by cluster), exact
+  cosine re-ranks. ``nprobe = n_clusters`` degrades gracefully to
+  exact brute force.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _assign_udf(centroids: np.ndarray):
+    c = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True),
+                               1e-12)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(emb: pd.Series) -> pd.Series:
+        X = np.asarray(emb.tolist(), dtype=np.float64)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(X @ c.T, axis=1).astype(np.int32))
+
+    return assign
+
+
+def train_ivf(df: DataFrame, vec_col: str, id_col: str, n_clusters: int,
+              iters: int = 3) -> np.ndarray:
+    """Deterministic distributed k-means (cosine/spherical)."""
+    init = (df.orderBy(id_col).limit(n_clusters)
+            .select(vec_col).toPandas()[vec_col].tolist())
+    centroids = np.asarray(init, dtype=np.float64)
+    for _ in range(iters):
+        assigned = df.select(
+            _assign_udf(centroids)(F.col(vec_col)).alias("cluster"),
+            F.col(vec_col).alias("v"))
+        sums = (assigned.select("cluster", F.posexplode("v").alias("dim", "val"))
+                .groupBy("cluster", "dim")
+                .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+                .collect())
+        new = centroids.copy()
+        agg: dict[int, np.ndarray] = {}
+        cnt: dict[int, int] = {}
+        d = centroids.shape[1]
+        for row in sums:
+            agg.setdefault(row.cluster, np.zeros(d))[row.dim] = row.s
+            cnt[row.cluster] = row.n
+        for k, v in agg.items():
+            new[k] = v / max(cnt[k], 1)
+        centroids = new
+    return centroids
+
+
+def ivf_assign(df: DataFrame, vec_col: str, centroids: np.ndarray) -> DataFrame:
+    return df.withColumn("cluster", _assign_udf(centroids)(F.col(vec_col)))
+
+
+def ivf_search(indexed: DataFrame, queries: DataFrame, centroids: np.ndarray,
+               vec_col: str, id_col: str, q_id_col: str, k: int,
+               nprobe: int = 4) -> DataFrame:
+    """Top-k cosine neighbours per query via cluster-pruned search.
+
+    Returns ``(q_id, id, sim, rank)``.
+    """
+    from pyspark.sql import Window
+
+    c = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True),
+                               1e-12)
+    nprobe = min(nprobe, len(centroids))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes(emb: pd.Series) -> pd.Series:
+        X = np.asarray(emb.tolist(), dtype=np.float64)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(X @ c.T), axis=1)[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"), F.col(vec_col).alias("q_emb"),
+        F.explode(probes(F.col(vec_col))).alias("cluster"))
+    cand = indexed.select("cluster", F.col(id_col).alias("id"),
+                          F.col(vec_col).alias("c_emb"))
+    dot = F.aggregate(
+        F.zip_with("q_emb", "c_emb",
+                   lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    nq = F.aggregate(F.transform("q_emb", lambda a: a.cast("double") ** 2),
+                     F.lit(0.0), lambda acc, v: acc + v)
+    nc = F.aggregate(F.transform("c_emb", lambda a: a.cast("double") ** 2),
+                     F.lit(0.0), lambda acc, v: acc + v)
+    pairs = (q.join(cand, "cluster")
+             .where(F.col("q_id") != F.col("id"))
+             .select("q_id", "id", (dot / (F.sqrt(nq) * F.sqrt(nc))).alias("sim"))
+             .dropDuplicates(["q_id", "id"]))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "id")
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

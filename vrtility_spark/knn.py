@@ -26,16 +26,18 @@ from pyspark.sql import functions as F
 from vrtility_spark.cells import cell_size, xy_to_cell_col
 
 
-def _query_ring_cells(queries: DataFrame, res: int, r: int) -> DataFrame:
-    """Cells at Chebyshev ring distance exactly r from each query's cell
-    (pure Column arithmetic: sequence + explode + boundary filter)."""
+def _query_ring_cells(queries: DataFrame, res: int, r: int,
+                      include_inner: bool = False) -> DataFrame:
+    """Cells at Chebyshev ring distance exactly r (or the full disk <= r
+    when ``include_inner``) from each query's cell (pure Column
+    arithmetic: sequence + explode + boundary filter)."""
     size = F.lit(cell_size(res))
     n = (1 << res) - 1
     q = queries.withColumn("_qix", F.floor(F.col("x") / size).cast("long")) \
                .withColumn("_qiy", F.floor(F.col("y") / size).cast("long"))
     q = q.withColumn("_dx", F.explode(F.sequence(F.lit(-r), F.lit(r)))) \
          .withColumn("_dy", F.explode(F.sequence(F.lit(-r), F.lit(r))))
-    if r > 0:
+    if r > 0 and not include_inner:
         q = q.where((F.abs(F.col("_dx")) == r) | (F.abs(F.col("_dy")) == r))
     ix = F.col("_qix") + F.col("_dx")
     iy = F.col("_qiy") + F.col("_dy")
@@ -63,9 +65,14 @@ def knn_tiles(tiles: DataFrame, queries: DataFrame, res: int,
     )
     pending = queries.select("query_id", "zone", "x", "y", "k")
     acc: DataFrame | None = None
-    r = 0
+    # start with the full disk of radius 1: ring 0 alone can never
+    # satisfy the settle bound (kth <= 0), so probing it separately just
+    # buys an extra driver round-trip per query
+    r = 1
+    first = True
     while r <= max_rings:
-        cand_cells = _query_ring_cells(pending, res, r)
+        cand_cells = _query_ring_cells(pending, res, r, include_inner=first)
+        first = False
         hits = F.broadcast(cand_cells).join(
             tiles, cand_cells.cand_cell == tiles.cell_id, "inner"
         ).select(
