@@ -533,6 +533,22 @@ def q_embedding_lsh(spark, sf_dir):
 # are verified against the NumPy oracle in tests/)
 # =====================================================================
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF approximate nearest neighbour (scale path of similarity
+    search): k-means coarse quantizer + cluster-pruned cosine top-k.
+    Rows-only check: centroid training is float-iterative, so there is
+    no portable SQL oracle; exactness at nprobe=n_clusters and recall
+    bounds are pytest-gated (tests/test_ann.py)."""
+    from vrtility_spark import ann
+    e = _t(spark, sf_dir, "embeddings")
+    cents = ann.train_ivf(e, "embedding", "vec_id", n_clusters=8, iters=2)
+    indexed = ann.ivf_assign(e, "embedding", cents)
+    q = e.where(F.col("vec_id") < 10)
+    return ann.ivf_search(indexed, q, cents, "embedding", "vec_id",
+                          "vec_id", k=5, nprobe=3) \
+        .select("q_id", "id", F.round("sim", 6).alias("sim_r"), "rank")
+
+
 def q_image_median_composite(spark, sf_dir):
     from vrtility_spark import datagen, schema
     from vrtility_spark.pipeline import Pipeline
@@ -607,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh": q_embedding_lsh,
+        "ann_ivf": q_ann_ivf,
         "image_median_composite": q_image_median_composite,
         "image_medoid_composite": q_image_medoid_composite,
         "image_hampel": q_image_hampel,

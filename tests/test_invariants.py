@@ -1,0 +1,127 @@
+"""Reference-style invariants: golden-value bounds, property-based
+kernel checks (hypothesis), and error paths — the test patterns of
+SURVEY.md §5 not already covered elsewhere."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import oracle
+from vrtility_spark import codec, composite, datagen, timeseries, warp
+from vrtility_spark.cells import ZONE_SPAN, decode_np, encode_np, xy_to_cell_np
+
+
+# ------------------------------------------------- golden-value bounds ----
+
+@pytest.fixture(scope="module")
+def masked_stack(tiny_images_pdf):
+    """One cell's masked time stack (float, NaN nodata)."""
+    grp = tiny_images_pdf[(tiny_images_pdf.zone == 30)
+                          & (tiny_images_pdf.xmin == 0.0)
+                          & (tiny_images_pdf.ymin == 0.0)]
+    from vrtility_spark import masks
+    stacks = []
+    for _, r in grp.sort_values("datetime").iterrows():
+        arr = codec.decode(r.bytes, r.w, r.h, r.fmt)
+        m = masks.build_intmask_np(arr[-1], datagen.S2_MASK_VALUES)
+        data = masks.apply_mask_np(arr[:-1], m, 0)
+        stacks.append(codec.to_float_masked(data, 0))
+    return np.stack(stacks)
+
+
+def test_golden_sums(masked_stack):
+    """Tolerance-based golden values, the reference's expect_gt pattern
+    (test-multiband_reduce.R:42-129): reducers ordered by brightness and
+    bounded — pins regressions in any kernel without exact floats."""
+    sums = {n: float(np.nansum(composite.REDUCERS[n](
+        masked_stack.astype(np.float64)))) for n in
+        ("median", "mean", "q25", "geomedian", "medoid", "quantoid")}
+    # all reducers agree within 20% on this fixture, none degenerate
+    ref = sums["median"]
+    assert ref > 1e6
+    for n, s in sums.items():
+        assert 0.8 * ref < s < 1.25 * ref, (n, s, ref)
+    # q25 is a lower quantile → strictly below the median composite
+    assert sums["q25"] < sums["median"]
+    # quantoid(0.4) biases dark → never above medoid (may coincide when
+    # both select the same observations on a smooth fixture)
+    assert sums["quantoid"] <= sums["medoid"]
+
+
+def test_masking_reduces_radiance_via_reducers(masked_stack, tiny_images_pdf):
+    grp = tiny_images_pdf[(tiny_images_pdf.zone == 30)
+                          & (tiny_images_pdf.xmin == 0.0)
+                          & (tiny_images_pdf.ymin == 0.0)]
+    raw = np.stack([
+        codec.to_float_masked(
+            codec.decode(r.bytes, r.w, r.h, r.fmt)[:-1], 0)
+        for _, r in grp.sort_values("datetime").iterrows()])
+    m_raw = float(np.nansum(composite.median_t(raw)))
+    m_masked = float(np.nansum(composite.median_t(masked_stack)))
+    assert m_raw > m_masked > 0  # clouds are bright; masking removes them
+
+
+# -------------------------------------------------- property-based ----
+
+@given(zone=st.integers(0, 59), res=st.integers(0, 13),
+       x=st.floats(0, ZONE_SPAN - 1e-6, allow_nan=False),
+       y=st.floats(0, ZONE_SPAN - 1e-6, allow_nan=False))
+@settings(max_examples=200, deadline=None)
+def test_cell_roundtrip_property(zone, res, x, y):
+    cid = int(xy_to_cell_np(zone, x, y, res))
+    z, r, ix, iy = decode_np(cid)
+    assert int(z) == zone and int(r) == res
+    size = ZONE_SPAN / (1 << res)
+    assert ix * size <= x < (ix + 1) * size or ix == (1 << res) - 1
+    assert int(encode_np(z, int(r), ix, iy)) == cid
+
+
+@given(st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=30),
+       st.integers(1, 3), st.floats(0.5, 5.0))
+@settings(max_examples=150, deadline=None)
+def test_hampel_properties(vals, k, t0):
+    x = np.asarray(vals)
+    out = timeseries.hampel_np(x[:, None], k, t0)[:, 0]
+    n = len(x)
+    # edges always preserved; short series untouched
+    lim = min(k, n)
+    assert (out[:lim] == x[:lim]).all() and (out[n - lim:] == x[n - lim:]).all()
+    # every output value is either the original or a window median of
+    # original values → stays within the data's range
+    assert out.min() >= x.min() - 1e-9 and out.max() <= x.max() + 1e-9
+    # parity with the loop oracle on every generated case
+    np.testing.assert_allclose(out, oracle.hampel_1(x, k, t0))
+
+
+@given(st.integers(1, 6), st.integers(2, 12), st.integers(2, 12),
+       st.integers(0, 2 ** 16 - 1))
+@settings(max_examples=60, deadline=None)
+def test_codec_roundtrip_property(b, h, w, seed):
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 65536, size=(b, h, w)).astype(np.uint16)
+    for fmt in ("raw16", "png"):
+        assert (codec.decode(codec.encode(arr, fmt), w, h, fmt) == arr).all()
+    assert codec.psnr(arr, codec.decode(codec.encode(arr, "png8"), w, h,
+                                        "png8")) >= 40.0
+
+
+# ------------------------------------------------------- error paths ----
+
+def test_mixed_grid_composite_errors(spark, tiny_images):
+    """The vrt_stack single-grid invariant: mixing pixel grids in one
+    cell must error loudly (reference: stacking mixed-CRS errors,
+    test-vrt-pipelines.R:213)."""
+    a = warp.assign_cells(tiny_images.limit(6), datagen.TILE_RES)
+    b = warp.warp_to_grid(a, 8, 8)  # same cells, different grid
+    mixed = a.unionByName(b)
+    with pytest.raises(Exception, match="grid|codec|PythonException|disagree"):
+        composite.composite(mixed, "median").collect()
+
+
+def test_unknown_distance_errors():
+    X = np.ones((3, 2, 1))
+    with pytest.raises(KeyError):
+        composite.xoid_mb(X, composite._nanmedian_stat, distance_type="nope")

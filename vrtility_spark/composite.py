@@ -315,6 +315,16 @@ def composite(df: DataFrame, reducer: str | Callable[[np.ndarray], np.ndarray],
 
     def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("datetime", kind="mergesort")
+        # the vrt_stack invariant: scenes in one stack must share the
+        # grid (the reference errors on >1 SRS, R/vrt-stack.R:30; mixed
+        # zones are impossible here because cell_id encodes the zone,
+        # but mixed pixel grids / codecs must fail loudly, not corrupt)
+        if pdf.w.nunique() > 1 or pdf.h.nunique() > 1 or pdf.fmt.nunique() > 1:
+            raise ValueError(
+                f"cell {int(pdf[key].iloc[0])}: scenes disagree on pixel "
+                f"grid/codec (w={sorted(pdf.w.unique())}, "
+                f"h={sorted(pdf.h.unique())}, fmt={sorted(pdf.fmt.unique())}); "
+                "warp_to_grid them onto one target grid first")
         w, h, fmt = int(pdf.w.iloc[0]), int(pdf.h.iloc[0]), pdf.fmt.iloc[0]
         nodata = float(pdf.nodata.iloc[0])
         dtype = codec.dtype_for(fmt)

@@ -68,12 +68,15 @@ def _scene_pixels(rng: np.random.Generator, zone: int, tx: int, ty: int,
         )
     base = np.clip(base, 1, 60000)
 
-    # cloud blobs: a few random disks
+    # cloud blobs: a few random disks — physically BRIGHT in the data
+    # bands (the reference's masking invariants depend on clouds being
+    # bright: masking must reduce total radiance, test-vrt-set-mask.R:75-98)
     blob = np.zeros((h, w), dtype=bool)
     for _ in range(rng.integers(1, 4)):
         cx, cy = rng.uniform(0, w), rng.uniform(0, h)
         r = rng.uniform(max(2, w * 0.06), w * 0.22)
         blob |= (xx - cx) ** 2 + (yy - cy) ** 2 <= r * r
+    base[:, blob] += 9000 + 60 * date_i
 
     if profile == "s2":
         scl = np.full((h, w), 4, dtype=np.float64)  # vegetation
