@@ -149,3 +149,35 @@ def test_spark_composite_matches_oracle(spark, tiny_images, tiny_images_pdf):
     # caption passthrough: all 5 scene captions survive, sorted
     assert row.caption_agg == "|".join(sorted(grp.caption))
     assert row.n_scenes == 5
+
+
+def test_all_distance_types_select_real_rows():
+    """Every dista metric of the reference's menu
+    (multiband_reduce_funs.R:110-131) yields a valid medoid selection;
+    euclidean-family metrics agree on clear-cut data."""
+    rng = np.random.default_rng(5)
+    X = rng.uniform(10, 1000, size=(6, 4, 16))
+    names = ["euclidean", "manhattan", "minimum", "maximum", "minkowski",
+             "bhattacharyya", "hellinger", "kullback_leibler",
+             "jensen_shannon", "canberra", "chi_square", "soergel",
+             "sorensen", "cosine", "wave_hedges", "motyka",
+             "harmonic_mean", "jeffries_matusita", "gower", "kulczynski"]
+    assert set(names) <= set(composite._DISTANCES)
+    for n in names:
+        out = composite.medoid_mb(X, distance_type=n)
+        # medoid selects real observations
+        for p in range(X.shape[2]):
+            assert any((out[:, p] == X[t, :, p]).all() for t in range(X.shape[0])), n
+    # gower ≡ scaled manhattan → identical selection
+    np.testing.assert_array_equal(
+        composite.medoid_mb(X, distance_type="manhattan"),
+        composite.medoid_mb(X, distance_type="gower"))
+
+
+def test_medoid_with_na_all_distances_run():
+    rng = np.random.default_rng(6)
+    X = rng.uniform(10, 1000, size=(5, 3, 8))
+    X[rng.random(X.shape) < 0.2] = np.nan
+    for n in composite._DISTANCES:
+        out = composite.medoid_mb(X, distance_type=n)
+        assert out.shape == (3, 8), n

@@ -29,3 +29,37 @@ def test_scene_stream_composites(spark, tiny_images, tmp_path):
         .select("cell_id", "caption_agg").toPandas()
     assert sorted(map(tuple, got.values)) == sorted(map(tuple, batch.values))
     assert os.path.isdir(tbl_dir + "/_stream_checkpoint")
+
+
+def test_stateful_running_mean(spark, tiny_images, tiny_images_pdf, tmp_path):
+    """applyInPandasWithState: state survives across two stream runs;
+    the final running mean equals the batch mean composite exactly."""
+    import numpy as np
+
+    from vrtility_spark import codec
+    land = str(tmp_path / "land2")
+    out = str(tmp_path / "running")
+    sub = tiny_images.where("zone = 30")
+    sub.where("datetime < '2024-06-01'").write.parquet(land)
+    q = streaming.stateful_running_mean(spark, land, out_path=out)
+    q.awaitTermination(240)
+    sub.where("datetime >= '2024-06-01'").write.mode("append").parquet(land)
+    q2 = streaming.stateful_running_mean(spark, land, out_path=out)
+    q2.awaitTermination(240)
+
+    res = spark.read.parquet(out).toPandas()
+    # latest update per cell = all 5 scenes folded in
+    latest = res.sort_values("n_scenes").groupby("cell_id").last().reset_index()
+    assert (latest.n_scenes == 5).all() and len(latest) == 4
+
+    batch = composite(
+        warp.assign_cells(vrt_set_maskfun(sub, "int", datagen.S2_MASK_VALUES),
+                          datagen.TILE_RES), "mean", compute_dtype="float64") \
+        .toPandas()
+    for _, b in batch.iterrows():
+        s = latest[latest.cell_id == b.cell_id].iloc[0]
+        a1 = codec.decode(b.bytes, b.w, b.h, b.fmt)
+        a2 = codec.decode(s.bytes, s.w, s.h, s.fmt)
+        # batch composite keeps the SCL plane; the running mean holds
+        # only the data planes — compare those
+        np.testing.assert_array_equal(a1[: a2.shape[0]], a2)

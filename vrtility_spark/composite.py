@@ -201,6 +201,128 @@ def _d_cosine(X, stat, w):
         return 1.0 - num / np.maximum(na * nb, 1e-300)
 
 
+# Remaining metrics of the reference's 21-type dista menu
+# (multiband_reduce_funs.R:110-131). xoid only *argmins* the distance,
+# so any strictly-monotone-equivalent form selects the same
+# observation; constant-factor conventions (e.g. Hellinger's 1/sqrt(2))
+# therefore don't affect output parity. Probability-style metrics
+# (bhattacharyya, KL, JS, itakura_saito) assume positive inputs —
+# radiometric pixel values are.
+
+def _safe(x):
+    return np.maximum(x, 1e-300)
+
+
+@_register("minimum")
+def _d_minimum(X, stat, w):
+    return np.nanmin(np.where(w > 0, np.abs(X - stat[None]), np.inf), axis=1)
+
+
+@_register("minkowski")
+def _d_minkowski(X, stat, w, p=3.0):
+    return np.nansum(w * np.abs(X - stat[None]) ** p, axis=1) ** (1.0 / p)
+
+
+@_register("hellinger")
+def _d_hellinger(X, stat, w):
+    with np.errstate(invalid="ignore"):
+        return np.nansum(w * (np.sqrt(np.abs(X)) -
+                              np.sqrt(np.abs(stat[None]))) ** 2, axis=1)
+
+
+@_register("chi_square")
+def _d_chi_square(X, stat, w):
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (X - stat[None]) ** 2 / _safe(np.abs(X + stat[None]))
+    return np.nansum(w * t, axis=1)
+
+
+@_register("sorensen")
+def _d_sorensen(X, stat, w):
+    num = np.nansum(w * np.abs(X - stat[None]), axis=1)
+    den = _safe(np.nansum(w * np.abs(X + stat[None]), axis=1))
+    return num / den
+
+
+@_register("soergel")
+def _d_soergel(X, stat, w):
+    num = np.nansum(w * np.abs(X - stat[None]), axis=1)
+    den = _safe(np.nansum(w * np.maximum(X, stat[None]), axis=1))
+    return num / den
+
+
+@_register("kulczynski")
+def _d_kulczynski(X, stat, w):
+    num = np.nansum(w * np.abs(X - stat[None]), axis=1)
+    den = _safe(np.nansum(w * np.minimum(X, stat[None]), axis=1))
+    return num / den
+
+
+@_register("wave_hedges")
+def _d_wave_hedges(X, stat, w):
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = 1.0 - np.minimum(X, stat[None]) / _safe(np.maximum(X, stat[None]))
+    return np.nansum(w * t, axis=1)
+
+
+@_register("motyka")
+def _d_motyka(X, stat, w):
+    num = np.nansum(w * np.maximum(X, stat[None]), axis=1)
+    den = _safe(np.nansum(w * (X + stat[None]), axis=1))
+    return num / den
+
+
+@_register("harmonic_mean")
+def _d_harmonic_mean(X, stat, w):
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = X * stat[None] / _safe(X + stat[None])
+    return -2.0 * np.nansum(w * t, axis=1)
+
+
+@_register("bhattacharyya")
+def _d_bhattacharyya(X, stat, w):
+    with np.errstate(invalid="ignore"):
+        bc = np.nansum(w * np.sqrt(np.abs(X * stat[None])), axis=1)
+    return -np.log(_safe(bc))
+
+
+@_register("jeffries_matusita")
+def _d_jeffries_matusita(X, stat, w):
+    with np.errstate(invalid="ignore"):
+        bc = np.nansum(w * np.sqrt(np.abs(X * stat[None])), axis=1)
+    norm = np.nansum(w * (X + stat[None]) / 2.0, axis=1)
+    return 2.0 * norm - 2.0 * bc
+
+
+@_register("kullback_leibler")
+def _d_kullback_leibler(X, stat, w):
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = X * np.log(_safe(X) / _safe(stat[None]))
+    return np.nansum(w * t, axis=1)
+
+
+@_register("jensen_shannon")
+def _d_jensen_shannon(X, stat, w):
+    m = _safe((X + stat[None]) / 2.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (X * np.log(_safe(X) / m) + stat[None] * np.log(_safe(stat[None]) / m))
+    return np.nansum(w * t, axis=1)
+
+
+@_register("itakura_saito")
+def _d_itakura_saito(X, stat, w):
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = _safe(X) / _safe(stat[None])
+        t = ratio - np.log(ratio) - 1.0
+    return np.nansum(w * t, axis=1)
+
+
+@_register("gower")
+def _d_gower(X, stat, w):
+    nb = _safe(np.sum(w, axis=1))
+    return np.nansum(w * np.abs(X - stat[None]), axis=1) / nb
+
+
 def xoid_mb(X: np.ndarray, stat_fn: Callable[[np.ndarray], np.ndarray],
             distance_type: str = "euclidean", impute_na: bool = True,
             impute_fn: Callable[[np.ndarray], np.ndarray] | None = None) -> np.ndarray:

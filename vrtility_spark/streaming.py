@@ -40,6 +40,85 @@ def read_scene_stream(spark: SparkSession, input_dir: str,
             .withWatermark("datetime", "30 days"))
 
 
+RUNNING_SCHEMA = ("cell_id long, n_scenes int, bytes binary, w int, h int, "
+                  "fmt string, nodata double")
+_STATE_SCHEMA = "count int, sums binary, valid binary, w int, h int, nodata double"
+
+
+def stateful_running_mean(spark: SparkSession, input_dir: str,
+                          cell_res: int = datagen.TILE_RES,
+                          mask_values=None,
+                          checkpoint_dir: str | None = None,
+                          out_path: str | None = None):
+    """Custom stateful operator: per-cell *running* nodata-aware mean
+    composite over an unbounded scene stream, via
+    ``applyInPandasWithState`` — state per cell holds the float64 sum
+    planes + per-pixel valid counts, so each arriving scene folds in
+    incrementally (no recompute over history).
+
+    This is the decomposable-reducer streaming path; order-sensitive
+    reducers (median/medoid) use :func:`composite_stream`'s
+    per-batch recompute instead.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    vals = mask_values or datagen.S2_MASK_VALUES
+
+    def update(key, pdfs, state):
+        import numpy as np
+
+        from vrtility_spark import codec as C
+        from vrtility_spark import masks as M
+        if state.exists:
+            count, sums_b, valid_b, w, h, nodata = state.get
+            sums = np.frombuffer(sums_b, dtype="<f8").copy()
+            valid = np.frombuffer(valid_b, dtype="<i4").copy()
+        else:
+            count, sums, valid, w, h, nodata = 0, None, None, None, None, None
+        fmt = "raw16"
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                arr = C.decode(row.bytes, row.w, row.h, row.fmt)
+                fmt = row.fmt
+                m01 = M.build_intmask_np(arr[-1], vals)
+                data = C.to_float_masked(
+                    M.apply_mask_np(arr[:-1], m01, row.nodata), row.nodata)
+                if sums is None:
+                    w, h, nodata = int(row.w), int(row.h), float(row.nodata)
+                    sums = np.zeros(data.size, dtype="<f8")
+                    valid = np.zeros(data.size, dtype="<i4")
+                ok = ~np.isnan(data)
+                sums += np.where(ok, data, 0.0).ravel()
+                valid += ok.ravel().astype("<i4")
+                count += 1
+        state.update((count, sums.tobytes(), valid.tobytes(), w, h, nodata))
+        nb = sums.size // (w * h)
+        with np.errstate(invalid="ignore"):
+            mean = (sums / np.maximum(valid, 1)).reshape(nb, h, w)
+        mean[valid.reshape(nb, h, w) == 0] = np.nan
+        payload = C.encode(C.from_float(mean, nodata, C.dtype_for(fmt)), fmt)
+        yield pd.DataFrame([{
+            "cell_id": int(key[0]), "n_scenes": int(count), "bytes": payload,
+            "w": w, "h": h, "fmt": fmt, "nodata": nodata}])
+
+    stream = read_scene_stream(spark, input_dir)
+    celled = assign_cells(stream, cell_res)
+    updated = celled.groupBy("cell_id").applyInPandasWithState(
+        update, RUNNING_SCHEMA, _STATE_SCHEMA, "update",
+        GroupStateTimeout.NoTimeout)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if out_path:
+            batch_df.write.mode("append").parquet(out_path)
+
+    return (updated.writeStream.foreachBatch(sink)
+            .option("checkpointLocation",
+                    checkpoint_dir or (out_path or "/tmp/vrt_state") + "/_ckpt")
+            .outputMode("update")
+            .trigger(availableNow=True).start())
+
+
 def composite_stream(spark: SparkSession, input_dir: str, table_dir: str,
                      reducer: str = "median", cell_res: int = datagen.TILE_RES,
                      mask_values=None, checkpoint_dir: str | None = None):
