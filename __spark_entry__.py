@@ -223,43 +223,52 @@ def q_knn(spark, sf_dir):
     )
     queries = spark.createDataFrame(
         KNN_QUERIES, "query_id string, zone long, x double, y double, k int")
-    out = knn_mod.knn_tiles(tiles, queries, res=CELL_RES, max_rings=64)
+    # metadata-only parquet count: sizes the count-phase disk without
+    # materializing the tile cache first
+    n_tiles = _t(spark, sf_dir, "events").count()
+    out = knn_mod.knn_tiles(tiles, queries, res=CELL_RES, max_rings=64,
+                            n_tiles_hint=n_tiles)
     return out.select("query_id", "image_id",
                       F.round("dist", 6).alias("dist_r"), "rank")
 
 
+def _arr_median(arr):
+    """Exact median of an array column (interpolated for even sizes —
+    the same definition as DuckDB's median())."""
+    s = F.array_sort(arr)
+    n = F.size(s)
+    lo = F.element_at(s, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(s, (n / 2 + 1).cast("int"))
+    return (lo + hi) / 2
+
+
 def q_hampel(spark, sf_dir):
-    """W1 Hampel filter on scalar per-user series (k=2, t0=3), expressed
-    relationally (self-join windows + exact medians) so the oracle is
-    pure SQL; the image-payload variant lives in
-    vrtility_spark.timeseries and is pytest-verified."""
+    """W1 Hampel filter on scalar per-user series (k=2, t0=3): ONE
+    window shuffle — the ±2 frame is collected as an array and the
+    window median / MAD are exact array expressions (whole-stage
+    codegen, no self-join). The reference's C++ kernel semantics
+    (edge preservation, 1.4826·MAD) per
+    /root/reference/src/hampel-filter-matrix.cpp:24-124; the
+    image-payload variant lives in vrtility_spark.timeseries."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    t1 = ev.select("event_id", "user_id", "value",
-                   F.row_number().over(w).alias("rn"),
-                   F.count("*").over(Window.partitionBy("user_id")).alias("n"))
-    a, b = t1.alias("a"), t1.alias("b")
-    joined = a.join(
-        b, (F.col("a.user_id") == F.col("b.user_id"))
-        & (F.abs(F.col("a.rn") - F.col("b.rn")) <= 2))
-    x0 = (joined.groupBy("a.event_id")
-          .agg(F.median("b.value").alias("x0"))
-          .withColumnRenamed("event_id", "eid"))
-    with_x0 = joined.join(x0, F.col("a.event_id") == F.col("eid"))
-    mad = (with_x0.groupBy("a.event_id", "x0")
-           .agg(F.median(F.abs(F.col("b.value") - F.col("x0"))).alias("mad"))
-           .withColumnRenamed("event_id", "eid"))
-    return (
-        t1.join(mad, t1.event_id == mad.eid)
-        .select(
-            "event_id",
-            F.round(
-                F.when(
-                    (F.col("rn") > 2) & (F.col("rn") <= F.col("n") - 2)
-                    & (F.abs(F.col("value") - F.col("x0"))
-                       > 3.0 * 1.4826 * F.col("mad")),
-                    F.col("x0")).otherwise(F.col("value")), 4).alias("filtered"))
-    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t1 = ev.select(
+        "event_id", "value",
+        F.row_number().over(wo).alias("rn"),
+        F.count("*").over(Window.partitionBy("user_id")).alias("n"),
+        F.collect_list("value").over(wo.rowsBetween(-2, 2)).alias("win"))
+    t2 = t1.withColumn("x0", _arr_median(F.col("win")))
+    t3 = t2.withColumn(
+        "mad", _arr_median(F.transform(
+            F.col("win"), lambda v: F.abs(v - F.col("x0")))))
+    return t3.select(
+        "event_id",
+        F.round(
+            F.when(
+                (F.col("rn") > 2) & (F.col("rn") <= F.col("n") - 2)
+                & (F.abs(F.col("value") - F.col("x0"))
+                   > 3.0 * 1.4826 * F.col("mad")),
+                F.col("x0")).otherwise(F.col("value")), 4).alias("filtered"))
 
 
 def q_asof_join(spark, sf_dir):
@@ -379,8 +388,23 @@ def _shingles_df(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Near-dup detection: 3-word-shingle Jaccard over candidate pairs."""
-    sh = _shingles_df(spark, sf_dir).cache()
+    """Near-dup detection: 3-word-shingle Jaccard over candidate pairs.
+    Shingles are folded to int64 (xxhash64) before the distinct and the
+    self-join — identical result barring a 64-bit hash collision
+    (P ≈ n²/2⁶⁵ ≈ 1e-8 here) and ~4x less shuffle than string keys;
+    at 10^12 rows the string-keyed variant is shuffle-bound."""
+    d = _t(spark, sf_dir, "documents")
+    sh3 = F.expr(
+        "case when size(w) >= 3 then "
+        "transform(sequence(1, size(w) - 2), "
+        "i -> xxhash64(concat_ws(' ', element_at(w, i), "
+        "element_at(w, i+1), element_at(w, i+2)))) "
+        "else array() end")
+    # no cache: both consumers (sizes + self-join) reuse the distinct's
+    # shuffle output via exchange reuse — caching only adds a
+    # materialization barrier
+    sh = (d.withColumn("w", F.split(F.col("text"), " "))
+          .select("doc_id", F.explode(sh3).alias("sh")).distinct())
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -467,27 +491,35 @@ def q_fingerprint(spark, sf_dir):
 # similarity search over embeddings
 # =====================================================================
 
+def _emb_prep(e, id_alias: str, emb_alias: str, norm_alias: str, *extra):
+    """Per-row prep BEFORE any pair join: cast the embedding to double
+    once and fold its norm — the per-pair work drops to one dot
+    product (at 10^12 rows the norm recompute per pair dominates)."""
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    prepped = e.select(F.col("vec_id").alias(id_alias),
+                       emb.alias(emb_alias), *extra)
+    norm = F.sqrt(F.aggregate(
+        F.col(emb_alias), F.lit(0.0), lambda acc, v: acc + v * v))
+    return prepped.withColumn(norm_alias, norm)
+
+
+def _dot(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
 def q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-k (ANN baseline). Ranking on the rounded
     similarity + id tiebreak keeps row_number engine-independent."""
     e = _t(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
-    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"),
-                 "label")
-    dot = F.aggregate(
-        F.zip_with(F.col("q_emb"), F.col("c_emb"),
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v)
-    nq = F.aggregate(F.transform(F.col("q_emb"),
-                                 lambda x: x.cast("double") * x.cast("double")),
-                     F.lit(0.0), lambda acc, v: acc + v)
-    nc = F.aggregate(F.transform(F.col("c_emb"),
-                                 lambda x: x.cast("double") * x.cast("double")),
-                     F.lit(0.0), lambda acc, v: acc + v)
+    q = _emb_prep(e.where(F.col("vec_id") < 10), "q_id", "q_emb", "q_norm")
+    c = _emb_prep(e, "c_id", "c_emb", "c_norm", "label")
     pairs = (q.crossJoin(c).where(F.col("q_id") != F.col("c_id"))
              .select("q_id", "c_id", "label",
-                     F.round(dot / (F.sqrt(nq) * F.sqrt(nc)), 6).alias("sim")))
+                     F.round(_dot("q_emb", "c_emb")
+                             / (F.col("q_norm") * F.col("c_norm")), 6)
+                     .alias("sim")))
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "c_id")
     return (pairs.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= 5)
@@ -504,26 +536,15 @@ def q_embedding_lsh(spark, sf_dir):
     def bit(i):
         return F.when(F.element_at(F.col("embedding"), i) > 0,
                       F.lit(1 << (i - 1))).otherwise(0)
-    bucket = bit(1) + bit(2) + bit(3) + bit(4) + bit(5) + bit(6)
-    keyed = e.select("vec_id", "embedding", bucket.cast("long").alias("bucket"))
-    a = keyed.select(F.col("vec_id").alias("a_id"),
-                     F.col("embedding").alias("a_emb"), "bucket")
-    b = keyed.select(F.col("vec_id").alias("b_id"),
-                     F.col("embedding").alias("b_emb"), "bucket")
-    dot = F.aggregate(
-        F.zip_with(F.col("a_emb"), F.col("b_emb"),
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v)
-    na = F.aggregate(F.transform(F.col("a_emb"),
-                                 lambda x: x.cast("double") * x.cast("double")),
-                     F.lit(0.0), lambda acc, v: acc + v)
-    nb = F.aggregate(F.transform(F.col("b_emb"),
-                                 lambda x: x.cast("double") * x.cast("double")),
-                     F.lit(0.0), lambda acc, v: acc + v)
+    bucket = (bit(1) + bit(2) + bit(3) + bit(4) + bit(5) + bit(6)) \
+        .cast("long").alias("bucket")
+    a = _emb_prep(e, "a_id", "a_emb", "a_norm", bucket)
+    b = _emb_prep(e, "b_id", "b_emb", "b_norm", bucket)
+    sim = F.round(_dot("a_emb", "b_emb")
+                  / (F.col("a_norm") * F.col("b_norm")), 6)
     return (
         a.join(b, "bucket").where(F.col("a_id") < F.col("b_id"))
-        .select("bucket", "a_id", "b_id",
-                F.round(dot / (F.sqrt(na) * F.sqrt(nb)), 6).alias("sim"))
+        .select("bucket", "a_id", "b_id", sim.alias("sim"))
         .where(F.col("sim") >= 0.2)
     )
 

@@ -1,24 +1,33 @@
-"""kNN tile queries via iterative cell-ring expansion.
+"""kNN tile queries via a two-phase count-then-probe cell search.
 
 Required by BASELINE.json's ``north_rule`` (the reference has no kNN
 operator — SURVEY.md §2.3 J6). For each query point, find the K
-nearest scene tiles (distance = query point → tile center):
+nearest scene tiles (distance = query point → tile center), exactly.
 
-1. probe an initial disk of cells around each query's cell (radius
-   sized from tile density so typical queries settle in ONE round);
-2. candidate cells equi-join against the tile table on ``cell_id`` —
-   the probe side is tiny and broadcast, the tile side is cached once
-   so each round reads memory, not the source;
-3. per query, rank candidates with ``row_number`` over distance;
-4. a query is *settled* once it has K candidates AND its Kth distance
-   ≤ r·cell_size — the guarantee that no unseen ring can hold a closer
-   tile (a center in Chebyshev ring ρ is ≥ (ρ-0.5)·cell_size away);
-   unsettled queries expand ring by ring (driver loop, the stream-kNN
-   grid pattern from PAPERS.md).
+Design (two Spark jobs total, loop-free in the common case):
 
-The query table is collected driver-side once — kNN probes are a
-bounded user-supplied set by contract (never the tile table); all
-per-tile work stays distributed.
+1. **Count phase** — enumerate candidate cells in a Chebyshev disk
+   around each query's cell (driver-side: the query set is a bounded
+   user-supplied probe list by contract, never the tile table) and run
+   ONE aggregation job: ``broadcast(cells) ⋈ tiles → count per
+   (query, cell)``. The result is tiny (≤ cells probed) and gives the
+   driver, per query, the smallest radius ``r0`` whose disk already
+   holds ≥ K tiles. Queries in locally sparse regions double the count
+   radius and re-count — but each extra round is a cheap counting
+   aggregate, not a candidate materialization.
+2. **Probe phase** — the disk(r0) guarantee bounds the Kth distance by
+   ``d0 = (r0+1)·cell_size·√2`` (query anywhere inside its cell, tile
+   anywhere inside the farthest disk cell), so every true neighbour
+   lies within Chebyshev cell radius ``r1 = ceil(√2·(r0+1))``. One
+   broadcast join on the disk(r1) cells + a per-query ``row_number``
+   window over distance produces the exact top-K.
+
+At 10^12-tile scale both phases stay cheap: the count job is a
+map-side-combined aggregate over a cached/bucketed tile table, and the
+probe fanout is bounded by K / local density — never the table size.
+When a probe disk would cover most of a zone (fewer than K tiles in
+the zone), the join degrades gracefully to a per-zone equi-join
+instead of enumerating cells.
 """
 
 from __future__ import annotations
@@ -28,31 +37,67 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from vrtility_spark.cells import cell_size, encode_np
+from vrtility_spark.cells import _B, cell_size, encode_np
+
+_SQRT2 = math.sqrt(2.0)
+
+_OUT_SCHEMA = ("query_id string, image_id string, dist double, rank int, "
+               "caption string, phash long")
 
 
-def _cand_rows(qrows, res: int, r: int, include_inner: bool):
-    """Driver-side (query_id, cand_cell) pairs for ring r / disk<=r."""
+def _qcell(q, res: int):
+    """Clipped (ix, iy) of the query's own cell."""
     n = (1 << res) - 1
     size = cell_size(res)
+    ix = min(max(int(q.x // size), 0), n)
+    iy = min(max(int(q.y // size), 0), n)
+    return ix, iy
+
+
+def _disk_rows(q, res: int, r_from: int, r_to: int):
+    """(query_id, cell_id) pairs for Chebyshev rings in (r_from, r_to]."""
+    n = (1 << res) - 1
+    qix, qiy = _qcell(q, res)
     out = []
-    for q in qrows:
-        qix, qiy = int(q.x // size), int(q.y // size)
-        qix, qiy = min(max(qix, 0), n), min(max(qiy, 0), n)
-        for dx in range(-r, r + 1):
-            for dy in range(-r, r + 1):
-                if not include_inner and max(abs(dx), abs(dy)) != r:
-                    continue
-                ix, iy = qix + dx, qiy + dy
-                if 0 <= ix <= n and 0 <= iy <= n:
-                    out.append((q.query_id, int(encode_np(q.zone, res, ix, iy))))
+    for ix in range(max(0, qix - r_to), min(n, qix + r_to) + 1):
+        for iy in range(max(0, qiy - r_to), min(n, qiy + r_to) + 1):
+            if max(abs(ix - qix), abs(iy - qiy)) <= r_from:
+                continue
+            out.append((q.query_id, int(encode_np(q.zone, res, ix, iy))))
     return out
+
+
+def _covers_zone(q, res: int, r: int) -> bool:
+    n = (1 << res) - 1
+    qix, qiy = _qcell(q, res)
+    return (qix - r <= 0 and qiy - r <= 0 and qix + r >= n and qiy + r >= n)
+
+
+def _min_disk_radius(q, res: int, counts: dict, counted_r: int) -> int | None:
+    """Smallest r ≤ counted_r with ≥ k tiles in disk(r); None if none."""
+    n = (1 << res) - 1
+    qix, qiy = _qcell(q, res)
+    # ring-cumulative from the sparse (cell → n) count map
+    total = 0
+    by_ring: dict[int, int] = {}
+    for (qid, cell), c in counts.items():
+        if qid != q.query_id:
+            continue
+        ix = cell % _B
+        iy = (cell // _B) % _B
+        ring = max(abs(ix - qix), abs(iy - qiy))
+        by_ring[ring] = by_ring.get(ring, 0) + c
+    for r in range(0, counted_r + 1):
+        total += by_ring.get(r, 0)
+        if total >= q.k:
+            return r
+    return None
 
 
 def knn_tiles(tiles: DataFrame, queries: DataFrame, res: int,
               max_rings: int = 64, initial_radius: int | None = None,
               n_tiles_hint: int | None = None) -> DataFrame:
-    """K nearest tiles per query row.
+    """K nearest tiles per query row (exact).
 
     ``tiles`` must carry ``cell_id`` at ``res`` (see
     :func:`vrtility_spark.warp.assign_cells`) plus ``image_id``,
@@ -63,6 +108,7 @@ def knn_tiles(tiles: DataFrame, queries: DataFrame, res: int,
     """
     spark = tiles.sparkSession
     size = cell_size(res)
+    nmax = (1 << res) - 1
     tiles_p = tiles.select(
         "cell_id", "image_id", "caption", "phash",
         ((F.col("xmin") + F.col("xmax")) / 2).alias("tcx"),
@@ -71,69 +117,94 @@ def knn_tiles(tiles: DataFrame, queries: DataFrame, res: int,
     qrows = queries.select("query_id", "zone", "x", "y", "k").collect()
     if not qrows:
         tiles_p.unpersist()
-        return spark.createDataFrame(
-            [], "query_id string, image_id string, dist double, rank int, "
-                "caption string, phash long")
-    kmap = {q.query_id: int(q.k) for q in qrows}
+        return spark.createDataFrame([], _OUT_SCHEMA)
     qmeta = spark.createDataFrame(
         [(q.query_id, float(q.x), float(q.y), int(q.k)) for q in qrows],
         "query_id string, qx double, qy double, k int")
 
+    # ---- phase 1: count --------------------------------------------------
     if initial_radius is None:
         n_tiles = n_tiles_hint if n_tiles_hint is not None else tiles_p.count()
         zones = len({q.zone for q in qrows}) or 1
         density = max(n_tiles / (zones * (1 << res) ** 2), 1e-9)
-        want_cells = 2.0 * max(kmap.values()) / density
-        initial_radius = max(1, math.ceil((math.sqrt(want_cells) - 1) / 2))
+        # 4x oversampling absorbs local sparsity (lattice voids) so the
+        # common case is ONE counting round
+        want_cells = 4.0 * max(q.k for q in qrows) / density
+        initial_radius = max(2, math.ceil((math.sqrt(want_cells) - 1) / 2))
+    rc = min(int(initial_radius), nmax)
 
+    counts: dict[tuple, int] = {}
+    counted: dict[str, int] = {q.query_id: -1 for q in qrows}
+    r0: dict[str, int] = {}
     pending = list(qrows)
-    acc: DataFrame | None = None
-    r = min(int(initial_radius), max_rings)
-    probed = -1  # radius fully covered so far (per pending query)
-    while r <= max_rings and pending:
-        # geometric expansion: probe all rings in (probed, r] this round
-        # → O(log(kth/cell_size)) driver rounds even for sparse regions
+    while pending:
         rows = []
-        if probed < 0:
-            rows = _cand_rows(pending, res, r, include_inner=True)
-        else:
-            for ring in range(probed + 1, r + 1):
-                rows.extend(_cand_rows(pending, res, ring, include_inner=False))
+        for q in pending:
+            rows.extend(_disk_rows(q, res, counted[q.query_id], rc))
         if rows:
             cand = spark.createDataFrame(rows, "query_id string, cand_cell long")
-            hits = F.broadcast(cand).join(
-                tiles_p, cand.cand_cell == tiles_p.cell_id, "inner"
-            ).select("query_id", "image_id", "caption", "phash", "tcx", "tcy")
-            acc = hits if acc is None else acc.unionByName(hits)
-            # cut lineage so each ring joins once, not once per re-rank
-            acc = acc.localCheckpoint(eager=True)
-        probed = r
-        if acc is None:
-            r = min(max(r + 1, 2 * r), max_rings if r < max_rings else max_rings + 1)
-            continue
-        # settle check: one small aggregate over accumulated candidates
-        ranked = (acc.join(F.broadcast(qmeta), "query_id")
-                  .withColumn("dist",
-                              F.sqrt((F.col("tcx") - F.col("qx")) ** 2
-                                     + (F.col("tcy") - F.col("qy")) ** 2)))
-        w = Window.partitionBy("query_id").orderBy("dist", "image_id")
-        status = (ranked.withColumn("rank", F.row_number().over(w))
-                  .groupBy("query_id", "k")
-                  .agg(F.count("*").alias("n"),
-                       F.max(F.when(F.col("rank") <= F.col("k"), F.col("dist")))
-                        .alias("kth")).collect())
-        settled = {s.query_id for s in status
-                   if s.n >= s.k and s.kth is not None and s.kth <= r * size}
-        pending = [q for q in pending if q.query_id not in settled]
-        if not pending:
+            got = (F.broadcast(cand)
+                   .join(tiles_p, cand.cand_cell == tiles_p.cell_id, "inner")
+                   .groupBy("query_id", "cand_cell")
+                   .agg(F.count("*").alias("n")).collect())
+            for row in got:
+                counts[(row.query_id, row.cand_cell)] = row.n
+        still, need = [], 2 * rc
+        for q in pending:
+            counted[q.query_id] = rc
+            r = _min_disk_radius(q, res, counts, rc)
+            if r is not None:
+                r0[q.query_id] = r
+            elif _covers_zone(q, res, rc):
+                r0[q.query_id] = rc  # < k tiles in the whole zone: take all
+            else:
+                still.append(q)
+                # adaptive jump: scale the radius by the observed local
+                # density shortfall (√(k/m) area growth) instead of
+                # blind doubling — sparse-void queries converge in one
+                # extra round instead of O(log) rounds
+                m = sum(c for (qid, _), c in counts.items()
+                        if qid == q.query_id)
+                est = math.ceil(rc * math.sqrt(q.k / max(m, 0.5))) + 1
+                need = max(need, est)
+        pending = still
+        if rc >= nmax:
             break
-        if r >= max_rings:
-            break
-        r = min(max(r + 1, 2 * r), max_rings)
+        rc = min(need, nmax)
+    for q in qrows:  # max_rings cap (compat knob): bound the guarantee radius
+        r0.setdefault(q.query_id, min(counted[q.query_id], max_rings))
+
+    # ---- phase 2: probe + exact rank ------------------------------------
+    probe_rows, zone_rows = [], []
+    for q in qrows:
+        r1 = min(math.ceil(_SQRT2 * (r0[q.query_id] + 1)), nmax)
+        if 2 * r1 + 1 >= (1 << res):  # disk covers the zone: equi-join on zone
+            zone_rows.append((q.query_id, int(q.zone)))
+        else:
+            probe_rows.append((q, r1))
+
+    parts = []
+    if probe_rows:
+        rows = []
+        for q, r1 in probe_rows:
+            rows.extend(_disk_rows(q, res, -1, r1))
+        cand = spark.createDataFrame(rows, "query_id string, cand_cell long")
+        parts.append(
+            F.broadcast(cand)
+            .join(tiles_p, cand.cand_cell == tiles_p.cell_id, "inner")
+            .select("query_id", "image_id", "caption", "phash", "tcx", "tcy"))
+    if zone_rows:
+        zdf = spark.createDataFrame(zone_rows, "query_id string, qzone long")
+        tile_zone = F.floor(F.col("cell_id") / (16 * _B * _B))
+        parts.append(
+            F.broadcast(zdf)
+            .join(tiles_p.withColumn("tzone", tile_zone),
+                  F.col("qzone") == F.col("tzone"), "inner")
+            .select("query_id", "image_id", "caption", "phash", "tcx", "tcy"))
+    hits = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
 
     w = Window.partitionBy("query_id").orderBy("dist", "image_id")
-    out = (acc.dropDuplicates(["query_id", "image_id"])
-           .join(F.broadcast(qmeta), "query_id")
+    out = (hits.join(F.broadcast(qmeta), "query_id")
            .withColumn("dist", F.sqrt((F.col("tcx") - F.col("qx")) ** 2
                                       + (F.col("tcy") - F.col("qy")) ** 2))
            .withColumn("rank", F.row_number().over(w))
