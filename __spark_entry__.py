@@ -207,6 +207,55 @@ def q_spatial_join(spark, sf_dir):
     )
 
 
+SCENE_HALF = 20000.0  # half-edge of the synthetic scene footprints
+
+
+def q_coverage_filter(spark, sf_dir):
+    """P5/J4 theta predicate through the engine's spatial_join: keep a
+    scene when area(scene ∩ AOI) / area(AOI) exceeds the threshold —
+    the reference's stac_coverage_filter semantics
+    (/root/reference/R/stac-utils.R:487-508). Scene footprints are
+    integer rectangles, so the Sutherland–Hodgman refine is exact and
+    the DuckDB oracle is closed-form rectangle math."""
+    from vrtility_spark.join import spatial_join
+    pts = _events_points(spark, sf_dir)
+    images = pts.select(
+        F.lpad(F.col("event_id").cast("string"), 8, "0").alias("image_id"),
+        "zone",
+        (F.col("x") - SCENE_HALF).alias("xmin"),
+        (F.col("y") - SCENE_HALF).alias("ymin"),
+        (F.col("x") + SCENE_HALF).alias("xmax"),
+        (F.col("y") + SCENE_HALF).alias("ymax"),
+        F.col("event_type").alias("caption"),
+        F.col("user_id").alias("phash"),
+        F.col("ts").alias("datetime"))
+    aoi = spark.createDataFrame(
+        [(a, z, x0, y0, x1, y1,
+          f"POLYGON(({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}))")
+         for a, z, x0, y0, x1, y1 in AOIS],
+        "aoi_id string, zone long, xmin double, ymin double, "
+        "xmax double, ymax double, geom_wkt string")
+    out = spatial_join(images, aoi, min_coverage_of_aoi=0.000513)
+    return out.select("aoi_id", "image_id",
+                      F.round("coverage", 9).alias("cov_r"))
+
+
+def q_composite_scalars(spark, sf_dir):
+    """A3/A4/A5 scalar twins: geometric mean (exp∘avg∘ln), exact
+    interpolated quantiles, and radar-style mean-dB (10·log10∘avg) —
+    the scalar-column counterparts of the pixel compositors in
+    vrtility_spark.composite (reference kernels at
+    /root/reference/R/zvrt-pixel-funs-composite.R:58-169)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.exp(F.avg(F.log("l_extendedprice"))), 2)
+        .alias("geomean_price"),
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("q25_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("q75_qty"),
+        F.round(10.0 * F.log10(F.avg("l_quantity")), 6).alias("mean_db_qty"))
+
+
 def q_knn(spark, sf_dir):
     """J6 kNN via iterative ring expansion over the cell index."""
     from vrtility_spark import knn as knn_mod
@@ -428,6 +477,10 @@ def q_ngram_jaccard(spark, sf_dir):
 def q_minhash_docs(spark, sf_dir):
     """MinHash signatures from arithmetic permutations of an md5-derived
     shingle hash (identical integer math in Spark and DuckDB)."""
+    return _minhash_sigs(spark, sf_dir)
+
+
+def _minhash_sigs(spark, sf_dir):
     sh = _shingles_df(spark, sf_dir)
     h = (F.conv(F.substring(F.md5(F.col("sh")), 1, 14), 16, 10)
          .cast("long") % MH_P)
@@ -435,6 +488,30 @@ def q_minhash_docs(spark, sf_dir):
     aggs = [F.min((F.col("h") * a + b) % MH_P).alias(f"mh{i}")
             for i, (a, b) in enumerate(MINHASH_PERMS)]
     return out.groupBy("doc_id").agg(*aggs)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH banding: 4-perm signatures split into 2 bands of
+    2 rows; docs sharing a band bucket become candidate pairs, refined
+    by the signature-agreement Jaccard estimate — the banded MinHash
+    dedup pipeline (shingle → minhash → band → bucket-join)."""
+    sig = _minhash_sigs(spark, sf_dir)
+    banded = sig.select(
+        "doc_id", "mh0", "mh1", "mh2", "mh3",
+        F.explode(F.array(
+            F.concat_ws(":", F.lit("b0"), "mh0", "mh1"),
+            F.concat_ws(":", F.lit("b1"), "mh2", "mh3"))).alias("band"))
+    a = banded.select(F.col("doc_id").alias("doc_a"),
+                      *[F.col(f"mh{i}").alias(f"a{i}") for i in range(4)],
+                      "band")
+    b = banded.select(F.col("doc_id").alias("doc_b"),
+                      *[F.col(f"mh{i}").alias(f"b{i}") for i in range(4)],
+                      "band")
+    est = sum((F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+              for i in range(4)) / 4.0
+    return (a.join(b, "band").where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", est.alias("est_jaccard"))
+            .distinct())
 
 
 def q_token_stats(spark, sf_dir):
@@ -628,6 +705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_first": q_dedup_first,
         "cell_assign": q_cell_assign,
         "spatial_join": q_spatial_join,
+        "coverage_filter": q_coverage_filter,
+        "composite_scalars": q_composite_scalars,
         "knn": q_knn,
         "hampel": q_hampel,
         "asof_join": q_asof_join,
@@ -638,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": q_dedup_exact_docs,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_docs": q_minhash_docs,
+        "minhash_lsh": q_minhash_lsh,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -763,6 +843,38 @@ def oracle_sql() -> dict[str, str]:
             select aoi_id, event_id, event_type
             from pts join aoi using (zone)
             where x >= xmin and x < xmax and y >= ymin and y < ymax
+        """,
+        "coverage_filter": f"""
+            with scenes as (
+              select lpad(cast(event_id as varchar), 8, '0') as image_id,
+                     {_ZONE_SQL} as zone,
+                     {_X_SQL} - 20000.0 as sxmin, {_Y_SQL} - 20000.0 as symin,
+                     {_X_SQL} + 20000.0 as sxmax, {_Y_SQL} + 20000.0 as symax
+              from events
+            ), aoi(aoi_id, zone, xmin, ymin, xmax, ymax) as (
+              values {aoi_values}
+            ), j as (
+              select aoi_id, image_id,
+                     greatest(0.0, least(sxmax, xmax) - greatest(sxmin, xmin))
+                     * greatest(0.0, least(symax, ymax) - greatest(symin, ymin))
+                       as isect,
+                     (xmax - xmin) * (ymax - ymin) as aoi_area
+              from scenes join aoi using (zone)
+            )
+            select aoi_id, image_id,
+                   round(isect / aoi_area, 9) as cov_r
+            from j
+            where isect > 0 and isect / aoi_area > 0.000513
+        """,
+        "composite_scalars": """
+            select l_returnflag,
+                   round(exp(avg(ln(l_extendedprice))), 2) as geomean_price,
+                   round(quantile_cont(l_quantity, 0.25), 4) as q25_qty,
+                   round(quantile_cont(l_quantity, 0.5), 4) as median_qty,
+                   round(quantile_cont(l_quantity, 0.75), 4) as q75_qty,
+                   round(10.0 * log10(avg(l_quantity)), 6) as mean_db_qty
+            from lineitem
+            group by l_returnflag
         """,
         "knn": f"""
             with pts as (
@@ -891,6 +1003,30 @@ def oracle_sql() -> dict[str, str]:
               from sh
             )
             select doc_id, {mh_terms} from hashed group by doc_id
+        """,
+        "minhash_lsh": shingle_cte + f"""
+            , hashed as (
+              select doc_id,
+                     cast(concat('0x', substring(md5(sh), 1, 14)) as bigint)
+                       % {MH_P} as h
+              from sh
+            ), sig as (
+              select doc_id, {mh_terms} from hashed group by doc_id
+            ), banded as (
+              select doc_id, mh0, mh1, mh2, mh3,
+                     concat('b0:', mh0, ':', mh1) as band from sig
+              union all
+              select doc_id, mh0, mh1, mh2, mh3,
+                     concat('b1:', mh2, ':', mh3) as band from sig
+            )
+            select distinct a.doc_id as doc_a, b.doc_id as doc_b,
+                   ((case when a.mh0 = b.mh0 then 1 else 0 end
+                     + case when a.mh1 = b.mh1 then 1 else 0 end
+                     + case when a.mh2 = b.mh2 then 1 else 0 end
+                     + case when a.mh3 = b.mh3 then 1 else 0 end) / 4.0)
+                     as est_jaccard
+            from banded a join banded b
+              on a.band = b.band and a.doc_id < b.doc_id
         """,
         "token_stats": """
             select lang, count(*) as n_docs,

@@ -26,12 +26,12 @@ from vrtility_spark.session import get_spark  # noqa: E402
 
 BENCH_QUERIES = [
     "pricing_summary", "shipping_priority", "local_supplier",
-    "mosaic_latest", "moving_avg", "dedup_first",
-    "cell_assign", "spatial_join", "knn", "hampel",
-    "asof_join", "range_join", "rollup", "anti_join", "simhash",
-    "dedup_exact_docs", "ngram_jaccard", "minhash_docs",
-    "token_stats", "quality_score", "lang_id", "fingerprint",
-    "embedding_topk", "embedding_lsh",
+    "mosaic_latest", "moving_avg", "locf", "dedup_first",
+    "cell_assign", "spatial_join", "coverage_filter", "knn", "hampel",
+    "composite_scalars", "asof_join", "range_join", "rollup",
+    "anti_join", "simhash", "dedup_exact_docs", "ngram_jaccard",
+    "minhash_docs", "minhash_lsh", "token_stats", "quality_score",
+    "lang_id", "fingerprint", "embedding_topk", "embedding_lsh",
 ]
 
 IMG = dict(zones=(30, 31, 27), nx=8, ny=8, n_dates=5, w=64, h=64)
@@ -73,6 +73,10 @@ def main() -> None:
     # warm up executors/python workers/parquet footers so the first
     # timed query doesn't absorb session fixed costs
     _force(queries["token_stats"](spark, sf_dir))
+    # spawn the Arrow python workers once (several seconds at local[32])
+    def _warm_iter(batches):
+        yield from batches
+    _force(spark.range(64).repartition(64).mapInPandas(_warm_iter, "id long"))
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -109,18 +109,49 @@ def points_in_polygon_np(xs: np.ndarray, ys: np.ndarray, ring: np.ndarray) -> np
 
 # ------------------------------------------------------- spark joins ----
 
+def _as_rect(ring: np.ndarray):
+    """(rx0, ry0, rx1, ry1) if the ring is an axis-aligned rectangle,
+    else None. Checks every edge is axis-parallel so bowtie orderings
+    are rejected."""
+    pts = ring[:-1] if np.allclose(ring[0], ring[-1]) else ring
+    if len(pts) != 4:
+        return None
+    closed = np.vstack([pts, pts[:1]])
+    dx = closed[1:, 0] - closed[:-1, 0]
+    dy = closed[1:, 1] - closed[:-1, 1]
+    if not np.all((dx == 0) | (dy == 0)):
+        return None
+    xs, ys = np.unique(pts[:, 0]), np.unique(pts[:, 1])
+    if len(xs) != 2 or len(ys) != 2:
+        return None
+    return float(xs[0]), float(ys[0]), float(xs[1]), float(ys[1])
+
+
 @F.pandas_udf(T.DoubleType())
 def _isect_area_udf(wkt: pd.Series, xmin: pd.Series, ymin: pd.Series,
                     xmax: pd.Series, ymax: pd.Series) -> pd.Series:
+    """area(polygon ∩ rect) per row. Rows are grouped by their (few)
+    distinct polygons; axis-aligned-rectangle polygons — the dominant
+    footprint case — take an exact vectorized clamp path with zero
+    per-row Python; concave polygons fall back to Sutherland–Hodgman."""
     out = np.empty(len(wkt))
-    cache: dict[str, np.ndarray] = {}
-    for i in range(len(wkt)):
-        ring = cache.get(wkt.iloc[i])
-        if ring is None:
-            ring = cache.setdefault(wkt.iloc[i], parse_wkt_polygon(wkt.iloc[i]))
-        clipped = clip_polygon_rect(ring, xmin.iloc[i], ymin.iloc[i],
-                                    xmax.iloc[i], ymax.iloc[i])
-        out[i] = polygon_area(clipped) if len(clipped) >= 3 else 0.0
+    warr = wkt.to_numpy()
+    x0, y0 = xmin.to_numpy(float), ymin.to_numpy(float)
+    x1, y1 = xmax.to_numpy(float), ymax.to_numpy(float)
+    for w in pd.unique(warr):
+        m = warr == w
+        ring = parse_wkt_polygon(w)
+        rect = _as_rect(ring)
+        if rect is not None:
+            rx0, ry0, rx1, ry1 = rect
+            iw = np.maximum(0.0, np.minimum(x1[m], rx1) - np.maximum(x0[m], rx0))
+            ih = np.maximum(0.0, np.minimum(y1[m], ry1) - np.maximum(y0[m], ry0))
+            out[m] = iw * ih
+        else:
+            idx = np.flatnonzero(m)
+            for i in idx:
+                clipped = clip_polygon_rect(ring, x0[i], y0[i], x1[i], y1[i])
+                out[i] = polygon_area(clipped) if len(clipped) >= 3 else 0.0
     return pd.Series(out)
 
 
