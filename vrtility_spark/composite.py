@@ -421,7 +421,9 @@ COMPOSITE_SCHEMA = (
 
 
 def composite(df: DataFrame, reducer: str | Callable[[np.ndarray], np.ndarray],
-              key: str = "cell_id", compute_dtype: str = "float32") -> DataFrame:
+              key: str = "cell_id", compute_dtype: str = "float32",
+              scene_fn: Callable[[np.ndarray, float], np.ndarray] | None = None,
+              ) -> DataFrame:
     """``groupBy(cell).applyInPandas(reduce)`` — the whole
     multiband_reduce driver (R/multiband_reduce.R:103-259) as one
     shuffle + one Arrow-vectorized grouped map.
@@ -432,6 +434,12 @@ def composite(df: DataFrame, reducer: str | Callable[[np.ndarray], np.ndarray],
     Stamps the median acquisition datetime on each composite
     (R/vrt-compute.R:547-590) and carries captions through sorted (the
     caption-passthrough invariant of BASELINE.json).
+
+    ``scene_fn(arr, nodata)`` is applied to each decoded scene before
+    reduction — operator FUSION: masking (or any per-scene transform)
+    evaluates inside the same read, exactly like the reference's nested
+    VRT evaluating mask ∘ composite per block in one pass
+    (R/gdalraster-async.r:99-112), skipping a full payload rewrite.
     """
     fn = REDUCERS[reducer] if isinstance(reducer, str) else reducer
 
@@ -455,11 +463,14 @@ def composite(df: DataFrame, reducer: str | Callable[[np.ndarray], np.ndarray],
         # matches the reference's Float32 derived-band policy
         # (R/vrt-derived-block.R:123); pass compute_dtype="float64"
         # for bit-exact parity with the float64 NumPy oracle.
-        stack = np.stack([
-            codec.to_float_masked(codec.decode(r.bytes, r.w, r.h, r.fmt),
-                                  nodata).astype(compute_dtype)
-            for r in pdf.itertuples(index=False)
-        ])  # (T, B, H, W)
+        def dec(r):
+            arr = codec.decode(r.bytes, r.w, r.h, r.fmt)
+            if scene_fn is not None:
+                arr = scene_fn(arr, nodata)
+            return codec.to_float_masked(arr, nodata).astype(compute_dtype)
+
+        stack = np.stack([dec(r) for r in pdf.itertuples(index=False)])
+        # (T, B, H, W)
         out = fn(stack)
         payload = codec.from_float(out, nodata, dtype)
         dt = pdf["datetime"].sort_values().reset_index(drop=True)

@@ -103,6 +103,38 @@ def set_mask_col(value: Column, mask01: Column, nodata: Column | float) -> Colum
 
 # -------------------------------------------------- image-payload path ----
 
+def make_scene_maskfun(maskfun: str, mask_values: Sequence[int],
+                       buffer_size: int = 0, drop_mask_band: bool = False):
+    """Scene-level mask closure ``fn(arr (B,H,W), nodata) -> arr`` for
+    FUSION into downstream grouped reducers: the reference never runs
+    masking as its own materialized pass — the nested VRT evaluates
+    mask ∘ composite per block in ONE read
+    (/root/reference/R/gdalraster-async.r:99-112). Applying the mask
+    inside the composite's grouped UDF skips a full decode→encode
+    rewrite of every payload (the scaling bottleneck at high
+    parallelism is exactly this memory traffic)."""
+    assert maskfun in ("int", "bit")
+    vals = [int(v) for v in mask_values]
+    buf = int(buffer_size)
+    drop = bool(drop_mask_band)
+
+    def fn(arr: np.ndarray, nodata: float) -> np.ndarray:
+        mask01 = (build_intmask_np(arr[-1], vals) if maskfun == "int"
+                  else build_bitmask_np(arr[-1], vals))
+        data = apply_mask_np(arr[:-1], mask01, nodata, buf)
+        return data if drop else np.concatenate([data, arr[-1:]], axis=0)
+    return fn
+
+
+def chain_scene_fns(fns):
+    """Compose scene closures left-to-right (= sequential eager passes)."""
+    def fn(arr: np.ndarray, nodata: float) -> np.ndarray:
+        for f in fns:
+            arr = f(arr, nodata)
+        return arr
+    return fn
+
+
 def vrt_set_maskfun(df: DataFrame, maskfun: str, mask_values: Sequence[int],
                     buffer_size: int = 0, drop_mask_band: bool = False) -> DataFrame:
     """Apply a mask built from the last band plane to every data plane.
@@ -117,10 +149,8 @@ def vrt_set_maskfun(df: DataFrame, maskfun: str, mask_values: Sequence[int],
     ``maskfun``: ``"int"`` (class codes, S2/SCL) or ``"bit"``
     (bit flags, HLS/Fmask).
     """
-    assert maskfun in ("int", "bit")
-    vals = [int(v) for v in mask_values]
-    buf = int(buffer_size)
     drop = bool(drop_mask_band)
+    scene_fn = make_scene_maskfun(maskfun, mask_values, buffer_size, drop)
     out_schema = df.schema
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -128,10 +158,7 @@ def vrt_set_maskfun(df: DataFrame, maskfun: str, mask_values: Sequence[int],
             out_bytes = []
             for row in pdf.itertuples(index=False):
                 arr = codec.decode(row.bytes, row.w, row.h, row.fmt)
-                mask01 = (build_intmask_np(arr[-1], vals) if maskfun == "int"
-                          else build_bitmask_np(arr[-1], vals))
-                data = apply_mask_np(arr[:-1], mask01, row.nodata, buf)
-                keep = data if drop else np.concatenate([data, arr[-1:][:]], axis=0)
+                keep = scene_fn(arr, row.nodata)
                 out_bytes.append(codec.encode(keep.astype(arr.dtype), row.fmt))
             pdf = pdf.copy()
             pdf["bytes"] = out_bytes

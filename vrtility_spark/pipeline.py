@@ -8,6 +8,14 @@ transformation; ``compute()`` is the single action. There is no VRT
 cache directory — lineage *is* the nested-VRT tree (SURVEY.md §1.1) —
 and no one-pixfun-per-band limit (R/vrt-tools.R:116-127 is a GDAL
 constraint we deliberately relax).
+
+Masking is recorded LAZILY and fused into the next grouped reducer
+(composite), mirroring how the reference's nested VRT evaluates
+mask ∘ composite per block in one read
+(R/gdalraster-async.r:99-112) instead of materializing a masked copy.
+Verbs that need the masked payload itself (band math, warp-to-grid,
+time-series ops, a plain ``compute``) flush the pending masks as an
+explicit pass first, preserving eager semantics exactly.
 """
 
 from __future__ import annotations
@@ -36,27 +44,52 @@ class Pipeline:
     ...   .compute("/tmp/out"))
     """
 
-    def __init__(self, df: DataFrame):
-        self.df = df
+    def __init__(self, df: DataFrame, mask_specs: tuple = ()):
+        self._df = df
+        # pending lazy masks: (maskfun, values, buffer_size, drop)
+        self._mask_specs = tuple(mask_specs)
+
+    @property
+    def df(self) -> DataFrame:
+        """The underlying DataFrame, with any pending masks applied."""
+        return self._flushed()._df
+
+    def _flushed(self) -> "Pipeline":
+        if not self._mask_specs:
+            return self
+        df = self._df
+        for spec in self._mask_specs:
+            df = _masks.vrt_set_maskfun(df, *spec)
+        return Pipeline(df)
+
+    def _scene_fn(self):
+        if not self._mask_specs:
+            return None
+        return _masks.chain_scene_fns(
+            [_masks.make_scene_maskfun(*s) for s in self._mask_specs])
 
     # ------------------------------------------------ filters (P3-P6)
     def cloud_filter(self, max_cloud: float) -> "Pipeline":
-        return Pipeline(_join.cloud_filter(self.df, max_cloud))
+        return Pipeline(_join.cloud_filter(self._df, max_cloud),
+                        self._mask_specs)
 
     def orbit_filter(self, states: Sequence[str]) -> "Pipeline":
-        return Pipeline(_join.orbit_filter(self.df, states))
+        return Pipeline(_join.orbit_filter(self._df, states), self._mask_specs)
 
     def drop_duplicates(self) -> "Pipeline":
-        return Pipeline(_join.drop_duplicates_stac(self.df))
+        return Pipeline(_join.drop_duplicates_stac(self._df), self._mask_specs)
 
     def date_range(self, start, end) -> "Pipeline":
-        return Pipeline(self.df.where(F.col("datetime").between(start, end)))
+        return Pipeline(self._df.where(F.col("datetime").between(start, end)),
+                        self._mask_specs)
 
     # -------------------------------------------------- masking (P7-P11)
     def set_maskfun(self, maskfun: str, mask_values, buffer_size: int = 0,
                     drop_mask_band: bool = False) -> "Pipeline":
-        return Pipeline(_masks.vrt_set_maskfun(
-            self.df, maskfun, mask_values, buffer_size, drop_mask_band))
+        assert maskfun in ("int", "bit")
+        spec = (maskfun, tuple(int(v) for v in mask_values),
+                int(buffer_size), bool(drop_mask_band))
+        return Pipeline(self._df, self._mask_specs + (spec,))
 
     def create_mlmask(self, bands=("B04", "B03", "B08"),
                       model: str = "fake") -> "Pipeline":
@@ -82,18 +115,24 @@ class Pipeline:
     def warp(self, cell_res: int, out_w: int | None = None,
              out_h: int | None = None, resampling: str = "bilinear",
              prefix_k: int = 2) -> "Pipeline":
-        df = _warp.assign_cells(self.df, cell_res, prefix_k)
         if out_w is not None:
-            df = _warp.warp_to_grid(df, out_w, out_h or out_w, resampling)
-        return Pipeline(df)
+            # resampling reads pixels: masks must land before the kernel
+            df = _warp.assign_cells(self.df, cell_res, prefix_k)
+            return Pipeline(_warp.warp_to_grid(df, out_w, out_h or out_w,
+                                               resampling))
+        # cell assignment is metadata-only — pending masks commute
+        return Pipeline(_warp.assign_cells(self._df, cell_res, prefix_k),
+                        self._mask_specs)
 
     # -------------------------------------------------- spatial (J4-J6)
     def intersecting(self, aoi: DataFrame, **kw) -> "Pipeline":
-        return Pipeline(_join.spatial_semi_join(self.df, aoi, **kw))
+        return Pipeline(_join.spatial_semi_join(self._df, aoi, **kw),
+                        self._mask_specs)
 
     # -------------------------------------------------- reduce (A1-A13)
     def composite(self, reducer="median") -> "Pipeline":
-        return Pipeline(_composite.composite(self.df, reducer))
+        return Pipeline(_composite.composite(self._df, reducer,
+                                             scene_fn=self._scene_fn()))
 
     # ------------------------------------------------- m2m / W1-W2
     def hampel(self, k: int, t0: float = 3.0, impute_na: bool = False) -> "Pipeline":
