@@ -1,0 +1,70 @@
+"""Physical-plan quality gates — the scale contract, asserted.
+
+Correctness tests prove the queries return the right rows; these prove
+they'd still be the right PLANS at 100 TB: filters reach the parquet
+scan (PushedFilters), column pruning reaches ReadSchema, small
+dimensions broadcast instead of shuffling, window queries shuffle
+exactly once, and the hot relational path stays inside whole-stage
+codegen. The reference gets the analogous properties from GDAL
+(projwin pushdown R/vrt-warp.R:579-581, band selection
+R/vrt-collect.R:113-117); here they must come out of Catalyst — and a
+regression that silently un-broadcasts a join or un-pushes a filter
+would only show up at scale, so it's pinned here.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry  # noqa: E402
+from vrtility_spark.storage import explain_str  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return explain_str(entry.queries()[name](spark, SF))
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "pricing_summary")
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:400]
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _plan(spark, "pricing_summary")
+    # ReadSchema must not drag unused wide columns through the scan
+    read = plan.split("ReadSchema", 1)[1][:500]
+    assert "l_comment" not in read and "l_shipinstruct" not in read
+
+
+def test_small_dims_broadcast(spark):
+    plan = _plan(spark, "shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    plan = _plan(spark, "local_supplier")
+    # nation + region are broadcast; the big fact joins stay shuffled
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_spatial_join_broadcasts_aoi_cells(spark):
+    plan = _plan(spark, "spatial_join")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_window_queries_shuffle_once(spark):
+    # single-window rewrites must not reintroduce self-join shuffles
+    for name in ("hampel", "moving_avg", "locf", "mosaic_latest"):
+        plan = _plan(spark, name)
+        n_exchanges = plan.count(") Exchange")  # details-section entries
+        assert n_exchanges == 1, f"{name}: {n_exchanges} shuffles"
+
+
+def test_relational_core_stays_in_codegen(spark):
+    plan = explain_str(entry.queries()["pricing_summary"](spark, SF),
+                       mode="codegen")
+    assert "WholeStageCodegen" in plan
+    # at least scan→filter→partial-agg fused into one generated stage
+    assert "Found" in plan and "subtree" in plan
