@@ -60,3 +60,67 @@ def test_assign_cells_deterministic(spark, tiny_images, tiny_images_pdf):
                                   (src.ymin + src.ymax) / 2, datagen.TILE_RES)
         assert r.cell_id == exp
         assert r.cell_prefix == cells.parent_np(exp, 2)
+
+
+def test_conv_kernels_preserve_constants():
+    """Normalized kernels are a partition of unity: constants invariant
+    under cubic/cubicspline/lanczos at any scale factor."""
+    a = np.full((8, 8), 42.0)
+    for m in ("cubic", "cubicspline", "lanczos"):
+        np.testing.assert_allclose(warp.resample_plane(a, 16, 16, m), 42.0)
+        np.testing.assert_allclose(warp.resample_plane(a, 5, 7, m), 42.0)
+
+
+def test_cubic_reproduces_linear_ramp():
+    """Catmull-Rom is an interpolating kernel: exact on linear signals
+    (away from the clipped border)."""
+    a = np.tile(np.arange(16, dtype=float), (16, 1))
+    out = warp.resample_plane(a, 16, 31, "cubic")
+    f = (np.arange(31) + 0.5) * 16 / 31 - 0.5
+    np.testing.assert_allclose(out[8, 4:-4], f[4:-4], atol=1e-9)
+
+
+def test_lanczos_sharper_than_bspline():
+    """cubicspline smooths (non-interpolating); lanczos preserves an
+    edge more sharply — the expected kernel ordering."""
+    a = np.zeros((8, 16))
+    a[:, 8:] = 100.0
+    lz = warp.resample_plane(a, 8, 32, "lanczos")
+    bs = warp.resample_plane(a, 8, 32, "cubicspline")
+    assert np.abs(np.diff(lz[0])).max() > np.abs(np.diff(bs[0])).max()
+
+
+def test_block_aggregate_reducers_exact():
+    a = np.arange(16, dtype=float).reshape(4, 4)
+    cases = {
+        "sum": [[10.0, 18.0], [42.0, 50.0]],
+        "min": [[0.0, 2.0], [8.0, 10.0]],
+        "max": [[5.0, 7.0], [13.0, 15.0]],
+        "med": [[2.5, 4.5], [10.5, 12.5]],
+        "rms": np.sqrt([[10.5, 24.5], [114.5, 160.5]]),
+    }
+    for m, exp in cases.items():
+        np.testing.assert_allclose(warp.resample_plane(a, 2, 2, m), exp)
+    q1 = warp.resample_plane(a, 2, 2, "q1")
+    q3 = warp.resample_plane(a, 2, 2, "q3")
+    med = warp.resample_plane(a, 2, 2, "med")
+    assert (q1 <= med).all() and (med <= q3).all()
+
+
+def test_mode_downsample_ties_and_majority():
+    a = np.array([[4, 4, 9, 9],
+                  [4, 5, 9, 5],
+                  [7, 7, 1, 1],
+                  [7, 2, 1, 3]], dtype=float)
+    out = warp.resample_plane(a, 2, 2, "mode")
+    np.testing.assert_allclose(out, [[4, 9], [7, 1]])
+    # tie → smallest value (deterministic)
+    t = np.array([[1, 2], [2, 1]], dtype=float)
+    np.testing.assert_allclose(warp.resample_plane(t, 1, 1, "mode"), [[1.0]])
+
+
+def test_block_aggregate_non_divisible_grid():
+    a = np.arange(25, dtype=float).reshape(5, 5)
+    out = warp.resample_plane(a, 2, 2, "max")
+    assert out.shape == (2, 2)
+    assert out[1, 1] == 24.0

@@ -96,13 +96,111 @@ def resample_plane(a: np.ndarray, out_h: int, out_w: int, method: str) -> np.nda
         top = af[np.ix_(y0, x0)] * (1 - wx) + af[np.ix_(y0, x1)] * wx
         bot = af[np.ix_(y1, x0)] * (1 - wx) + af[np.ix_(y1, x1)] * wx
         return top * (1 - wy) + bot * wy
-    if method == "average":
-        # exact block average when dims divide; else bilinear fallback
-        if h % out_h == 0 and w % out_w == 0:
-            bh, bw = h // out_h, w // out_w
-            return a.astype(np.float64).reshape(out_h, bh, out_w, bw).mean(axis=(1, 3))
-        return resample_plane(a, out_h, out_w, "bilinear")
+    if method in _CONV_KERNELS:
+        kfun, support = _CONV_KERNELS[method]
+        return _resample_separable(a, out_h, out_w, kfun, support)
+    if method in _BLOCK_AGGS:
+        return _resample_blocks(a, out_h, out_w, _BLOCK_AGGS[method])
     raise ValueError(f"unknown resampling {method!r}")
+
+
+# --- convolution kernels (cubic/cubicspline/lanczos), separable -----------
+# GDAL's warp-kernel menu (R/vrt-warp.R:39-54); evaluated as two weight
+# matrices so the whole plane resamples as vectorized gathers+sums.
+
+def _cubic_keys(x: np.ndarray) -> np.ndarray:
+    """Catmull-Rom (GDAL 'cubic', Keys a=-0.5)."""
+    ax = np.abs(x)
+    return np.where(
+        ax <= 1, 1.5 * ax**3 - 2.5 * ax**2 + 1,
+        np.where(ax < 2, -0.5 * ax**3 + 2.5 * ax**2 - 4 * ax + 2, 0.0))
+
+
+def _cubic_bspline(x: np.ndarray) -> np.ndarray:
+    """Cubic B-spline (GDAL 'cubicspline' — smoothing, non-interpolating)."""
+    ax = np.abs(x)
+    return np.where(
+        ax <= 1, (4 - 6 * ax**2 + 3 * ax**3) / 6.0,
+        np.where(ax < 2, (2 - ax) ** 3 / 6.0, 0.0))
+
+
+def _lanczos(x: np.ndarray, a: int = 3) -> np.ndarray:
+    return np.where(np.abs(x) < a, np.sinc(x) * np.sinc(x / a), 0.0)
+
+
+_CONV_KERNELS = {
+    "cubic": (_cubic_keys, 2),
+    "cubicspline": (_cubic_bspline, 2),
+    "lanczos": (_lanczos, 3),
+}
+
+
+def _resample_separable(a, out_h, out_w, kfun, support):
+    def axis_weights(n_out, n_in):
+        f = (np.arange(n_out) + 0.5) * n_in / n_out - 0.5
+        offs = np.arange(-support + 1, support + 1)
+        idx = np.floor(f)[:, None] + offs[None, :]
+        w = kfun(idx - f[:, None])
+        w = w / w.sum(axis=1, keepdims=True)  # partition of unity at edges
+        return np.clip(idx, 0, n_in - 1).astype(int), w
+
+    yi, wy = axis_weights(out_h, a.shape[0])
+    xi, wx = axis_weights(out_w, a.shape[1])
+    af = a.astype(np.float64)
+    tmp = np.einsum("oky,ok->oy", af[yi, :], wy)   # rows: (out_h, w)
+    return np.einsum("opk,pk->op", tmp[:, xi], wx)  # cols: (out_h, out_w)
+
+
+# --- block-aggregation reducers (downsampling statistics) -----------------
+
+def _mode_sorted(x: np.ndarray) -> np.ndarray:
+    """Vectorized mode over the last axis (ties → smallest value):
+    sort, find the longest equal run per row."""
+    s = np.sort(x, axis=-1)
+    n = s.shape[-1]
+    flat = s.reshape(-1, n)
+    best_val = flat[:, 0].astype(np.float64)
+    best_run = np.ones(len(flat), dtype=int)
+    run = np.ones(len(flat), dtype=int)
+    for j in range(1, n):
+        run = np.where(flat[:, j] == flat[:, j - 1], run + 1, 1)
+        better = run > best_run
+        best_run = np.where(better, run, best_run)
+        best_val = np.where(better, flat[:, j], best_val)
+    return best_val.reshape(x.shape[:-1])
+
+
+_BLOCK_AGGS = {
+    "sum": lambda x: np.sum(x, axis=-1),
+    "min": lambda x: np.min(x, axis=-1),
+    "max": lambda x: np.max(x, axis=-1),
+    "med": lambda x: np.median(x, axis=-1),
+    "q1": lambda x: np.quantile(x, 0.25, axis=-1),
+    "q3": lambda x: np.quantile(x, 0.75, axis=-1),
+    "rms": lambda x: np.sqrt(np.mean(x.astype(np.float64) ** 2, axis=-1)),
+    "mode": _mode_sorted,
+    "average": lambda x: np.mean(x, axis=-1),
+}
+
+
+def _resample_blocks(a, out_h, out_w, agg):
+    h, w = a.shape
+    af = a.astype(np.float64)
+    if h % out_h == 0 and w % out_w == 0:  # exact aligned blocks
+        bh, bw = h // out_h, w // out_w
+        blocks = af.reshape(out_h, bh, out_w, bw).transpose(0, 2, 1, 3)
+        return agg(blocks.reshape(out_h, out_w, bh * bw))
+    # non-divisible grids: per-output-pixel source boxes (ceil-covering)
+    ylo = (np.arange(out_h) * h) // out_h
+    yhi = -(-(np.arange(out_h) + 1) * h // out_h)
+    xlo = (np.arange(out_w) * w) // out_w
+    xhi = -(-(np.arange(out_w) + 1) * w // out_w)
+    out = np.empty((out_h, out_w))
+    for i in range(out_h):
+        for j in range(out_w):
+            box = af[ylo[i]:yhi[i], xlo[j]:xhi[j]].ravel()
+            out[i, j] = agg(box[None, :])[0]
+    return out
 
 
 def warp_np(arr: np.ndarray, out_h: int, out_w: int, method: str,
