@@ -671,6 +671,30 @@ def q_image_medoid_composite(spark, sf_dir):
                       "caption_agg")
 
 
+def q_audio_features(spark, sf_dir):
+    """Multimodal audio: PCM payloads decoded only inside Arrow UDFs;
+    NumPy DSP features (RMS / zero-cross / spectral centroid). Rows-only
+    check — binary payload math has no SQL twin; NumPy-oracle parity is
+    pytest-gated (tests/test_multimodal.py)."""
+    from vrtility_spark import multimodal as mm
+    df = spark.createDataFrame(mm.audio_pandas(n=24), schema=mm.AUDIO_SCHEMA)
+    out = mm.audio_features(df)
+    return out.select("audio_id", "caption",
+                      F.round("rms", 6).alias("rms_r"),
+                      F.round("spectral_centroid_hz", 2).alias("centroid_r"))
+
+
+def q_video_features(spark, sf_dir):
+    """Multimodal video: frame-sample → per-clip luma/motion features in
+    one fused Arrow pass (same fusion policy as mask∘composite)."""
+    from vrtility_spark import multimodal as mm
+    df = spark.createDataFrame(mm.video_pandas(n=12), schema=mm.VIDEO_SCHEMA)
+    out = mm.video_features(df, sample_every_k=2)
+    return out.select("video_id", "caption", "n_frames_sampled",
+                      F.round("mean_luma", 4).alias("mean_luma_r"),
+                      F.round("motion_energy", 4).alias("motion_r"))
+
+
 def q_image_hampel(spark, sf_dir):
     from vrtility_spark import datagen, schema, timeseries, warp
     images = schema.images_df(spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
@@ -728,6 +752,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_median_composite": q_image_median_composite,
         "image_medoid_composite": q_image_medoid_composite,
         "image_hampel": q_image_hampel,
+        "audio_features": q_audio_features,
+        "video_features": q_video_features,
     }
 
 
