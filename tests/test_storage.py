@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from vrtility_spark import datagen, schema, storage
 
 
@@ -49,3 +51,29 @@ def test_time_pruning(spark, tiny_images, tmp_path):
     assert dts == {"2024-05-01", "2024-07-01"}
     plan = storage.explain_str(df)
     assert "PushedFilters" in plan and "datetime" in plan
+
+def test_bucketed_join_has_zero_exchange(spark, tiny_images):
+    """Two tables bucketed on cell_prefix join and aggregate with NO
+    shuffle — the co-located-join contract that matters at 10^12 rows."""
+    from vrtility_spark import storage
+    from vrtility_spark.datagen import TILE_RES
+    import shutil
+    spark.sql("drop table if exists imgs_a")
+    spark.sql("drop table if exists imgs_b")
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    for t in ("imgs_a", "imgs_b"):
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    storage.write_images_bucketed(tiny_images, "imgs_a", TILE_RES, n_buckets=4)
+    storage.write_images_bucketed(tiny_images.limit(30), "imgs_b", TILE_RES,
+                                  n_buckets=4)
+    a = storage.read_images_table(spark, "imgs_a").select(
+        "cell_prefix", "image_id")
+    b = storage.read_images_table(spark, "imgs_b").select(
+        "cell_prefix", F.col("image_id").alias("b_id"))
+    joined = a.join(b, "cell_prefix")
+    plan = storage.explain_str(joined)
+    assert ") Exchange" not in plan, plan
+    assert joined.count() > 0
+    agg = storage.read_images_table(spark, "imgs_a") \
+        .groupBy("cell_prefix").count()
+    assert ") Exchange" not in storage.explain_str(agg)

@@ -87,6 +87,12 @@ def get_spark(
         # RAM a priori, R/tiling.R:41-64; we bound the Arrow batch instead)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # bucketed tables (co-located cell joins) need a warehouse; keep
+        # it out of the repo — deployments override via env
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE",
+                               os.path.join(tempfile.gettempdir(),
+                                            "vrtility_warehouse")))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
     )

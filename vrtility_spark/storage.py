@@ -43,6 +43,27 @@ def read_images(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_images_bucketed(df: DataFrame, table: str, cell_res: int,
+                          n_buckets: int = 16, prefix_k: int = 2,
+                          mode: str = "overwrite") -> None:
+    """Bucketed layout for CO-LOCATED cell joins: hash-bucket on
+    ``cell_prefix`` with an in-bucket sort. Two tables bucketed the
+    same way join / aggregate on ``cell_prefix`` with **zero
+    Exchange** — at 10^12 rows the repeated join shuffle is the cost
+    this kills (SURVEY.md §2.3: "co-located joins via bucketing").
+    Bucket count is a table property; pick it once per deployment so
+    every producer matches."""
+    out = assign_cells(df, cell_res, prefix_k)
+    (out.write.mode(mode).format("parquet")
+        .bucketBy(n_buckets, "cell_prefix")
+        .sortBy("cell_prefix", "cell_id")
+        .saveAsTable(table))
+
+
+def read_images_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
 def scan_bbox(spark: SparkSession, path: str, zone: int,
               xmin: float, ymin: float, xmax: float, ymax: float,
               cell_res: int, prefix_k: int = 2,
