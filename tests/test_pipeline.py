@@ -64,3 +64,26 @@ def test_hls_bitmask_pipeline(spark, hls_images_pdf):
     row = out.iloc[0]
     arr = codec.decode(row.bytes, row.w, row.h, row.fmt)
     assert arr.dtype == np.int16
+
+
+def test_chained_pixfuns_relaxed(spark, tiny_images_pdf):
+    """The reference cannot stack two pixel functions on one band
+    without materializing between (one-pixfun-per-level,
+    R/vrt-tools.R:116-127 — a GDAL limitation, not a semantic). Here
+    chaining is free: two masks + a composite compose into ONE fused
+    grouped pass, and the result is byte-identical to materializing
+    each mask eagerly."""
+    df = schema.images_df(spark, tiny_images_pdf)
+    fused = (Pipeline(df)
+             .set_maskfun("int", [0, 1])            # drop saturated/dark
+             .set_maskfun("int", [8, 9, 10, 11], buffer_size=1)  # clouds
+             .warp(cell_res=datagen.TILE_RES)
+             .composite("median").df.orderBy("cell_id").toPandas())
+    from vrtility_spark import warp as _warp
+    from vrtility_spark.composite import composite as _comp
+    eager = masks.vrt_set_maskfun(df, "int", [0, 1])
+    eager = masks.vrt_set_maskfun(eager, "int", [8, 9, 10, 11], buffer_size=1)
+    eager = _comp(_warp.assign_cells(eager, datagen.TILE_RES), "median") \
+        .orderBy("cell_id").toPandas()
+    assert len(fused) == len(eager)
+    assert all(bytes(a) == bytes(b) for a, b in zip(fused.bytes, eager.bytes))
