@@ -66,6 +66,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the package to executor python workers (idempotent).
+
+    The grading driver provides its own SparkSession; payload queries
+    pickle UDF closures that reference vrtility_spark modules BY NAME,
+    so the workers must be able to import the package — the local-mode
+    twin of `spark-submit --py-files`."""
+    try:
+        from vrtility_spark.session import ship_package
+        ship_package(spark)
+    except Exception:
+        pass  # already shipped, or a session that forbids addPyFile
+
+
 def _events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.select(
@@ -637,6 +651,7 @@ def q_ann_ivf(spark, sf_dir):
     Rows-only check: centroid training is float-iterative, so there is
     no portable SQL oracle; exactness at nprobe=n_clusters and recall
     bounds are pytest-gated (tests/test_ann.py)."""
+    _ensure_shipped(spark)
     from vrtility_spark import ann
     e = _t(spark, sf_dir, "embeddings")
     cents = ann.train_ivf(e, "embedding", "vec_id", n_clusters=8, iters=2)
@@ -648,6 +663,7 @@ def q_ann_ivf(spark, sf_dir):
 
 
 def q_image_median_composite(spark, sf_dir):
+    _ensure_shipped(spark)
     from vrtility_spark import datagen, schema
     from vrtility_spark.pipeline import Pipeline
     images = schema.images_df(spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
@@ -660,6 +676,7 @@ def q_image_median_composite(spark, sf_dir):
 
 
 def q_image_medoid_composite(spark, sf_dir):
+    _ensure_shipped(spark)
     from vrtility_spark import datagen, schema
     from vrtility_spark.pipeline import Pipeline
     images = schema.images_df(spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
@@ -676,6 +693,7 @@ def q_audio_features(spark, sf_dir):
     NumPy DSP features (RMS / zero-cross / spectral centroid). Rows-only
     check — binary payload math has no SQL twin; NumPy-oracle parity is
     pytest-gated (tests/test_multimodal.py)."""
+    _ensure_shipped(spark)
     from vrtility_spark import multimodal as mm
     df = spark.createDataFrame(mm.audio_pandas(n=24), schema=mm.AUDIO_SCHEMA)
     out = mm.audio_features(df)
@@ -687,6 +705,7 @@ def q_audio_features(spark, sf_dir):
 def q_video_features(spark, sf_dir):
     """Multimodal video: frame-sample → per-clip luma/motion features in
     one fused Arrow pass (same fusion policy as mask∘composite)."""
+    _ensure_shipped(spark)
     from vrtility_spark import multimodal as mm
     df = spark.createDataFrame(mm.video_pandas(n=12), schema=mm.VIDEO_SCHEMA)
     out = mm.video_features(df, sample_every_k=2)
@@ -696,6 +715,7 @@ def q_video_features(spark, sf_dir):
 
 
 def q_image_hampel(spark, sf_dir):
+    _ensure_shipped(spark)
     from vrtility_spark import datagen, schema, timeseries, warp
     images = schema.images_df(spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
     out = timeseries.hampel(warp.assign_cells(images, datagen.TILE_RES), k=1, t0=2.0)
@@ -712,6 +732,7 @@ def entry(spark: SparkSession) -> DataFrame:
     sf0.001 (events drive the point-side; the image pipeline runs on the
     deterministic synthetic fixture)."""
     sf_dir = "/root/testdata/sf0.001"
+    _ensure_shipped(spark)
     comp = q_image_median_composite(spark, sf_dir)
     cellstats = q_cell_assign(spark, sf_dir).agg(
         F.count("*").alias("n_cells"), F.sum("n_points").alias("n_points"))
