@@ -41,26 +41,37 @@ def test_derived_ndvi(spark, tiny_images):
     (test-vrt-derived-block.R:33-52): values in (-1, 1), nodata
     propagates, and B04*0 == 0."""
     df = tiny_images.limit(4)
-    # out_offset=-1 keeps NDVI's [-1,1] range clear of the 0 sentinel
     ndvi = bands.derived_band(
-        df, "NDVI", lambda b: (b["B08"] - b["B04"]) / (b["B08"] + b["B04"]),
-        out_scale=1e-4, out_offset=-1.0)
+        df, "NDVI", lambda b: (b["B08"] - b["B04"]) / (b["B08"] + b["B04"]))
     out = ndvi.toPandas()
     for _, r in out.iterrows():
         arr = codec.decode(r.bytes, r.w, r.h, r.fmt)
-        assert list(r.bands)[-1] == "NDVI"
-        valid = arr[0] != 0
-        plane = arr[-1].astype(np.float64) * 1e-4 - 1.0
-        assert np.abs(plane[valid]).max() <= 1.0
-        assert -0.9 < plane[valid].mean() < 0.9  # non-degenerate
-        # nodata pixels in inputs stay sentinel in the derived plane
-        assert (arr[-1][~valid] == 0).all()
+        assert r.fmt == "rawf32" and r.scale == 1.0 and np.isnan(r.nodata)
+        # mask plane stays LAST (raw class codes); derived just before
+        assert list(r.bands)[-1] == "SCL" and list(r.bands)[-2] == "NDVI"
+        plane = arr[-2]
+        valid = ~np.isnan(arr[0])
+        assert np.abs(plane[valid]).max() <= 1.0  # full [-1,1], no clip
+        assert plane[valid].min() < 0 < plane[valid].max()  # negatives kept
+        # nodata propagates as NaN in the derived plane
+        assert np.isnan(plane[~valid]).all()
+
+    # chaining composes exactly: a second derived band reads the first
+    # in physical units (the one-pixfun-per-level relaxation)
+    chained = bands.derived_band(ndvi, "NDVI2", lambda b: b["NDVI"] * 2.0)         .toPandas()
+    for _, r in chained.iterrows():
+        arr = codec.decode(r.bytes, r.w, r.h, r.fmt)
+        i_ndvi = list(r.bands).index("NDVI")
+        i_2 = list(r.bands).index("NDVI2")
+        v = ~np.isnan(arr[i_ndvi])
+        np.testing.assert_allclose(arr[i_2][v], 2.0 * arr[i_ndvi][v],
+                                   rtol=1e-6)
 
     zero = bands.derived_band(df, "Z", lambda b: b["B04"] * 0.0).toPandas()
     for _, r in zero.iterrows():
         arr = codec.decode(r.bytes, r.w, r.h, r.fmt)
-        src_valid = codec.decode(r.bytes, r.w, r.h, r.fmt)[0] != 0
-        assert (arr[-1][src_valid] == 0).all()
+        plane = arr[list(r.bands).index("Z")]
+        assert (plane[~np.isnan(plane)] == 0).all()
 
 
 def test_scale_offset_semantics(spark, tiny_images):

@@ -63,3 +63,29 @@ def test_stateful_running_mean(spark, tiny_images, tiny_images_pdf, tmp_path):
         # batch composite keeps the SCL plane; the running mean holds
         # only the data planes — compare those
         np.testing.assert_array_equal(a1[: a2.shape[0]], a2)
+
+
+def test_stream_correct_when_cell_spans_batches(spark, tiny_images, tmp_path):
+    """A cell's scenes split across micro-batches must still produce
+    ONE composite per cell equal to the batch run — the case file
+    boundaries don't respect cells. Forced here with one-row files and
+    max_files_per_batch=2 (5 scenes per cell → ≥3 batches each)."""
+    land = str(tmp_path / "landing_split")
+    tbl_dir = str(tmp_path / "split_tbl")
+    sub = tiny_images.where("zone = 30")
+    # one parquet file per scene → deterministic fine-grained batching
+    sub.repartition("image_id").write.parquet(land)
+
+    q = streaming.composite_stream(spark, land, tbl_dir, reducer="median",
+                                   max_files_per_batch=2)
+    q.awaitTermination(300)
+
+    got = SnapshotTable(tbl_dir).read(spark) \
+        .select("cell_id", "n_scenes", "caption_agg").toPandas()
+    batch = composite(
+        warp.assign_cells(vrt_set_maskfun(sub, "int",
+                                          datagen.S2_MASK_VALUES),
+                          datagen.TILE_RES), "median") \
+        .select("cell_id", "n_scenes", "caption_agg").toPandas()
+    assert len(got) == len(batch)  # exactly one row per cell
+    assert sorted(map(tuple, got.values)) == sorted(map(tuple, batch.values))

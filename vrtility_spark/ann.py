@@ -91,22 +91,25 @@ def ivf_search(indexed: DataFrame, queries: DataFrame, centroids: np.ndarray,
         order = np.argsort(-(X @ c.T), axis=1)[:, :nprobe]
         return pd.Series(list(order.astype(np.int32)))
 
-    q = queries.select(
-        F.col(q_id_col).alias("q_id"), F.col(vec_col).alias("q_emb"),
-        F.explode(probes(F.col(vec_col))).alias("cluster"))
-    cand = indexed.select("cluster", F.col(id_col).alias("id"),
-                          F.col(vec_col).alias("c_emb"))
+    # per-row norm + double cast BEFORE the cluster join: at 10^9+
+    # vectors the per-pair norm recompute dominates the search stage
+    def _prep(df_, idc, out_id, out_emb, out_norm, *extra):
+        emb = F.transform(F.col(vec_col), lambda a: a.cast("double"))
+        p = df_.select(F.col(idc).alias(out_id), emb.alias(out_emb), *extra)
+        norm = F.sqrt(F.aggregate(F.col(out_emb), F.lit(0.0),
+                                  lambda acc, v: acc + v * v))
+        return p.withColumn(out_norm, norm)
+
+    q = _prep(queries, q_id_col, "q_id", "q_emb", "q_norm",
+              F.explode(probes(F.col(vec_col))).alias("cluster"))
+    cand = _prep(indexed, id_col, "id", "c_emb", "c_norm", "cluster")
     dot = F.aggregate(
-        F.zip_with("q_emb", "c_emb",
-                   lambda a, b: a.cast("double") * b.cast("double")),
+        F.zip_with("q_emb", "c_emb", lambda a, b: a * b),
         F.lit(0.0), lambda acc, v: acc + v)
-    nq = F.aggregate(F.transform("q_emb", lambda a: a.cast("double") ** 2),
-                     F.lit(0.0), lambda acc, v: acc + v)
-    nc = F.aggregate(F.transform("c_emb", lambda a: a.cast("double") ** 2),
-                     F.lit(0.0), lambda acc, v: acc + v)
     pairs = (q.join(cand, "cluster")
              .where(F.col("q_id") != F.col("id"))
-             .select("q_id", "id", (dot / (F.sqrt(nq) * F.sqrt(nc))).alias("sim"))
+             .select("q_id", "id",
+                     (dot / (F.col("q_norm") * F.col("c_norm"))).alias("sim"))
              .dropDuplicates(["q_id", "id"]))
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "id")
     return (pairs.withColumn("rank", F.row_number().over(w))

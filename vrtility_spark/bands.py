@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from vrtility_spark import codec
 
 
-def _payload_map(df: DataFrame, fn, extra_schema: str | None = None) -> DataFrame:
+def _payload_map(df: DataFrame, fn) -> DataFrame:
     """Run ``fn(arr, row) -> (arr, bands_list)`` over every payload."""
     out_schema = df.schema
 
@@ -96,39 +96,61 @@ def add_empty_band(df: DataFrame, name: str) -> DataFrame:
 
 def derived_band(df: DataFrame, name: str,
                  formula: Callable[[dict], np.ndarray],
-                 out_scale: float = 1e-4, out_offset: float = 0.0,
-                 replace: bool = False) -> DataFrame:
-    """F1 derived band: ``formula`` receives ``{band: float32 plane}``
-    (scale/offset already applied, nodata already NaN — the reference's
-    folding) and returns a float plane; it is quantized into the
-    integer payload as ``round((v - out_offset) / out_scale)`` so the
-    stored plane round-trips through the standard scale/offset path.
+                 replace: bool = False,
+                 keep_mask_plane: bool = True) -> DataFrame:
+    """F1 derived band, **Float32 storage** — the reference's policy
+    (derived bands are forced to Float32,
+    /root/reference/R/vrt-derived-block.R:123). ``formula`` receives
+    ``{band: float32 plane}`` in physical units (scale/offset applied,
+    nodata already NaN) and returns a float plane.
+
+    The whole payload converts to ``rawf32``: data planes in physical
+    units with NaN nodata, scale/offset reset to 1/0, and the mask
+    plane (last) kept at its RAW class codes. No quantization means no
+    clipping of negative index ranges, no sentinel collisions, and
+    chained derived bands compose exactly (relaxing the reference's
+    one-pixfun-per-level limit without changing values).
 
     >>> ndvi = lambda b: (b["B08"] - b["B04"]) / (b["B08"] + b["B04"])
     >>> derived_band(images, "NDVI", ndvi)
     """
-    def fn(arr, row):
-        names = list(row.bands)
-        fl = codec.to_float_masked(arr, row.nodata).astype(np.float32)
-        scaled = fl * np.float32(row.scale) + np.float32(row.offset)
-        env = {b: scaled[i] for i, b in enumerate(names)}
-        with np.errstate(all="ignore"):
-            v = np.asarray(formula(env), dtype=np.float32)
-        # NaN/inf (incl. propagated nodata) -> sentinel. A valid value
-        # that quantizes exactly to the sentinel is indistinguishable
-        # from nodata — pick out_offset so the valid range avoids it
-        # (the reference avoids this by storing derived bands as
-        # Float32; we keep integer payloads for the codec fast path).
-        q = (v - out_offset) / out_scale
-        info = np.iinfo(arr.dtype)
-        plane = np.where(np.isfinite(q),
-                         np.clip(np.round(q), info.min, info.max),
-                         row.nodata).astype(arr.dtype)[None]
-        if replace:
-            return plane, [name]
-        return np.concatenate([arr, plane]), names + [name]
+    out_schema = df.schema
 
-    return _payload_map(df, fn)
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, bands_out = [], []
+            for row in pdf.itertuples(index=False):
+                arr = codec.decode(row.bytes, row.w, row.h, row.fmt)
+                names = list(row.bands)
+                fl = codec.to_float_masked(arr, row.nodata).astype(np.float32)
+                scaled = fl * np.float32(row.scale) + np.float32(row.offset)
+                env = {b: scaled[i] for i, b in enumerate(names)}
+                with np.errstate(all="ignore"):
+                    v = np.asarray(formula(env), dtype=np.float32)[None]
+                if replace:
+                    planes, out_names = v, [name]
+                else:
+                    # mask plane keeps raw codes (never scaled): the
+                    # whole masking surface reads class codes in arr[-1]
+                    data = scaled[:-1] if keep_mask_plane else scaled
+                    parts = [data, v]
+                    out_names = (names[:-1] if keep_mask_plane else names) + [name]
+                    if keep_mask_plane:
+                        parts.append(arr[-1:].astype(np.float32))
+                        out_names.append(names[-1])
+                    planes = np.concatenate(parts)
+                blobs.append(codec.encode(planes, "rawf32"))
+                bands_out.append(out_names)
+            pdf = pdf.copy()
+            pdf["bytes"] = blobs
+            pdf["bands"] = bands_out
+            pdf["fmt"] = "rawf32"
+            pdf["scale"] = 1.0
+            pdf["offset"] = 0.0
+            pdf["nodata"] = float("nan")
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
 
 
 def set_scale(df: DataFrame, scale: float, offset: float = 0.0) -> DataFrame:

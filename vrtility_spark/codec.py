@@ -14,6 +14,9 @@ Formats (the ``fmt`` column):
   (lossless, zlib-compressed; pure-stdlib codec, no PIL).
 - ``png8``   — 8-bit PNG after quantization by 257 (lossy path; PSNR vs
   the uint16 original ≈ 58 dB >= the 40 dB gate in BASELINE.json).
+- ``rawf32`` — band-sequential little-endian **float32** planes with
+  NaN nodata — the storage of derived bands (the reference forces
+  derived bands to Float32, /root/reference/R/vrt-derived-block.R:123).
 
 All encoders/decoders are deterministic.
 """
@@ -95,6 +98,8 @@ def encode(arr: np.ndarray, fmt: str) -> bytes:
         return arr.astype("<u2").tobytes()
     if fmt == "raw16s":
         return arr.astype("<i2").tobytes()
+    if fmt == "rawf32":
+        return arr.astype("<f4").tobytes()
     b, h, w = arr.shape
     stacked = arr.reshape(b * h, w)
     if fmt == "png":
@@ -113,6 +118,9 @@ def decode(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     if fmt == "raw16s":
         a = np.frombuffer(buf, dtype="<i2")
         return a.reshape(-1, h, w)
+    if fmt == "rawf32":
+        a = np.frombuffer(buf, dtype="<f4")
+        return a.reshape(-1, h, w)
     if fmt not in ("png", "png8"):
         raise ValueError(f"unknown fmt {fmt!r}")
     img = _png_decode_gray(bytes(buf))
@@ -125,15 +133,19 @@ def decode(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
 
 def to_float_masked(arr: np.ndarray, nodata: float) -> np.ndarray:
     """Sentinel-nodata → NaN float64 (the reference's masked-array step,
-    /root/reference/R/zvrt-pixel-funs-composite.R:16-24)."""
+    /root/reference/R/zvrt-pixel-funs-composite.R:16-24). A NaN
+    sentinel (rawf32 payloads) needs no rewrite — NaN propagates."""
     out = arr.astype(np.float64)
-    out[arr == nodata] = np.nan
+    if not np.isnan(nodata):
+        out[arr == nodata] = np.nan
     return out
 
 
 def from_float(arr: np.ndarray, nodata: float, dtype: str) -> np.ndarray:
     """NaN → sentinel, cast back to the storage dtype."""
     out = np.where(np.isnan(arr), float(nodata), arr)
+    if np.issubdtype(np.dtype(dtype), np.floating):
+        return out.astype(dtype)  # float storage: NaN sentinel, no clip
     info = np.iinfo(dtype)
     return np.clip(np.round(out), info.min, info.max).astype(dtype)
 
@@ -147,4 +159,6 @@ def psnr(a: np.ndarray, b: np.ndarray, peak: float = 65535.0) -> float:
 
 
 def dtype_for(fmt: str) -> str:
+    if fmt == "rawf32":
+        return "float32"
     return "int16" if fmt == "raw16s" else "uint16"

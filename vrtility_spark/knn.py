@@ -73,16 +73,14 @@ def _covers_zone(q, res: int, r: int) -> bool:
     return (qix - r <= 0 and qiy - r <= 0 and qix + r >= n and qiy + r >= n)
 
 
-def _min_disk_radius(q, res: int, counts: dict, counted_r: int) -> int | None:
-    """Smallest r ≤ counted_r with ≥ k tiles in disk(r); None if none."""
-    n = (1 << res) - 1
+def _min_disk_radius(q, res: int, qcounts: dict, counted_r: int) -> int | None:
+    """Smallest r ≤ counted_r with ≥ k tiles in disk(r); None if none.
+    ``qcounts`` is THIS query's sparse (cell → n) map — per-query keying
+    keeps the driver loop O(own cells), not O(all queries' cells)."""
     qix, qiy = _qcell(q, res)
-    # ring-cumulative from the sparse (cell → n) count map
     total = 0
     by_ring: dict[int, int] = {}
-    for (qid, cell), c in counts.items():
-        if qid != q.query_id:
-            continue
+    for cell, c in qcounts.items():
         ix = cell % _B
         iy = (cell // _B) % _B
         ring = max(abs(ix - qix), abs(iy - qiy))
@@ -131,9 +129,15 @@ def knn_tiles(tiles: DataFrame, queries: DataFrame, res: int,
         # common case is ONE counting round
         want_cells = 4.0 * max(q.k for q in qrows) / density
         initial_radius = max(2, math.ceil((math.sqrt(want_cells) - 1) / 2))
-    rc = min(int(initial_radius), nmax)
+    # max_rings bounds the COUNT radius (and thus driver-side cell
+    # enumeration and the probe fanout): with k-1 tiles in a sparse
+    # zone at high res, an unbounded search would enumerate the whole
+    # zone's cells driver-side; past the cap we return the best
+    # partial answer, like any bounded-radius kNN
+    rc_cap = min(nmax, max(int(max_rings), int(initial_radius)))
+    rc = min(int(initial_radius), rc_cap)
 
-    counts: dict[tuple, int] = {}
+    counts: dict[str, dict[int, int]] = {q.query_id: {} for q in qrows}
     counted: dict[str, int] = {q.query_id: -1 for q in qrows}
     r0: dict[str, int] = {}
     pending = list(qrows)
@@ -148,11 +152,11 @@ def knn_tiles(tiles: DataFrame, queries: DataFrame, res: int,
                    .groupBy("query_id", "cand_cell")
                    .agg(F.count("*").alias("n")).collect())
             for row in got:
-                counts[(row.query_id, row.cand_cell)] = row.n
+                counts[row.query_id][row.cand_cell] = row.n
         still, need = [], 2 * rc
         for q in pending:
             counted[q.query_id] = rc
-            r = _min_disk_radius(q, res, counts, rc)
+            r = _min_disk_radius(q, res, counts[q.query_id], rc)
             if r is not None:
                 r0[q.query_id] = r
             elif _covers_zone(q, res, rc):
@@ -163,16 +167,15 @@ def knn_tiles(tiles: DataFrame, queries: DataFrame, res: int,
                 # density shortfall (√(k/m) area growth) instead of
                 # blind doubling — sparse-void queries converge in one
                 # extra round instead of O(log) rounds
-                m = sum(c for (qid, _), c in counts.items()
-                        if qid == q.query_id)
+                m = sum(counts[q.query_id].values())
                 est = math.ceil(rc * math.sqrt(q.k / max(m, 0.5))) + 1
                 need = max(need, est)
         pending = still
-        if rc >= nmax:
+        if rc >= rc_cap:
             break
-        rc = min(need, nmax)
-    for q in qrows:  # max_rings cap (compat knob): bound the guarantee radius
-        r0.setdefault(q.query_id, min(counted[q.query_id], max_rings))
+        rc = min(need, rc_cap)
+    for q in qrows:  # bounded search exhausted: best partial answer
+        r0.setdefault(q.query_id, counted[q.query_id])
 
     # ---- phase 2: probe + exact rank ------------------------------------
     probe_rows, zone_rows = [], []

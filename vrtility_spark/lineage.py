@@ -112,11 +112,23 @@ class SnapshotTable:
         return source.where(~F.col(partition_col).cast("string").isin(list(done)))
 
     def read(self, spark: SparkSession) -> DataFrame:
-        """Read the full committed state (all snapshots in the chain)."""
+        """Read the committed state with per-partition SUPERSEDE: when
+        two snapshots in the chain committed the same partition value,
+        the newer one wins (re-commit = upsert). Append-only workloads
+        (disjoint partitions per commit) are unaffected; incremental
+        recompute (streaming composites) relies on it."""
         m = self.current_manifest()
         dfs = []
+        seen: set[str] = set()
+        pc = m["partition_col"] if m else None
         while m is not None:
-            dfs.append(spark.read.parquet(os.path.join(self.dir, m["data_dir"])))
+            mine = [p for p in m["partitions"] if p not in seen]
+            seen.update(mine)
+            if mine:
+                d = spark.read.parquet(os.path.join(self.dir, m["data_dir"]))
+                if len(mine) < len(m["partitions"]):
+                    d = d.where(F.col(pc).cast("string").isin(mine))
+                dfs.append(d)
             parent = m.get("parent")
             m = None
             if parent:

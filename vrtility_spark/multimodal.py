@@ -84,9 +84,13 @@ def audio_features_np(wave: np.ndarray, sample_rate: int) -> dict:
     n = len(wave)
     rms = float(np.sqrt(np.mean(wave**2))) if n else 0.0
     zcr = float(np.mean(np.signbit(wave[1:]) != np.signbit(wave[:-1]))) if n > 1 else 0.0
-    spec = np.abs(np.fft.rfft(wave))
-    freqs = np.fft.rfftfreq(n, d=1.0 / sample_rate) if n else np.array([0.0])
-    denom = spec.sum()
+    if n:  # rfft raises on 0 points; empty payloads degrade, not crash
+        spec = np.abs(np.fft.rfft(wave))
+        freqs = np.fft.rfftfreq(n, d=1.0 / sample_rate)
+        denom = spec.sum()
+    else:
+        freqs = spec = np.array([0.0])
+        denom = 0.0
     centroid = float((freqs * spec).sum() / denom) if denom > 0 else 0.0
     return {"duration_sec": n / sample_rate, "rms": rms,
             "zero_cross_rate": zcr, "spectral_centroid_hz": centroid}

@@ -101,11 +101,9 @@ class Pipeline:
         from vrtility_spark import bands as _b
         return Pipeline(_b.subset_bands(self.df, keep))
 
-    def derived_band(self, name, formula, out_scale=1e-4,
-                     out_offset=0.0) -> "Pipeline":
+    def derived_band(self, name, formula, replace=False) -> "Pipeline":
         from vrtility_spark import bands as _b
-        return Pipeline(_b.derived_band(self.df, name, formula,
-                                        out_scale, out_offset))
+        return Pipeline(_b.derived_band(self.df, name, formula, replace))
 
     def set_scale(self, scale, offset=0.0) -> "Pipeline":
         from vrtility_spark import bands as _b

@@ -30,12 +30,10 @@ def ship_package(spark: SparkSession) -> None:
         os.path.getmtime(os.path.join(root, f))
         for root, _, files in os.walk(pkg_dir)
         for f in files if f.endswith(".py"))
-    if os.path.exists(zpath) and os.path.getmtime(zpath) < src_mtime:
-        try:
-            os.remove(zpath)
-        except OSError:
-            pass
-    if not os.path.exists(zpath):
+    # stale → rebuild into a pid-suffixed tmp and atomically replace;
+    # NEVER remove-first: a concurrent driver between the remove and
+    # the replace would addPyFile a missing path (FileNotFound)
+    if not os.path.exists(zpath) or os.path.getmtime(zpath) < src_mtime:
         tmp = zpath + f".{os.getpid()}.tmp"
         with zipfile.ZipFile(tmp, "w") as z:
             for root, _, files in os.walk(pkg_dir):

@@ -121,21 +121,44 @@ def stateful_running_mean(spark: SparkSession, input_dir: str,
 
 def composite_stream(spark: SparkSession, input_dir: str, table_dir: str,
                      reducer: str = "median", cell_res: int = datagen.TILE_RES,
-                     mask_values=None, checkpoint_dir: str | None = None):
-    """Stream scenes → masked per-cell composites, one snapshot per
-    micro-batch. Returns the StreamingQuery (caller awaits/stops);
-    use ``trigger(availableNow=True)`` semantics for drain-and-stop."""
+                     mask_values=None, checkpoint_dir: str | None = None,
+                     max_files_per_batch: int = 32):
+    """Stream scenes → masked per-cell composites, correct under ANY
+    micro-batch split.
+
+    A cell's scenes can land in different micro-batches (file
+    boundaries don't respect cells), and order-sensitive reducers
+    (median/medoid) can't fold in increments. So each batch:
+
+    1. appends its raw scenes to a ``scenes`` snapshot table
+       (per-cell lineage);
+    2. recomputes composites for the batch's AFFECTED cells only,
+       from the full scene history of those cells (semi-join — at
+       scale, dynamic partition pruning limits the history read);
+    3. upserts them into the composite table —
+       :meth:`SnapshotTable.read` supersedes older snapshots per
+       partition, so the final state equals a single batch run
+       regardless of how files were micro-batched.
+
+    Returns the StreamingQuery (caller awaits/stops);
+    ``trigger(availableNow=True)`` gives drain-and-stop semantics.
+    """
+    import os as _os
     tbl = SnapshotTable(table_dir)
+    scenes_tbl = SnapshotTable(_os.path.join(table_dir, "scenes"))
     vals = mask_values or datagen.S2_MASK_VALUES
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        masked = vrt_set_maskfun(batch_df, "int", vals)
-        celled = assign_cells(masked, cell_res)
-        tbl.commit(composite(celled, reducer), "cell_id")
+        celled_new = assign_cells(batch_df, cell_res)
+        scenes_tbl.commit(celled_new, "cell_id")
+        affected = celled_new.select("cell_id").distinct()
+        history = scenes_tbl.read(spark).join(affected, "cell_id", "left_semi")
+        masked = vrt_set_maskfun(history, "int", vals)
+        tbl.commit(composite(masked, reducer), "cell_id")
 
-    stream = read_scene_stream(spark, input_dir)
+    stream = read_scene_stream(spark, input_dir, max_files_per_batch)
     writer = (stream.writeStream.foreachBatch(process_batch)
               .option("checkpointLocation",
                       checkpoint_dir or table_dir + "/_stream_checkpoint")

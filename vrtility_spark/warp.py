@@ -226,9 +226,13 @@ def warp_to_grid(df: DataFrame, out_w: int, out_h: int,
                 arr = codec.decode(row.bytes, row.w, row.h, row.fmt)
                 out = warp_np(arr, out_h, out_w, resampling)
                 dtype = codec.dtype_for(row.fmt)
-                info = np.iinfo(dtype)
-                payloads.append(codec.encode(
-                    np.clip(np.round(out), info.min, info.max).astype(dtype), row.fmt))
+                if np.issubdtype(np.dtype(dtype), np.floating):
+                    quant = out.astype(dtype)  # float payloads: no clip
+                else:
+                    info = np.iinfo(dtype)
+                    quant = np.clip(np.round(out), info.min,
+                                    info.max).astype(dtype)
+                payloads.append(codec.encode(quant, row.fmt))
             pdf = pdf.copy()
             pdf["bytes"] = payloads
             pdf["w"] = out_w
