@@ -386,6 +386,17 @@ def q_anti_join(spark, sf_dir):
             .select("c_custkey", "c_name", "c_mktsegment"))
 
 
+def q_set_ops(spark, sf_dir):
+    """§2.6 set operations: users who clicked EXCEPT purchasers,
+    INTERSECTed with users who ever saw an error — exceptAll/intersect
+    distinct semantics over derived key sets."""
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.where("event_type = 'click'").select("user_id").distinct()
+    buyers = ev.where("event_type = 'purchase'").select("user_id").distinct()
+    erroring = ev.where("event_type = 'error'").select("user_id").distinct()
+    return clickers.subtract(buyers).intersect(erroring)
+
+
 def q_simhash(spark, sf_dir):
     """SimHash near-dup candidates over embeddings: 32-bit sign
     signature, 4x8-bit LSH bands for candidate generation, exact
@@ -758,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "rollup": q_rollup,
         "anti_join": q_anti_join,
+        "set_ops": q_set_ops,
         "simhash": q_simhash,
         "dedup_exact_docs": q_dedup_exact_docs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1003,6 +1015,15 @@ def oracle_sql() -> dict[str, str]:
             where not exists (select 1 from orders
                               where o_custkey = c_custkey
                                 and o_orderpriority = '1-URGENT')
+        """,
+        "set_ops": """
+            select user_id from (
+              select user_id from events where event_type = 'click'
+              except
+              select user_id from events where event_type = 'purchase'
+            )
+            intersect
+            select user_id from events where event_type = 'error'
         """,
         "simhash": """
             with sig as (
