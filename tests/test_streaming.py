@@ -89,3 +89,31 @@ def test_stream_correct_when_cell_spans_batches(spark, tiny_images, tmp_path):
         .select("cell_id", "n_scenes", "caption_agg").toPandas()
     assert len(got) == len(batch)  # exactly one row per cell
     assert sorted(map(tuple, got.values)) == sorted(map(tuple, batch.values))
+
+
+def test_scene_arrival_windowed_stats(spark, tiny_images, tmp_path):
+    """Watermark + tumbling window: finalized (window, zone) aggregates
+    match the batch computation exactly; windows newer than the 30-day
+    watermark are withheld (late data could still arrive)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    land = str(tmp_path / "landing_w")
+    out = str(tmp_path / "win_stats")
+    tiny_images.write.parquet(land)
+
+    q = streaming.scene_arrival_stats(spark, land, out)
+    q.awaitTermination(240)
+
+    got = spark.read.parquet(out).toPandas()
+    assert len(got) > 0
+    batch = (tiny_images.groupBy(F.window("datetime", "7 days"), "zone")
+             .agg(F.count("*").alias("n_scenes"))
+             .select(F.col("window.start").alias("win_start"), "zone",
+                     "n_scenes").toPandas())
+    max_dt = tiny_images.agg(F.max("datetime")).collect()[0][0]
+    # append mode: emitted == finalized == window end <= watermark
+    assert (got.win_end <= max_dt - pd.Timedelta(days=30)).all()
+    merged = got.merge(batch, on=["win_start", "zone"], suffixes=("", "_b"))
+    assert len(merged) == len(got)
+    assert (merged.n_scenes == merged.n_scenes_b).all()

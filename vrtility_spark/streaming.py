@@ -40,6 +40,35 @@ def read_scene_stream(spark: SparkSession, input_dir: str,
             .withWatermark("datetime", "30 days"))
 
 
+def scene_arrival_stats(spark: SparkSession, input_dir: str, out_path: str,
+                        window_days: int = 7,
+                        checkpoint_dir: str | None = None):
+    """Watermarked tumbling-window aggregation over the scene stream:
+    per (acquisition window, zone) scene counts and cloud stats. The
+    30-day watermark (read_scene_stream) bounds state for late-arriving
+    scenes — reprocessed archives routinely deliver scenes weeks out of
+    order; windows older than the watermark finalize and evict.
+    Append-mode sink: each window row is written exactly once, when it
+    finalizes."""
+    from pyspark.sql import functions as SF
+    stream = read_scene_stream(spark, input_dir)
+    agg = (stream.groupBy(SF.window("datetime", f"{int(window_days)} days"),
+                          "zone")
+           .agg(SF.count("*").alias("n_scenes"),
+                SF.avg("cloud_cover").alias("avg_cloud"),
+                SF.approx_count_distinct("image_id").alias("n_images")))
+    out = agg.select(SF.col("window.start").alias("win_start"),
+                     SF.col("window.end").alias("win_end"),
+                     "zone", "n_scenes",
+                     SF.round("avg_cloud", 4).alias("avg_cloud"), "n_images")
+    return (out.writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation",
+                    checkpoint_dir or out_path + "/_ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True).start())
+
+
 RUNNING_SCHEMA = ("cell_id long, n_scenes int, bytes binary, w int, h int, "
                   "fmt string, nodata double")
 _STATE_SCHEMA = "count int, sums binary, valid binary, w int, h int, nodata double"
