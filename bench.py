@@ -29,7 +29,7 @@ BENCH_QUERIES = [
     "mosaic_latest", "moving_avg", "locf", "dedup_first",
     "cell_assign", "spatial_join", "coverage_filter", "knn", "hampel",
     "composite_scalars", "asof_join", "range_join", "rollup",
-    "anti_join", "simhash", "dedup_exact_docs", "ngram_jaccard",
+    "anti_join", "set_ops", "simhash", "dedup_exact_docs", "ngram_jaccard",
     "minhash_docs", "minhash_lsh", "token_stats", "quality_score",
     "lang_id", "fingerprint", "embedding_topk", "embedding_lsh",
 ]
