@@ -64,10 +64,14 @@ class SnapshotTable:
         return done
 
     # -------------------------------------------------------- commit
-    def commit(self, df: DataFrame, partition_col: str) -> dict:
+    def commit(self, df: DataFrame, partition_col: str,
+               upsert: bool = False) -> dict:
         """Write a new immutable snapshot of ``df`` and atomically
         publish a manifest recording per-partition row counts (the
-        lineage/metrics table)."""
+        lineage/metrics table). ``upsert=True`` marks the table as
+        partition-upsert: :meth:`read` then supersedes older snapshots
+        per re-committed partition (newest wins). Default is
+        append-only (every snapshot's rows are part of the state)."""
         snap_id = int(time.time() * 1000)
         prev = self.current_manifest()
         data_dir = os.path.join(self.dir, f"snap-{snap_id}")
@@ -86,6 +90,7 @@ class SnapshotTable:
             "parent": prev["self"] if prev else None,
             "created_ms": snap_id,
             "partition_col": partition_col,
+            "upsert": bool(upsert),
             "data_dir": f"snap-{snap_id}",
             "partitions": {str(r[partition_col]): {"rows": r["count"]}
                            for r in stats},
@@ -112,23 +117,30 @@ class SnapshotTable:
         return source.where(~F.col(partition_col).cast("string").isin(list(done)))
 
     def read(self, spark: SparkSession) -> DataFrame:
-        """Read the committed state with per-partition SUPERSEDE: when
-        two snapshots in the chain committed the same partition value,
-        the newer one wins (re-commit = upsert). Append-only workloads
-        (disjoint partitions per commit) are unaffected; incremental
-        recompute (streaming composites) relies on it."""
+        """Read the committed state. For an UPSERT table (committed
+        with ``upsert=True``), a partition re-committed later
+        supersedes its older snapshots (newest wins — the incremental
+        streaming-composite contract). For the default append table,
+        every snapshot's rows are state (e.g. a scenes log, where a
+        cell's scenes accumulate across commits)."""
         m = self.current_manifest()
+        upsert = bool(m.get("upsert")) if m else False
+        pc = m["partition_col"] if m else None
         dfs = []
         seen: set[str] = set()
-        pc = m["partition_col"] if m else None
         while m is not None:
-            mine = [p for p in m["partitions"] if p not in seen]
-            seen.update(mine)
-            if mine:
-                d = spark.read.parquet(os.path.join(self.dir, m["data_dir"]))
-                if len(mine) < len(m["partitions"]):
-                    d = d.where(F.col(pc).cast("string").isin(mine))
-                dfs.append(d)
+            if upsert:
+                mine = [p for p in m["partitions"] if p not in seen]
+                seen.update(mine)
+                if mine:
+                    d = spark.read.parquet(
+                        os.path.join(self.dir, m["data_dir"]))
+                    if len(mine) < len(m["partitions"]):
+                        d = d.where(F.col(pc).cast("string").isin(mine))
+                    dfs.append(d)
+            else:
+                dfs.append(spark.read.parquet(
+                    os.path.join(self.dir, m["data_dir"])))
             parent = m.get("parent")
             m = None
             if parent:

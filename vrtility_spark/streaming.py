@@ -185,7 +185,7 @@ def composite_stream(spark: SparkSession, input_dir: str, table_dir: str,
         affected = celled_new.select("cell_id").distinct()
         history = scenes_tbl.read(spark).join(affected, "cell_id", "left_semi")
         masked = vrt_set_maskfun(history, "int", vals)
-        tbl.commit(composite(masked, reducer), "cell_id")
+        tbl.commit(composite(masked, reducer), "cell_id", upsert=True)
 
     stream = read_scene_stream(spark, input_dir, max_files_per_batch)
     writer = (stream.writeStream.foreachBatch(process_batch)
