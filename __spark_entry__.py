@@ -388,8 +388,8 @@ def q_anti_join(spark, sf_dir):
 
 def q_set_ops(spark, sf_dir):
     """§2.6 set operations: users who clicked EXCEPT purchasers,
-    INTERSECTed with users who ever saw an error — exceptAll/intersect
-    distinct semantics over derived key sets."""
+    INTERSECTed with users who ever saw an error — EXCEPT DISTINCT /
+    INTERSECT DISTINCT over derived key sets."""
     ev = _t(spark, sf_dir, "events")
     clickers = ev.where("event_type = 'click'").select("user_id").distinct()
     buyers = ev.where("event_type = 'purchase'").select("user_id").distinct()

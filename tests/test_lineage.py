@@ -36,3 +36,23 @@ def test_partition_metrics(spark, tiny_images):
     h = lineage.partition_metrics(tiny_images.repartition(4, "image_id"))
     pdf = h.toPandas()
     assert pdf["count"].sum() == tiny_images.count()
+
+
+def test_upsert_mode_and_tags_are_table_invariants(spark, tmp_path):
+    """upsert is a table-level property (conflicting commits raise) and
+    idempotency tags survive across the chain; reading an empty table
+    errors clearly."""
+    import pytest
+    from vrtility_spark.lineage import SnapshotTable
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    with pytest.raises(ValueError, match="no commits"):
+        t.read(spark)
+    df = spark.range(4).selectExpr("id as k", "id * 2 as v")
+    t.commit(df, "k", upsert=True, tag="b0")
+    with pytest.raises(ValueError, match="upsert"):
+        t.commit(df, "k", upsert=False)
+    t.commit(df.where("k < 2"), "k", tag="b1")  # inherits upsert=True
+    assert t.tags() == {"b0", "b1"}
+    # supersede: re-committed partitions 0,1 appear once
+    got = t.read(spark).toPandas()
+    assert sorted(got.k.astype(int)) == [0, 1, 2, 3]

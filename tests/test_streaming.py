@@ -73,8 +73,9 @@ def test_stream_correct_when_cell_spans_batches(spark, tiny_images, tmp_path):
     land = str(tmp_path / "landing_split")
     tbl_dir = str(tmp_path / "split_tbl")
     sub = tiny_images.where("zone = 30")
-    # one parquet file per scene → deterministic fine-grained batching
-    sub.repartition("image_id").write.parquet(land)
+    # explicit partition count: repartition(col) alone is AQE-coalesced
+    # to ONE file on tiny data, which would silently undo the split
+    sub.repartition(8, "image_id").write.parquet(land)
 
     q = streaming.composite_stream(spark, land, tbl_dir, reducer="median",
                                    max_files_per_batch=2)

@@ -28,17 +28,26 @@ def norm(df):
     for c in df.columns:
         if df[c].dtype == object: df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
+fails = 0
 for name in names:
-    got = norm(qs[name](spark, sf_dir).toPandas())
-    exp = norm(con.execute(os_[name]).df())
-    ok = got.shape == exp.shape
-    if ok:
-        for c in got.columns:
-            g, x = got[c], exp[c]
-            if np.issubdtype(g.dtype, np.number):
-                ok = ok and bool(np.allclose(g.astype(float), x.astype(float), rtol=0, atol=0, equal_nan=True))
-            else:
-                ok = ok and bool((g.values == x.values).all())
-    print(name, "OK" if ok else f"MISMATCH shapes {got.shape} vs {exp.shape}", flush=True)
-    if not ok:
-        print(got.head(), "\n", exp.head())
+    try:
+        got = norm(qs[name](spark, sf_dir).toPandas())
+        exp = norm(con.execute(os_[name]).df())
+        ok = got.shape == exp.shape and list(got.columns) == list(exp.columns)
+        if ok:
+            for c in got.columns:
+                g, x = got[c], exp[c]
+                if np.issubdtype(g.dtype, np.number):
+                    ok = ok and bool(np.allclose(g.astype(float), x.astype(float), rtol=0, atol=0, equal_nan=True))
+                else:
+                    ok = ok and bool((g.values == x.values).all())
+        print(name, "OK" if ok else
+              f"MISMATCH shapes {got.shape}{list(got.columns)} vs "
+              f"{exp.shape}{list(exp.columns)}", flush=True)
+        if not ok:
+            fails += 1
+            print(got.head(), "\n", exp.head())
+    except Exception as exc:  # a gate must report and continue
+        fails += 1
+        print(name, f"MISMATCH error: {exc}", flush=True)
+sys.exit(1 if fails else 0)

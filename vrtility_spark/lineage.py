@@ -65,15 +65,31 @@ class SnapshotTable:
 
     # -------------------------------------------------------- commit
     def commit(self, df: DataFrame, partition_col: str,
-               upsert: bool = False) -> dict:
+               upsert: bool | None = None, tag: str | None = None) -> dict:
         """Write a new immutable snapshot of ``df`` and atomically
         publish a manifest recording per-partition row counts (the
-        lineage/metrics table). ``upsert=True`` marks the table as
-        partition-upsert: :meth:`read` then supersedes older snapshots
-        per re-committed partition (newest wins). Default is
-        append-only (every snapshot's rows are part of the state)."""
+        lineage/metrics table).
+
+        ``upsert`` is a TABLE-level property: ``True`` means
+        :meth:`read` supersedes older snapshots per re-committed
+        partition (newest wins); ``False`` means append-only (every
+        snapshot's rows are state — e.g. a scenes log). ``None``
+        inherits the table's existing mode (``False`` for the first
+        commit); an explicit value conflicting with the table's mode
+        raises — one table, one semantics.
+
+        ``tag`` is an idempotency token (e.g. a streaming batch id):
+        it is recorded in the manifest and readable via :meth:`tags`,
+        letting at-least-once writers skip replayed work."""
         snap_id = int(time.time() * 1000)
         prev = self.current_manifest()
+        prev_upsert = bool(prev.get("upsert")) if prev else None
+        if upsert is None:
+            upsert = prev_upsert if prev_upsert is not None else False
+        elif prev_upsert is not None and bool(upsert) != prev_upsert:
+            raise ValueError(
+                f"table {self.dir} is {'upsert' if prev_upsert else 'append'}"
+                f"-mode; cannot commit with upsert={upsert}")
         data_dir = os.path.join(self.dir, f"snap-{snap_id}")
         (df.write.mode("errorifexists").partitionBy(partition_col)
            .parquet(data_dir))
@@ -91,6 +107,7 @@ class SnapshotTable:
             "created_ms": snap_id,
             "partition_col": partition_col,
             "upsert": bool(upsert),
+            "tag": tag,
             "data_dir": f"snap-{snap_id}",
             "partitions": {str(r[partition_col]): {"rows": r["count"]}
                            for r in stats},
@@ -116,6 +133,20 @@ class SnapshotTable:
             return source
         return source.where(~F.col(partition_col).cast("string").isin(list(done)))
 
+    def tags(self) -> set:
+        """All idempotency tags in the snapshot chain (see commit)."""
+        out = set()
+        m = self.current_manifest()
+        while m is not None:
+            if m.get("tag") is not None:
+                out.add(m["tag"])
+            parent = m.get("parent")
+            m = None
+            if parent:
+                with open(os.path.join(self.dir, parent)) as f:
+                    m = json.load(f)
+        return out
+
     def read(self, spark: SparkSession) -> DataFrame:
         """Read the committed state. For an UPSERT table (committed
         with ``upsert=True``), a partition re-committed later
@@ -124,8 +155,10 @@ class SnapshotTable:
         every snapshot's rows are state (e.g. a scenes log, where a
         cell's scenes accumulate across commits)."""
         m = self.current_manifest()
-        upsert = bool(m.get("upsert")) if m else False
-        pc = m["partition_col"] if m else None
+        if m is None:
+            raise ValueError(f"snapshot table {self.dir} has no commits")
+        upsert = bool(m.get("upsert"))
+        pc = m["partition_col"]
         dfs = []
         seen: set[str] = set()
         while m is not None:

@@ -180,8 +180,14 @@ def composite_stream(spark: SparkSession, input_dir: str, table_dir: str,
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # foreachBatch is at-least-once: a crash between the scenes
+        # commit and the stream checkpoint replays the batch. The batch
+        # id is committed as an idempotency tag — a replayed batch is
+        # skipped instead of appending its scenes twice.
+        if str(batch_id) in scenes_tbl.tags():
+            return
         celled_new = assign_cells(batch_df, cell_res)
-        scenes_tbl.commit(celled_new, "cell_id")
+        scenes_tbl.commit(celled_new, "cell_id", tag=str(batch_id))
         affected = celled_new.select("cell_id").distinct()
         history = scenes_tbl.read(spark).join(affected, "cell_id", "left_semi")
         masked = vrt_set_maskfun(history, "int", vals)
