@@ -31,3 +31,47 @@ def test_knn_caption_passthrough(spark, tiny_images, tiny_images_pdf):
     cap = dict(zip(tiny_images_pdf.image_id, tiny_images_pdf.caption))
     assert all(got.caption.iloc[i] == cap[got.image_id.iloc[i]]
                for i in range(len(got)))
+
+
+def test_knn_randomized_exactness(spark):
+    """Seeded random tile sets with clustered + sparse regions and
+    random k: the two-phase count/probe search must return exactly the
+    brute-force top-k (distances AND ids) every time."""
+    import pandas as pd
+    from vrtility_spark import cells, schema
+
+    rng = np.random.default_rng(42)
+    res = 5
+    for trial in range(3):
+        n = int(rng.integers(40, 160))
+        # half clustered in one corner (hot cells), half uniform (voids)
+        xy = np.vstack([
+            rng.uniform(0, 2e5, (n // 2, 2)),
+            rng.uniform(0, cells.ZONE_SPAN, (n - n // 2, 2)),
+        ])
+        tiles_pdf = pd.DataFrame({
+            "image_id": [f"t{trial}_{i:04d}" for i in range(n)],
+            "zone": 30, "xmin": xy[:, 0], "xmax": xy[:, 0],
+            "ymin": xy[:, 1], "ymax": xy[:, 1],
+            "caption": [f"c{i}" for i in range(n)],
+            "phash": np.arange(n, dtype=np.int64),
+        })
+        tiles_pdf["cell_id"] = cells.xy_to_cell_np(
+            30, xy[:, 0], xy[:, 1], res)
+        qs = pd.DataFrame({
+            "query_id": [f"q{j}" for j in range(5)],
+            "zone": 30,
+            "x": rng.uniform(0, cells.ZONE_SPAN, 5),
+            "y": rng.uniform(0, cells.ZONE_SPAN, 5),
+            "k": rng.integers(1, 12, 5),
+        })
+        got = knn.knn_tiles(
+            spark.createDataFrame(tiles_pdf),
+            spark.createDataFrame(qs), res=res).toPandas()
+        for q in qs.itertuples(index=False):
+            d = np.hypot(xy[:, 0] - q.x, xy[:, 1] - q.y)
+            order = sorted(range(n), key=lambda i: (d[i], tiles_pdf.image_id[i]))
+            want = order[: min(q.k, n)]
+            g = got[got.query_id == q.query_id].sort_values("rank")
+            assert list(g.image_id) == [tiles_pdf.image_id[i] for i in want]
+            np.testing.assert_allclose(g.dist.values, d[want], rtol=1e-12)
