@@ -539,17 +539,25 @@ def q_minhash_lsh(spark, sf_dir):
             .distinct())
 
 
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"  # BPE-ish piece splitter
+
+
 def q_token_stats(spark, sf_dir):
-    """Per-language token statistics (text-analysis op)."""
+    """Per-language token statistics: whitespace tokens AND a BPE-ish
+    regex piece count (letters-run | digits-run | single symbol) — the
+    two standard token-budget estimators."""
     d = _t(spark, sf_dir, "documents")
     toks = F.size(_words_col())
+    pieces = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0))
     return (
-        d.select("lang", "n_chars", toks.alias("n_tokens"))
+        d.select("lang", "n_chars", toks.alias("n_tokens"),
+                 pieces.alias("n_pieces"))
         .groupBy("lang")
         .agg(F.count("*").alias("n_docs"),
              F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
              F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-             F.sum("n_tokens").alias("total_tokens"))
+             F.sum("n_tokens").alias("total_tokens"),
+             F.sum("n_pieces").alias("total_pieces"))
     )
 
 
@@ -1100,9 +1108,12 @@ def oracle_sql() -> dict[str, str]:
             select lang, count(*) as n_docs,
                    round(avg(n_tokens), 4) as avg_tokens,
                    round(avg(n_chars), 4) as avg_chars,
-                   cast(sum(n_tokens) as bigint) as total_tokens
+                   cast(sum(n_tokens) as bigint) as total_tokens,
+                   cast(sum(n_pieces) as bigint) as total_pieces
             from (select lang, n_chars,
-                         len(string_split(text, ' ')) as n_tokens
+                         len(string_split(text, ' ')) as n_tokens,
+                         len(regexp_extract_all(text,
+                             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) as n_pieces
                   from documents)
             group by lang
         """,
