@@ -231,6 +231,7 @@ def q_coverage_filter(spark, sf_dir):
     (/root/reference/R/stac-utils.R:487-508). Scene footprints are
     integer rectangles, so the Sutherland–Hodgman refine is exact and
     the DuckDB oracle is closed-form rectangle math."""
+    _ensure_shipped(spark)  # spatial_join's refine runs pandas UDFs
     from vrtility_spark.join import spatial_join
     pts = _events_points(spark, sf_dir)
     images = pts.select(
