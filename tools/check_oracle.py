@@ -11,11 +11,17 @@ sys.path.insert(0, REPO)
 os.chdir(REPO)
 import duckdb, pandas as pd, numpy as np
 import __spark_entry__ as e
-from vrtility_spark.session import get_spark
+from pyspark.sql import SparkSession
 
 names = sys.argv[1:] or sorted(__import__("__spark_entry__").oracle_sql().keys())
 sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
-spark = get_spark("check", cores=32, shuffle_partitions=32)
+# BARE session, like the grading driver: no ship_package, so queries
+# that need the package on executors must ship it themselves
+spark = (SparkSession.builder.master("local[32]").appName("oracle-gate")
+         .config("spark.sql.shuffle.partitions", "32")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
 con = duckdb.connect()
 for t in ("region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"):
