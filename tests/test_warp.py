@@ -124,3 +124,62 @@ def test_block_aggregate_non_divisible_grid():
     out = warp.resample_plane(a, 2, 2, "max")
     assert out.shape == (2, 2)
     assert out[1, 1] == 24.0
+
+
+def test_nodata_aware_bilinear_does_not_blend_sentinel():
+    """GDAL srcNodata contract: a nodata sentinel next to valid pixels
+    must not leak into interpolated values — weights renormalize over
+    the valid contributors; all-invalid regions stay NaN."""
+    a = np.full((8, 8), 4000.0)
+    a[:, :4] = np.nan  # nodata half (already sentinel->NaN)
+    out = warp.resample_plane_masked(a, 8, 16, "bilinear")
+    valid = ~np.isnan(out)
+    # every valid output equals 4000 exactly (no 0-blend would give 2000)
+    np.testing.assert_allclose(out[valid], 4000.0)
+    assert np.isnan(out[:, :6]).all()  # deep inside the nodata half
+
+
+def test_nodata_aware_block_aggs_ignore_invalid():
+    a = np.array([[np.nan, 10.0], [20.0, np.nan]])
+    assert warp.resample_plane_masked(a, 1, 1, "average") == 15.0
+    assert warp.resample_plane_masked(a, 1, 1, "max") == 20.0
+    allna = np.full((2, 2), np.nan)
+    assert np.isnan(warp.resample_plane_masked(allna, 1, 1, "med"))
+
+
+def test_warp_to_grid_respects_sentinels(spark, tiny_images):
+    """End-to-end: masked payloads warp without sentinel blending —
+    every data value in the output is either the sentinel or a blend of
+    VALID inputs (here: within the original valid range)."""
+    from vrtility_spark import masks
+    masked = masks.vrt_set_maskfun(tiny_images.limit(4), "int",
+                                   datagen.S2_MASK_VALUES)
+    out = warp.warp_to_grid(masked, 8, 8, "bilinear").toPandas()
+    for _, r in out.iterrows():
+        arr = codec.decode(r.bytes, r.w, r.h, r.fmt)
+        data = arr[:-1].astype(np.float64)
+        valid = data != r.nodata
+        # sentinel is 0 and valid S2 radiances are >= 1: any blend with
+        # a sentinel would drag values into (0, min_valid)
+        if valid.any():
+            assert data[valid].min() >= 1.0
+
+
+def test_warp_mask_plane_flag(spark, tiny_images):
+    """After drop_mask_band the last plane is DATA: mask_plane=False
+    must interpolate it like the others (no silent nearest)."""
+    from vrtility_spark import masks
+    dropped = masks.vrt_set_maskfun(tiny_images.limit(2), "int",
+                                    datagen.S2_MASK_VALUES,
+                                    drop_mask_band=True)
+    out = warp.warp_to_grid(dropped, 32, 32, "bilinear",
+                            mask_plane=False).toPandas()
+    r = out.iloc[0]
+    arr = codec.decode(r.bytes, r.w, r.h, r.fmt)
+    assert arr.shape[0] == 4  # mask plane gone
+    # upsampled data plane has interpolated (non-input) values
+    src = codec.decode(
+        masks.vrt_set_maskfun(tiny_images.limit(2), "int",
+                              datagen.S2_MASK_VALUES, drop_mask_band=True)
+        .toPandas().iloc[0].bytes, 16, 16, r.fmt)
+    assert len(np.unique(arr[-1])) > len(np.unique(src[-1]))

@@ -77,7 +77,13 @@ def mean_db_t(stack: np.ndarray) -> np.ndarray:
 
 def min_t(stack): return np.nanmin(stack, axis=0)
 def max_t(stack): return np.nanmax(stack, axis=0)
-def sum_t(stack): return np.nansum(stack, axis=0)
+
+
+def sum_t(stack):
+    out = np.nansum(stack, axis=0)
+    # nansum of all-NaN is 0 — an all-nodata pixel must stay nodata
+    out[np.all(np.isnan(stack), axis=0)] = np.nan
+    return out
 
 
 def mosaic_t(stack: np.ndarray) -> np.ndarray:
@@ -119,7 +125,9 @@ def weiszfeld(X: np.ndarray, nitermax: int = 100, epsilon: float = 1e-8,
     included bands by construction).
     """
     T, B, P = X.shape
-    dt = X.dtype if X.dtype in (np.float32, np.float64) else np.float64
+    if X.dtype not in (np.float32, np.float64):
+        X = X.astype(np.float64)  # isnan/zeroing below need float
+    dt = X.dtype
     if col_w is None:
         complete = ~np.any(np.isnan(X), axis=1)  # (T, P)
         cw = np.ones((1, B, P), dtype=dt)
@@ -449,12 +457,14 @@ def composite(df: DataFrame, reducer: str | Callable[[np.ndarray], np.ndarray],
         # grid (the reference errors on >1 SRS, R/vrt-stack.R:30; mixed
         # zones are impossible here because cell_id encodes the zone,
         # but mixed pixel grids / codecs must fail loudly, not corrupt)
-        if pdf.w.nunique() > 1 or pdf.h.nunique() > 1 or pdf.fmt.nunique() > 1:
+        if (pdf.w.nunique() > 1 or pdf.h.nunique() > 1
+                or pdf.fmt.nunique() > 1 or pdf.nodata.nunique(dropna=False) > 1):
             raise ValueError(
                 f"cell {int(pdf[key].iloc[0])}: scenes disagree on pixel "
-                f"grid/codec (w={sorted(pdf.w.unique())}, "
-                f"h={sorted(pdf.h.unique())}, fmt={sorted(pdf.fmt.unique())}); "
-                "warp_to_grid them onto one target grid first")
+                f"grid/codec/nodata (w={sorted(pdf.w.unique())}, "
+                f"h={sorted(pdf.h.unique())}, fmt={sorted(pdf.fmt.unique())}, "
+                f"nodata={sorted(pdf.nodata.unique())}); "
+                "normalize them onto one target grid/profile first")
         w, h, fmt = int(pdf.w.iloc[0]), int(pdf.h.iloc[0]), pdf.fmt.iloc[0]
         nodata = float(pdf.nodata.iloc[0])
         dtype = codec.dtype_for(fmt)
@@ -474,7 +484,12 @@ def composite(df: DataFrame, reducer: str | Callable[[np.ndarray], np.ndarray],
         out = fn(stack)
         payload = codec.from_float(out, nodata, dtype)
         dt = pdf["datetime"].sort_values().reset_index(drop=True)
-        med_dt = dt.iloc[(len(dt) - 1) // 2]
+        n_dt = len(dt)
+        if n_dt % 2 == 1:
+            med_dt = dt.iloc[n_dt // 2]
+        else:  # stats::median interpolates between the two middle times
+            lo, hi = dt.iloc[n_dt // 2 - 1], dt.iloc[n_dt // 2]
+            med_dt = lo + (hi - lo) / 2
         return pd.DataFrame([{
             "cell_id": int(pdf[key].iloc[0]),
             "bytes": codec.encode(payload, fmt),

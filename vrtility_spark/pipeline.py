@@ -112,12 +112,16 @@ class Pipeline:
     # ------------------------------------------------------- warp (J1)
     def warp(self, cell_res: int, out_w: int | None = None,
              out_h: int | None = None, resampling: str = "bilinear",
-             prefix_k: int = 2) -> "Pipeline":
+             prefix_k: int = 2, mask_plane: bool | None = None) -> "Pipeline":
         if out_w is not None:
-            # resampling reads pixels: masks must land before the kernel
+            # resampling reads pixels: masks must land before the kernel.
+            # If a recorded mask spec dropped the mask band, the last
+            # plane is DATA — don't force it to nearest
+            if mask_plane is None:
+                mask_plane = not any(spec[3] for spec in self._mask_specs)
             df = _warp.assign_cells(self.df, cell_res, prefix_k)
             return Pipeline(_warp.warp_to_grid(df, out_w, out_h or out_w,
-                                               resampling))
+                                               resampling, mask_plane))
         # cell assignment is metadata-only — pending masks commute
         return Pipeline(_warp.assign_cells(self._df, cell_res, prefix_k),
                         self._mask_specs)

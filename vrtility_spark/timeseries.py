@@ -47,7 +47,7 @@ def hampel_np(X: np.ndarray, k: int, t0: float = 3.0,
     win = 2 * k + 1
     if T >= win:
         Wn = sliding_window_view(V, win, axis=0)  # (T-2k, P, win)
-        x0 = np.nanmedian(np.where(np.isnan(Wn), np.nan, Wn), axis=2)
+        x0 = np.nanmedian(Wn, axis=2)
         S0 = 1.4826 * np.nanmedian(np.abs(Wn - x0[..., None]), axis=2)
         centers = V[k: T - k]  # (T-2k, P)
         # center index i (in compacted coords) = row + k; interior iff
@@ -107,6 +107,17 @@ def singleband_m2m(df: DataFrame,
     """
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("datetime", kind="mergesort").reset_index(drop=True)
+        # same loud mixed-profile guard as composite: re-encoding int16
+        # scenes with a uint16 first-row profile would silently corrupt
+        if (pdf.w.nunique() > 1 or pdf.h.nunique() > 1
+                or pdf.fmt.nunique() > 1
+                or pdf.nodata.nunique(dropna=False) > 1):
+            raise ValueError(
+                f"cell {int(pdf[key].iloc[0])}: scenes disagree on pixel "
+                f"grid/codec/nodata (w={sorted(pdf.w.unique())}, "
+                f"h={sorted(pdf.h.unique())}, fmt={sorted(pdf.fmt.unique())}, "
+                f"nodata={sorted(pdf.nodata.unique())}); "
+                "normalize them onto one target grid/profile first")
         nodata = float(pdf.nodata.iloc[0])
         w, h, fmt = int(pdf.w.iloc[0]), int(pdf.h.iloc[0]), pdf.fmt.iloc[0]
         dtype = codec.dtype_for(fmt)

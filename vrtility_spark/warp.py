@@ -64,9 +64,17 @@ def cells_cover(df: DataFrame, res: int, zone_col: str = "zone",
     ix1 = clipped(F.ceil(F.col("xmax") / size) - 1)
     iy0 = clipped(F.floor(F.col("ymin") / size))
     iy1 = clipped(F.ceil(F.col("ymax") / size) - 1)
+
+    def span(lo, hi):
+        # Spark's sequence(a, b) runs DESCENDING when b < a (degenerate
+        # boxes: xmin == xmax on a cell boundary) — emit an empty cover
+        # instead, matching cover_bbox_np's empty arange
+        return F.when(hi >= lo, F.sequence(lo, hi)) \
+                .otherwise(F.array().cast("array<bigint>"))
+
     out = (
-        df.withColumn("_ix", F.explode(F.sequence(ix0, ix1)))
-        .withColumn("_iy", F.explode(F.sequence(iy0, iy1)))
+        df.withColumn("_ix", F.explode(span(ix0, ix1)))
+        .withColumn("_iy", F.explode(span(iy0, iy1)))
     )
     zone = F.col(zone_col).cast("long")
     cell = ((zone * 16 + F.lit(res)) * 8192 + F.col("_iy")) * 8192 + F.col("_ix")
@@ -170,16 +178,25 @@ def _mode_sorted(x: np.ndarray) -> np.ndarray:
     return best_val.reshape(x.shape[:-1])
 
 
+def _nansum_strict(x):
+    out = np.nansum(x, axis=-1)
+    out[np.all(np.isnan(x), axis=-1)] = np.nan  # no data -> no data
+    return out
+
+
+# NaN-aware throughout: on fully-finite input these equal the plain
+# reducers, and with nodata-as-NaN planes they exclude invalid pixels
+# per block (all-invalid blocks -> NaN), the GDAL warp nodata contract
 _BLOCK_AGGS = {
-    "sum": lambda x: np.sum(x, axis=-1),
-    "min": lambda x: np.min(x, axis=-1),
-    "max": lambda x: np.max(x, axis=-1),
-    "med": lambda x: np.median(x, axis=-1),
-    "q1": lambda x: np.quantile(x, 0.25, axis=-1),
-    "q3": lambda x: np.quantile(x, 0.75, axis=-1),
-    "rms": lambda x: np.sqrt(np.mean(x.astype(np.float64) ** 2, axis=-1)),
+    "sum": _nansum_strict,
+    "min": lambda x: np.nanmin(x, axis=-1),
+    "max": lambda x: np.nanmax(x, axis=-1),
+    "med": lambda x: np.nanmedian(x, axis=-1),
+    "q1": lambda x: np.nanquantile(x, 0.25, axis=-1),
+    "q3": lambda x: np.nanquantile(x, 0.75, axis=-1),
+    "rms": lambda x: np.sqrt(np.nanmean(x.astype(np.float64) ** 2, axis=-1)),
     "mode": _mode_sorted,
-    "average": lambda x: np.mean(x, axis=-1),
+    "average": lambda x: np.nanmean(x, axis=-1),
 }
 
 
@@ -203,20 +220,62 @@ def _resample_blocks(a, out_h, out_w, agg):
     return out
 
 
+def resample_plane_masked(a: np.ndarray, out_h: int, out_w: int,
+                          method: str) -> np.ndarray:
+    """NaN-aware resample of one float plane: invalid (NaN) pixels are
+    excluded — interpolating kernels renormalize weights over the valid
+    contributors; block statistics ignore NaN; output pixels with no
+    valid contributor stay NaN. This is the GDAL warp srcNodata
+    contract: nodata never blends into valid values."""
+    if method == "nearest" or method in _BLOCK_AGGS:
+        with np.errstate(all="ignore"):
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                return resample_plane(a, out_h, out_w, method)
+    if not np.any(np.isnan(a)):
+        return resample_plane(a, out_h, out_w, method)
+    valid = np.isfinite(a).astype(np.float64)
+    az = np.where(valid > 0, a, 0.0)
+    num = resample_plane(az, out_h, out_w, method)
+    den = resample_plane(valid, out_h, out_w, method)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = num / den
+    out[np.abs(den) < 1e-9] = np.nan
+    return out
+
+
 def warp_np(arr: np.ndarray, out_h: int, out_w: int, method: str,
-            mask_plane: bool = True) -> np.ndarray:
+            mask_plane: bool = True, nodata: float | None = None) -> np.ndarray:
     """Resample (B,H,W) → (B,out_h,out_w); the last plane (mask/class
-    codes) always uses nearest (R/vrt-warp.R:449-456)."""
+    codes) uses nearest when ``mask_plane`` (R/vrt-warp.R:449-456).
+
+    With ``nodata`` given, data planes are resampled NODATA-AWARE
+    (sentinel → NaN → masked kernels → NaN back to sentinel by the
+    caller); without it, raw values pass straight through the kernels
+    (only safe for payloads with no sentinels)."""
     planes = []
     for b in range(arr.shape[0]):
-        m = "nearest" if (mask_plane and b == arr.shape[0] - 1) else method
-        planes.append(resample_plane(arr[b], out_h, out_w, m))
+        is_mask = mask_plane and b == arr.shape[0] - 1
+        m = "nearest" if is_mask else method
+        if nodata is None or is_mask:
+            planes.append(resample_plane(arr[b], out_h, out_w, m))
+        else:
+            from vrtility_spark import codec as _c
+            planes.append(resample_plane_masked(
+                _c.to_float_masked(arr[b][None], nodata)[0], out_h, out_w, m))
     return np.stack(planes)
 
 
 def warp_to_grid(df: DataFrame, out_w: int, out_h: int,
-                 resampling: str = "bilinear") -> DataFrame:
-    """vrt_warp analogue over payloads: narrow mapInPandas, no shuffle."""
+                 resampling: str = "bilinear",
+                 mask_plane: bool = True) -> DataFrame:
+    """vrt_warp analogue over payloads: narrow mapInPandas, no shuffle.
+    Data planes resample nodata-aware (the per-row sentinel never
+    blends into valid values); set ``mask_plane=False`` when the
+    payload no longer carries a class plane (e.g. after
+    ``set_maskfun(drop_mask_band=True)``) so the last DATA band is not
+    silently nearest-resampled."""
     out_schema = df.schema
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -224,14 +283,16 @@ def warp_to_grid(df: DataFrame, out_w: int, out_h: int,
             payloads = []
             for row in pdf.itertuples(index=False):
                 arr = codec.decode(row.bytes, row.w, row.h, row.fmt)
-                out = warp_np(arr, out_h, out_w, resampling)
+                out = warp_np(arr, out_h, out_w, resampling,
+                              mask_plane=mask_plane, nodata=row.nodata)
                 dtype = codec.dtype_for(row.fmt)
-                if np.issubdtype(np.dtype(dtype), np.floating):
-                    quant = out.astype(dtype)  # float payloads: no clip
+                # NaN (no valid contributor) -> the row's sentinel
+                if mask_plane:  # class plane: already raw codes
+                    data = codec.from_float(out[:-1], row.nodata, dtype)
+                    quant = np.concatenate(
+                        [data, out[-1:].astype(dtype)])
                 else:
-                    info = np.iinfo(dtype)
-                    quant = np.clip(np.round(out), info.min,
-                                    info.max).astype(dtype)
+                    quant = codec.from_float(out, row.nodata, dtype)
                 payloads.append(codec.encode(quant, row.fmt))
             pdf = pdf.copy()
             pdf["bytes"] = payloads
