@@ -26,9 +26,10 @@ S2_MASK_VALUES = [0, 1, 2, 3, 8, 9, 10, 11]
 # HLS bitmask bits (test-vrt-set-mask.R:19-23)
 HLS_MASK_BITS = [2, 3]
 
-DATES = pd.to_datetime(
-    ["2024-01-01", "2024-03-01", "2024-05-01", "2024-07-01", "2024-09-01"]
-)
+# every other month from 2024-01-01; the first five match the original
+# fixture dates exactly (byte-compat), longer series extend the pattern
+DATES = pd.to_datetime([f"2024-{m:02d}-01" for m in range(1, 13, 2)]
+                       + [f"2025-{m:02d}-01" for m in range(1, 13, 2)])
 DEFAULT_ZONES = (30, 31, 27)
 TILE_RES = 4  # tiles are cells at res 4 → 65536 m squares
 TILE_SPAN = ZONE_SPAN / (1 << TILE_RES)
