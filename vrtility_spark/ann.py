@@ -98,7 +98,9 @@ def ivf_search(indexed: DataFrame, queries: DataFrame, centroids: np.ndarray,
         p = df_.select(F.col(idc).alias(out_id), emb.alias(out_emb), *extra)
         norm = F.sqrt(F.aggregate(F.col(out_emb), F.lit(0.0),
                                   lambda acc, v: acc + v * v))
-        return p.withColumn(out_norm, norm)
+        # zero-vector guard: 0/0 = NaN sorts ABOVE every real value in
+        # desc order, promoting garbage rows to rank 1
+        return p.withColumn(out_norm, F.greatest(norm, F.lit(1e-12)))
 
     q = _prep(queries, q_id_col, "q_id", "q_emb", "q_norm",
               F.explode(probes(F.col(vec_col))).alias("cluster"))

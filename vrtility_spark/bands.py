@@ -124,7 +124,13 @@ def derived_band(df: DataFrame, name: str,
                 names = list(row.bands)
                 fl = codec.to_float_masked(arr, row.nodata).astype(np.float32)
                 scaled = fl * np.float32(row.scale) + np.float32(row.offset)
-                env = {b: scaled[i] for i, b in enumerate(names)}
+                # the mask/QA plane is codes, not radiance: formulas see
+                # it RAW (scale/sentinel transforms would corrupt class
+                # comparisons like b["SCL"] == 4)
+                env = {b: scaled[i] for i, b in enumerate(
+                    names[:-1] if keep_mask_plane else names)}
+                if keep_mask_plane:
+                    env[names[-1]] = arr[-1].astype(np.float32)
                 with np.errstate(all="ignore"):
                     v = np.asarray(formula(env), dtype=np.float32)[None]
                 if replace:

@@ -30,6 +30,15 @@ HLS_MASK_BITS = [2, 3]
 # fixture dates exactly (byte-compat), longer series extend the pattern
 DATES = pd.to_datetime([f"2024-{m:02d}-01" for m in range(1, 13, 2)]
                        + [f"2025-{m:02d}-01" for m in range(1, 13, 2)])
+
+
+def date_for(di: int) -> pd.Timestamp:
+    """Acquisition date for series index ``di`` — the DATES table for
+    the first 12 (fixture byte-compat), bimonthly extension beyond."""
+    if di < len(DATES):
+        return DATES[di]
+    year, month = divmod(di, 6)
+    return pd.Timestamp(year=2024 + year, month=2 * month + 1, day=1)
 DEFAULT_ZONES = (30, 31, 27)
 TILE_RES = 4  # tiles are cells at res 4 → 65536 m squares
 TILE_SPAN = ZONE_SPAN / (1 << TILE_RES)
@@ -39,6 +48,9 @@ def _phash(planes: np.ndarray) -> int:
     """64-bit average-hash of the band-mean image (8x8 block means vs
     their median), packed into a signed int64."""
     img = planes[:-1].mean(axis=0) if planes.shape[0] > 1 else planes[0]
+    if img.shape[0] < 8 or img.shape[1] < 8:  # tiny scenes: edge-pad
+        img = np.pad(img, ((0, max(0, 8 - img.shape[0])),
+                           (0, max(0, 8 - img.shape[1]))), mode="edge")
     h, w = img.shape
     bh, bw = max(h // 8, 1), max(w // 8, 1)
     blocks = img[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
@@ -94,7 +106,9 @@ def _scene_pixels(rng: np.random.Generator, zone: int, tx: int, ty: int,
         fmask[blob] |= 1 << int(rng.choice(HLS_MASK_BITS))
         fmask[(xx * yy) % 11 < 1] |= 1 << 0  # benign bit, never masked
         arr = np.concatenate([base[:3], fmask[None].astype(np.float64)], axis=0)
-        arr[:3][:, np.zeros((h, w), dtype=bool)] = -9999
+        edge = np.zeros((h, w), dtype=bool)
+        edge[0, : w // 8] = True  # scene-edge nodata, like the s2 branch
+        arr[:3][:, edge] = -9999
         return np.clip(arr, -32768, 32767).astype(np.int16)
 
 
@@ -130,7 +144,7 @@ def images_pandas(profile: str = "s2", zones=DEFAULT_ZONES, nx: int = 4,
                 seed + 1_000_003 * zi + 10_007 * (tx * eff_ny + ty) + di
             )
             arr = _scene_pixels(rng, zone, tx, ty, di, w, h, profile)
-            dt = DATES[di]
+            dt = date_for(di)
             image_id = f"Z{zone}_{tx}_{ty}_{dt:%Y%m%d}"
             if profile == "s2":
                 cloudy = np.isin(arr[-1], [8, 9, 10]).mean() * 100

@@ -176,10 +176,15 @@ def spatial_join(images: DataFrame, aoi: DataFrame,
         images.select("image_id", "zone", "xmin", "ymin", "xmax", "ymax",
                       "caption", "phash", "datetime"),
         join_res, out_col="jcell")
+    # multipart AOIs arrive as several rows per aoi_id (possibly in
+    # different zones): EVERY part is refined — a pair keeps the part
+    # with the best coverage (previously an arbitrary part survived a
+    # premature dedup), and part intersection areas sum
+    aoi_parts = (aoi.select("aoi_id", "zone", "geom_wkt",
+                            "xmin", "ymin", "xmax", "ymax")
+                 .withColumn("part_area", _polygon_area_udf("geom_wkt")))
     aoi_cells = cells_cover(
-        aoi.select("aoi_id", "zone", "geom_wkt", "xmin", "ymin", "xmax", "ymax")
-           .withColumn("aoi_area", _polygon_area_udf("geom_wkt")),
-        join_res, zone_col="zone", out_col="jcell",
+        aoi_parts, join_res, zone_col="zone", out_col="jcell",
     ).drop("xmin", "ymin", "xmax", "ymax", "zone")
     if n_salts > 0:
         img_cells = img_cells.withColumn(
@@ -193,13 +198,21 @@ def spatial_join(images: DataFrame, aoi: DataFrame,
     right = F.broadcast(aoi_cells) if broadcast_aoi else aoi_cells
     pairs = (
         img_cells.join(right, on=keys, how="inner")
-        .dropDuplicates(["aoi_id", "image_id"])
+        .dropDuplicates(["aoi_id", "geom_wkt", "image_id"])
     )
-    refined = pairs.withColumn(
+    per_part = pairs.withColumn(
         "isect_area",
         _isect_area_udf("geom_wkt", "xmin", "ymin", "xmax", "ymax"),
     ).where(F.col("isect_area") > 0)
-    refined = refined.withColumn("coverage", F.col("isect_area") / F.col("aoi_area"))
+    refined = (per_part
+               .withColumn("part_cov", F.col("isect_area") / F.col("part_area"))
+               .groupBy("aoi_id", "image_id")
+               .agg(F.first("zone").alias("zone"),
+                    F.first("caption").alias("caption"),
+                    F.first("phash").alias("phash"),
+                    F.first("datetime").alias("datetime"),
+                    F.sum("isect_area").alias("isect_area"),
+                    F.max("part_cov").alias("coverage")))
     if min_coverage_of_aoi is not None:
         refined = refined.where(F.col("coverage") > F.lit(min_coverage_of_aoi))
     return refined.select("aoi_id", "image_id", "zone", "caption", "phash",
@@ -232,6 +245,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     """
     assert direction in ("backward", "forward")
     from pyspark.sql import Window
+    # synthetic row id: partitioning the top-1 window by left_id alone
+    # would collapse left rows that share a left_id value to one output
+    left = left.withColumn("_asof_rid", F.monotonically_increasing_id())
     cond = (F.col(f"r.{right_time}") <= F.col(f"l.{left_time}")
             if direction == "backward"
             else F.col(f"r.{right_time}") >= F.col(f"l.{left_time}"))
@@ -242,9 +258,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
              else F.col(f"r.{right_time}").asc()]
     if tiebreak is not None:  # deterministic pick on equal timestamps
         order.append(F.col(f"r.{tiebreak}").desc())
-    w = Window.partitionBy(f"l.{left_id}").orderBy(*order)
+    w = Window.partitionBy("l._asof_rid").orderBy(*order)
     return joined.withColumn("_rn", F.row_number().over(w)).where("_rn = 1") \
-                 .drop("_rn")
+                 .drop("_rn", "_asof_rid")
 
 
 def range_join(left: DataFrame, right: DataFrame, on: str,

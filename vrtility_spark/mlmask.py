@@ -63,19 +63,25 @@ def create_mlmask(df: DataFrame, bands: Sequence[str] = ("B04", "B03", "B08"),
         # a real model would be loaded HERE, once per worker, outside
         # the per-batch loop (the batched-inference pattern)
         for pdf in batches:
-            blobs, bands_out = [], []
+            blobs, bands_out, fmts = [], [], []
             for row in pdf.itertuples(index=False):
                 arr = codec.decode(row.bytes, row.w, row.h, row.fmt)
                 names = list(row.bands)
                 planes = arr[[names.index(b) for b in wanted]].astype(np.float32)
                 mask = _fake_model(planes)
                 plane = mask.astype(arr.dtype)[None]
+                # a lossy codec destroys 0/1 class planes (png8's
+                # quantization by 257 rounds 1 -> 0 = everything cloud);
+                # mask-bearing payloads switch to the lossless sibling
+                fmt = "png" if row.fmt == "png8" else row.fmt
                 blobs.append(codec.encode(
-                    np.concatenate([arr, plane]).astype(arr.dtype), row.fmt))
+                    np.concatenate([arr, plane]).astype(arr.dtype), fmt))
                 bands_out.append(names + [mask_name])
+                fmts.append(fmt)
             pdf = pdf.copy()
             pdf["bytes"] = blobs
             pdf["bands"] = bands_out
+            pdf["fmt"] = fmts
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)

@@ -101,9 +101,13 @@ class Pipeline:
         from vrtility_spark import bands as _b
         return Pipeline(_b.subset_bands(self.df, keep))
 
-    def derived_band(self, name, formula, replace=False) -> "Pipeline":
+    def derived_band(self, name, formula, replace=False,
+                     keep_mask_plane: bool | None = None) -> "Pipeline":
         from vrtility_spark import bands as _b
-        return Pipeline(_b.derived_band(self.df, name, formula, replace))
+        if keep_mask_plane is None:  # dropped-mask payloads have no QA plane
+            keep_mask_plane = not any(s[3] for s in self._mask_specs)
+        return Pipeline(_b.derived_band(self.df, name, formula, replace,
+                                        keep_mask_plane))
 
     def set_scale(self, scale, offset=0.0) -> "Pipeline":
         from vrtility_spark import bands as _b

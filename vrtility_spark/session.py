@@ -22,7 +22,12 @@ def ship_package(spark: SparkSession) -> None:
     Without this, Arrow UDFs deserialize on executor workers that may
     not share the driver's ``sys.path``."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join(tempfile.gettempdir(), "vrtility_spark_pyfiles.zip")
+    # per-checkout zip name: a fixed machine-wide path lets one clone
+    # ship another clone's (or another user's) code to its executors
+    import hashlib
+    tag = hashlib.sha1(pkg_dir.encode()).hexdigest()[:12]
+    zpath = os.path.join(tempfile.gettempdir(),
+                         f"vrtility_spark_pyfiles_{tag}.zip")
     # rebuild when any source file is newer than the zip (a stale zip
     # ships old code to executors — ModuleNotFoundError at best, silent
     # old behavior at worst)
