@@ -96,3 +96,33 @@ def test_catalog_filters(spark, tiny_images):
     assert J.drop_duplicates_stac(tiny_images).count() == n  # all unique
     dup = tiny_images.unionByName(tiny_images.limit(5))
     assert J.drop_duplicates_stac(dup).count() == n
+
+
+def test_multipart_aoi_every_part_evaluated(spark, tiny_images, tiny_images_pdf):
+    """A multipart AOI (several geometry rows per aoi_id, same or
+    different zones) must behave as 'keep the pair if ANY part passes',
+    with every part refined — not an arbitrary survivor of a premature
+    dedup. Verified against per-part brute force."""
+    import pandas as pd
+    parts = []
+    rng = np.random.default_rng(7)
+    for zone in (30, 31):
+        for p in range(2):  # 2 rectangles per zone under ONE aoi_id
+            x0, y0 = rng.uniform(0, 5e5, 2)
+            x1, y1 = x0 + rng.uniform(1e5, 4e5), y0 + rng.uniform(1e5, 4e5)
+            parts.append(dict(
+                aoi_id="multi", zone=zone, srs=f"ZONE:{zone}",
+                xmin=x0, ymin=y0, xmax=x1, ymax=y1,
+                geom_wkt=(f"POLYGON(({x0} {y0}, {x1} {y0}, {x1} {y1}, "
+                          f"{x0} {y1}, {x0} {y0}))")))
+    aoi_pdf = pd.DataFrame(parts)
+    aoi = spark.createDataFrame(aoi_pdf)
+    got = J.spatial_join(tiny_images, aoi, min_coverage_of_aoi=0.1) \
+        .select("aoi_id", "image_id", "coverage").toPandas()
+    exp = oracle.brute_force_join(tiny_images_pdf, aoi_pdf, min_coverage=0.1)
+    assert sorted(map(tuple, got[["aoi_id", "image_id"]].values)) \
+        == sorted(set(exp))
+    # one output row per pair, even when several parts intersect
+    assert not got.duplicated(["aoi_id", "image_id"]).any()
+    # coverage is the BEST per-part ratio -> always within (0, 1]
+    assert ((got.coverage > 0.1) & (got.coverage <= 1.0 + 1e-9)).all()
