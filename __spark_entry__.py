@@ -348,7 +348,7 @@ def q_asof_join(spark, sf_dir):
     out = asof_join(clicks, purchases, on="user_id", left_time="ts",
                     right_time="pts", left_id="event_id",
                     tiebreak="p_event_id")
-    return out.select(F.col("l.event_id").alias("click_id"),
+    return out.select(F.col("event_id").alias("click_id"),
                       F.col("p_event_id").alias("purchase_id"),
                       F.round("pv", 4).alias("purchase_value"))
 

@@ -62,6 +62,18 @@ def test_window_queries_shuffle_once(spark):
         assert n_exchanges == 1, f"{name}: {n_exchanges} shuffles"
 
 
+def test_asof_join_one_shuffle_no_pair_join(spark):
+    """asof_join is union + window: exactly ONE Exchange (the window's
+    partitioning) and NO join operator — the pair-explosion shape
+    (equi-join then top-1) is O(clicks x prior purchases) per key and
+    melts down on a hot key at scale."""
+    plan = _plan(spark, "asof_join")
+    n_exchanges = plan.count(") Exchange")
+    assert n_exchanges == 1, f"asof_join: {n_exchanges} shuffles"
+    assert "Join" not in plan
+    assert "Union" in plan and "Window" in plan
+
+
 def test_relational_core_stays_in_codegen(spark):
     plan = explain_str(entry.queries()["pricing_summary"](spark, SF),
                        mode="codegen")

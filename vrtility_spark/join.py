@@ -240,27 +240,62 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     before (``backward``) / at or after (``forward``) its timestamp —
     nearest-in-time scene matching (SURVEY.md §2.3 join coverage).
 
-    Implemented as equi-join on ``on`` + window top-1 per ``left_id``;
-    Catalyst plans the equi part as a hash join, and AQE handles skew.
+    Implemented WITHOUT a pair join: both sides are unioned with a side
+    tag and the matched right row is ``last(right_struct,
+    ignorenulls=True)`` over ``Window.partitionBy(on).orderBy(ts,
+    side[, tiebreak])`` — ONE shuffle, zero pair materialization. The
+    naive equi-join + top-1 shape materializes O(left × prior right)
+    rows per key before pruning, which a single hot key (a bot user
+    with 1e5 events) turns into ~1e10 intermediate rows at scale; the
+    union-window form is O(left + right) regardless of skew.
+
+    Right columns other than ``on`` must not collide with left column
+    names (pre-rename the right side). Output: every left column plus
+    the matched right row's columns (inner semantics: left rows with no
+    match are dropped).
     """
     assert direction in ("backward", "forward")
     from pyspark.sql import Window
-    # synthetic row id: partitioning the top-1 window by left_id alone
-    # would collapse left rows that share a left_id value to one output
-    left = left.withColumn("_asof_rid", F.monotonically_increasing_id())
-    cond = (F.col(f"r.{right_time}") <= F.col(f"l.{left_time}")
-            if direction == "backward"
-            else F.col(f"r.{right_time}") >= F.col(f"l.{left_time}"))
-    joined = left.alias("l").join(
-        right.alias("r"),
-        (F.col(f"l.{on}") == F.col(f"r.{on}")) & cond, "inner")
-    order = [F.col(f"r.{right_time}").desc() if direction == "backward"
-             else F.col(f"r.{right_time}").asc()]
-    if tiebreak is not None:  # deterministic pick on equal timestamps
-        order.append(F.col(f"r.{tiebreak}").desc())
-    w = Window.partitionBy("l._asof_rid").orderBy(*order)
-    return joined.withColumn("_rn", F.row_number().over(w)).where("_rn = 1") \
-                 .drop("_rn", "_asof_rid")
+    r_payload = [c for c in right.columns if c != on]
+    overlap = set(r_payload) & set(left.columns)
+    if overlap:
+        raise ValueError(f"right columns collide with left: {sorted(overlap)}"
+                         " — rename the right side's columns first")
+    # the right row travels as ONE struct so last(..., ignorenulls) picks
+    # a whole row atomically (per-column last could mix rows when a right
+    # column is legitimately null)
+    rhs = right.select(
+        F.col(on),
+        F.col(right_time).alias("_asof_ts"),
+        F.lit(0).alias("_side"),
+        (F.col(right_time) if tiebreak is None else F.col(tiebreak))
+        .alias("_asof_tb"),
+        F.struct(*[F.col(c) for c in r_payload]).alias("_asof_row"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c != on])
+    lhs = left.select(
+        F.col(on),
+        F.col(left_time).alias("_asof_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(rhs.schema["_asof_tb"].dataType).alias("_asof_tb"),
+        F.lit(None).cast(rhs.schema["_asof_row"].dataType).alias("_asof_row"),
+        *[F.col(c) for c in left.columns if c != on])
+    u = lhs.unionByName(rhs.select(*lhs.columns))
+    # backward: ascending time; a right row at the same instant sorts
+    # before the left row (side 0 < 1) so ties are eligible. On equal
+    # right timestamps the LAST in tiebreak-ascending order wins — the
+    # max-tiebreak pick of the old top-1 form.
+    ts = F.col("_asof_ts").asc() if direction == "backward" \
+        else F.col("_asof_ts").desc()
+    w = (Window.partitionBy(on)
+         .orderBy(ts, F.col("_side").asc(), F.col("_asof_tb").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    matched = F.last("_asof_row", ignorenulls=True).over(w)
+    out = (u.withColumn("_asof_match", matched)
+           .where((F.col("_side") == 1) & F.col("_asof_match").isNotNull()))
+    keep = [F.col(c) for c in left.columns]
+    keep += [F.col(f"_asof_match.{c}").alias(c) for c in r_payload]
+    return out.select(*keep)
 
 
 def range_join(left: DataFrame, right: DataFrame, on: str,
