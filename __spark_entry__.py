@@ -462,24 +462,38 @@ def _shingles_df(spark, sf_dir):
              .select("doc_id", F.explode(sh).alias("sh")).distinct())
 
 
-def q_ngram_jaccard(spark, sf_dir):
+NGRAM_DF_CAP = 8  # stop-shingle rule: drop shingles in > cap documents
+
+
+def ngram_jaccard_pairs(d: DataFrame, df_cap: int = NGRAM_DF_CAP,
+                        min_jaccard: float = 0.05) -> DataFrame:
     """Near-dup detection: 3-word-shingle Jaccard over candidate pairs.
     Shingles are folded to int64 (xxhash64) before the distinct and the
     self-join — identical result barring a 64-bit hash collision
     (P ≈ n²/2⁶⁵ ≈ 1e-8 here) and ~4x less shuffle than string keys;
-    at 10^12 rows the string-keyed variant is shuffle-bound."""
-    d = _t(spark, sf_dir, "documents")
+    at 10^12 rows the string-keyed variant is shuffle-bound.
+
+    Candidate generation is BOUNDED: shingles appearing in more than
+    ``df_cap`` documents (stop phrases) are removed before the
+    self-join — one boilerplate shingle shared by 1e6 docs would
+    otherwise emit ~5e11 join rows from a single key. The hot set is
+    tiny by construction (≤ total_shingles / df_cap distinct values,
+    in practice far fewer), so it broadcasts into a left_anti join.
+    Jaccard is then computed over the capped shingle universe."""
     sh3 = F.expr(
         "case when size(w) >= 3 then "
         "transform(sequence(1, size(w) - 2), "
         "i -> xxhash64(concat_ws(' ', element_at(w, i), "
         "element_at(w, i+1), element_at(w, i+2)))) "
         "else array() end")
-    # no cache: both consumers (sizes + self-join) reuse the distinct's
-    # shuffle output via exchange reuse — caching only adds a
-    # materialization barrier
-    sh = (d.withColumn("w", F.split(F.col("text"), " "))
-          .select("doc_id", F.explode(sh3).alias("sh")).distinct())
+    # no cache: all consumers (hot list, sizes, self-join) reuse the
+    # distinct's shuffle output via exchange reuse — caching only adds
+    # a materialization barrier
+    sh_all = (d.withColumn("w", F.split(F.col("text"), " "))
+              .select("doc_id", F.explode(sh3).alias("sh")).distinct())
+    hot = (sh_all.groupBy("sh").agg(F.count("*").alias("df"))
+           .where(F.col("df") > df_cap).select("sh"))
+    sh = sh_all.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -495,9 +509,13 @@ def q_ngram_jaccard(spark, sf_dir):
         common.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn("jaccard", F.round(
             F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6))
-        .where(F.col("jaccard") >= 0.05)
+        .where(F.col("jaccard") >= min_jaccard)
         .select("doc_a", "doc_b", "common", "jaccard")
     )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
 
 
 def q_minhash_docs(spark, sf_dir):
@@ -1058,11 +1076,17 @@ def oracle_sql() -> dict[str, str]:
                        order by doc_id) as rn from documents)
             where rn = 1
         """,
-        "ngram_jaccard": shingle_cte + """
-            , sizes as (select doc_id, count(*) as n_sh from sh group by doc_id),
+        "ngram_jaccard": shingle_cte + f"""
+            , hot as (
+              select sh from sh group by sh having count(*) > {NGRAM_DF_CAP}
+            ), shf as (
+              select * from sh where sh not in (select sh from hot)
+            ), sizes as (
+              select doc_id, count(*) as n_sh from shf group by doc_id
+            ),
             common as (
               select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as common
-              from sh a join sh b on a.sh = b.sh and a.doc_id < b.doc_id
+              from shf a join shf b on a.sh = b.sh and a.doc_id < b.doc_id
               group by a.doc_id, b.doc_id
             )
             select doc_a, doc_b, common,

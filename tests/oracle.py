@@ -165,19 +165,34 @@ def hampel_1(x: np.ndarray, k: int, t0=3.0, impute_na=False) -> np.ndarray:
 # ------------------------------------------------------ spatial oracle ----
 
 def brute_force_join(images_pdf, aoi_pdf, min_coverage=None):
-    """Exact (aoi_id, image_id) pair set via per-pair polygon clipping."""
+    """Exact (aoi_id, image_id) pair set via per-pair polygon clipping.
+
+    Multipart semantics follow the reference's stac_coverage_filter
+    (R/stac-utils.R:494-506): intersection areas SUM over the AOI's
+    parts and coverage = sum(isect) / area(whole multipart geometry)."""
     from vrtility_spark.join import intersection_area_wkt, parse_wkt_polygon, polygon_area
-    pairs = []
+    totals: dict[str, float] = {}
+    seen_parts = set()
+    for a in aoi_pdf.itertuples(index=False):
+        key = (a.aoi_id, a.geom_wkt)
+        if key in seen_parts:
+            continue
+        seen_parts.add(key)
+        totals[a.aoi_id] = totals.get(a.aoi_id, 0.0) + \
+            polygon_area(parse_wkt_polygon(a.geom_wkt))
+    isects: dict[tuple, float] = {}
     for a in aoi_pdf.itertuples(index=False):
         a_zone = int(a.srs.split(":")[1])
-        area = polygon_area(parse_wkt_polygon(a.geom_wkt))
         for im in images_pdf.itertuples(index=False):
             if im.zone != a_zone:
                 continue
             isect = intersection_area_wkt(a.geom_wkt, im.xmin, im.ymin,
                                           im.xmax, im.ymax)
-            if isect > 0 and (min_coverage is None or isect / area > min_coverage):
-                pairs.append((a.aoi_id, im.image_id))
+            if isect > 0:
+                k = (a.aoi_id, im.image_id)
+                isects[k] = isects.get(k, 0.0) + isect
+    pairs = [k for k, v in isects.items()
+             if min_coverage is None or v / totals[k[0]] > min_coverage]
     return sorted(set(pairs))
 
 

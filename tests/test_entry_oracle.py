@@ -62,6 +62,24 @@ def test_rows_only_queries_run(spark):
         assert df.count() >= 0, name
 
 
+def test_ngram_jaccard_hot_shingle_bounded(spark):
+    """Skew guard: one stop-phrase shingle shared by EVERY doc must not
+    produce O(docs^2) candidate pairs — the document-frequency cap
+    drops it before the self-join, and genuine duplicates (sharing
+    plenty of low-DF shingles) still surface."""
+    n = 120
+    stop = "the quick brown"
+    rows = [(i, f"{stop} fox{i} jumps{i} over{i} dog{i} again{i}")
+            for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert entrymod.ngram_jaccard_pairs(docs).count() == 0
+    rows.append((n, rows[0][1]))  # a true duplicate of doc 0
+    docs2 = spark.createDataFrame(rows, "doc_id long, text string")
+    got = entrymod.ngram_jaccard_pairs(docs2).collect()
+    assert [(r.doc_a, r.doc_b) for r in got] == [(0, n)]
+    assert got[0].jaccard == 1.0
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0

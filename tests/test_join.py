@@ -100,9 +100,11 @@ def test_catalog_filters(spark, tiny_images):
 
 def test_multipart_aoi_every_part_evaluated(spark, tiny_images, tiny_images_pdf):
     """A multipart AOI (several geometry rows per aoi_id, same or
-    different zones) must behave as 'keep the pair if ANY part passes',
-    with every part refined — not an arbitrary survivor of a premature
-    dedup. Verified against per-part brute force."""
+    different zones) uses the reference's WHOLE-geometry semantics
+    (R/stac-utils.R:494-506): isect areas sum over parts and coverage
+    = sum(isect) / area(all parts) — so isect_area and coverage are
+    mutually consistent. Every part is refined (not an arbitrary
+    survivor of a premature dedup). Verified against brute force."""
     import pandas as pd
     parts = []
     rng = np.random.default_rng(7)
@@ -124,5 +126,13 @@ def test_multipart_aoi_every_part_evaluated(spark, tiny_images, tiny_images_pdf)
         == sorted(set(exp))
     # one output row per pair, even when several parts intersect
     assert not got.duplicated(["aoi_id", "image_id"]).any()
-    # coverage is the BEST per-part ratio -> always within (0, 1]
+    # whole-geometry coverage -> within (threshold, 1]
     assert ((got.coverage > 0.1) & (got.coverage <= 1.0 + 1e-9)).all()
+    # coverage and isect_area are mutually consistent: cov = isect/total
+    from vrtility_spark.join import parse_wkt_polygon, polygon_area
+    total = sum(polygon_area(parse_wkt_polygon(w))
+                for w in aoi_pdf.geom_wkt.unique())
+    got2 = J.spatial_join(tiny_images, aoi, min_coverage_of_aoi=0.1) \
+        .select("isect_area", "coverage").toPandas()
+    np.testing.assert_allclose(got2.coverage, got2.isect_area / total,
+                               rtol=1e-12)

@@ -75,3 +75,33 @@ def test_knn_randomized_exactness(spark):
             g = got[got.query_id == q.query_id].sort_values("rank")
             assert list(g.image_id) == [tiles_pdf.image_id[i] for i in want]
             np.testing.assert_allclose(g.dist.values, d[want], rtol=1e-12)
+
+
+def test_auto_radius_clamped_to_max_rings(spark):
+    """A sparse tile table at high res makes the density-derived
+    initial count radius huge; it must clamp to max_rings so the first
+    count round never enumerates a quadratic cell disk driver-side.
+    Within the ring budget the answer is the best bounded-partial."""
+    import pandas as pd
+
+    from vrtility_spark import cells
+
+    res = 10  # 1024 x 1024 cells per zone
+    xy = [(100.0, 100.0), (900000.0, 900000.0), (901000.0, 901000.0)]
+    tiles_pdf = pd.DataFrame({
+        "image_id": [f"s{i}" for i in range(3)], "zone": 30,
+        "xmin": [x for x, _ in xy], "xmax": [x for x, _ in xy],
+        "ymin": [y for _, y in xy], "ymax": [y for _, y in xy],
+        "caption": ["c"] * 3, "phash": [0, 1, 2],
+    })
+    tiles_pdf["cell_id"] = cells.xy_to_cell_np(
+        30, tiles_pdf.xmin.values, tiles_pdf.ymin.values, res)
+    qs = pd.DataFrame({"query_id": ["q0"], "zone": 30,
+                       "x": [899000.0], "y": [899000.0], "k": [3]})
+    got = knn.knn_tiles(spark.createDataFrame(tiles_pdf),
+                        spark.createDataFrame(qs), res=res,
+                        max_rings=6).toPandas()
+    # the two nearby tiles are inside the 6-ring budget (cell ~1024 m);
+    # the far corner tile is not — bounded-partial answer, never a
+    # zone-wide enumeration
+    assert list(got.sort_values("rank").image_id) == ["s1", "s2"]

@@ -31,6 +31,38 @@ def test_scene_stream_composites(spark, tiny_images, tmp_path):
     assert os.path.isdir(tbl_dir + "/_stream_checkpoint")
 
 
+def test_replayed_batch_still_upserts_composites(spark, tiny_images, tmp_path):
+    """At-least-once replay: if a crash lands between the scenes commit
+    and the composite commit, the replayed batch must still recompute
+    and upsert composites for its cells (only the scenes append is
+    skipped) — otherwise those cells stay stale forever."""
+    from vrtility_spark.warp import assign_cells
+
+    tbl_dir = str(tmp_path / "replay_tbl")
+    sub = tiny_images.where("zone = 30")
+    proc = streaming.make_batch_processor(spark, tbl_dir, reducer="median")
+
+    # simulate the crash: scenes committed with the batch tag, but the
+    # composite commit never happened
+    scenes_tbl = SnapshotTable(os.path.join(tbl_dir, "scenes"))
+    scenes_tbl.commit(assign_cells(sub, datagen.TILE_RES), "cell_id", tag="7")
+    assert SnapshotTable(tbl_dir).current_manifest() is None
+
+    proc(sub, 7)  # the replay
+
+    got = SnapshotTable(tbl_dir).read(spark) \
+        .select("cell_id", "n_scenes", "caption_agg").toPandas()
+    batch = composite(
+        warp.assign_cells(vrt_set_maskfun(sub, "int",
+                                          datagen.S2_MASK_VALUES),
+                          datagen.TILE_RES), "median") \
+        .select("cell_id", "n_scenes", "caption_agg").toPandas()
+    assert sorted(map(tuple, got.values)) == sorted(map(tuple, batch.values))
+    # and the scenes log was NOT double-appended
+    n = scenes_tbl.read(spark).count()
+    assert n == sub.count()
+
+
 def test_stateful_running_mean(spark, tiny_images, tiny_images_pdf, tmp_path):
     """applyInPandasWithState: state survives across two stream runs;
     the final running mean equals the batch mean composite exactly."""

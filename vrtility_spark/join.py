@@ -177,12 +177,18 @@ def spatial_join(images: DataFrame, aoi: DataFrame,
                       "caption", "phash", "datetime"),
         join_res, out_col="jcell")
     # multipart AOIs arrive as several rows per aoi_id (possibly in
-    # different zones): EVERY part is refined — a pair keeps the part
-    # with the best coverage (previously an arbitrary part survived a
-    # premature dedup), and part intersection areas sum
+    # different zones): EVERY part is refined, intersection areas SUM
+    # over parts, and coverage is area(scene ∩ AOI) / area(AOI) over
+    # the WHOLE multipart geometry — the reference's
+    # stac_coverage_filter definition (R/stac-utils.R:494-506). The
+    # total AOI area includes parts the scene never touches (parts are
+    # assumed disjoint, as geometry parts are).
     aoi_parts = (aoi.select("aoi_id", "zone", "geom_wkt",
                             "xmin", "ymin", "xmax", "ymax")
                  .withColumn("part_area", _polygon_area_udf("geom_wkt")))
+    aoi_total = (aoi_parts.dropDuplicates(["aoi_id", "geom_wkt"])
+                 .groupBy("aoi_id")
+                 .agg(F.sum("part_area").alias("aoi_area")))
     aoi_cells = cells_cover(
         aoi_parts, join_res, zone_col="zone", out_col="jcell",
     ).drop("xmin", "ymin", "xmax", "ymax", "zone")
@@ -205,14 +211,15 @@ def spatial_join(images: DataFrame, aoi: DataFrame,
         _isect_area_udf("geom_wkt", "xmin", "ymin", "xmax", "ymax"),
     ).where(F.col("isect_area") > 0)
     refined = (per_part
-               .withColumn("part_cov", F.col("isect_area") / F.col("part_area"))
                .groupBy("aoi_id", "image_id")
                .agg(F.first("zone").alias("zone"),
                     F.first("caption").alias("caption"),
                     F.first("phash").alias("phash"),
                     F.first("datetime").alias("datetime"),
-                    F.sum("isect_area").alias("isect_area"),
-                    F.max("part_cov").alias("coverage")))
+                    F.sum("isect_area").alias("isect_area"))
+               .join(F.broadcast(aoi_total), "aoi_id")
+               .withColumn("coverage",
+                           F.col("isect_area") / F.col("aoi_area")))
     if min_coverage_of_aoi is not None:
         refined = refined.where(F.col("coverage") > F.lit(min_coverage_of_aoi))
     return refined.select("aoi_id", "image_id", "zone", "caption", "phash",

@@ -133,8 +133,11 @@ def knn_tiles(tiles: DataFrame, queries: DataFrame, res: int,
     # enumeration and the probe fanout): with k-1 tiles in a sparse
     # zone at high res, an unbounded search would enumerate the whole
     # zone's cells driver-side; past the cap we return the best
-    # partial answer, like any bounded-radius kNN
-    rc_cap = min(nmax, max(int(max_rings), int(initial_radius)))
+    # partial answer, like any bounded-radius kNN. The density-derived
+    # initial_radius is clamped to the same cap — a sparse tile table
+    # at high res would otherwise size the FIRST count round to a
+    # (2r+1)^2 disk of hundreds of millions of driver-side cells.
+    rc_cap = min(nmax, int(max_rings))
     rc = min(int(initial_radius), rc_cap)
 
     counts: dict[str, dict[int, int]] = {q.query_id: {} for q in qrows}

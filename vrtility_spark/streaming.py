@@ -172,6 +172,23 @@ def composite_stream(spark: SparkSession, input_dir: str, table_dir: str,
     Returns the StreamingQuery (caller awaits/stops);
     ``trigger(availableNow=True)`` gives drain-and-stop semantics.
     """
+    process_batch = make_batch_processor(spark, table_dir, reducer,
+                                         cell_res, mask_values)
+    stream = read_scene_stream(spark, input_dir, max_files_per_batch)
+    writer = (stream.writeStream.foreachBatch(process_batch)
+              .option("checkpointLocation",
+                      checkpoint_dir or table_dir + "/_stream_checkpoint")
+              .trigger(availableNow=True))
+    return writer.start()
+
+
+def make_batch_processor(spark: SparkSession, table_dir: str,
+                         reducer: str = "median",
+                         cell_res: int = datagen.TILE_RES,
+                         mask_values=None):
+    """The foreachBatch body of :func:`composite_stream`, exposed so
+    the at-least-once replay path (crash between the scenes commit and
+    the composite commit) is directly testable."""
     import os as _os
     tbl = SnapshotTable(table_dir)
     scenes_tbl = SnapshotTable(_os.path.join(table_dir, "scenes"))
@@ -182,20 +199,19 @@ def composite_stream(spark: SparkSession, input_dir: str, table_dir: str,
             return
         # foreachBatch is at-least-once: a crash between the scenes
         # commit and the stream checkpoint replays the batch. The batch
-        # id is committed as an idempotency tag — a replayed batch is
-        # skipped instead of appending its scenes twice.
-        if str(batch_id) in scenes_tbl.tags():
-            return
+        # id is committed as an idempotency tag — a replayed batch
+        # skips ONLY the scenes append (the non-idempotent step); the
+        # composite recompute + upsert always runs, because a crash
+        # between the scenes commit and the composite commit would
+        # otherwise leave the replayed batch's cells stale forever.
+        # The upsert itself is idempotent (newest snapshot wins per
+        # cell), so re-running it on replay is safe.
         celled_new = assign_cells(batch_df, cell_res)
-        scenes_tbl.commit(celled_new, "cell_id", tag=str(batch_id))
+        if str(batch_id) not in scenes_tbl.tags():
+            scenes_tbl.commit(celled_new, "cell_id", tag=str(batch_id))
         affected = celled_new.select("cell_id").distinct()
         history = scenes_tbl.read(spark).join(affected, "cell_id", "left_semi")
         masked = vrt_set_maskfun(history, "int", vals)
         tbl.commit(composite(masked, reducer), "cell_id", upsert=True)
 
-    stream = read_scene_stream(spark, input_dir, max_files_per_batch)
-    writer = (stream.writeStream.foreachBatch(process_batch)
-              .option("checkpointLocation",
-                      checkpoint_dir or table_dir + "/_stream_checkpoint")
-              .trigger(availableNow=True))
-    return writer.start()
+    return process_batch
