@@ -202,6 +202,24 @@ def q_cell_assign(spark, sf_dir):
     )
 
 
+def q_reproject_cells(spark, sf_dir):
+    """J5 cross-zone reprojection (the reference's vrt_warp cross-CRS
+    normalization, R/vrt-warp.R:34-246): points born in 4 different
+    zone frames are mapped onto zone 0's frame by the closed-form
+    inter-zone affine (vrtility_spark.cells.zone_origin) and aggregated
+    on ONE unified grid — n_src_zones > 1 cells prove scenes from
+    different source CRS really merge."""
+    from vrtility_spark.warp import reproject_zone
+    pts = _events_points(spark, sf_dir).withColumn("src_zone", F.col("zone"))
+    rp = reproject_zone(pts, 0, point_cols=("x", "y"))
+    cid = cells.xy_to_cell_col(F.col("zone"), F.col("x"), F.col("y"), CELL_RES)
+    return (rp.withColumn("cell_id", cid)
+            .groupBy("cell_id")
+            .agg(F.count("*").alias("n_points"),
+                 F.count_distinct(F.col("src_zone")).alias("n_src_zones"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
 def q_spatial_join(spark, sf_dir):
     """J4 cell-prefix hash join + exact point-in-rectangle refine."""
     pts = _events_points(spark, sf_dir)
@@ -787,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "locf": q_locf,
         "dedup_first": q_dedup_first,
         "cell_assign": q_cell_assign,
+        "reproject_cells": q_reproject_cells,
         "spatial_join": q_spatial_join,
         "coverage_filter": q_coverage_filter,
         "composite_scalars": q_composite_scalars,
@@ -918,6 +937,19 @@ def oracle_sql() -> dict[str, str]:
             from (select {cell} as cell_id, {parent} as cell_prefix, value
                   from events)
             group by cell_id, cell_prefix
+        """,
+        "reproject_cells": f"""
+            select cell_id, count(*) as n_points,
+                   count(distinct src_zone) as n_src_zones,
+                   round(sum(value), 2) as sum_value
+            from (select {cells.xy_to_cell_sql(
+                "0",
+                f"({_X_SQL}) + {cells.zone_shift_sql(_ZONE_SQL, 0)[0]}",
+                f"({_Y_SQL}) + {cells.zone_shift_sql(_ZONE_SQL, 0)[1]}",
+                CELL_RES)} as cell_id,
+                   {_ZONE_SQL} as src_zone, value
+                  from events)
+            group by cell_id
         """,
         "spatial_join": f"""
             with pts as (

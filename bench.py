@@ -27,7 +27,8 @@ from vrtility_spark.session import get_spark  # noqa: E402
 BENCH_QUERIES = [
     "pricing_summary", "shipping_priority", "local_supplier",
     "mosaic_latest", "moving_avg", "locf", "dedup_first",
-    "cell_assign", "spatial_join", "coverage_filter", "knn", "hampel",
+    "cell_assign", "reproject_cells", "spatial_join", "coverage_filter",
+    "knn", "hampel",
     "composite_scalars", "asof_join", "range_join", "rollup",
     "anti_join", "set_ops", "simhash", "dedup_exact_docs", "ngram_jaccard",
     "minhash_docs", "minhash_lsh", "token_stats", "quality_score",

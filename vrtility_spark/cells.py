@@ -154,6 +154,61 @@ def xy_to_cell_sql(zone: str, x: str, y: str, res: int) -> str:
     return f"((cast({zone} as bigint) * 16 + {res}) * {_B} + {iy}) * {_B} + {ix}"
 
 
+# ------------------------------------------------- zone world frame ----
+#
+# Cross-zone reprojection model (the reference's defining normalization:
+# vrt_warp unifies scenes from DIFFERENT CRS onto one target grid —
+# /root/reference/R/vrt-warp.R:34-246; its fixture deliberately spans
+# 3 CRS, data-raw/s2-test-data-create.R:40-48). SURVEY.md §6 scopes the
+# synthetic planar zones so the inter-CRS transform is CLOSED-FORM:
+# every zone is an affine parameterization of one shared world plane,
+#
+#     world = zone_origin(z) + (x, y)
+#
+# so zone a → zone b is the exact translation (origin(a) - origin(b)).
+# Origins are integer multiples of cell_size(4) (= 65536 m, an exact
+# binary float): the transform is bit-exact in NumPy, Catalyst and SQL,
+# AND scene footprints that tile one zone's grid still tile another's —
+# reprojected scenes stay pixel-aligned, so cross-zone composites need
+# no resampling (the translation analogue of the reference warping
+# everything onto a common target grid before stacking).
+
+ZONE_ORIGIN_STEP = 65536.0  # cell_size(4), exact binary float
+
+
+def zone_origin(zone: int) -> tuple[float, float]:
+    """World-frame origin of a zone (closed-form, deterministic)."""
+    return ((zone % 5) * ZONE_ORIGIN_STEP, ((3 * zone) % 5) * ZONE_ORIGIN_STEP)
+
+
+def zone_shift_np(src_zone, dst_zone):
+    """(dx, dy) adding which maps src-zone coords into dst-zone coords."""
+    src = np.asarray(src_zone, dtype=np.int64)
+    dst = np.asarray(dst_zone, dtype=np.int64)
+    dx = (src % 5 - dst % 5).astype(np.float64) * ZONE_ORIGIN_STEP
+    dy = ((3 * src) % 5 - (3 * dst) % 5).astype(np.float64) * ZONE_ORIGIN_STEP
+    return dx, dy
+
+
+def zone_shift_cols(src_zone: Column, dst_zone: int) -> tuple[Column, Column]:
+    """The same shift as Column expressions (whole-stage codegen)."""
+    step = F.lit(ZONE_ORIGIN_STEP)
+    dst_ox, dst_oy = zone_origin(int(dst_zone))
+    dx = (src_zone.cast("long") % 5).cast("double") * step - F.lit(dst_ox)
+    dy = ((src_zone.cast("long") * 3) % 5).cast("double") * step - F.lit(dst_oy)
+    return dx, dy
+
+
+def zone_shift_sql(src_zone: str, dst_zone: int) -> tuple[str, str]:
+    """The same shift as ANSI-SQL expressions (DuckDB oracle parity)."""
+    dst_ox, dst_oy = zone_origin(int(dst_zone))
+    dx = (f"(cast(({src_zone}) % 5 as double) * {ZONE_ORIGIN_STEP!r}"
+          f" - {dst_ox!r})")
+    dy = (f"(cast((({src_zone}) * 3) % 5 as double) * {ZONE_ORIGIN_STEP!r}"
+          f" - {dst_oy!r})")
+    return dx, dy
+
+
 def cell_center_np(cell_id):
     """(x, y) of cell centers — used for kNN distance refinement."""
     _, res, ix, iy = decode_np(cell_id)

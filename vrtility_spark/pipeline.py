@@ -113,7 +113,14 @@ class Pipeline:
         from vrtility_spark import bands as _b
         return Pipeline(_b.set_scale(self.df, scale, offset))
 
-    # ------------------------------------------------------- warp (J1)
+    # ------------------------------------------------------- warp (J1/J5)
+    def reproject(self, target_zone: int) -> "Pipeline":
+        """Unify a mixed-zone collection onto one zone's frame (the
+        reference's cross-CRS vrt_warp step, R/vrt-warp.R:34-246) —
+        metadata-only Column arithmetic, so pending lazy masks commute."""
+        return Pipeline(_warp.reproject_zone(self._df, target_zone),
+                        self._mask_specs)
+
     def warp(self, cell_res: int, out_w: int | None = None,
              out_h: int | None = None, resampling: str = "bilinear",
              prefix_k: int = 2, mask_plane: bool | None = None) -> "Pipeline":

@@ -23,14 +23,73 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from vrtility_spark import codec
 from vrtility_spark.cells import (
     MAX_RES,
+    ZONE_ORIGIN_STEP,
     cell_size,
     parent_col,
     xy_to_cell_col,
+    zone_shift_cols,
 )
+
+
+def reproject_zone(df: DataFrame, target_zone: int,
+                   point_cols: tuple[str, str] | None = None,
+                   wkt_col: str | None = None) -> DataFrame:
+    """Reproject every row's coordinates into ``target_zone``'s frame —
+    the engine's ``vrt_warp`` cross-CRS normalization
+    (/root/reference/R/vrt-warp.R:34-246): scenes born in different
+    zones become joinable/compositable on ONE grid.
+
+    Zones are affine parameterizations of a shared world plane
+    (:data:`vrtility_spark.cells.zone_origin`), so the transform is the
+    exact translation ``origin(src) - origin(dst)`` — a pure Column
+    expression fused into the scan (zero UDF, zero shuffle, zero
+    payload rewrite). Because zone origins are integer multiples of
+    ``cell_size(4)``, a scene footprint that tiles one zone's grid
+    tiles the target's too: pixels stay aligned and composites across
+    former zones need no resampling (for sub-tile grids, follow with
+    :func:`warp_to_grid`). Rows already in ``target_zone`` pass
+    through bit-unchanged.
+
+    Shifts whichever of ``xmin/ymin/xmax/ymax`` exist, plus optional
+    ``point_cols=(x, y)`` and a WKT polygon column (string rewrite via
+    a vectorized pandas UDF); rewrites ``zone`` and (if present)
+    ``srs``. Coordinates may leave [0, ZONE_SPAN) — the cell index
+    clips identically in NumPy/Catalyst/SQL, so downstream joins stay
+    deterministic; filter or re-window if clipping is unwanted."""
+    dx, dy = zone_shift_cols(F.col("zone"), int(target_zone))
+    out = df
+    for c, d in (("xmin", dx), ("xmax", dx), ("ymin", dy), ("ymax", dy)):
+        if c in out.columns:
+            out = out.withColumn(c, F.col(c) + d)
+    if point_cols is not None:
+        px, py = point_cols
+        out = (out.withColumn(px, F.col(px) + dx)
+                  .withColumn(py, F.col(py) + dy))
+    if wkt_col is not None:
+        out = out.withColumn(wkt_col, _shift_wkt_udf(F.col(wkt_col), dx, dy))
+    out = out.withColumn("zone", F.lit(int(target_zone)).cast("long"))
+    if "srs" in out.columns:
+        out = out.withColumn("srs", F.lit(f"ZONE:{int(target_zone)}"))
+    return out
+
+
+@F.pandas_udf(T.StringType())
+def _shift_wkt_udf(wkt: pd.Series, dx: pd.Series, dy: pd.Series) -> pd.Series:
+    """Translate every coordinate of a WKT POLYGON outer ring."""
+    out = []
+    for w, sx, sy in zip(wkt, dx, dy):
+        head = w[: w.index("((") + 2]
+        body = w[w.index("((") + 2: w.index("))")]
+        pts = [p.strip().split() for p in body.split(",")]
+        moved = ", ".join(f"{float(x) + sx!r} {float(y) + sy!r}"
+                          for x, y in pts)
+        out.append(head + moved + "))")
+    return pd.Series(out)
 
 
 def assign_cells(df: DataFrame, res: int, prefix_k: int = 2,
