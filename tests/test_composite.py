@@ -181,3 +181,37 @@ def test_medoid_with_na_all_distances_run():
     for n in composite._DISTANCES:
         out = composite.medoid_mb(X, distance_type=n)
         assert out.shape == (3, 8), n
+
+
+def test_arbitrary_quantile_reducer_by_name():
+    """Any-q quantile registry (reference quantile_numpy takes any
+    probability, R/zvrt-pixel-funs-composite.R:99-141)."""
+    rng = np.random.default_rng(11)
+    s = rng.uniform(1, 1000, size=(7, 2, 4, 3))
+    s[rng.random(s.shape) < 0.2] = np.nan
+    for name, q in (("q10", 0.10), ("q7", 0.07), ("quantile:0.375", 0.375)):
+        fn = composite.resolve_reducer(name)
+        with np.errstate(all="ignore"):
+            np.testing.assert_allclose(fn(s), np.nanquantile(s, q, axis=0))
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        composite.resolve_reducer("nope")
+
+
+def test_caption_agg_bounded(spark, tiny_images_pdf):
+    """A dense cell (many scenes) must emit a BOUNDED caption_agg:
+    first CAPTION_CAP sorted captions + overflow count, never an
+    unbounded multi-MB string row."""
+    import pandas as pd
+    reps = [tiny_images_pdf.assign(
+        image_id=tiny_images_pdf.image_id + f"_r{i}",
+        caption=tiny_images_pdf.caption + f" r{i}")
+        for i in range(6)]  # 30 scenes per cell
+    dense = schema.images_df(spark, pd.concat(reps, ignore_index=True))
+    celled = warp.assign_cells(dense, datagen.TILE_RES)
+    out = composite.composite(celled, "median").toPandas()
+    assert (out.n_scenes == 30).all()
+    for s in out.caption_agg:
+        assert s.endswith("|+14 more")
+        assert s.count("|") == composite.CAPTION_CAP
+        assert len(s) < 16 * 80

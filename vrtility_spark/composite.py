@@ -422,15 +422,40 @@ REDUCERS.update(
     geomedian=_mb_as_stack(geomedian_mb),
 )
 
+
+def resolve_reducer(reducer):
+    """Reducer lookup accepting ANY quantile by name — ``"q10"``,
+    ``"q7"``, ``"quantile:0.375"`` — matching the reference's
+    ``quantile_numpy(probability=...)`` taking arbitrary q
+    (/root/reference/R/zvrt-pixel-funs-composite.R:99-141), not just
+    the pre-registered q25/q75."""
+    if callable(reducer):
+        return reducer
+    if reducer in REDUCERS:
+        return REDUCERS[reducer]
+    import re
+    m = re.fullmatch(r"q(\d{1,2})", reducer)
+    if m:
+        return quantile_t(int(m.group(1)) / 100.0)
+    m = re.fullmatch(r"quantile:(0(\.\d+)?|1(\.0+)?)", reducer)
+    if m:
+        return quantile_t(float(m.group(1)))
+    raise KeyError(f"unknown reducer {reducer!r}; known: "
+                   f"{sorted(REDUCERS)} or qNN / quantile:<q>")
+
 COMPOSITE_SCHEMA = (
     "cell_id long, bytes binary, w int, h int, fmt string, n_scenes int, "
     "datetime_median timestamp, nodata double, caption_agg string"
 )
 
 
+CAPTION_CAP = 16  # captions folded into caption_agg before truncation
+
+
 def composite(df: DataFrame, reducer: str | Callable[[np.ndarray], np.ndarray],
               key: str = "cell_id", compute_dtype: str = "float32",
               scene_fn: Callable[[np.ndarray, float], np.ndarray] | None = None,
+              caption_cap: int = CAPTION_CAP,
               ) -> DataFrame:
     """``groupBy(cell).applyInPandas(reduce)`` — the whole
     multiband_reduce driver (R/multiband_reduce.R:103-259) as one
@@ -449,7 +474,7 @@ def composite(df: DataFrame, reducer: str | Callable[[np.ndarray], np.ndarray],
     VRT evaluating mask ∘ composite per block in one pass
     (R/gdalraster-async.r:99-112), skipping a full payload rewrite.
     """
-    fn = REDUCERS[reducer] if isinstance(reducer, str) else reducer
+    fn = resolve_reducer(reducer)
 
     def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("datetime", kind="mergesort")
@@ -490,12 +515,21 @@ def composite(df: DataFrame, reducer: str | Callable[[np.ndarray], np.ndarray],
         else:  # stats::median interpolates between the two middle times
             lo, hi = dt.iloc[n_dt // 2 - 1], dt.iloc[n_dt // 2]
             med_dt = lo + (hi - lo) / 2
+        # bounded caption rollup: a dense cell at 100x scale (1e4+
+        # scenes) must not emit a multi-MB string row — keep the first
+        # ``caption_cap`` in sorted order plus an overflow count
+        caps = sorted(pdf.caption.tolist())
+        if len(caps) > caption_cap:
+            agg = "|".join(caps[:caption_cap]) + \
+                f"|+{len(caps) - caption_cap} more"
+        else:
+            agg = "|".join(caps)
         return pd.DataFrame([{
             "cell_id": int(pdf[key].iloc[0]),
             "bytes": codec.encode(payload, fmt),
             "w": w, "h": h, "fmt": fmt, "n_scenes": len(pdf),
             "datetime_median": med_dt, "nodata": nodata,
-            "caption_agg": "|".join(sorted(pdf.caption.tolist())),
+            "caption_agg": agg,
         }])
 
     return df.groupBy(key).applyInPandas(reduce_group, schema=COMPOSITE_SCHEMA)

@@ -266,17 +266,31 @@ def _resample_blocks(a, out_h, out_w, agg):
         bh, bw = h // out_h, w // out_w
         blocks = af.reshape(out_h, bh, out_w, bw).transpose(0, 2, 1, 3)
         return agg(blocks.reshape(out_h, out_w, bh * bw))
-    # non-divisible grids: per-output-pixel source boxes (ceil-covering)
+    # non-divisible grids: per-output-pixel source boxes
+    # (ceil-covering), vectorized as ONE gather into a max-box-sized
+    # cube with NaN padding. Every reducer in _BLOCK_AGGS is NaN-aware
+    # (mode's run counter never accumulates across NaN because
+    # NaN != NaN), so the padding is invisible to the statistic —
+    # no per-output-pixel Python loop.
     ylo = (np.arange(out_h) * h) // out_h
     yhi = -(-(np.arange(out_h) + 1) * h // out_h)
     xlo = (np.arange(out_w) * w) // out_w
     xhi = -(-(np.arange(out_w) + 1) * w // out_w)
-    out = np.empty((out_h, out_w))
-    for i in range(out_h):
-        for j in range(out_w):
-            box = af[ylo[i]:yhi[i], xlo[j]:xhi[j]].ravel()
-            out[i, j] = agg(box[None, :])[0]
-    return out
+    mh = int((yhi - ylo).max())
+    mw = int((xhi - xlo).max())
+    yi = ylo[:, None] + np.arange(mh)[None, :]           # (out_h, mh)
+    xi = xlo[:, None] + np.arange(mw)[None, :]           # (out_w, mw)
+    ymask = yi < yhi[:, None]
+    xmask = xi < xhi[:, None]
+    cube = af[np.clip(yi, 0, h - 1)[:, None, :, None],
+              np.clip(xi, 0, w - 1)[None, :, None, :]]   # (oh, ow, mh, mw)
+    cube = np.where(ymask[:, None, :, None] & xmask[None, :, None, :],
+                    cube, np.nan)
+    with np.errstate(all="ignore"):
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            return agg(cube.reshape(out_h, out_w, mh * mw))
 
 
 def resample_plane_masked(a: np.ndarray, out_h: int, out_w: int,
