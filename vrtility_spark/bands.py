@@ -37,20 +37,47 @@ from vrtility_spark import codec
 
 
 def _payload_map(df: DataFrame, fn) -> DataFrame:
-    """Run ``fn(arr, row) -> (arr, bands_list)`` over every payload."""
+    """Run ``fn(arr, row) -> (arr, bands_list[, plane_idx])`` over every
+    payload. When ``fn`` also returns ``plane_idx`` (source plane index
+    per output plane, -1 = new plane), the per-band metadata arrays
+    (band_scale/band_offset/band_nodata) are permuted alongside the
+    planes — new planes get scale 1 / offset 0 / the row's scalar
+    nodata."""
     out_schema = df.schema
+    has_meta = all(c in df.columns
+                   for c in ("band_scale", "band_offset", "band_nodata"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs, bands_out = [], []
+            metas = {c: [] for c in ("band_scale", "band_offset",
+                                     "band_nodata")} if has_meta else None
             for row in pdf.itertuples(index=False):
                 arr = codec.decode(row.bytes, row.w, row.h, row.fmt)
-                arr2, bands2 = fn(arr, row)
+                res = fn(arr, row)
+                arr2, bands2 = res[0], res[1]
+                idx = res[2] if len(res) > 2 else None
                 blobs.append(codec.encode(arr2.astype(arr.dtype), row.fmt))
                 bands_out.append(bands2)
+                if metas is not None:
+                    defaults = {"band_scale": 1.0, "band_offset": 0.0,
+                                "band_nodata": row.nodata}
+                    for c in metas:
+                        v = getattr(row, c, None)
+                        if v is None or idx is None:
+                            metas[c].append(
+                                None if v is None else list(v))
+                        else:
+                            v = list(v)
+                            metas[c].append(
+                                [defaults[c] if i < 0 else v[i]
+                                 for i in idx])
             pdf = pdf.copy()
             pdf["bytes"] = blobs
             pdf["bands"] = bands_out
+            if metas is not None:
+                for c, vals in metas.items():
+                    pdf[c] = vals
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
@@ -63,7 +90,7 @@ def subset_bands(df: DataFrame, keep: Sequence[str]) -> DataFrame:
     def fn(arr, row):
         names = list(row.bands)
         idx = [names.index(b) for b in keep]
-        return arr[idx], keep
+        return arr[idx], keep, idx
 
     return _payload_map(df, fn)
 
@@ -75,7 +102,7 @@ def move_band(df: DataFrame, band: str, position: int) -> DataFrame:
         i = names.index(band)
         order = [j for j in range(len(names)) if j != i]
         order.insert(position - 1, i)
-        return arr[order], [names[j] for j in order]
+        return arr[order], [names[j] for j in order], order
 
     return _payload_map(df, fn)
 
@@ -89,7 +116,8 @@ def add_empty_band(df: DataFrame, name: str) -> DataFrame:
     """vrt_add_empty_band: append a nodata-filled plane."""
     def fn(arr, row):
         plane = np.full((1, arr.shape[1], arr.shape[2]), row.nodata, dtype=arr.dtype)
-        return np.concatenate([arr, plane]), list(row.bands) + [name]
+        return (np.concatenate([arr, plane]), list(row.bands) + [name],
+                list(range(len(arr))) + [-1])
 
     return _payload_map(df, fn)
 
@@ -122,8 +150,21 @@ def derived_band(df: DataFrame, name: str,
             for row in pdf.itertuples(index=False):
                 arr = codec.decode(row.bytes, row.w, row.h, row.fmt)
                 names = list(row.bands)
-                fl = codec.to_float_masked(arr, row.nodata).astype(np.float32)
-                scaled = fl * np.float32(row.scale) + np.float32(row.offset)
+                # per-band scale/offset/nodata (arrays aligned with
+                # bands, R/vrt-collect.R:139-148) supersede the scalar
+                # columns — mixed-band products (S2 baseline offsets,
+                # HLS 1e-4 reflectance + raw Fmask) need per-plane math
+                nb = len(arr)
+
+                def meta(col, scalar):
+                    v = codec.row_band_meta(row, nb, col, scalar)
+                    return (np.float32(v) if np.isscalar(v)
+                            else np.asarray(v, np.float32).reshape(-1, 1, 1))
+
+                nd = codec.row_band_meta(row, nb, "band_nodata", row.nodata)
+                fl = codec.to_float_masked(arr, nd).astype(np.float32)
+                scaled = fl * meta("band_scale", row.scale) \
+                    + meta("band_offset", row.offset)
                 # the mask/QA plane is codes, not radiance: formulas see
                 # it RAW (scale/sentinel transforms would corrupt class
                 # comparisons like b["SCL"] == 4)
@@ -154,21 +195,40 @@ def derived_band(df: DataFrame, name: str,
             pdf["scale"] = 1.0
             pdf["offset"] = 0.0
             pdf["nodata"] = float("nan")
+            for c in ("band_scale", "band_offset", "band_nodata"):
+                if c in pdf.columns:  # all planes now physical/NaN
+                    pdf[c] = None
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
 
 
-def set_scale(df: DataFrame, scale: float, offset: float = 0.0) -> DataFrame:
-    """F2 vrt_set_scale: metadata update; decode paths apply it."""
-    return df.withColumn("scale", F.lit(float(scale))) \
-             .withColumn("offset", F.lit(float(offset)))
+def _lit_arr(vals) -> F.Column:
+    return F.array(*[F.lit(float(v)) for v in vals])
 
 
-def set_nodata(df: DataFrame, nodata: float) -> DataFrame:
+def set_scale(df: DataFrame, scale, offset=0.0) -> DataFrame:
+    """F2 vrt_set_scale: metadata update; decode paths apply it.
+    Scalars set the row-level columns; sequences set the per-band
+    arrays (aligned with ``bands``, R/vrt-collect.R:139-148)."""
+    if np.isscalar(scale) and np.isscalar(offset):
+        return df.withColumn("scale", F.lit(float(scale))) \
+                 .withColumn("offset", F.lit(float(offset)))
+    nb = len(scale) if not np.isscalar(scale) else len(offset)
+    sc = [scale] * nb if np.isscalar(scale) else list(scale)
+    of = [offset] * nb if np.isscalar(offset) else list(offset)
+    return df.withColumn("band_scale", _lit_arr(sc)) \
+             .withColumn("band_offset", _lit_arr(of))
+
+
+def set_nodata(df: DataFrame, nodata) -> DataFrame:
     """F3 vrt_set_nodata: re-declare the sentinel (metadata only,
-    matching the reference's NoDataValue rewrite semantics)."""
-    return df.withColumn("nodata", F.lit(float(nodata)))
+    matching the reference's NoDataValue rewrite semantics); a
+    sequence declares per-band sentinels
+    (R/gdalraster-tools.R:118-135)."""
+    if np.isscalar(nodata):
+        return df.withColumn("nodata", F.lit(float(nodata)))
+    return df.withColumn("band_nodata", _lit_arr(nodata))
 
 
 def stack(df: DataFrame, key: str = "cell_id") -> DataFrame:

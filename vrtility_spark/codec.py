@@ -131,23 +131,61 @@ def decode(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
-def to_float_masked(arr: np.ndarray, nodata: float) -> np.ndarray:
+def _per_plane(nodata, ndim: int) -> np.ndarray:
+    """Scalar or per-band nodata → array broadcastable over (B, H, W).
+    Per-band sentinels mirror the reference's type-dependent per-band
+    NoDataValue (/root/reference/R/gdalraster-tools.R:118-135)."""
+    nd = np.asarray(nodata, dtype=np.float64)
+    if nd.ndim == 0:
+        return nd
+    return nd.reshape(-1, *([1] * (ndim - 1)))
+
+
+def to_float_masked(arr: np.ndarray, nodata) -> np.ndarray:
     """Sentinel-nodata → NaN float64 (the reference's masked-array step,
-    /root/reference/R/zvrt-pixel-funs-composite.R:16-24). A NaN
-    sentinel (rawf32 payloads) needs no rewrite — NaN propagates."""
+    /root/reference/R/zvrt-pixel-funs-composite.R:16-24). ``nodata``
+    may be a scalar or a per-band sequence aligned with ``arr``'s
+    leading axis. A NaN sentinel (rawf32 payloads) needs no rewrite —
+    NaN propagates (and NaN == x is always false, so the comparison is
+    a no-op for NaN entries of a per-band array)."""
     out = arr.astype(np.float64)
-    if not np.isnan(nodata):
-        out[arr == nodata] = np.nan
+    nd = _per_plane(nodata, arr.ndim)
+    out[arr == nd] = np.nan
     return out
 
 
-def from_float(arr: np.ndarray, nodata: float, dtype: str) -> np.ndarray:
-    """NaN → sentinel, cast back to the storage dtype."""
-    out = np.where(np.isnan(arr), float(nodata), arr)
+def from_float(arr: np.ndarray, nodata, dtype: str) -> np.ndarray:
+    """NaN → sentinel (scalar or per-band), cast back to storage dtype."""
+    nd = _per_plane(nodata, arr.ndim)
+    out = np.where(np.isnan(arr), nd, arr)
     if np.issubdtype(np.dtype(dtype), np.floating):
         return out.astype(dtype)  # float storage: NaN sentinel, no clip
     info = np.iinfo(dtype)
     return np.clip(np.round(out), info.min, info.max).astype(dtype)
+
+
+def row_band_meta(row, nb: int, col: str, fallback) -> np.ndarray | float:
+    """Per-band metadata for one row: the ``band_scale`` /
+    ``band_offset`` / ``band_nodata`` array when present and aligned
+    with the plane count, else the row's scalar (back-compat: payloads
+    whose plane count diverged from the recorded arrays — e.g. an
+    appended ML mask plane without metadata — fall back to the scalar
+    convention)."""
+    v = getattr(row, col, None)
+    if v is None or (np.isscalar(v) and pd_isna(v)):
+        return fallback
+    v = np.asarray(v, dtype=np.float64)
+    if v.ndim != 1 or len(v) != nb:
+        return fallback
+    return v
+
+
+def pd_isna(v) -> bool:
+    try:
+        import pandas as pd
+        return bool(pd.isna(v))
+    except Exception:
+        return False
 
 
 def psnr(a: np.ndarray, b: np.ndarray, peak: float = 65535.0) -> float:

@@ -445,7 +445,8 @@ def resolve_reducer(reducer):
 
 COMPOSITE_SCHEMA = (
     "cell_id long, bytes binary, w int, h int, fmt string, n_scenes int, "
-    "datetime_median timestamp, nodata double, caption_agg string"
+    "datetime_median timestamp, nodata double, band_nodata array<double>, "
+    "caption_agg string"
 )
 
 
@@ -493,6 +494,19 @@ def composite(df: DataFrame, reducer: str | Callable[[np.ndarray], np.ndarray],
         w, h, fmt = int(pdf.w.iloc[0]), int(pdf.h.iloc[0]), pdf.fmt.iloc[0]
         nodata = float(pdf.nodata.iloc[0])
         dtype = codec.dtype_for(fmt)
+        # per-band sentinels (band_nodata) supersede the scalar when
+        # present; scenes in a group must agree on them too
+        first = next(pdf.itertuples(index=False))
+        nb0 = len(codec.decode(first.bytes, first.w, first.h, first.fmt))
+        nd = codec.row_band_meta(first, nb0, "band_nodata", nodata)
+        if "band_nodata" in pdf.columns:
+            keys = pdf["band_nodata"].map(
+                lambda v: None if v is None
+                else np.asarray(v, dtype=np.float64).tobytes())
+            if keys.nunique(dropna=False) > 1:
+                raise ValueError(
+                    f"cell {int(pdf[key].iloc[0])}: scenes disagree on "
+                    "band_nodata; normalize the profile first")
         # float32 compute by default: halves the kernels' memory
         # traffic (the scaling bottleneck at high parallelism) and
         # matches the reference's Float32 derived-band policy
@@ -501,13 +515,13 @@ def composite(df: DataFrame, reducer: str | Callable[[np.ndarray], np.ndarray],
         def dec(r):
             arr = codec.decode(r.bytes, r.w, r.h, r.fmt)
             if scene_fn is not None:
-                arr = scene_fn(arr, nodata)
-            return codec.to_float_masked(arr, nodata).astype(compute_dtype)
+                arr = scene_fn(arr, nd)
+            return codec.to_float_masked(arr, nd).astype(compute_dtype)
 
         stack = np.stack([dec(r) for r in pdf.itertuples(index=False)])
         # (T, B, H, W)
         out = fn(stack)
-        payload = codec.from_float(out, nodata, dtype)
+        payload = codec.from_float(out, nd, dtype)
         dt = pdf["datetime"].sort_values().reset_index(drop=True)
         n_dt = len(dt)
         if n_dt % 2 == 1:
@@ -529,6 +543,7 @@ def composite(df: DataFrame, reducer: str | Callable[[np.ndarray], np.ndarray],
             "bytes": codec.encode(payload, fmt),
             "w": w, "h": h, "fmt": fmt, "n_scenes": len(pdf),
             "datetime_median": med_dt, "nodata": nodata,
+            "band_nodata": None if np.isscalar(nd) else list(nd),
             "caption_agg": agg,
         }])
 

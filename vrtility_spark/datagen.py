@@ -168,6 +168,12 @@ def images_pandas(profile: str = "s2", zones=DEFAULT_ZONES, nx: int = 4,
                 "res_x": TILE_SPAN / w, "res_y": TILE_SPAN / h,
                 "bands": bands, "nodata": nodata,
                 "scale": scale, "offset": 0.0,
+                # per-band metadata: data bands carry the profile's
+                # scale/sentinel; the class/flag plane is unscaled
+                # (codes, not radiance) — HLS-style mixed-band layout
+                "band_scale": [scale] * (len(bands) - 1) + [1.0],
+                "band_offset": [0.0] * len(bands),
+                "band_nodata": [nodata] * len(bands),
                 "cloud_cover": float(cloudy),
                 "platform": f"sentinel-2{'ab'[di % 2]}" if profile == "s2" else "hls",
                 "orbit_state": ["ascending", "descending"][di % 2],

@@ -67,14 +67,18 @@ def binary_dilation_np(mask: np.ndarray, iterations: int) -> np.ndarray:
     return out
 
 
-def apply_mask_np(data: np.ndarray, mask01: np.ndarray, nodata: float,
+def apply_mask_np(data: np.ndarray, mask01: np.ndarray, nodata,
                   buffer_size: int = 0) -> np.ndarray:
     """``set_mask`` parity: data planes (B,H,W) × 0/1 mask (H,W) →
-    masked planes; buffered variant dilates the invalid region first."""
+    masked planes; buffered variant dilates the invalid region first.
+    ``nodata`` may be a scalar or per-band (aligned with ``data``)."""
+    nd = np.asarray(nodata, dtype=data.dtype)
+    if nd.ndim == 1:
+        nd = nd.reshape(-1, 1, 1)
     if buffer_size > 0:
         invalid = binary_dilation_np(mask01 == 0, buffer_size)
-        return np.where(invalid[None], np.asarray(nodata, dtype=data.dtype), data)
-    return np.where((mask01 > 0)[None], data, np.asarray(nodata, dtype=data.dtype))
+        return np.where(invalid[None], nd, data)
+    return np.where((mask01 > 0)[None], data, nd)
 
 
 # ----------------------------------------------- spark expression path ----
@@ -118,10 +122,12 @@ def make_scene_maskfun(maskfun: str, mask_values: Sequence[int],
     buf = int(buffer_size)
     drop = bool(drop_mask_band)
 
-    def fn(arr: np.ndarray, nodata: float) -> np.ndarray:
+    def fn(arr: np.ndarray, nodata) -> np.ndarray:
         mask01 = (build_intmask_np(arr[-1], vals) if maskfun == "int"
                   else build_bitmask_np(arr[-1], vals))
-        data = apply_mask_np(arr[:-1], mask01, nodata, buf)
+        nd = np.asarray(nodata, dtype=np.float64)
+        nd_data = nd[:-1] if nd.ndim == 1 else nodata  # drop mask entry
+        data = apply_mask_np(arr[:-1], mask01, nd_data, buf)
         return data if drop else np.concatenate([data, arr[-1:]], axis=0)
     return fn
 
@@ -158,12 +164,18 @@ def vrt_set_maskfun(df: DataFrame, maskfun: str, mask_values: Sequence[int],
             out_bytes = []
             for row in pdf.itertuples(index=False):
                 arr = codec.decode(row.bytes, row.w, row.h, row.fmt)
-                keep = scene_fn(arr, row.nodata)
+                nd = codec.row_band_meta(row, len(arr), "band_nodata",
+                                         row.nodata)
+                keep = scene_fn(arr, nd)
                 out_bytes.append(codec.encode(keep.astype(arr.dtype), row.fmt))
             pdf = pdf.copy()
             pdf["bytes"] = out_bytes
             if drop:
                 pdf["bands"] = pdf["bands"].map(lambda b: list(b)[:-1])
+                for c in ("band_scale", "band_offset", "band_nodata"):
+                    if c in pdf.columns:
+                        pdf[c] = pdf[c].map(
+                            lambda v: None if v is None else list(v)[:-1])
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)

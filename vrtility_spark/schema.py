@@ -33,6 +33,13 @@ IMAGE_SCHEMA = T.StructType([
     T.StructField("nodata", T.DoubleType(), True),
     T.StructField("scale", T.DoubleType(), True),
     T.StructField("offset", T.DoubleType(), True),
+    # per-band metadata aligned with ``bands`` — the reference carries
+    # scale/offset per band (R/vrt-collect.R:139-148) and
+    # type-dependent nodata per band (R/gdalraster-tools.R:118-135);
+    # null arrays fall back to the scalar columns above
+    T.StructField("band_scale", T.ArrayType(T.DoubleType()), True),
+    T.StructField("band_offset", T.ArrayType(T.DoubleType()), True),
+    T.StructField("band_nodata", T.ArrayType(T.DoubleType()), True),
     T.StructField("cloud_cover", T.DoubleType(), True),
     T.StructField("platform", T.StringType(), True),
     T.StructField("orbit_state", T.StringType(), True),

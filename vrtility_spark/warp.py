@@ -319,14 +319,16 @@ def resample_plane_masked(a: np.ndarray, out_h: int, out_w: int,
 
 
 def warp_np(arr: np.ndarray, out_h: int, out_w: int, method: str,
-            mask_plane: bool = True, nodata: float | None = None) -> np.ndarray:
+            mask_plane: bool = True, nodata=None) -> np.ndarray:
     """Resample (B,H,W) → (B,out_h,out_w); the last plane (mask/class
     codes) uses nearest when ``mask_plane`` (R/vrt-warp.R:449-456).
 
-    With ``nodata`` given, data planes are resampled NODATA-AWARE
-    (sentinel → NaN → masked kernels → NaN back to sentinel by the
-    caller); without it, raw values pass straight through the kernels
-    (only safe for payloads with no sentinels)."""
+    With ``nodata`` given (scalar or per-band array), data planes are
+    resampled NODATA-AWARE (sentinel → NaN → masked kernels → NaN back
+    to sentinel by the caller); without it, raw values pass straight
+    through the kernels (only safe for payloads with no sentinels)."""
+    nd_arr = None if nodata is None else np.atleast_1d(
+        np.asarray(nodata, dtype=np.float64))
     planes = []
     for b in range(arr.shape[0]):
         is_mask = mask_plane and b == arr.shape[0] - 1
@@ -335,8 +337,9 @@ def warp_np(arr: np.ndarray, out_h: int, out_w: int, method: str,
             planes.append(resample_plane(arr[b], out_h, out_w, m))
         else:
             from vrtility_spark import codec as _c
+            ndb = float(nd_arr[b % len(nd_arr)])
             planes.append(resample_plane_masked(
-                _c.to_float_masked(arr[b][None], nodata)[0], out_h, out_w, m))
+                _c.to_float_masked(arr[b][None], ndb)[0], out_h, out_w, m))
     return np.stack(planes)
 
 
@@ -356,16 +359,20 @@ def warp_to_grid(df: DataFrame, out_w: int, out_h: int,
             payloads = []
             for row in pdf.itertuples(index=False):
                 arr = codec.decode(row.bytes, row.w, row.h, row.fmt)
+                nd = codec.row_band_meta(row, len(arr), "band_nodata",
+                                         row.nodata)
                 out = warp_np(arr, out_h, out_w, resampling,
-                              mask_plane=mask_plane, nodata=row.nodata)
+                              mask_plane=mask_plane, nodata=nd)
                 dtype = codec.dtype_for(row.fmt)
+                nd_data = nd[:-1] if not np.isscalar(nd) and mask_plane \
+                    else nd
                 # NaN (no valid contributor) -> the row's sentinel
                 if mask_plane:  # class plane: already raw codes
-                    data = codec.from_float(out[:-1], row.nodata, dtype)
+                    data = codec.from_float(out[:-1], nd_data, dtype)
                     quant = np.concatenate(
                         [data, out[-1:].astype(dtype)])
                 else:
-                    quant = codec.from_float(out, row.nodata, dtype)
+                    quant = codec.from_float(out, nd_data, dtype)
                 payloads.append(codec.encode(quant, row.fmt))
             pdf = pdf.copy()
             pdf["bytes"] = payloads
