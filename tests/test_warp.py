@@ -183,3 +183,51 @@ def test_warp_mask_plane_flag(spark, tiny_images):
                               datagen.S2_MASK_VALUES, drop_mask_band=True)
         .toPandas().iloc[0].bytes, 16, 16, r.fmt)
     assert len(np.unique(arr[-1])) > len(np.unique(src[-1]))
+
+
+def test_per_band_resampling_and_name_keyed_class_rule(spark):
+    """Per-band resampling choices (R/vrt-warp.R:418-491) and the
+    name/dtype-keyed nearest rule (R/vrt-warp.R:404-415): a class
+    plane is protected wherever it sits — NOT only in last position —
+    while data planes get their own kernels."""
+    import pandas as pd
+
+    from vrtility_spark import schema as S
+
+    rng = np.random.default_rng(3)
+    b04 = rng.integers(100, 5000, (8, 8)).astype(np.uint16)
+    scl = rng.choice([4, 5, 9], size=(8, 8)).astype(np.uint16)  # middle!
+    b08 = rng.integers(100, 5000, (8, 8)).astype(np.uint16)
+    arr = np.stack([b04, scl, b08])
+    pdf = pd.DataFrame([{
+        "image_id": "pbr_0", "bytes": codec.encode(arr, "raw16"),
+        "w": 8, "h": 8, "fmt": "raw16", "caption": "per-band resample",
+        "phash": 0, "datetime": datagen.date_for(0), "srs": "ZONE:30",
+        "zone": 30, "xmin": 0.0, "ymin": 0.0,
+        "xmax": datagen.TILE_SPAN, "ymax": datagen.TILE_SPAN,
+        "res_x": datagen.TILE_SPAN / 8, "res_y": datagen.TILE_SPAN / 8,
+        "bands": ["B04", "SCL", "B08"], "nodata": 0.0,
+        "scale": 1.0, "offset": 0.0,
+        "band_scale": [1.0, 1.0, 1.0], "band_offset": [0.0, 0.0, 0.0],
+        "band_nodata": [0.0, 0.0, 0.0],
+        "cloud_cover": 0.0, "platform": "t", "orbit_state": "ascending",
+    }])
+    df = S.images_df(spark, pdf)
+
+    out = warp.warp_to_grid(
+        warp.assign_cells(df, datagen.TILE_RES), 4, 4,
+        resampling={"B08": "cubic", "*": "bilinear"},
+        mask_plane=False).toPandas().iloc[0]
+    got = codec.decode(out.bytes, 4, 4, "raw16")
+
+    def expect(plane, method):
+        f = warp.resample_plane_masked(
+            codec.to_float_masked(plane[None], 0.0)[0], 4, 4, method)
+        return codec.from_float(f[None], 0.0, "uint16")[0]
+
+    np.testing.assert_array_equal(got[0], expect(b04, "bilinear"))
+    np.testing.assert_array_equal(got[2], expect(b08, "cubic"))
+    # SCL sits in the MIDDLE and mask_plane=False — only the
+    # name-keyed rule protects it: nearest, raw codes preserved
+    np.testing.assert_array_equal(got[1], scl[::2, ::2])
+    assert set(np.unique(got[1])) <= {4, 5, 9}

@@ -318,10 +318,44 @@ def resample_plane_masked(a: np.ndarray, out_h: int, out_w: int,
     return out
 
 
+# class/flag band names forced to nearest regardless of position — the
+# dtype/name-keyed twin of the reference's Byte→NearestNeighbour rule
+# (R/vrt-warp.R:404-415 keys the rule off the band DATA TYPE, not its
+# position; class planes here are identified by their canonical names)
+CLASS_BAND_NAMES = {"SCL", "Fmask", "QA", "QA_PIXEL", "mask", "MSK", "CLM"}
+
+
+def resolve_plane_methods(band_names, nb: int, default: str,
+                          overrides=None, mask_plane: bool = True):
+    """Per-plane (method, is_class) — the warp setup table of
+    R/vrt-warp.R:418-491: explicit per-band resampling ``overrides``
+    win, class planes (by name, or last-position when names are
+    unknown) are forced to nearest and resampled on RAW codes, all
+    other planes get ``default``."""
+    methods, is_class = [], []
+    for b in range(nb):
+        name = band_names[b] if band_names is not None and b < len(band_names) \
+            else None
+        cls = (name in CLASS_BAND_NAMES) if name is not None else False
+        cls = cls or (mask_plane and b == nb - 1)
+        m = None
+        if overrides:
+            m = overrides.get(name, overrides.get("*"))
+        if cls:
+            m = "nearest"
+        methods.append(m or default)
+        is_class.append(cls)
+    return methods, is_class
+
+
 def warp_np(arr: np.ndarray, out_h: int, out_w: int, method: str,
-            mask_plane: bool = True, nodata=None) -> np.ndarray:
-    """Resample (B,H,W) → (B,out_h,out_w); the last plane (mask/class
-    codes) uses nearest when ``mask_plane`` (R/vrt-warp.R:449-456).
+            mask_plane: bool = True, nodata=None,
+            band_names=None, overrides=None) -> np.ndarray:
+    """Resample (B,H,W) → (B,out_h,out_w). Class planes (named in
+    ``band_names`` per :data:`CLASS_BAND_NAMES`, or the last plane when
+    ``mask_plane``) use nearest on raw codes (R/vrt-warp.R:404-456);
+    ``overrides`` maps band name → method for per-band resampling
+    choices (R/vrt-warp.R:418-491).
 
     With ``nodata`` given (scalar or per-band array), data planes are
     resampled NODATA-AWARE (sentinel → NaN → masked kernels → NaN back
@@ -329,50 +363,66 @@ def warp_np(arr: np.ndarray, out_h: int, out_w: int, method: str,
     through the kernels (only safe for payloads with no sentinels)."""
     nd_arr = None if nodata is None else np.atleast_1d(
         np.asarray(nodata, dtype=np.float64))
+    methods, is_class = resolve_plane_methods(
+        band_names, arr.shape[0], method, overrides, mask_plane)
     planes = []
     for b in range(arr.shape[0]):
-        is_mask = mask_plane and b == arr.shape[0] - 1
-        m = "nearest" if is_mask else method
-        if nodata is None or is_mask:
-            planes.append(resample_plane(arr[b], out_h, out_w, m))
+        if nodata is None or is_class[b]:
+            planes.append(resample_plane(arr[b], out_h, out_w, methods[b]))
         else:
             from vrtility_spark import codec as _c
             ndb = float(nd_arr[b % len(nd_arr)])
             planes.append(resample_plane_masked(
-                _c.to_float_masked(arr[b][None], ndb)[0], out_h, out_w, m))
+                _c.to_float_masked(arr[b][None], ndb)[0],
+                out_h, out_w, methods[b]))
     return np.stack(planes)
 
 
 def warp_to_grid(df: DataFrame, out_w: int, out_h: int,
-                 resampling: str = "bilinear",
+                 resampling: str | dict = "bilinear",
                  mask_plane: bool = True) -> DataFrame:
     """vrt_warp analogue over payloads: narrow mapInPandas, no shuffle.
-    Data planes resample nodata-aware (the per-row sentinel never
-    blends into valid values); set ``mask_plane=False`` when the
-    payload no longer carries a class plane (e.g. after
-    ``set_maskfun(drop_mask_band=True)``) so the last DATA band is not
-    silently nearest-resampled."""
+    Data planes resample nodata-aware (each plane's sentinel never
+    blends into valid values); class planes (by name, or the trailing
+    plane when ``mask_plane``) resample nearest on raw codes.
+
+    ``resampling`` is one method for every data plane, or a dict of
+    per-band choices — ``{"B08": "cubic", "*": "bilinear"}`` — the
+    per-band warp table of R/vrt-warp.R:418-491. Set
+    ``mask_plane=False`` when the payload no longer carries a class
+    plane (e.g. after ``set_maskfun(drop_mask_band=True)``) so the
+    last DATA band is not silently nearest-resampled."""
     out_schema = df.schema
+    if isinstance(resampling, dict):
+        overrides = dict(resampling)
+        default = overrides.pop("*", "bilinear")
+    else:
+        overrides, default = None, resampling
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
             for row in pdf.itertuples(index=False):
                 arr = codec.decode(row.bytes, row.w, row.h, row.fmt)
+                names = (list(row.bands)
+                         if getattr(row, "bands", None) is not None else None)
                 nd = codec.row_band_meta(row, len(arr), "band_nodata",
                                          row.nodata)
-                out = warp_np(arr, out_h, out_w, resampling,
-                              mask_plane=mask_plane, nodata=nd)
+                out = warp_np(arr, out_h, out_w, default,
+                              mask_plane=mask_plane, nodata=nd,
+                              band_names=names, overrides=overrides)
                 dtype = codec.dtype_for(row.fmt)
-                nd_data = nd[:-1] if not np.isscalar(nd) and mask_plane \
-                    else nd
-                # NaN (no valid contributor) -> the row's sentinel
-                if mask_plane:  # class plane: already raw codes
-                    data = codec.from_float(out[:-1], nd_data, dtype)
-                    quant = np.concatenate(
-                        [data, out[-1:].astype(dtype)])
-                else:
-                    quant = codec.from_float(out, nd_data, dtype)
+                _, is_class = resolve_plane_methods(
+                    names, len(arr), default, overrides, mask_plane)
+                nd_arr = np.atleast_1d(np.asarray(nd, dtype=np.float64))
+                # NaN (no valid contributor) -> the plane's sentinel;
+                # class planes are already raw codes
+                quant = np.stack([
+                    out[b].astype(dtype) if is_class[b]
+                    else codec.from_float(
+                        out[b][None], float(nd_arr[b % len(nd_arr)]),
+                        dtype)[0]
+                    for b in range(len(arr))])
                 payloads.append(codec.encode(quant, row.fmt))
             pdf = pdf.copy()
             pdf["bytes"] = payloads
