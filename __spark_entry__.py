@@ -24,6 +24,8 @@ import os
 import sys
 from collections.abc import Callable
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -702,11 +704,12 @@ def q_embedding_lsh(spark, sf_dir):
 # =====================================================================
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF approximate nearest neighbour (scale path of similarity
-    search): k-means coarse quantizer + cluster-pruned cosine top-k.
-    Rows-only check: centroid training is float-iterative, so there is
-    no portable SQL oracle; exactness at nprobe=n_clusters and recall
-    bounds are pytest-gated (tests/test_ann.py)."""
+    """IVF nearest neighbour (scale path of similarity search):
+    k-means coarse quantizer + cluster-pruned cosine top-k. Driven at
+    nprobe = n_clusters, where the cluster-pruned search is EXACT
+    brute force by construction — giving it a closed-form SQL oracle
+    (the embedding_topk shape). Sub-linear nprobe recall bounds are
+    pytest-gated (tests/test_ann.py)."""
     _ensure_shipped(spark)
     from vrtility_spark import ann
     e = _t(spark, sf_dir, "embeddings")
@@ -714,34 +717,61 @@ def q_ann_ivf(spark, sf_dir):
     indexed = ann.ivf_assign(e, "embedding", cents)
     q = e.where(F.col("vec_id") < 10)
     return ann.ivf_search(indexed, q, cents, "embedding", "vec_id",
-                          "vec_id", k=5, nprobe=3) \
-        .select("q_id", "id", F.round("sim", 6).alias("sim_r"), "rank")
+                          "vec_id", k=5, nprobe=8, rank_round=6) \
+        .select("q_id", "id", F.col("sim").alias("sim_r"), "rank")
 
 
-def q_image_median_composite(spark, sf_dir):
-    _ensure_shipped(spark)
+def _pix_sum_udf():
+    """Deterministic payload checksum: int64 sum of every decoded pixel
+    — pins pixel CONTENT (not just length) against the constants-table
+    oracles generated by tools/gen_oracle_constants.py."""
+    @F.pandas_udf("long")
+    def ps(b: pd.Series, w: pd.Series, h: pd.Series,
+           fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        out = []
+        for x, wi, hi, f in zip(b, w, h, fmt):
+            arr = codec.decode(x, int(wi), int(hi), f)
+            out.append(int(np.asarray(arr, dtype=np.int64).sum()))
+        return pd.Series(out)
+
+    return ps
+
+
+def _image_composite(spark, reducer: str):
     from vrtility_spark import datagen, schema
     from vrtility_spark.pipeline import Pipeline
     images = schema.images_df(spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
-    out = (Pipeline(images)
-           .set_maskfun("int", datagen.S2_MASK_VALUES)
-           .warp(cell_res=datagen.TILE_RES)
-           .composite("median").df)
-    return out.select("cell_id", "n_scenes", "datetime_median",
-                      F.length("bytes").alias("payload_len"), "caption_agg")
+    return (Pipeline(images)
+            .set_maskfun("int", datagen.S2_MASK_VALUES)
+            .warp(cell_res=datagen.TILE_RES)
+            .composite(reducer).df)
+
+
+def q_image_median_composite(spark, sf_dir):
+    """Masked median composite over the deterministic image fixture,
+    pinned (rows + schema + pixel checksum + caption hash) against a
+    NumPy-computed constants oracle (tools/gen_oracle_constants.py)."""
+    _ensure_shipped(spark)
+    out = _image_composite(spark, "median")
+    ps = _pix_sum_udf()
+    return out.select(
+        "cell_id", "n_scenes",
+        F.date_format("datetime_median", "yyyy-MM-dd").alias("dt_med"),
+        F.length("bytes").alias("payload_len"),
+        F.md5("caption_agg").alias("caption_md5"),
+        ps("bytes", "w", "h", "fmt").alias("pix_sum"))
 
 
 def q_image_medoid_composite(spark, sf_dir):
     _ensure_shipped(spark)
-    from vrtility_spark import datagen, schema
-    from vrtility_spark.pipeline import Pipeline
-    images = schema.images_df(spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
-    out = (Pipeline(images)
-           .set_maskfun("int", datagen.S2_MASK_VALUES)
-           .warp(cell_res=datagen.TILE_RES)
-           .composite("medoid").df)
-    return out.select("cell_id", "n_scenes", F.length("bytes").alias("payload_len"),
-                      "caption_agg")
+    out = _image_composite(spark, "medoid")
+    ps = _pix_sum_udf()
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        F.md5("caption_agg").alias("caption_md5"),
+        ps("bytes", "w", "h", "fmt").alias("pix_sum"))
 
 
 def q_audio_features(spark, sf_dir):
@@ -775,8 +805,12 @@ def q_image_hampel(spark, sf_dir):
     from vrtility_spark import datagen, schema, timeseries, warp
     images = schema.images_df(spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
     out = timeseries.hampel(warp.assign_cells(images, datagen.TILE_RES), k=1, t0=2.0)
-    return out.select("image_id", "cell_id", "datetime",
-                      F.length("bytes").alias("payload_len"), "caption")
+    ps = _pix_sum_udf()
+    return out.select("image_id", "cell_id",
+                      F.date_format("datetime", "yyyy-MM-dd").alias("dt"),
+                      F.length("bytes").alias("payload_len"),
+                      ps("bytes", "w", "h", "fmt").alias("pix_sum"),
+                      "caption")
 
 
 # =====================================================================
@@ -863,7 +897,7 @@ def oracle_sql() -> dict[str, str]:
           from words, unnest(range(1, greatest(len(w) - 1, 1))) as t(i)
         )"""
 
-    return {
+    out = {
         "pricing_summary": """
             select l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) as sum_qty,
@@ -1264,5 +1298,34 @@ def oracle_sql() -> dict[str, str]:
                             x -> cast(x as double) * cast(x as double))))),
                      6) >= 0.2
         """,
-        # image_* queries: pixel kernels, not SQL-expressible → rows-only
+        "ann_ivf": """
+            with pairs as (
+              select q.vec_id as q_id, c.vec_id as id,
+                     round(
+                       list_sum(list_transform(
+                         list_zip(q.embedding, c.embedding),
+                         z -> cast(z[1] as double) * cast(z[2] as double)))
+                       / (sqrt(list_sum(list_transform(q.embedding,
+                              x -> cast(x as double) * cast(x as double))))
+                          * sqrt(list_sum(list_transform(c.embedding,
+                              x -> cast(x as double) * cast(x as double))))),
+                       6) as sim_r
+              from embeddings q, embeddings c
+              where q.vec_id < 10 and q.vec_id <> c.vec_id
+            )
+            select q_id, id, sim_r, cast(rank as int) as rank
+            from (select *, row_number() over (partition by q_id
+                       order by sim_r desc, id) as rank from pairs)
+            where rank <= 5
+        """,
     }
+    # payload queries (image/audio/video): pixel/waveform kernels have
+    # no SQL twin — they pin against constants-table oracles computed
+    # Spark-free from the deterministic fixtures + the pytest-gated
+    # NumPy kernels (tools/gen_oracle_constants.py)
+    try:
+        from _oracle_constants import CONSTANT_ORACLES
+        out.update(CONSTANT_ORACLES)
+    except ImportError:
+        pass
+    return out

@@ -1,0 +1,212 @@
+#!/usr/bin/env python
+"""Generate ``_oracle_constants.py``: DuckDB constants-table oracles for
+the payload driver queries (image composites, image hampel, audio,
+video), computed WITHOUT Spark.
+
+The pixel/waveform kernels have no SQL twin, so these queries pin
+against VALUES tables instead: expected rows are derived here from the
+deterministic fixtures (``datagen`` / ``multimodal``, fixed seeds,
+sf-independent) through the NumPy kernels — the same kernels whose
+correctness is independently loop-oracle-gated in ``tests/`` (e.g.
+``oracle.composite_stack``, hypothesis properties for hampel). The
+constants therefore verify the DISTRIBUTED plumbing — grouping, scene
+ordering, codec round-trips, caption passthrough, schema — byte-for-
+byte, while kernel math stays pytest-verified.
+
+Regenerate after any intentional fixture/kernel change:
+
+    python tools/gen_oracle_constants.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vrtility_spark import (  # noqa: E402
+    cells, codec, composite, datagen, masks, multimodal, timeseries,
+)
+
+CAP = composite.CAPTION_CAP
+
+
+def _round_half_up(x: float, n: int) -> float:
+    # Spark's F.round is BigDecimal HALF_UP on the double's shortest
+    # decimal repr — mirror that, not numpy's half-even
+    return float(Decimal(repr(float(x))).quantize(
+        Decimal(1).scaleb(-n), rounding=ROUND_HALF_UP))
+
+
+def _grouped_fixture():
+    pdf = datagen.images_pandas(nx=2, ny=2, w=16, h=16)
+    cx = (pdf.xmin + pdf.xmax) / 2
+    cy = (pdf.ymin + pdf.ymax) / 2
+    pdf = pdf.assign(cell_id=cells.xy_to_cell_np(
+        pdf.zone.values, cx.values, cy.values, datagen.TILE_RES))
+    return pdf
+
+
+def _masked_stack(grp, nd):
+    stack = []
+    for r in grp.itertuples(index=False):
+        arr = codec.decode(r.bytes, r.w, r.h, r.fmt)
+        m01 = masks.build_intmask_np(arr[-1], datagen.S2_MASK_VALUES)
+        data = masks.apply_mask_np(arr[:-1], m01, nd[:-1])
+        full = np.concatenate([data, arr[-1:]])
+        stack.append(codec.to_float_masked(full, nd).astype(np.float32))
+    return np.stack(stack)
+
+
+def _caption_agg(caps):
+    caps = sorted(caps)
+    if len(caps) > CAP:
+        return "|".join(caps[:CAP]) + f"|+{len(caps) - CAP} more"
+    return "|".join(caps)
+
+
+def image_composite_rows(reducer: str):
+    pdf = _grouped_fixture()
+    rows = []
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        with np.errstate(all="ignore"):
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                out = composite.REDUCERS[reducer](_masked_stack(grp, nd))
+        payload = codec.encode(codec.from_float(out, nd, "uint16"), "raw16")
+        dts = grp.datetime.sort_values().reset_index(drop=True)
+        med_dt = dts.iloc[len(dts) // 2]  # odd count in this fixture
+        agg = _caption_agg(grp.caption.tolist())
+        row = {
+            "cell_id": int(cell_id), "n_scenes": len(grp),
+            "payload_len": len(payload),
+            "caption_md5": hashlib.md5(agg.encode()).hexdigest(),
+            "pix_sum": int(np.frombuffer(payload, "<u2")
+                           .astype(np.int64).sum()),
+        }
+        if reducer == "median":
+            row["dt_med"] = f"{med_dt:%Y-%m-%d}"
+        rows.append(row)
+    return rows
+
+
+def image_hampel_rows():
+    pdf = _grouped_fixture()
+    rows = []
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort") \
+            .reset_index(drop=True)
+        nodata = float(grp.nodata.iloc[0])
+        stack = np.stack([
+            codec.to_float_masked(
+                codec.decode(r.bytes, r.w, r.h, r.fmt), nodata)
+            for r in grp.itertuples(index=False)])
+        Tn, B, H, W = stack.shape
+        filt = np.stack([
+            timeseries.hampel_np(stack[:, b].reshape(Tn, H * W), 1, 2.0)
+            .reshape(Tn, H, W) for b in range(B)], axis=1)
+        for t in range(Tn):
+            payload = codec.encode(
+                codec.from_float(filt[t], nodata, "uint16"), "raw16")
+            rows.append({
+                "image_id": grp.image_id.iloc[t], "cell_id": int(cell_id),
+                "dt": f"{grp.datetime.iloc[t]:%Y-%m-%d}",
+                "payload_len": len(payload),
+                "pix_sum": int(np.frombuffer(payload, "<u2")
+                               .astype(np.int64).sum()),
+                "caption": grp.caption.iloc[t],
+            })
+    return rows
+
+
+def audio_rows():
+    pdf = multimodal.audio_pandas(n=24)
+    rows = []
+    for r in pdf.itertuples(index=False):
+        wave = multimodal.decode_audio(r.bytes, r.fmt)
+        f = multimodal.audio_features_np(wave, r.sample_rate)
+        rows.append({
+            "audio_id": r.audio_id, "caption": r.caption,
+            "rms_r": _round_half_up(f["rms"], 6),
+            "centroid_r": _round_half_up(f["spectral_centroid_hz"], 2),
+        })
+    return rows
+
+
+def video_rows():
+    pdf = multimodal.video_pandas(n=12)
+    rows = []
+    for r in pdf.itertuples(index=False):
+        frames = multimodal.frame_sample_np(
+            multimodal.decode_video(r.bytes, r.w, r.h, r.fmt), 2)
+        f = multimodal.video_features_np(frames)
+        rows.append({
+            "video_id": r.video_id, "caption": r.caption,
+            "n_frames_sampled": f["n_frames_sampled"],
+            "mean_luma_r": _round_half_up(f["mean_luma"], 4),
+            "motion_r": _round_half_up(f["motion_energy"], 4),
+        })
+    return rows
+
+
+def _sql_lit(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
+def values_sql(rows, columns) -> str:
+    vals = ",\n              ".join(
+        "(" + ", ".join(_sql_lit(r[c]) for c in columns) + ")"
+        for r in rows)
+    cols = ", ".join(columns)
+    return (f"select * from (values\n              {vals}\n"
+            f"            ) as t({cols})")
+
+
+def main() -> None:
+    oracles = {
+        "image_median_composite": values_sql(
+            image_composite_rows("median"),
+            ["cell_id", "n_scenes", "dt_med", "payload_len",
+             "caption_md5", "pix_sum"]),
+        "image_medoid_composite": values_sql(
+            image_composite_rows("medoid"),
+            ["cell_id", "n_scenes", "payload_len", "caption_md5",
+             "pix_sum"]),
+        "image_hampel": values_sql(
+            image_hampel_rows(),
+            ["image_id", "cell_id", "dt", "payload_len", "pix_sum",
+             "caption"]),
+        "audio_features": values_sql(
+            audio_rows(), ["audio_id", "caption", "rms_r", "centroid_r"]),
+        "video_features": values_sql(
+            video_rows(),
+            ["video_id", "caption", "n_frames_sampled", "mean_luma_r",
+             "motion_r"]),
+    }
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "_oracle_constants.py")
+    with open(out, "w") as f:
+        f.write('"""AUTO-GENERATED by tools/gen_oracle_constants.py — '
+                'do not edit.\n\nConstants-table DuckDB oracles for the '
+                'payload driver queries; see the\ngenerator for '
+                'provenance."""\n\nCONSTANT_ORACLES = {\n')
+        for k, v in oracles.items():
+            f.write(f"    {k!r}: '''\n{v}\n''',\n")
+        f.write("}\n")
+    print(f"wrote {out} ({sum(len(v) for v in oracles.values())} sql chars)")
+
+
+if __name__ == "__main__":
+    main()

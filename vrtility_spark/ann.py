@@ -73,10 +73,13 @@ def ivf_assign(df: DataFrame, vec_col: str, centroids: np.ndarray) -> DataFrame:
 
 def ivf_search(indexed: DataFrame, queries: DataFrame, centroids: np.ndarray,
                vec_col: str, id_col: str, q_id_col: str, k: int,
-               nprobe: int = 4) -> DataFrame:
+               nprobe: int = 4, rank_round: int | None = None) -> DataFrame:
     """Top-k cosine neighbours per query via cluster-pruned search.
 
-    Returns ``(q_id, id, sim, rank)``.
+    Returns ``(q_id, id, sim, rank)``. ``rank_round`` ranks on the
+    similarity ROUNDED to that many decimals (+ id tiebreak) so
+    row_number is engine-independent — required when the result is
+    compared against an external SQL oracle.
     """
     from pyspark.sql import Window
 
@@ -108,10 +111,12 @@ def ivf_search(indexed: DataFrame, queries: DataFrame, centroids: np.ndarray,
     dot = F.aggregate(
         F.zip_with("q_emb", "c_emb", lambda a, b: a * b),
         F.lit(0.0), lambda acc, v: acc + v)
+    sim = dot / (F.col("q_norm") * F.col("c_norm"))
+    if rank_round is not None:
+        sim = F.round(sim, rank_round)
     pairs = (q.join(cand, "cluster")
              .where(F.col("q_id") != F.col("id"))
-             .select("q_id", "id",
-                     (dot / (F.col("q_norm") * F.col("c_norm"))).alias("sim"))
+             .select("q_id", "id", sim.alias("sim"))
              .dropDuplicates(["q_id", "id"]))
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "id")
     return (pairs.withColumn("rank", F.row_number().over(w))
