@@ -87,3 +87,52 @@ def test_chained_pixfuns_relaxed(spark, tiny_images_pdf):
         .orderBy("cell_id").toPandas()
     assert len(fused) == len(eager)
     assert all(bytes(a) == bytes(b) for a, b in zip(fused.bytes, eager.bytes))
+
+
+def test_bundle_roundtrip(spark, tiny_images_pdf, tmp_path):
+    """vrt_save/vrt_bundle twin (R/vrt-save.R:51-109,
+    R/vrt-bundle.R:19-143): serialize the verb chain, rebuild it
+    elsewhere, recompute — identical output."""
+    from vrtility_spark import schema as S
+
+    p = (Pipeline(schema.images_df(spark, tiny_images_pdf))
+         .cloud_filter(60)
+         .set_maskfun("int", datagen.S2_MASK_VALUES)
+         .reproject(30)
+         .warp(cell_res=datagen.TILE_RES)
+         .composite("median"))
+    bpath = str(tmp_path / "plan.json")
+    bundle = p.to_bundle(bpath)
+    assert [s["verb"] for s in bundle["verbs"]] == [
+        "cloud_filter", "set_maskfun", "reproject", "warp", "composite"]
+    p2 = Pipeline.from_bundle(bpath, S.images_df(spark, tiny_images_pdf))
+    a = p.df.orderBy("cell_id").toPandas()
+    b = p2.df.orderBy("cell_id").toPandas()
+    for col in ("cell_id", "n_scenes", "caption_agg", "w", "h", "fmt"):
+        assert (a[col] == b[col]).all()
+    assert all(bytes(x) == bytes(y) for x, y in zip(a.bytes, b.bytes))
+
+
+def test_bundle_string_formula_matches_lambda(spark, tiny_images_pdf, tmp_path):
+    from vrtility_spark import schema as S
+
+    p = Pipeline(schema.images_df(spark, tiny_images_pdf)) \
+        .derived_band("NDVI", "(B08 - B04) / (B08 + B04)")
+    bpath = str(tmp_path / "formula.json")
+    p.to_bundle(bpath)
+    p2 = Pipeline.from_bundle(bpath, S.images_df(spark, tiny_images_pdf))
+    lam = Pipeline(S.images_df(spark, tiny_images_pdf)).derived_band(
+        "NDVI", lambda bd: (bd["B08"] - bd["B04"]) / (bd["B08"] + bd["B04"]))
+    x = p2.df.orderBy("image_id").toPandas()
+    y = lam.df.orderBy("image_id").toPandas()
+    assert all(bytes(c) == bytes(d) for c, d in zip(x.bytes, y.bytes))
+
+
+def test_bundle_refuses_unserializable(spark, tiny_images_pdf, tmp_path):
+    import pytest
+
+    from vrtility_spark import schema as S
+    df = S.images_df(spark, tiny_images_pdf)
+    p = Pipeline(df).warp(cell_res=datagen.TILE_RES).composite(lambda s: s[0])
+    with pytest.raises(ValueError, match="composite"):
+        p.to_bundle(str(tmp_path / "x.json"))

@@ -122,8 +122,31 @@ def add_empty_band(df: DataFrame, name: str) -> DataFrame:
     return _payload_map(df, fn)
 
 
+_FORMULA_FUNCS = {
+    "sqrt": np.sqrt, "log": np.log, "log10": np.log10, "exp": np.exp,
+    "abs": np.abs, "minimum": np.minimum, "maximum": np.maximum,
+    "clip": np.clip, "where": np.where, "nan": np.nan,
+}
+
+
+def compile_formula(expr: str) -> Callable[[dict], np.ndarray]:
+    """Compile a band-math expression string — ``"(B08 - B04) /
+    (B08 + B04)"`` — into a formula callable. The serializable twin of
+    the reference's muparser/pixfun expressions
+    (R/vrt-derived-block.R:47-154): band names resolve to float planes,
+    a small NumPy function whitelist is available, builtins are not.
+    String formulas are what :meth:`Pipeline.to_bundle` persists."""
+    code = compile(expr, "<band-formula>", "eval")
+
+    def f(b: dict) -> np.ndarray:
+        return eval(code, {"__builtins__": {}}, {**_FORMULA_FUNCS, **b})
+
+    f.expr = expr  # round-trips through bundles
+    return f
+
+
 def derived_band(df: DataFrame, name: str,
-                 formula: Callable[[dict], np.ndarray],
+                 formula: Callable[[dict], np.ndarray] | str,
                  replace: bool = False,
                  keep_mask_plane: bool = True) -> DataFrame:
     """F1 derived band, **Float32 storage** — the reference's policy
@@ -139,9 +162,10 @@ def derived_band(df: DataFrame, name: str,
     chained derived bands compose exactly (relaxing the reference's
     one-pixfun-per-level limit without changing values).
 
-    >>> ndvi = lambda b: (b["B08"] - b["B04"]) / (b["B08"] + b["B04"])
-    >>> derived_band(images, "NDVI", ndvi)
+    >>> derived_band(images, "NDVI", "(B08 - B04) / (B08 + B04)")
     """
+    if isinstance(formula, str):
+        formula = compile_formula(formula)
     out_schema = df.schema
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -44,10 +44,21 @@ class Pipeline:
     ...   .compute("/tmp/out"))
     """
 
-    def __init__(self, df: DataFrame, mask_specs: tuple = ()):
+    #: verbs whose params cannot be serialized into a bundle
+    _UNBUNDLEABLE = object()
+
+    def __init__(self, df: DataFrame, mask_specs: tuple = (),
+                 log: tuple = ()):
         self._df = df
         # pending lazy masks: (maskfun, values, buffer_size, drop)
         self._mask_specs = tuple(mask_specs)
+        # verb chain: (verb_name, json_params | _UNBUNDLEABLE) — the
+        # serialized-plan twin of the reference's vrt_save/vrt_bundle
+        # (R/vrt-save.R:51-109, R/vrt-bundle.R:19-143)
+        self._log = tuple(log)
+
+    def _next(self, df: DataFrame, mask_specs, verb: str, params):
+        return Pipeline(df, mask_specs, self._log + ((verb, params),))
 
     @property
     def df(self) -> DataFrame:
@@ -60,7 +71,7 @@ class Pipeline:
         df = self._df
         for spec in self._mask_specs:
             df = _masks.vrt_set_maskfun(df, *spec)
-        return Pipeline(df)
+        return Pipeline(df, (), self._log)
 
     def _scene_fn(self):
         if not self._mask_specs:
@@ -70,18 +81,24 @@ class Pipeline:
 
     # ------------------------------------------------ filters (P3-P6)
     def cloud_filter(self, max_cloud: float) -> "Pipeline":
-        return Pipeline(_join.cloud_filter(self._df, max_cloud),
-                        self._mask_specs)
+        return self._next(_join.cloud_filter(self._df, max_cloud),
+                          self._mask_specs, "cloud_filter",
+                          {"max_cloud": max_cloud})
 
     def orbit_filter(self, states: Sequence[str]) -> "Pipeline":
-        return Pipeline(_join.orbit_filter(self._df, states), self._mask_specs)
+        return self._next(_join.orbit_filter(self._df, states),
+                          self._mask_specs, "orbit_filter",
+                          {"states": list(states)})
 
     def drop_duplicates(self) -> "Pipeline":
-        return Pipeline(_join.drop_duplicates_stac(self._df), self._mask_specs)
+        return self._next(_join.drop_duplicates_stac(self._df),
+                          self._mask_specs, "drop_duplicates", {})
 
     def date_range(self, start, end) -> "Pipeline":
-        return Pipeline(self._df.where(F.col("datetime").between(start, end)),
-                        self._mask_specs)
+        return self._next(
+            self._df.where(F.col("datetime").between(start, end)),
+            self._mask_specs, "date_range",
+            {"start": str(start), "end": str(end)})
 
     # -------------------------------------------------- masking (P7-P11)
     def set_maskfun(self, maskfun: str, mask_values, buffer_size: int = 0,
@@ -89,41 +106,62 @@ class Pipeline:
         assert maskfun in ("int", "bit")
         spec = (maskfun, tuple(int(v) for v in mask_values),
                 int(buffer_size), bool(drop_mask_band))
-        return Pipeline(self._df, self._mask_specs + (spec,))
+        return self._next(self._df, self._mask_specs + (spec,),
+                          "set_maskfun",
+                          {"maskfun": maskfun,
+                           "mask_values": [int(v) for v in mask_values],
+                           "buffer_size": int(buffer_size),
+                           "drop_mask_band": bool(drop_mask_band)})
 
     def create_mlmask(self, bands=("B04", "B03", "B08"),
                       model: str = "fake") -> "Pipeline":
         from vrtility_spark.mlmask import create_mlmask
-        return Pipeline(create_mlmask(self.df, bands, model))
+        return self._next(create_mlmask(self.df, bands, model), (),
+                          "create_mlmask",
+                          {"bands": list(bands), "model": model})
 
     # ------------------------------------------- band ops (P2/O5-O7/F1-F3)
     def subset_bands(self, keep) -> "Pipeline":
         from vrtility_spark import bands as _b
-        return Pipeline(_b.subset_bands(self.df, keep))
+        return self._next(_b.subset_bands(self.df, keep), (),
+                          "subset_bands", {"keep": list(keep)})
 
     def derived_band(self, name, formula, replace=False,
                      keep_mask_plane: bool | None = None) -> "Pipeline":
         from vrtility_spark import bands as _b
         if keep_mask_plane is None:  # dropped-mask payloads have no QA plane
             keep_mask_plane = not any(s[3] for s in self._mask_specs)
-        return Pipeline(_b.derived_band(self.df, name, formula, replace,
-                                        keep_mask_plane))
+        expr = formula if isinstance(formula, str) \
+            else getattr(formula, "expr", None)
+        params = ({"name": name, "formula": expr, "replace": bool(replace),
+                   "keep_mask_plane": bool(keep_mask_plane)}
+                  if expr is not None else self._UNBUNDLEABLE)
+        return self._next(_b.derived_band(self.df, name, formula, replace,
+                                          keep_mask_plane), (),
+                          "derived_band", params)
 
     def set_scale(self, scale, offset=0.0) -> "Pipeline":
         from vrtility_spark import bands as _b
-        return Pipeline(_b.set_scale(self.df, scale, offset))
+        to_j = (lambda v: v if np.isscalar(v) else list(v))
+        return self._next(_b.set_scale(self.df, scale, offset), (),
+                          "set_scale",
+                          {"scale": to_j(scale), "offset": to_j(offset)})
 
     # ------------------------------------------------------- warp (J1/J5)
     def reproject(self, target_zone: int) -> "Pipeline":
         """Unify a mixed-zone collection onto one zone's frame (the
         reference's cross-CRS vrt_warp step, R/vrt-warp.R:34-246) —
         metadata-only Column arithmetic, so pending lazy masks commute."""
-        return Pipeline(_warp.reproject_zone(self._df, target_zone),
-                        self._mask_specs)
+        return self._next(_warp.reproject_zone(self._df, target_zone),
+                          self._mask_specs, "reproject",
+                          {"target_zone": int(target_zone)})
 
     def warp(self, cell_res: int, out_w: int | None = None,
              out_h: int | None = None, resampling: str = "bilinear",
              prefix_k: int = 2, mask_plane: bool | None = None) -> "Pipeline":
+        params = {"cell_res": cell_res, "out_w": out_w, "out_h": out_h,
+                  "resampling": resampling, "prefix_k": prefix_k,
+                  "mask_plane": mask_plane}
         if out_w is not None:
             # resampling reads pixels: masks must land before the kernel.
             # If a recorded mask spec dropped the mask band, the last
@@ -131,28 +169,37 @@ class Pipeline:
             if mask_plane is None:
                 mask_plane = not any(spec[3] for spec in self._mask_specs)
             df = _warp.assign_cells(self.df, cell_res, prefix_k)
-            return Pipeline(_warp.warp_to_grid(df, out_w, out_h or out_w,
-                                               resampling, mask_plane))
+            return self._next(
+                _warp.warp_to_grid(df, out_w, out_h or out_w,
+                                   resampling, mask_plane),
+                (), "warp", params)
         # cell assignment is metadata-only — pending masks commute
-        return Pipeline(_warp.assign_cells(self._df, cell_res, prefix_k),
-                        self._mask_specs)
+        return self._next(_warp.assign_cells(self._df, cell_res, prefix_k),
+                          self._mask_specs, "warp", params)
 
     # -------------------------------------------------- spatial (J4-J6)
     def intersecting(self, aoi: DataFrame, **kw) -> "Pipeline":
-        return Pipeline(_join.spatial_semi_join(self._df, aoi, **kw),
-                        self._mask_specs)
+        return self._next(_join.spatial_semi_join(self._df, aoi, **kw),
+                          self._mask_specs, "intersecting",
+                          self._UNBUNDLEABLE)
 
     # -------------------------------------------------- reduce (A1-A13)
     def composite(self, reducer="median") -> "Pipeline":
-        return Pipeline(_composite.composite(self._df, reducer,
-                                             scene_fn=self._scene_fn()))
+        params = ({"reducer": reducer} if isinstance(reducer, str)
+                  else self._UNBUNDLEABLE)
+        return self._next(_composite.composite(self._df, reducer,
+                                               scene_fn=self._scene_fn()),
+                          (), "composite", params)
 
     # ------------------------------------------------- m2m / W1-W2
     def hampel(self, k: int, t0: float = 3.0, impute_na: bool = False) -> "Pipeline":
-        return Pipeline(_ts.hampel(self.df, k, t0, impute_na))
+        return self._next(_ts.hampel(self.df, k, t0, impute_na), (),
+                          "hampel", {"k": int(k), "t0": float(t0),
+                                     "impute_na": bool(impute_na)})
 
     def m2m(self, fun: Callable[[np.ndarray], np.ndarray]) -> "Pipeline":
-        return Pipeline(_ts.singleband_m2m(self.df, fun))
+        return self._next(_ts.singleband_m2m(self.df, fun), (),
+                          "m2m", self._UNBUNDLEABLE)
 
     # -------------------------------------------------------- sinks (S8)
     def compute(self, path: str, partition_by: Sequence[str] = ()) -> None:
@@ -169,3 +216,39 @@ class Pipeline:
     def explain(self, mode: str = "formatted") -> "Pipeline":
         self.df.explain(mode)
         return self
+
+    # ------------------------------------------- plan bundles (S9)
+    def to_bundle(self, path: str) -> dict:
+        """Serialize the verb chain to a portable JSON bundle — the
+        twin of the reference's ``vrt_save``/``vrt_bundle``
+        (R/vrt-save.R:51-109, R/vrt-bundle.R:19-143): re-run the same
+        verbs elsewhere against any source table. Verbs with
+        non-serializable params (DataFrame args, opaque callables)
+        refuse loudly — pass string formulas / named reducers to keep
+        a pipeline bundleable."""
+        import json
+        bad = [v for v, p in self._log if p is self._UNBUNDLEABLE]
+        if bad:
+            raise ValueError(
+                f"pipeline contains non-serializable verbs {bad}; use "
+                "string band formulas / named reducers, and apply "
+                "DataFrame-argument verbs (intersecting) outside the "
+                "bundled chain")
+        bundle = {"format": "vrtility_spark.bundle", "version": 1,
+                  "verbs": [{"verb": v, "params": p} for v, p in self._log]}
+        with open(path, "w") as f:
+            json.dump(bundle, f, indent=1)
+        return bundle
+
+    @classmethod
+    def from_bundle(cls, path: str, df: DataFrame) -> "Pipeline":
+        """Rebuild a pipeline from a bundle and replay it on ``df``."""
+        import json
+        with open(path) as f:
+            bundle = json.load(f)
+        if bundle.get("format") != "vrtility_spark.bundle":
+            raise ValueError(f"{path} is not a vrtility_spark bundle")
+        p = cls(df)
+        for step in bundle["verbs"]:
+            p = getattr(p, step["verb"])(**step["params"])
+        return p
