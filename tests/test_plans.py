@@ -74,6 +74,16 @@ def test_asof_join_one_shuffle_no_pair_join(spark):
     assert "Union" in plan and "Window" in plan
 
 
+def test_rect_aoi_spatial_join_is_udf_free(spark):
+    """Rectangle-AOI coverage join must stay entirely JVM-side: the
+    exact refine is a clamp expression, so the plan may contain NO
+    Python/Arrow evaluation node — at 1e12 scenes an Arrow transfer of
+    every matched pair would dominate the join."""
+    plan = _plan(spark, "coverage_filter")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_relational_core_stays_in_codegen(spark):
     plan = explain_str(entry.queries()["pricing_summary"](spark, SF),
                        mode="codegen")

@@ -171,6 +171,15 @@ def spatial_join(images: DataFrame, aoi: DataFrame,
     ``coverage`` = area(∩)/area(AOI) — the reference's coverage ratio
     (R/stac-utils.R:494-506). ``min_coverage_of_aoi`` applies the
     theta-filter; ``n_salts > 0`` salts the coarse join for hot cells.
+
+    Size ``join_res`` so one cell edge is at least the typical scene
+    footprint edge: the big side explodes to ``~(edge/cell + 1)^2``
+    cover cells per scene, so a too-fine resolution multiplies the
+    scan output (measured: res 6 on 40 km footprints emits ~12 rows
+    per scene and is ~20% slower end-to-end than res 5's ~5; going
+    coarser than the footprint just adds refine-filtered false pairs
+    at no benefit). The refine is exact at ANY resolution — the knob
+    trades explode fanout vs candidate precision only.
     """
     img_cells = cells_cover(
         images.select("image_id", "zone", "xmin", "ymin", "xmax", "ymax",
@@ -183,15 +192,36 @@ def spatial_join(images: DataFrame, aoi: DataFrame,
     # stac_coverage_filter definition (R/stac-utils.R:494-506). The
     # total AOI area includes parts the scene never touches (parts are
     # assumed disjoint, as geometry parts are).
-    aoi_parts = (aoi.select("aoi_id", "zone", "geom_wkt",
-                            "xmin", "ymin", "xmax", "ymax")
-                 .withColumn("part_area", _polygon_area_udf("geom_wkt")))
+    aoi_parts = aoi.select("aoi_id", "zone", "geom_wkt",
+                           "xmin", "ymin", "xmax", "ymax")
+    # rectangle fast path: the AOI side is small by contract (it
+    # broadcasts), so its distinct geometries are inspectable
+    # driver-side. When every part is an axis-aligned rectangle — the
+    # dominant footprint/AOI case — the exact refine is a clamp
+    # FORMULA, so the whole join becomes pure Catalyst expressions:
+    # no Arrow transfer of the matched pairs, no pre-refine dedup
+    # shuffle (duplicate cell hits collapse inside the final
+    # aggregation via array_distinct over per-part contributions).
+    wkts = [r.geom_wkt for r in aoi_parts.select("geom_wkt")
+            .distinct().collect()]
+    all_rect = all(_as_rect(parse_wkt_polygon(w)) is not None for w in wkts)
+    if all_rect:  # a rect's polygon area is its bbox area
+        aoi_parts = aoi_parts.withColumn(
+            "part_area", (F.col("xmax") - F.col("xmin"))
+            * (F.col("ymax") - F.col("ymin")))
+    else:
+        aoi_parts = aoi_parts.withColumn(
+            "part_area", _polygon_area_udf("geom_wkt"))
     aoi_total = (aoi_parts.dropDuplicates(["aoi_id", "geom_wkt"])
                  .groupBy("aoi_id")
                  .agg(F.sum("part_area").alias("aoi_area")))
-    aoi_cells = cells_cover(
-        aoi_parts, join_res, zone_col="zone", out_col="jcell",
-    ).drop("xmin", "ymin", "xmax", "ymax", "zone")
+    part_bbox = ["xmin", "ymin", "xmax", "ymax"]
+    aoi_cells = cells_cover(aoi_parts, join_res, zone_col="zone",
+                            out_col="jcell")
+    aoi_cells = aoi_cells.select(
+        "aoi_id", "geom_wkt", "jcell",
+        *[F.col(c).alias(f"p_{c}") for c in part_bbox]) if all_rect \
+        else aoi_cells.drop(*part_bbox, "zone", "part_area")
     if n_salts > 0:
         img_cells = img_cells.withColumn(
             "salt", F.pmod(F.xxhash64("image_id"), F.lit(n_salts)).cast("int"))
@@ -202,22 +232,38 @@ def spatial_join(images: DataFrame, aoi: DataFrame,
     else:
         keys = ["jcell"]
     right = F.broadcast(aoi_cells) if broadcast_aoi else aoi_cells
-    pairs = (
-        img_cells.join(right, on=keys, how="inner")
-        .dropDuplicates(["aoi_id", "geom_wkt", "image_id"])
-    )
-    per_part = pairs.withColumn(
-        "isect_area",
-        _isect_area_udf("geom_wkt", "xmin", "ymin", "xmax", "ymax"),
-    ).where(F.col("isect_area") > 0)
-    refined = (per_part
-               .groupBy("aoi_id", "image_id")
-               .agg(F.first("zone").alias("zone"),
-                    F.first("caption").alias("caption"),
-                    F.first("phash").alias("phash"),
-                    F.first("datetime").alias("datetime"),
-                    F.sum("isect_area").alias("isect_area"))
-               .join(F.broadcast(aoi_total), "aoi_id")
+    matched = img_cells.join(right, on=keys, how="inner")
+    meta_aggs = [F.first("zone").alias("zone"),
+                 F.first("caption").alias("caption"),
+                 F.first("phash").alias("phash"),
+                 F.first("datetime").alias("datetime")]
+    if all_rect:
+        iw = F.greatest(F.lit(0.0), F.least(F.col("xmax"), F.col("p_xmax"))
+                        - F.greatest(F.col("xmin"), F.col("p_xmin")))
+        ih = F.greatest(F.lit(0.0), F.least(F.col("ymax"), F.col("p_ymax"))
+                        - F.greatest(F.col("ymin"), F.col("p_ymin")))
+        per_pair = matched.withColumn("isect", iw * ih) \
+            .where(F.col("isect") > 0) \
+            .withColumn("part_id", F.xxhash64("geom_wkt"))
+        # ONE shuffle: duplicate (part, image) hits from several cover
+        # cells carry identical (part_id, isect) structs and collapse
+        # in array_distinct before the per-part sum
+        refined = (per_pair.groupBy("aoi_id", "image_id")
+                   .agg(*meta_aggs,
+                        F.aggregate(
+                            F.array_distinct(F.collect_list(
+                                F.struct("part_id", "isect"))),
+                            F.lit(0.0), lambda acc, s: acc + s.isect)
+                        .alias("isect_area")))
+    else:
+        pairs = matched.dropDuplicates(["aoi_id", "geom_wkt", "image_id"])
+        per_part = pairs.withColumn(
+            "isect_area",
+            _isect_area_udf("geom_wkt", "xmin", "ymin", "xmax", "ymax"),
+        ).where(F.col("isect_area") > 0)
+        refined = (per_part.groupBy("aoi_id", "image_id")
+                   .agg(*meta_aggs, F.sum("isect_area").alias("isect_area")))
+    refined = (refined.join(F.broadcast(aoi_total), "aoi_id")
                .withColumn("coverage",
                            F.col("isect_area") / F.col("aoi_area")))
     if min_coverage_of_aoi is not None:
