@@ -803,6 +803,29 @@ def q_video_features(spark, sf_dir):
                       F.round("motion_energy", 4).alias("motion_r"))
 
 
+def q_image_hls_composite(spark, sf_dir):
+    """Per-band metadata at the correctness gate: HLS-style int16
+    payloads (1e-4-scaled reflectance bands + a RAW Fmask bit-flag
+    plane, per-band sentinels -9999) through bitmask → cell assignment
+    → mean composite — the mixed-band profile of
+    /root/reference/inst/hls-data (R/vrt-collect.R:139-148)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(profile="hls", nx=2, ny=2, w=16, h=16))
+    out = (Pipeline(images)
+           .set_maskfun("bit", datagen.HLS_MASK_BITS)
+           .warp(cell_res=datagen.TILE_RES)
+           .composite("mean").df)
+    ps = _pix_sum_udf()
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        F.md5("caption_agg").alias("caption_md5"),
+        ps("bytes", "w", "h", "fmt").alias("pix_sum"))
+
+
 def q_image_hampel(spark, sf_dir):
     _ensure_shipped(spark)
     from vrtility_spark import datagen, schema, timeseries, warp
@@ -867,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "image_median_composite": q_image_median_composite,
         "image_medoid_composite": q_image_medoid_composite,
+        "image_hls_composite": q_image_hls_composite,
         "image_hampel": q_image_hampel,
         "audio_features": q_audio_features,
         "video_features": q_video_features,

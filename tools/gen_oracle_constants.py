@@ -43,8 +43,8 @@ def _round_half_up(x: float, n: int) -> float:
         Decimal(1).scaleb(-n), rounding=ROUND_HALF_UP))
 
 
-def _grouped_fixture():
-    pdf = datagen.images_pandas(nx=2, ny=2, w=16, h=16)
+def _grouped_fixture(profile: str = "s2"):
+    pdf = datagen.images_pandas(profile=profile, nx=2, ny=2, w=16, h=16)
     cx = (pdf.xmin + pdf.xmax) / 2
     cy = (pdf.ymin + pdf.ymax) / 2
     pdf = pdf.assign(cell_id=cells.xy_to_cell_np(
@@ -52,11 +52,14 @@ def _grouped_fixture():
     return pdf
 
 
-def _masked_stack(grp, nd):
+def _masked_stack(grp, nd, maskfun: str = "int"):
+    vals = (datagen.S2_MASK_VALUES if maskfun == "int"
+            else datagen.HLS_MASK_BITS)
     stack = []
     for r in grp.itertuples(index=False):
         arr = codec.decode(r.bytes, r.w, r.h, r.fmt)
-        m01 = masks.build_intmask_np(arr[-1], datagen.S2_MASK_VALUES)
+        m01 = (masks.build_intmask_np(arr[-1], vals) if maskfun == "int"
+               else masks.build_bitmask_np(arr[-1], vals))
         data = masks.apply_mask_np(arr[:-1], m01, nd[:-1])
         full = np.concatenate([data, arr[-1:]])
         stack.append(codec.to_float_masked(full, nd).astype(np.float32))
@@ -95,6 +98,32 @@ def image_composite_rows(reducer: str):
         if reducer == "median":
             row["dt_med"] = f"{med_dt:%Y-%m-%d}"
         rows.append(row)
+    return rows
+
+
+def image_hls_rows():
+    """HLS profile: int16 storage, per-band sentinels -9999, bitmask
+    Fmask plane — mean composite through the per-band metadata path."""
+    pdf = _grouped_fixture(profile="hls")
+    rows = []
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        with np.errstate(all="ignore"):
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                out = composite.REDUCERS["mean"](
+                    _masked_stack(grp, nd, maskfun="bit"))
+        payload = codec.encode(codec.from_float(out, nd, "int16"), "raw16s")
+        agg = _caption_agg(grp.caption.tolist())
+        rows.append({
+            "cell_id": int(cell_id), "n_scenes": len(grp),
+            "payload_len": len(payload),
+            "caption_md5": hashlib.md5(agg.encode()).hexdigest(),
+            "pix_sum": int(np.frombuffer(payload, "<i2")
+                           .astype(np.int64).sum()),
+        })
     return rows
 
 
@@ -182,6 +211,10 @@ def main() -> None:
              "caption_md5", "pix_sum"]),
         "image_medoid_composite": values_sql(
             image_composite_rows("medoid"),
+            ["cell_id", "n_scenes", "payload_len", "caption_md5",
+             "pix_sum"]),
+        "image_hls_composite": values_sql(
+            image_hls_rows(),
             ["cell_id", "n_scenes", "payload_len", "caption_md5",
              "pix_sum"]),
         "image_hampel": values_sql(

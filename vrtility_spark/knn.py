@@ -94,13 +94,21 @@ def _min_disk_radius(q, res: int, qcounts: dict, counted_r: int) -> int | None:
 
 def knn_tiles(tiles: DataFrame, queries: DataFrame, res: int,
               max_rings: int = 64, initial_radius: int | None = None,
-              n_tiles_hint: int | None = None) -> DataFrame:
+              n_tiles_hint: int | None = None,
+              persist: bool = True) -> DataFrame:
     """K nearest tiles per query row (exact).
 
     ``tiles`` must carry ``cell_id`` at ``res`` (see
     :func:`vrtility_spark.warp.assign_cells`) plus ``image_id``,
     ``xmin..ymax``, ``caption``, ``phash``. ``queries`` carries
     ``query_id, zone, x, y, k``.
+
+    ``persist=True`` caches the (metadata-only) tile projection so the
+    count and probe phases share one scan — right for ad-hoc tables.
+    At 1e12 rows pass ``persist=False`` with a tile table WRITTEN
+    bucketed/partitioned by ``cell_id`` (storage.write_images_bucketed):
+    both phases then prune to the probed cells at the source instead of
+    materializing the projection.
 
     Returns ``(query_id, image_id, dist, rank, caption, phash)``.
     """
@@ -111,7 +119,9 @@ def knn_tiles(tiles: DataFrame, queries: DataFrame, res: int,
         "cell_id", "image_id", "caption", "phash",
         ((F.col("xmin") + F.col("xmax")) / 2).alias("tcx"),
         ((F.col("ymin") + F.col("ymax")) / 2).alias("tcy"),
-    ).persist()
+    )
+    if persist:
+        tiles_p = tiles_p.persist()
     qrows = queries.select("query_id", "zone", "x", "y", "k").collect()
     if not qrows:
         tiles_p.unpersist()
