@@ -509,11 +509,17 @@ def ngram_jaccard_pairs(d: DataFrame, df_cap: int = NGRAM_DF_CAP,
         "i -> xxhash64(concat_ws(' ', element_at(w, i), "
         "element_at(w, i+1), element_at(w, i+2)))) "
         "else array() end")
-    # no cache: all consumers (hot list, sizes, self-join) reuse the
-    # distinct's shuffle output via exchange reuse — caching only adds
-    # a materialization barrier
+    # ONE shuffle of the full shingle set: repartitioning by sh up
+    # front lets the distinct (clustered-by-subset), the hot-list
+    # aggregation AND the self-join all reuse the same exchange —
+    # without it the plan shuffles the full set separately for the
+    # (doc_id, sh) distinct and the sh-keyed consumers (measured: 5
+    # full exchanges -> 4; at 1e12 shingle rows each one matters).
+    # No cache: exchange reuse shares the output without adding a
+    # materialization barrier.
     sh_all = (d.withColumn("w", F.split(F.col("text"), " "))
-              .select("doc_id", F.explode(sh3).alias("sh")).distinct())
+              .select("doc_id", F.explode(sh3).alias("sh"))
+              .repartition("sh").dropDuplicates())
     hot = (sh_all.groupBy("sh").agg(F.count("*").alias("df"))
            .where(F.col("df") > df_cap).select("sh"))
     sh = sh_all.join(F.broadcast(hot), "sh", "left_anti")
