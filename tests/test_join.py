@@ -136,3 +136,43 @@ def test_multipart_aoi_every_part_evaluated(spark, tiny_images, tiny_images_pdf)
         .select("isect_area", "coverage").toPandas()
     np.testing.assert_allclose(got2.coverage, got2.isect_area / total,
                                rtol=1e-12)
+
+
+def test_asof_join_property_vs_bruteforce(spark):
+    """Randomized guard for the union+window as-of rewrite: output must
+    equal the brute-force 'latest right at or before each left row'
+    (max tiebreak on equal timestamps), inner semantics, both
+    directions."""
+    import pandas as pd
+    rng = np.random.default_rng(13)
+    n_l, n_r = 120, 80
+    left = pd.DataFrame({
+        "lid": np.arange(n_l),
+        "k": rng.integers(0, 6, n_l),
+        "ts": rng.integers(0, 50, n_l),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 6, n_r),
+        "rts": rng.integers(0, 50, n_r),
+        "rid": np.arange(n_r),
+        "v": rng.normal(size=n_r).round(3),
+    })
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    for direction in ("backward", "forward"):
+        got = J.asof_join(ldf, rdf, on="k", left_time="ts",
+                          right_time="rts", left_id="lid",
+                          direction=direction, tiebreak="rid") \
+            .select("lid", "rid").toPandas()
+        exp = {}
+        for l in left.itertuples(index=False):
+            cands = [r for r in right.itertuples(index=False)
+                     if r.k == l.k and (r.rts <= l.ts if direction ==
+                                        "backward" else r.rts >= l.ts)]
+            if cands:
+                if direction == "backward":
+                    best = max(cands, key=lambda r: (r.rts, r.rid))
+                else:
+                    best = max(cands, key=lambda r: (-r.rts, r.rid))
+                exp[l.lid] = best.rid
+        assert dict(zip(got.lid, got.rid)) == exp, direction

@@ -142,3 +142,16 @@ def test_warp_to_grid_per_band_sentinels(spark):
         np.testing.assert_array_equal(got[b].astype(np.float64), exp)
     np.testing.assert_array_equal(  # mask plane: nearest, raw codes
         got[2], raw[2][::2, ::2])  # src = round((dst+.5)*2-.5) = 2*dst
+
+
+def test_set_scale_and_nodata_sequences(spark):
+    pdf = _mixed_pdf(n_scenes=1)
+    df = schema.images_df(spark, pdf)
+    out = bands.set_scale(df, [2.0, 3.0, 1.0], [0.5, 0.0, 0.0])
+    out = bands.set_nodata(out, [-1.0, -2.0, 0.0]).toPandas().iloc[0]
+    assert list(out.band_scale) == [2.0, 3.0, 1.0]
+    assert list(out.band_offset) == [0.5, 0.0, 0.0]
+    assert list(out.band_nodata) == [-1.0, -2.0, 0.0]
+    # scalar form still sets the row-level columns
+    s = bands.set_scale(df, 5.0, 1.0).toPandas().iloc[0]
+    assert s.scale == 5.0 and s.offset == 1.0
