@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from vrtility_spark import ann
 
@@ -41,3 +42,36 @@ def test_ivf_recall_and_exact_limit(spark):
         true = set(_brute_topk(vecs, qid, 10))
         recalls.append(len(got & true) / 10)
     assert float(np.mean(recalls)) >= 0.5, recalls
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The persisted IVF layout must make cluster-pruned search prune
+    at the SCAN: reading the index with a cluster predicate shows
+    PartitionFilters on cluster — the property that keeps nprobe
+    sub-linear in bytes read at 1e9+ vectors."""
+    from vrtility_spark import ann
+    from vrtility_spark.storage import explain_str
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ann.train_ivf(e, "embedding", "vec_id", n_clusters=4, iters=1)
+    idx_path = str(tmp_path / "ivf")
+    ann.write_ivf_index(ann.ivf_assign(e, "embedding", cents),
+                        idx_path, cents)
+    indexed, cents2 = ann.read_ivf_index(spark, idx_path)
+    np.testing.assert_allclose(cents2, cents)
+
+    pruned = indexed.where(F.col("cluster").isin([0, 2]))
+    plan = explain_str(pruned)
+    seg = plan.split("PartitionFilters", 1)
+    assert len(seg) == 2 and "cluster" in seg[1][:200]
+
+    # search over the reloaded index equals search over the in-memory one
+    q = e.where(F.col("vec_id") < 5)
+    a = ann.ivf_search(ann.ivf_assign(e, "embedding", cents), q, cents,
+                       "embedding", "vec_id", "vec_id", k=3, nprobe=2,
+                       rank_round=6).toPandas()
+    b = ann.ivf_search(indexed, q, cents2, "embedding", "vec_id",
+                       "vec_id", k=3, nprobe=2, rank_round=6).toPandas()
+    key = ["q_id", "rank"]
+    a, b = a.sort_values(key).reset_index(drop=True), \
+        b.sort_values(key).reset_index(drop=True)
+    assert a[["q_id", "id", "rank"]].equals(b[["q_id", "id", "rank"]])

@@ -71,6 +71,29 @@ def ivf_assign(df: DataFrame, vec_col: str, centroids: np.ndarray) -> DataFrame:
     return df.withColumn("cluster", _assign_udf(centroids)(F.col(vec_col)))
 
 
+def write_ivf_index(indexed: DataFrame, path: str,
+                    centroids: np.ndarray) -> None:
+    """Persist an IVF index: vectors partitioned BY CLUSTER plus the
+    (tiny) centroid table. At 1e9+ vectors this is what makes nprobe
+    sub-linear in practice — a search over ``nprobe`` clusters prunes
+    to those partition directories at the SCAN (PartitionFilters), so
+    the bytes read scale with nprobe/n_clusters, not the corpus."""
+    indexed.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    spark = indexed.sparkSession
+    cent_rows = [(int(i), [float(x) for x in c])
+                 for i, c in enumerate(centroids)]
+    (spark.createDataFrame(cent_rows, "cluster int, centroid array<double>")
+     .coalesce(1).write.mode("overwrite").parquet(path + "_centroids"))
+
+
+def read_ivf_index(spark, path: str):
+    """(indexed DataFrame, centroids ndarray) back from disk."""
+    indexed = spark.read.parquet(path)
+    cents = (spark.read.parquet(path + "_centroids")
+             .orderBy("cluster").toPandas())
+    return indexed, np.asarray(cents.centroid.tolist(), dtype=np.float64)
+
+
 def ivf_search(indexed: DataFrame, queries: DataFrame, centroids: np.ndarray,
                vec_col: str, id_col: str, q_id_col: str, k: int,
                nprobe: int = 4, rank_round: int | None = None) -> DataFrame:
