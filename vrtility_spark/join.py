@@ -314,6 +314,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     if overlap:
         raise ValueError(f"right columns collide with left: {sorted(overlap)}"
                          " — rename the right side's columns first")
+    reserved = {"_asof_ts", "_side", "_asof_tb", "_asof_row", "_asof_match"}
+    taken = reserved & (set(left.columns) | set(right.columns))
+    if taken:
+        raise ValueError(f"column names {sorted(taken)} are reserved by "
+                         "asof_join")
     # the right row travels as ONE struct so last(..., ignorenulls) picks
     # a whole row atomically (per-column last could mix rows when a right
     # column is legitimately null)

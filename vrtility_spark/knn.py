@@ -124,7 +124,8 @@ def knn_tiles(tiles: DataFrame, queries: DataFrame, res: int,
         tiles_p = tiles_p.persist()
     qrows = queries.select("query_id", "zone", "x", "y", "k").collect()
     if not qrows:
-        tiles_p.unpersist()
+        if persist:
+            tiles_p.unpersist()
         return spark.createDataFrame([], _OUT_SCHEMA)
     qmeta = spark.createDataFrame(
         [(q.query_id, float(q.x), float(q.y), int(q.k)) for q in qrows],
@@ -227,5 +228,6 @@ def knn_tiles(tiles: DataFrame, queries: DataFrame, res: int,
            .where(F.col("rank") <= F.col("k"))
            .select("query_id", "image_id", "dist", "rank", "caption", "phash"))
     result = out.localCheckpoint(eager=True)
-    tiles_p.unpersist()
+    if persist:
+        tiles_p.unpersist()
     return result
