@@ -56,3 +56,13 @@ def test_upsert_mode_and_tags_are_table_invariants(spark, tmp_path):
     # supersede: re-committed partitions 0,1 appear once
     got = t.read(spark).toPandas()
     assert sorted(got.k.astype(int)) == [0, 1, 2, 3]
+
+
+def test_manifest_partition_byte_metrics(spark, tiny_images, tmp_path):
+    tbl = lineage.SnapshotTable(str(tmp_path / "metrics_tbl"))
+    m = tbl.commit(warp.assign_cells(tiny_images.where("zone = 30"),
+                                     datagen.TILE_RES), "cell_id")
+    assert len(m["partitions"]) == 4
+    for p in m["partitions"].values():
+        assert p["rows"] == 5
+        assert p["bytes"] > 0 and p["files"] >= 1

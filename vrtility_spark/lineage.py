@@ -100,6 +100,22 @@ class SnapshotTable:
             spark.read.schema(df.schema).parquet(data_dir)
             .groupBy(partition_col).count().collect()
         )
+        # physical metrics per partition (bytes/files) from the FS
+        # listing — the Iceberg-manifest-style size stats that let a
+        # planner or resume logic reason about partitions without
+        # opening them
+        sizes: dict[str, dict] = {}
+        prefix = f"{partition_col}="
+        for entry in os.scandir(data_dir):
+            if not (entry.is_dir() and entry.name.startswith(prefix)):
+                continue
+            key = entry.name[len(prefix):]
+            nbytes = nfiles = 0
+            for f in os.scandir(entry.path):
+                if f.is_file() and not f.name.startswith(("_", ".")):
+                    nbytes += f.stat().st_size
+                    nfiles += 1
+            sizes[key] = {"bytes": nbytes, "files": nfiles}
         manifest = {
             "snapshot_id": snap_id,
             "uuid": str(uuid.uuid4()),
@@ -109,7 +125,9 @@ class SnapshotTable:
             "upsert": bool(upsert),
             "tag": tag,
             "data_dir": f"snap-{snap_id}",
-            "partitions": {str(r[partition_col]): {"rows": r["count"]}
+            "partitions": {str(r[partition_col]):
+                           {"rows": r["count"],
+                            **sizes.get(str(r[partition_col]), {})}
                            for r in stats},
             "self": f"manifest-{snap_id}.json",
         }
