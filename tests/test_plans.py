@@ -90,3 +90,14 @@ def test_relational_core_stays_in_codegen(spark):
     assert "WholeStageCodegen" in plan
     # at least scan→filter→partial-agg fused into one generated stage
     assert "Found" in plan and "subtree" in plan
+
+
+def test_reproject_cells_stays_in_codegen(spark):
+    """Cross-zone reprojection is pure Column arithmetic: exactly the
+    two Exchanges a count-distinct aggregation needs (partial on
+    (cell, src_zone), final on cell) and no Python evaluation — the
+    transform itself adds NO shuffle and NO UDF."""
+    plan = _plan(spark, "reproject_cells")
+    n_exchanges = plan.count(") Exchange")
+    assert n_exchanges == 2, f"reproject_cells: {n_exchanges} shuffles"
+    assert "EvalPython" not in plan
