@@ -832,6 +832,29 @@ def q_image_hls_composite(spark, sf_dir):
         ps("bytes", "w", "h", "fmt").alias("pix_sum"))
 
 
+def q_image_regrid_composite(spark, sf_dir):
+    """The GENERAL warp at the correctness gate: scenes whose
+    footprints do NOT tile the grid (deterministic quarter-tile
+    offsets) are regridded onto the canonical per-cell grid
+    (sentinel-padded tiles) and masked-median composited — the
+    reference's vrt_warp target-grid normalization with no
+    footprint-alignment assumption (R/vrt-warp.R:34-246)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(spark, datagen.offset_images_pandas())
+    out = (Pipeline(images)
+           .set_maskfun("int", datagen.S2_MASK_VALUES)
+           .regrid(datagen.TILE_RES, 16, 16, resampling="nearest")
+           .composite("median").df)
+    ps = _pix_sum_udf()
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        F.md5("caption_agg").alias("caption_md5"),
+        ps("bytes", "w", "h", "fmt").alias("pix_sum"))
+
+
 def q_image_hampel(spark, sf_dir):
     _ensure_shipped(spark)
     from vrtility_spark import datagen, schema, timeseries, warp
@@ -897,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_median_composite": q_image_median_composite,
         "image_medoid_composite": q_image_medoid_composite,
         "image_hls_composite": q_image_hls_composite,
+        "image_regrid_composite": q_image_regrid_composite,
         "image_hampel": q_image_hampel,
         "audio_features": q_audio_features,
         "video_features": q_video_features,

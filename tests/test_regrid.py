@@ -1,0 +1,158 @@
+"""regrid_to_cells: the GENERAL vrt_warp — arbitrary footprints onto
+the canonical per-cell grid (R/vrt-warp.R:34-246). assign_cells +
+warp_to_grid cover tile-aligned footprints; these tests pin the
+no-assumption path: straddling scenes split into aligned tiles,
+out-of-footprint pixels carry the plane's sentinel, and composites
+over offset scenes match a NumPy oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from vrtility_spark import cells, codec, composite, datagen, schema, warp
+
+S = datagen.TILE_SPAN
+
+
+def _scene(image_id, xmin, ymin, w=16, h=16, seed=1, extent=S):
+    rng = np.random.default_rng(seed)
+    data = rng.integers(1, 60000, (2, h, w)).astype(np.uint16)
+    scl = np.full((h, w), 4, dtype=np.uint16)
+    arr = np.concatenate([data, scl[None]])
+    return {
+        "image_id": image_id, "bytes": codec.encode(arr, "raw16"),
+        "w": w, "h": h, "fmt": "raw16", "caption": f"s {image_id}",
+        "phash": 0, "datetime": datagen.date_for(0), "srs": "ZONE:30",
+        "zone": 30, "xmin": xmin, "ymin": ymin,
+        "xmax": xmin + extent, "ymax": ymin + extent,
+        "res_x": extent / w, "res_y": extent / h,
+        "bands": ["B04", "B08", "SCL"], "nodata": 0.0,
+        "scale": 1.0, "offset": 0.0,
+        "band_scale": [1.0] * 3, "band_offset": [0.0] * 3,
+        "band_nodata": [0.0] * 3,
+        "cloud_cover": 0.0, "platform": "t", "orbit_state": "ascending",
+    }, arr
+
+
+def test_aligned_scene_regrid_equals_identity(spark):
+    """A scene exactly on a tile, regridded at its own resolution,
+    round-trips bit-exact (pixel centers coincide)."""
+    row, arr = _scene("a", 2 * S, 3 * S)
+    df = schema.images_df(spark, pd.DataFrame([row]))
+    out = warp.regrid_to_cells(df, datagen.TILE_RES, 16, 16).toPandas()
+    assert len(out) == 1
+    got = codec.decode(out.iloc[0].bytes, 16, 16, "raw16")
+    np.testing.assert_array_equal(got, arr)
+    z, r, ix, iy = cells.decode_np(out.iloc[0].cell_id)
+    assert (z, r, ix, iy) == (30, datagen.TILE_RES, 2, 3)
+    assert out.iloc[0].xmin == 2 * S and out.iloc[0].ymin == 3 * S
+
+
+def test_straddling_scene_splits_into_padded_tiles(spark):
+    """A scene offset by half a tile covers 4 cells → 4 aligned tiles;
+    each tile holds the correct quadrant (nearest at matching res is a
+    pure shift) and sentinel elsewhere."""
+    row, arr = _scene("b", 2 * S + S / 2, 3 * S + S / 2)
+    df = schema.images_df(spark, pd.DataFrame([row]))
+    out = warp.regrid_to_cells(df, datagen.TILE_RES, 16, 16,
+                               resampling="nearest").toPandas()
+    assert len(out) == 4
+    for _, t in out.iterrows():
+        z, r, ix, iy = cells.decode_np(t.cell_id)
+        got = codec.decode(t.bytes, 16, 16, "raw16")
+        # offsets of this tile's grid vs the scene's grid, in pixels
+        dx = int((ix * S - row["xmin"]) / (S / 16))
+        dy = int((iy * S - row["ymin"]) / (S / 16))
+        exp = np.zeros_like(arr)
+        sy0, sy1 = max(0, dy), min(16, 16 + dy)
+        sx0, sx1 = max(0, dx), min(16, 16 + dx)
+        exp[:, sy0 - dy: sy1 - dy, sx0 - dx: sx1 - dx] = \
+            arr[:, sy0:sy1, sx0:sx1]
+        np.testing.assert_array_equal(got, exp)
+    # every scene pixel lands in exactly one tile
+    total = sum(int((codec.decode(t.bytes, 16, 16, "raw16") > 0).sum())
+                for _, t in out.iterrows())
+    assert total == int((arr > 0).sum())
+
+
+def test_offset_scenes_composite_matches_oracle(spark):
+    """Scenes whose footprints do NOT tile the grid (quarter-tile
+    offsets) regrid into aligned tiles whose masked median equals a
+    per-pixel NumPy oracle built from the scene geometry."""
+    rows, arrs = [], []
+    offs = [(0.0, 0.0), (0.25, 0.0), (0.0, 0.25), (0.25, 0.25)]
+    for i, (ox, oy) in enumerate(offs):
+        r, a = _scene(f"c{i}", (1 + ox) * S, (2 + oy) * S, seed=10 + i)
+        rows.append(r)
+        arrs.append(a)
+    df = schema.images_df(spark, pd.DataFrame(rows))
+    tiles = warp.regrid_to_cells(df, datagen.TILE_RES, 16, 16,
+                                 resampling="nearest")
+    got = composite.composite(tiles, "median", compute_dtype="float64") \
+        .toPandas().set_index("cell_id")
+
+    # NumPy oracle: for each output cell pixel center, gather each
+    # scene's nearest sample if the center falls inside its footprint
+    px = S / 16
+    cell_ids = set(got.index)
+    for cid in cell_ids:
+        _, _, ix, iy = cells.decode_np(cid)
+        gx = ix * S + (np.arange(16) + 0.5) * px
+        gy = iy * S + (np.arange(16) + 0.5) * px
+        stack = []
+        for r, a in zip(rows, arrs):
+            fy = (gy - r["ymin"]) / px - 0.5
+            fx = (gx - r["xmin"]) / px - 0.5
+            yi, xi = np.round(fy).astype(int), np.round(fx).astype(int)
+            vy = (yi >= 0) & (yi < 16)
+            vx = (xi >= 0) & (xi < 16)
+            plane = np.full((3, 16, 16), np.nan)
+            v = vy[:, None] & vx[None, :]
+            sub = a[:, np.clip(yi, 0, 15)[:, None], np.clip(xi, 0, 15)[None, :]]
+            plane[:, v] = sub[:, v]
+            if np.any(v):
+                stack.append(plane)
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            exp = np.nanmedian(np.stack(stack), axis=0)
+        exp_q = codec.from_float(exp, 0.0, "uint16")
+        row = got.loc[cid]
+        assert row.n_scenes == len(stack)
+        np.testing.assert_array_equal(
+            codec.decode(row.bytes, 16, 16, "raw16"), exp_q)
+
+
+def test_bilinear_regrid_renormalizes_at_footprint_edge(spark):
+    """Bilinear sampling near the footprint boundary must renormalize
+    over valid contributors — constant-valued scenes stay constant
+    (no darkening at edges from zero-padding)."""
+    row, arr = _scene("d", 2 * S + S / 4, 3 * S)
+    const = np.full_like(arr, 1000)
+    const[-1] = 4
+    row["bytes"] = codec.encode(const, "raw16")
+    df = schema.images_df(spark, pd.DataFrame([row]))
+    out = warp.regrid_to_cells(df, datagen.TILE_RES, 16, 16,
+                               resampling="bilinear").toPandas()
+    for _, t in out.iterrows():
+        got = codec.decode(t.bytes, 16, 16, "raw16")
+        inside = got[0] != 0
+        assert inside.any()
+        assert (got[0][inside] == 1000).all()
+        assert set(np.unique(got[-1])) <= {0, 4}  # SCL nearest raw
+
+
+def test_pipeline_regrid_bundles(spark, tmp_path):
+    from vrtility_spark.pipeline import Pipeline
+    rows = [_scene("e0", 0.5 * S, 0.0)[0], _scene("e1", S, 0.0, seed=2)[0]]
+    df = schema.images_df(spark, pd.DataFrame(rows))
+    p = (Pipeline(df).set_maskfun("int", [9])
+         .regrid(datagen.TILE_RES, 8, 8).composite("median"))
+    bpath = str(tmp_path / "regrid.json")
+    p.to_bundle(bpath)
+    p2 = Pipeline.from_bundle(bpath, schema.images_df(spark, pd.DataFrame(rows)))
+    a = p.df.orderBy("cell_id").toPandas()
+    b = p2.df.orderBy("cell_id").toPandas()
+    assert (a.cell_id == b.cell_id).all()
+    assert all(bytes(x) == bytes(y) for x, y in zip(a.bytes, b.bytes))

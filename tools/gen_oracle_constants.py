@@ -127,6 +127,68 @@ def image_hls_rows():
     return rows
 
 
+def image_regrid_rows():
+    """Offset-footprint fixture → mask → regrid (nearest, per-cell
+    16x16) → median composite, replicated without Spark via the same
+    NumPy kernels the pytest oracles gate (tests/test_regrid.py)."""
+    from vrtility_spark.cells import cover_bbox_np, decode_np
+    from vrtility_spark.warp import sample_plane_masked
+
+    pdf = datagen.offset_images_pandas()
+    size = datagen.TILE_SPAN
+    tiles: dict[int, list] = {}
+    for r in pdf.itertuples(index=False):
+        arr = codec.decode(r.bytes, r.w, r.h, r.fmt)
+        nd = np.asarray(r.band_nodata, dtype=np.float64)
+        m01 = masks.build_intmask_np(arr[-1], datagen.S2_MASK_VALUES)
+        data = masks.apply_mask_np(arr[:-1], m01, nd[:-1])
+        masked = np.concatenate([data, arr[-1:]])
+        res_x = (r.xmax - r.xmin) / r.w
+        for cid in cover_bbox_np(r.zone, r.xmin, r.ymin, r.xmax, r.ymax,
+                                 datagen.TILE_RES):
+            _, _, ix, iy = decode_np(cid)
+            cx0, cy0 = float(ix) * size, float(iy) * size
+            fx = (cx0 + (np.arange(16) + 0.5) * (size / 16)
+                  - r.xmin) / res_x - 0.5
+            fy = (cy0 + (np.arange(16) + 0.5) * (size / 16)
+                  - r.ymin) / res_x - 0.5
+            planes = []
+            for b in range(len(masked)):
+                if b == len(masked) - 1:  # class plane: nearest on raw
+                    p = sample_plane_masked(
+                        masked[b].astype(np.float64), fy, fx, "nearest")
+                else:
+                    p = sample_plane_masked(
+                        codec.to_float_masked(masked[b][None],
+                                              float(nd[b]))[0],
+                        fy, fx, "nearest")
+                planes.append(codec.from_float(p[None], float(nd[b]),
+                                               "uint16")[0])
+            tiles.setdefault(int(cid), []).append(
+                (r.datetime, r.caption, np.stack(planes), nd))
+    rows = []
+    for cid, entries in tiles.items():
+        entries.sort(key=lambda e: e[0])
+        nd = entries[0][3]
+        stack = np.stack([codec.to_float_masked(e[2], nd).astype(np.float32)
+                          for e in entries])
+        with np.errstate(all="ignore"):
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                out = composite.REDUCERS["median"](stack)
+        payload = codec.encode(codec.from_float(out, nd, "uint16"), "raw16")
+        agg = _caption_agg([e[1] for e in entries])
+        rows.append({
+            "cell_id": cid, "n_scenes": len(entries),
+            "payload_len": len(payload),
+            "caption_md5": hashlib.md5(agg.encode()).hexdigest(),
+            "pix_sum": int(np.frombuffer(payload, "<u2")
+                           .astype(np.int64).sum()),
+        })
+    return rows
+
+
 def image_hampel_rows():
     pdf = _grouped_fixture()
     rows = []
@@ -215,6 +277,10 @@ def main() -> None:
              "pix_sum"]),
         "image_hls_composite": values_sql(
             image_hls_rows(),
+            ["cell_id", "n_scenes", "payload_len", "caption_md5",
+             "pix_sum"]),
+        "image_regrid_composite": values_sql(
+            image_regrid_rows(),
             ["cell_id", "n_scenes", "payload_len", "caption_md5",
              "pix_sum"]),
         "image_hampel": values_sql(

@@ -220,6 +220,22 @@ def images_spark(spark, profile: str = "s2", zones=DEFAULT_ZONES, nx: int = 4,
     return seed_df.mapInPandas(gen, schema=IMAGE_SCHEMA)
 
 
+def offset_images_pandas(seed: int = 42) -> pd.DataFrame:
+    """Scenes whose footprints do NOT tile the grid: the standard tiny
+    fixture with deterministic quarter-tile offsets per scene — the
+    input shape that exercises the general regrid path
+    (warp.regrid_to_cells) instead of the aligned fast path."""
+    pdf = images_pandas(nx=2, ny=2, w=16, h=16, n_dates=2, seed=seed)
+    offx = ((pdf.index * 7) % 4) / 4.0 * TILE_SPAN
+    offy = ((pdf.index * 5) % 4) / 4.0 * TILE_SPAN
+    pdf = pdf.copy()
+    pdf["xmin"] += offx
+    pdf["xmax"] += offx
+    pdf["ymin"] += offy
+    pdf["ymax"] += offy
+    return pdf
+
+
 def aoi_pandas(zones=DEFAULT_ZONES, nx: int = 4, ny: int = 4) -> pd.DataFrame:
     """AOI polygon table (FIXTURES.md §2): one hot AOI (~30% of zone 0's
     footprints → cell skew / salting test), a disjoint AOI, a contained

@@ -177,6 +177,25 @@ class Pipeline:
         return self._next(_warp.assign_cells(self._df, cell_res, prefix_k),
                           self._mask_specs, "warp", params)
 
+    def regrid(self, cell_res: int, out_w: int, out_h: int | None = None,
+               resampling: str | dict = "bilinear", prefix_k: int = 2,
+               mask_plane: bool | None = None) -> "Pipeline":
+        """General warp: ARBITRARY scene footprints → one aligned,
+        sentinel-padded tile per covering cell (the full vrt_warp
+        target-grid normalization; use :meth:`warp` when footprints
+        already tile the grid). Resampling reads pixels, so pending
+        masks flush first."""
+        if mask_plane is None:
+            mask_plane = not any(spec[3] for spec in self._mask_specs)
+        return self._next(
+            _warp.regrid_to_cells(self.df, cell_res, out_w,
+                                  out_h or out_w, resampling,
+                                  mask_plane, prefix_k),
+            (), "regrid",
+            {"cell_res": cell_res, "out_w": out_w, "out_h": out_h,
+             "resampling": resampling, "prefix_k": prefix_k,
+             "mask_plane": mask_plane})
+
     # -------------------------------------------------- spatial (J4-J6)
     def intersecting(self, aoi: DataFrame, **kw) -> "Pipeline":
         return self._next(_join.spatial_semi_join(self._df, aoi, **kw),

@@ -378,6 +378,142 @@ def warp_np(arr: np.ndarray, out_h: int, out_w: int, method: str,
     return np.stack(planes)
 
 
+def sample_plane_masked(a: np.ndarray, fy: np.ndarray, fx: np.ndarray,
+                        method: str) -> np.ndarray:
+    """Sample one float plane (NaN = invalid) at fractional source
+    coordinates — the windowed/affine gather behind regridding. ``fy``
+    (H',) and ``fx`` (W') are source pixel-center coordinates of the
+    target grid's rows/columns; points outside the source extent (or
+    with no valid contributor) come back NaN. Bilinear renormalizes
+    over valid contributors (the GDAL srcNodata contract: nodata never
+    blends into valid values)."""
+    h, w = a.shape
+    if method == "nearest":
+        yi = np.round(fy).astype(np.int64)
+        xi = np.round(fx).astype(np.int64)
+        vy = (yi >= 0) & (yi < h)
+        vx = (xi >= 0) & (xi < w)
+        out = a[np.clip(yi, 0, h - 1)[:, None], np.clip(xi, 0, w - 1)[None, :]]
+        out = out.astype(np.float64, copy=True)
+        out[~(vy[:, None] & vx[None, :])] = np.nan
+        return out
+    if method != "bilinear":
+        raise ValueError(
+            f"regrid sampling supports 'nearest'/'bilinear', got {method!r}")
+    y0 = np.floor(fy).astype(np.int64)
+    x0 = np.floor(fx).astype(np.int64)
+    ty = (fy - y0)[:, None]
+    tx = (fx - x0)[None, :]
+    num = np.zeros((len(fy), len(fx)))
+    den = np.zeros((len(fy), len(fx)))
+    for dy, wy in ((0, 1.0 - ty), (1, ty)):
+        yi = y0 + dy
+        vy = (yi >= 0) & (yi < h)
+        yc = np.clip(yi, 0, h - 1)
+        for dx, wx in ((0, 1.0 - tx), (1, tx)):
+            xi = x0 + dx
+            vx = (xi >= 0) & (xi < w)
+            xc = np.clip(xi, 0, w - 1)
+            v = a[yc[:, None], xc[None, :]]
+            ok = vy[:, None] & vx[None, :] & np.isfinite(v)
+            wgt = (wy * wx) * ok
+            num += np.where(ok, v, 0.0) * wgt
+            den += wgt
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = num / den
+    out[den < 1e-12] = np.nan
+    return out
+
+
+def regrid_to_cells(df: DataFrame, res: int, out_w: int, out_h: int,
+                    resampling: str | dict = "bilinear",
+                    mask_plane: bool = True,
+                    prefix_k: int = 2) -> DataFrame:
+    """The GENERAL warp: scenes with ARBITRARY footprints → one
+    sentinel-padded tile per covering cell, all on the cell's canonical
+    ``(out_w, out_h)`` grid — the full ``vrt_warp`` target-grid
+    normalization (/root/reference/R/vrt-warp.R:34-246: every scene is
+    reprojected/resampled onto ``(t_srs, te, tr)`` so pixels align).
+    :func:`assign_cells` + :func:`warp_to_grid` cover the fast case
+    where footprints already tile the grid; this operator removes that
+    assumption: a scene straddling four cells yields four aligned
+    tiles, each with out-of-footprint pixels at the plane's sentinel
+    (masked out downstream), so :func:`vrtility_spark.composite.composite`
+    works on ANY footprint layout.
+
+    Plan shape: expression-only ``cells_cover`` explode (the fanout is
+    footprint_area/cell_area per scene — bounded by geometry, never the
+    table) followed by a narrow Arrow map; no shuffle. Data planes
+    sample nodata-aware (bilinear/nearest); class planes (by name, or
+    trailing when ``mask_plane``) sample nearest on raw codes."""
+    from vrtility_spark.cells import decode_np
+    if isinstance(resampling, dict):
+        overrides = dict(resampling)
+        default = overrides.pop("*", "bilinear")
+    else:
+        overrides, default = None, resampling
+    size = cell_size(res)
+    celled = cells_cover(df, res, out_col="cell_id")
+    celled = celled.withColumn("cell_prefix",
+                               parent_col(F.col("cell_id"), prefix_k))
+    out_schema = celled.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            bxmin, bymin, bxmax, bymax = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                arr = codec.decode(row.bytes, row.w, row.h, row.fmt)
+                names = (list(row.bands)
+                         if getattr(row, "bands", None) is not None else None)
+                nd = codec.row_band_meta(row, len(arr), "band_nodata",
+                                         row.nodata)
+                nd_arr = np.atleast_1d(np.asarray(nd, dtype=np.float64))
+                methods, is_class = resolve_plane_methods(
+                    names, len(arr), default, overrides, mask_plane)
+                _, _, ix, iy = decode_np(row.cell_id)
+                cx0, cy0 = float(ix) * size, float(iy) * size
+                # source fractional coords of the cell grid's centers
+                res_x = (row.xmax - row.xmin) / row.w
+                res_y = (row.ymax - row.ymin) / row.h
+                fx = (cx0 + (np.arange(out_w) + 0.5) * (size / out_w)
+                      - row.xmin) / res_x - 0.5
+                fy = (cy0 + (np.arange(out_h) + 0.5) * (size / out_h)
+                      - row.ymin) / res_y - 0.5
+                dtype = codec.dtype_for(row.fmt)
+                planes = []
+                for b in range(len(arr)):
+                    ndb = float(nd_arr[b % len(nd_arr)])
+                    if is_class[b]:
+                        p = sample_plane_masked(
+                            arr[b].astype(np.float64), fy, fx, "nearest")
+                        planes.append(codec.from_float(p[None], ndb,
+                                                       dtype)[0])
+                    else:
+                        p = sample_plane_masked(
+                            codec.to_float_masked(arr[b][None], ndb)[0],
+                            fy, fx, methods[b])
+                        planes.append(codec.from_float(p[None], ndb,
+                                                       dtype)[0])
+                blobs.append(codec.encode(np.stack(planes), row.fmt))
+                bxmin.append(cx0)
+                bymin.append(cy0)
+                bxmax.append(cx0 + size)
+                bymax.append(cy0 + size)
+            pdf = pdf.copy()
+            pdf["bytes"] = blobs
+            pdf["w"] = out_w
+            pdf["h"] = out_h
+            pdf["xmin"], pdf["ymin"] = bxmin, bymin
+            pdf["xmax"], pdf["ymax"] = bxmax, bymax
+            if "res_x" in pdf.columns:
+                pdf["res_x"] = size / out_w
+                pdf["res_y"] = size / out_h
+            yield pdf
+
+    return celled.mapInPandas(run, schema=out_schema)
+
+
 def warp_to_grid(df: DataFrame, out_w: int, out_h: int,
                  resampling: str | dict = "bilinear",
                  mask_plane: bool = True) -> DataFrame:
