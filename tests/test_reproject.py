@@ -93,3 +93,32 @@ def test_three_crs_unify_to_one_grid(spark):
     # the point of the operator: cells where scenes born in DIFFERENT
     # source CRS really merged into one composite
     assert n_multi >= 5
+
+
+def test_reproject_then_regrid_handles_unaligned_footprints(spark):
+    """reproject + regrid = the full cross-CRS vrt_warp: scenes from 3
+    zones, additionally shifted off the tile grid by a third of a tile,
+    still unify into one deterministic set of aligned composites."""
+    pdf = datagen.images_pandas(nx=2, ny=2, n_dates=2, w=16, h=16)
+    shift = datagen.TILE_SPAN / 3.0  # deliberately NOT grid-aligned
+    pdf = pdf.copy()
+    for c in ("xmin", "xmax"):
+        pdf[c] += shift
+    images = schema.images_df(spark, pdf)
+    rp = reproject_zone(images, 30)
+    masked = masks.vrt_set_maskfun(rp, "int", datagen.S2_MASK_VALUES)
+    tiles = warp.regrid_to_cells(masked, datagen.TILE_RES, 16, 16,
+                                 resampling="nearest")
+    out = composite.composite(tiles, "median").toPandas()
+    # unaligned scenes straddle x-neighbour cells: more tiles than
+    # scenes' home cells, scenes from several source zones merge
+    assert len(out) > 0 and out.n_scenes.max() >= 4
+    zones = {int(cells.decode_np(c)[0]) for c in out.cell_id}
+    assert zones == {30}
+    # deterministic: a second run is byte-identical
+    out2 = composite.composite(
+        warp.regrid_to_cells(masked, datagen.TILE_RES, 16, 16,
+                             resampling="nearest"), "median").toPandas()
+    a = out.sort_values("cell_id").reset_index(drop=True)
+    b = out2.sort_values("cell_id").reset_index(drop=True)
+    assert all(bytes(x) == bytes(y) for x, y in zip(a.bytes, b.bytes))

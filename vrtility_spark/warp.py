@@ -51,9 +51,11 @@ def reproject_zone(df: DataFrame, target_zone: int,
     payload rewrite). Because zone origins are integer multiples of
     ``cell_size(4)``, a scene footprint that tiles one zone's grid
     tiles the target's too: pixels stay aligned and composites across
-    former zones need no resampling (for sub-tile grids, follow with
-    :func:`warp_to_grid`). Rows already in ``target_zone`` pass
-    through bit-unchanged.
+    former zones need no resampling. Footprints that do NOT tile the
+    target grid (sub-tile shifts, foreign resolutions) go through
+    :func:`regrid_to_cells` afterwards — reproject + regrid is the
+    full cross-CRS vrt_warp with no alignment assumption. Rows already
+    in ``target_zone`` pass through bit-unchanged.
 
     Shifts whichever of ``xmin/ymin/xmax/ymax`` exist, plus optional
     ``point_cols=(x, y)`` and a WKT polygon column (string rewrite via
