@@ -59,9 +59,26 @@ def image_pipeline_bench(spark):
              .composite("geomedian").df)
     _force(comp2)
     t_geomedian = time.perf_counter() - t0
+    # general-warp path: deterministic sub-tile offsets force every
+    # scene through regrid_to_cells (explode + resample + pad) before
+    # compositing — the no-alignment-assumption pipeline
+    from pyspark.sql import functions as F
+    off = (F.pmod(F.xxhash64("image_id"), F.lit(4)).cast("double")
+           / 4.0 * datagen.TILE_SPAN)
+    shifted = images.withColumn("xmin", F.col("xmin") + off) \
+                    .withColumn("xmax", F.col("xmax") + off)
+    t0 = time.perf_counter()
+    comp3 = (Pipeline(shifted)
+             .set_maskfun("int", datagen.S2_MASK_VALUES)
+             .regrid(datagen.TILE_RES, IMG["w"], IMG["h"],
+                     resampling="nearest")
+             .composite("median").df)
+    _force(comp3)
+    t_regrid = time.perf_counter() - t0
     images.unpersist()
     return n, {"image_median_composite": t_median,
-               "image_geomedian_composite": t_geomedian}
+               "image_geomedian_composite": t_geomedian,
+               "image_regrid_pipeline": t_regrid}
 
 
 def main() -> None:

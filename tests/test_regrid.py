@@ -156,3 +156,22 @@ def test_pipeline_regrid_bundles(spark, tmp_path):
     b = p2.df.orderBy("cell_id").toPandas()
     assert (a.cell_id == b.cell_id).all()
     assert all(bytes(x) == bytes(y) for x, y in zip(a.bytes, b.bytes))
+
+
+def test_mask_regrid_fusion_equals_eager(spark):
+    """Pipeline.set_maskfun + regrid fuses the mask into the regrid's
+    decode; it must be byte-identical to the eager two-pass form."""
+    from vrtility_spark import masks
+    from vrtility_spark.pipeline import Pipeline
+    pdf = datagen.offset_images_pandas()
+    df = schema.images_df(spark, pdf)
+    fused = (Pipeline(df).set_maskfun("int", datagen.S2_MASK_VALUES)
+             .regrid(datagen.TILE_RES, 16, 16, resampling="nearest")
+             .df).orderBy("cell_id", "image_id").toPandas()
+    eager = warp.regrid_to_cells(
+        masks.vrt_set_maskfun(df, "int", datagen.S2_MASK_VALUES),
+        datagen.TILE_RES, 16, 16, resampling="nearest") \
+        .orderBy("cell_id", "image_id").toPandas()
+    assert len(fused) == len(eager)
+    assert all(bytes(x) == bytes(y)
+               for x, y in zip(fused.bytes, eager.bytes))

@@ -183,14 +183,15 @@ class Pipeline:
         """General warp: ARBITRARY scene footprints → one aligned,
         sentinel-padded tile per covering cell (the full vrt_warp
         target-grid normalization; use :meth:`warp` when footprints
-        already tile the grid). Resampling reads pixels, so pending
-        masks flush first."""
+        already tile the grid). Pending masks FUSE into the regrid's
+        decode pass (one Arrow stage, no materialized masked copy)."""
         if mask_plane is None:
             mask_plane = not any(spec[3] for spec in self._mask_specs)
         return self._next(
-            _warp.regrid_to_cells(self.df, cell_res, out_w,
+            _warp.regrid_to_cells(self._df, cell_res, out_w,
                                   out_h or out_w, resampling,
-                                  mask_plane, prefix_k),
+                                  mask_plane, prefix_k,
+                                  scene_fn=self._scene_fn()),
             (), "regrid",
             {"cell_res": cell_res, "out_w": out_w, "out_h": out_h,
              "resampling": resampling, "prefix_k": prefix_k,

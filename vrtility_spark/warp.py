@@ -430,7 +430,8 @@ def sample_plane_masked(a: np.ndarray, fy: np.ndarray, fx: np.ndarray,
 def regrid_to_cells(df: DataFrame, res: int, out_w: int, out_h: int,
                     resampling: str | dict = "bilinear",
                     mask_plane: bool = True,
-                    prefix_k: int = 2) -> DataFrame:
+                    prefix_k: int = 2,
+                    scene_fn=None) -> DataFrame:
     """The GENERAL warp: scenes with ARBITRARY footprints → one
     sentinel-padded tile per covering cell, all on the cell's canonical
     ``(out_w, out_h)`` grid — the full ``vrt_warp`` target-grid
@@ -447,7 +448,12 @@ def regrid_to_cells(df: DataFrame, res: int, out_w: int, out_h: int,
     footprint_area/cell_area per scene — bounded by geometry, never the
     table) followed by a narrow Arrow map; no shuffle. Data planes
     sample nodata-aware (bilinear/nearest); class planes (by name, or
-    trailing when ``mask_plane``) sample nearest on raw codes."""
+    trailing when ``mask_plane``) sample nearest on raw codes.
+
+    ``scene_fn(arr, nodata)`` (e.g. a pending mask) fuses into the same
+    decode — one Arrow pass instead of a materialized masked copy
+    feeding a second chained Python stage (the composite fusion
+    policy, R/gdalraster-async.r:99-112)."""
     from vrtility_spark.cells import decode_np
     if isinstance(resampling, dict):
         overrides = dict(resampling)
@@ -470,6 +476,8 @@ def regrid_to_cells(df: DataFrame, res: int, out_w: int, out_h: int,
                          if getattr(row, "bands", None) is not None else None)
                 nd = codec.row_band_meta(row, len(arr), "band_nodata",
                                          row.nodata)
+                if scene_fn is not None:
+                    arr = scene_fn(arr, nd)
                 nd_arr = np.atleast_1d(np.asarray(nd, dtype=np.float64))
                 methods, is_class = resolve_plane_methods(
                     names, len(arr), default, overrides, mask_plane)
