@@ -194,17 +194,21 @@ def spatial_join(images: DataFrame, aoi: DataFrame,
     # assumed disjoint, as geometry parts are).
     aoi_parts = aoi.select("aoi_id", "zone", "geom_wkt",
                            "xmin", "ymin", "xmax", "ymax")
-    # rectangle fast path: the AOI side is small by contract (it
-    # broadcasts), so its distinct geometries are inspectable
-    # driver-side. When every part is an axis-aligned rectangle — the
-    # dominant footprint/AOI case — the exact refine is a clamp
+    # rectangle fast path: when every part is an axis-aligned rectangle
+    # — the dominant footprint/AOI case — the exact refine is a clamp
     # FORMULA, so the whole join becomes pure Catalyst expressions:
     # no Arrow transfer of the matched pairs, no pre-refine dedup
     # shuffle (duplicate cell hits collapse inside the final
     # aggregation via array_distinct over per-part contributions).
-    wkts = [r.geom_wkt for r in aoi_parts.select("geom_wkt")
-            .distinct().collect()]
-    all_rect = all(_as_rect(parse_wkt_polygon(w)) is not None for w in wkts)
+    # Driver-side geometry inspection is CAPPED: a broadcastable AOI
+    # side is small by contract, but a non-broadcast (huge) AOI table
+    # must not be collected to decide a fast path — past the cap we
+    # just take the generic UDF route.
+    _INSPECT_CAP = 1024
+    rows = (aoi_parts.select("geom_wkt").distinct()
+            .take(_INSPECT_CAP + 1)) if broadcast_aoi else []
+    all_rect = (0 < len(rows) <= _INSPECT_CAP) and all(
+        _as_rect(parse_wkt_polygon(r.geom_wkt)) is not None for r in rows)
     if all_rect:  # a rect's polygon area is its bbox area
         aoi_parts = aoi_parts.withColumn(
             "part_area", (F.col("xmax") - F.col("xmin"))
