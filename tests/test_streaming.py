@@ -150,3 +150,32 @@ def test_scene_arrival_windowed_stats(spark, tiny_images, tmp_path):
     merged = got.merge(batch, on=["win_start", "zone"], suffixes=("", "_b"))
     assert len(merged) == len(got)
     assert (merged.n_scenes == merged.n_scenes_b).all()
+
+
+def test_stream_regrid_unaligned_equals_batch(spark, tmp_path):
+    """Streaming over UNALIGNED footprints (general-warp path): scenes
+    with quarter-tile offsets, split across micro-batches, must end in
+    the same per-cell composites as one batch regrid+composite run —
+    including cells whose scenes arrive in different batches."""
+    from vrtility_spark.masks import make_scene_maskfun
+    from vrtility_spark.warp import regrid_to_cells
+
+    land = str(tmp_path / "landing_rg")
+    tbl_dir = str(tmp_path / "rg_tbl")
+    pdf = datagen.offset_images_pandas()
+    sub = schema.images_df(spark, pdf)
+    sub.repartition(6, "image_id").write.parquet(land)
+
+    q = streaming.composite_stream(spark, land, tbl_dir, reducer="median",
+                                   max_files_per_batch=2, regrid=(16, 16))
+    q.awaitTermination(300)
+
+    got = SnapshotTable(tbl_dir).read(spark) \
+        .select("cell_id", "n_scenes", "caption_agg").toPandas()
+    tiles = regrid_to_cells(
+        sub, datagen.TILE_RES, 16, 16, resampling="nearest",
+        scene_fn=make_scene_maskfun("int", datagen.S2_MASK_VALUES))
+    batch = composite(tiles, "median") \
+        .select("cell_id", "n_scenes", "caption_agg").toPandas()
+    assert len(got) == len(batch)
+    assert sorted(map(tuple, got.values)) == sorted(map(tuple, batch.values))

@@ -151,7 +151,8 @@ def stateful_running_mean(spark: SparkSession, input_dir: str,
 def composite_stream(spark: SparkSession, input_dir: str, table_dir: str,
                      reducer: str = "median", cell_res: int = datagen.TILE_RES,
                      mask_values=None, checkpoint_dir: str | None = None,
-                     max_files_per_batch: int = 32):
+                     max_files_per_batch: int = 32,
+                     regrid: tuple[int, int] | None = None):
     """Stream scenes → masked per-cell composites, correct under ANY
     micro-batch split.
 
@@ -173,7 +174,7 @@ def composite_stream(spark: SparkSession, input_dir: str, table_dir: str,
     ``trigger(availableNow=True)`` gives drain-and-stop semantics.
     """
     process_batch = make_batch_processor(spark, table_dir, reducer,
-                                         cell_res, mask_values)
+                                         cell_res, mask_values, regrid)
     stream = read_scene_stream(spark, input_dir, max_files_per_batch)
     writer = (stream.writeStream.foreachBatch(process_batch)
               .option("checkpointLocation",
@@ -185,11 +186,23 @@ def composite_stream(spark: SparkSession, input_dir: str, table_dir: str,
 def make_batch_processor(spark: SparkSession, table_dir: str,
                          reducer: str = "median",
                          cell_res: int = datagen.TILE_RES,
-                         mask_values=None):
+                         mask_values=None,
+                         regrid: tuple[int, int] | None = None):
     """The foreachBatch body of :func:`composite_stream`, exposed so
     the at-least-once replay path (crash between the scenes commit and
-    the composite commit) is directly testable."""
+    the composite commit) is directly testable.
+
+    ``regrid=(out_w, out_h)`` switches the per-batch recompute to the
+    GENERAL warp (:func:`vrtility_spark.warp.regrid_to_cells`): scenes
+    whose footprints straddle cells affect EVERY covered cell, history
+    is re-read for exactly those cells, and tiles are regridded (masks
+    fused) before compositing — streaming over unaligned footprints."""
     import os as _os
+
+    from pyspark.sql import functions as SF
+
+    from vrtility_spark.masks import make_scene_maskfun
+    from vrtility_spark.warp import cells_cover, regrid_to_cells
     tbl = SnapshotTable(table_dir)
     scenes_tbl = SnapshotTable(_os.path.join(table_dir, "scenes"))
     vals = mask_values or datagen.S2_MASK_VALUES
@@ -209,9 +222,31 @@ def make_batch_processor(spark: SparkSession, table_dir: str,
         celled_new = assign_cells(batch_df, cell_res)
         if str(batch_id) not in scenes_tbl.tags():
             scenes_tbl.commit(celled_new, "cell_id", tag=str(batch_id))
-        affected = celled_new.select("cell_id").distinct()
-        history = scenes_tbl.read(spark).join(affected, "cell_id", "left_semi")
-        masked = vrt_set_maskfun(history, "int", vals)
-        tbl.commit(composite(masked, reducer), "cell_id", upsert=True)
+        if regrid is None:
+            affected = celled_new.select("cell_id").distinct()
+            history = scenes_tbl.read(spark) \
+                .join(affected, "cell_id", "left_semi")
+            masked = vrt_set_maskfun(history, "int", vals)
+            tbl.commit(composite(masked, reducer), "cell_id", upsert=True)
+            return
+        # general-warp path: a straddling scene touches every covered
+        # cell, so 'affected' is the batch's COVER set; the history
+        # read pulls any scene overlapping those cells, regrids it
+        # (mask fused into the same decode), and composites only the
+        # affected cells
+        affected = (cells_cover(batch_df, cell_res, out_col="cell_id")
+                    .select("cell_id").distinct())
+        history = scenes_tbl.read(spark).drop("cell_id", "cell_prefix")
+        keep_ids = (cells_cover(history.select(
+            "image_id", "zone", "xmin", "ymin", "xmax", "ymax"),
+            cell_res, out_col="cell_id")
+            .join(affected, "cell_id", "left_semi")
+            .select("image_id").distinct())
+        relevant = history.join(keep_ids, "image_id", "left_semi")
+        tiles = regrid_to_cells(relevant, cell_res, *regrid,
+                                resampling="nearest",
+                                scene_fn=make_scene_maskfun("int", vals))
+        tiles = tiles.join(affected, "cell_id", "left_semi")
+        tbl.commit(composite(tiles, reducer), "cell_id", upsert=True)
 
     return process_batch
