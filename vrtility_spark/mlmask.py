@@ -82,6 +82,18 @@ def create_mlmask(df: DataFrame, bands: Sequence[str] = ("B04", "B03", "B08"),
             pdf["bytes"] = blobs
             pdf["bands"] = bands_out
             pdf["fmt"] = fmts
+            # keep per-band metadata aligned with the appended plane:
+            # a 0/1 mask is unscaled with the row's sentinel convention
+            exts = {"band_scale": 1.0, "band_offset": 0.0}
+            for c, new_val in exts.items():
+                if c in pdf.columns:
+                    pdf[c] = pdf[c].map(
+                        lambda v, nv=new_val: None if v is None
+                        else list(v) + [nv])
+            if "band_nodata" in pdf.columns:
+                pdf["band_nodata"] = [
+                    None if v is None else list(v) + [float(nd)]
+                    for v, nd in zip(pdf["band_nodata"], pdf["nodata"])]
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
