@@ -547,6 +547,19 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Near-dup PAIRS → duplicate CLUSTERS: connected components over
+    the capped n-gram-Jaccard candidate graph (hash-min label
+    propagation, O(diameter) all-distributed rounds) + the canonical
+    min-id representative per cluster — the step that turns pair lists
+    into a deduplicated corpus. Oracle: DuckDB recursive-CTE transitive
+    closure over the identical pair set."""
+    _ensure_shipped(spark)
+    from vrtility_spark.dedup import dedup_clusters
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+    return dedup_clusters(pairs)
+
+
 def q_minhash_docs(spark, sf_dir):
     """MinHash signatures from arithmetic permutations of an md5-derived
     shingle hash (identical integer math in Spark and DuckDB)."""
@@ -908,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "dedup_exact_docs": q_dedup_exact_docs,
         "ngram_jaccard": q_ngram_jaccard,
+        "near_dup_clusters": q_near_dup_clusters,
         "minhash_docs": q_minhash_docs,
         "minhash_lsh": q_minhash_lsh,
         "token_stats": q_token_stats,
@@ -1218,6 +1232,43 @@ def oracle_sql() -> dict[str, str]:
             join sizes sa on sa.doc_id = doc_a
             join sizes sb on sb.doc_id = doc_b
             where round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) >= 0.05
+        """,
+        "near_dup_clusters": shingle_cte.replace(
+            "with words", "with recursive words") + f"""
+            , hot as (
+              select sh from sh group by sh having count(*) > {NGRAM_DF_CAP}
+            ), shf as (
+              select * from sh where sh not in (select sh from hot)
+            ), sizes as (
+              select doc_id, count(*) as n_sh from shf group by doc_id
+            ), common as (
+              select a.doc_id as doc_a, b.doc_id as doc_b,
+                     count(*) as n_common
+              from shf a join shf b on a.sh = b.sh and a.doc_id < b.doc_id
+              group by a.doc_id, b.doc_id
+            ), pr as (
+              select doc_a, doc_b from common c
+              join sizes sa on sa.doc_id = c.doc_a
+              join sizes sb on sb.doc_id = c.doc_b
+              where round(c.n_common * 1.0
+                          / (sa.n_sh + sb.n_sh - c.n_common), 6) >= 0.05
+            ), edges as (
+              select doc_a as a, doc_b as b from pr
+              union
+              select doc_b, doc_a from pr
+            ), reach(a, b) as (
+              select a, b from edges
+              union
+              select r.a, e.b from reach r join edges e on r.b = e.a
+            ), comp as (
+              select a as doc_id, least(a, min(b)) as cluster_rep
+              from reach group by a
+            ), sz as (
+              select cluster_rep, count(*) as cluster_size
+              from comp group by cluster_rep
+            )
+            select comp.doc_id, comp.cluster_rep, sz.cluster_size
+            from comp join sz using (cluster_rep)
         """,
         "minhash_docs": shingle_cte + f"""
             , hashed as (

@@ -84,3 +84,26 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert len(df.schema.fields) > 0
+
+
+def test_connected_components_chain_and_cliques(spark):
+    """Hash-min components: a 5-node chain (worst diameter) collapses
+    to one cluster with min-id representative; disjoint pairs stay
+    separate; drop_near_duplicates keeps exactly the representatives."""
+    from vrtility_spark.dedup import (
+        connected_components, dedup_clusters, drop_near_duplicates,
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 20)],
+        "doc_a long, doc_b long")
+    comp = {r.id: r.comp for r in
+            connected_components(edges, "doc_a", "doc_b").collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                    10: 10, 11: 10, 20: 20, 21: 20}
+    cl = dedup_clusters(edges).toPandas()
+    assert dict(zip(cl.doc_id, cl.cluster_size)) == {
+        1: 5, 2: 5, 3: 5, 4: 5, 5: 5, 10: 2, 11: 2, 20: 2, 21: 2}
+    corpus = spark.range(0, 25).withColumnRenamed("id", "doc_id")
+    kept = {r.doc_id for r in
+            drop_near_duplicates(corpus, edges).collect()}
+    assert kept == set(range(25)) - {2, 3, 4, 5, 11, 21}
