@@ -175,3 +175,31 @@ def test_mask_regrid_fusion_equals_eager(spark):
     assert len(fused) == len(eager)
     assert all(bytes(x) == bytes(y)
                for x, y in zip(fused.bytes, eager.bytes))
+
+
+def test_regrid_per_band_sentinels_mixed_profile(spark):
+    """regrid honors per-band sentinels: an offset HLS-style scene
+    (int16, REFL sentinel -9999, DN sentinel 0) keeps each plane's own
+    nodata in the padding and never bleeds sentinels into values."""
+    from test_perband import _mixed_pdf
+
+    pdf = _mixed_pdf(n_scenes=1)
+    pdf = pdf.assign(xmin=pdf.xmin + S / 2, xmax=pdf.xmax + S / 2)
+    df = schema.images_df(spark, pdf)
+    out = warp.regrid_to_cells(df, datagen.TILE_RES, 8, 8,
+                               resampling="nearest").toPandas()
+    assert len(out) == 2
+    raw = codec.decode(pdf.iloc[0].bytes, 8, 8, "raw16s")
+    for _, t in out.iterrows():
+        got = codec.decode(t.bytes, 8, 8, "raw16s")
+        _, _, ix, _ = cells.decode_np(t.cell_id)
+        # scene spans [S/2, 3S/2): cell ix=0 is live on the RIGHT half
+        # (pad left), cell ix=1 live on the LEFT half (pad right)
+        pad = slice(0, 4) if ix == 0 else slice(4, 8)
+        live = slice(4, 8) if ix == 0 else slice(0, 4)
+        src = slice(0, 4) if ix == 0 else slice(4, 8)
+        assert (got[0][:, pad] == -9999).all()   # REFL's own sentinel
+        assert (got[1][:, pad] == 0).all()       # DN's own sentinel
+        assert (got[2][:, pad] == 0).all()       # SCL sentinel
+        # live halves carry the source pixels (nearest at same res)
+        np.testing.assert_array_equal(got[:, :, live], raw[:, :, src])
