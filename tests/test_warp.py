@@ -231,3 +231,44 @@ def test_per_band_resampling_and_name_keyed_class_rule(spark):
     # name-keyed rule protects it: nearest, raw codes preserved
     np.testing.assert_array_equal(got[1], scl[::2, ::2])
     assert set(np.unique(got[1])) <= {4, 5, 9}
+
+
+def test_sample_plane_masked_properties():
+    """Property guards for the regrid sampling kernel: bilinear output
+    is a convex combination of VALID inputs (bounded by their min/max,
+    constants stay constant), outside-extent points return NaN, and
+    nearest matches a manual gather."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(0, 2**31 - 1), st.floats(-3, 3), st.floats(-3, 3))
+    def check(seed, offy, offx):
+        rng = np.random.default_rng(seed)
+        a = rng.uniform(10, 100, (5, 7))
+        a[rng.random((5, 7)) < 0.2] = np.nan
+        fy = np.arange(6) * 0.9 + offy
+        fx = np.arange(8) * 0.8 + offx
+        bil = warp.sample_plane_masked(a, fy, fx, "bilinear")
+        fin = bil[np.isfinite(bil)]
+        if len(fin):
+            assert fin.min() >= np.nanmin(a) - 1e-9
+            assert fin.max() <= np.nanmax(a) + 1e-9
+        out_y = (fy < -1) | (fy > 5)
+        assert np.isnan(bil[out_y]).all()
+        const = np.full((5, 7), 42.0)
+        cb = warp.sample_plane_masked(const, fy, fx, "bilinear")
+        assert np.all(np.isnan(cb) | (np.abs(cb - 42.0) < 1e-9))
+        near = warp.sample_plane_masked(a, fy, fx, "nearest")
+        yi = np.round(fy).astype(int)
+        xi = np.round(fx).astype(int)
+        for i, y in enumerate(yi):
+            for j, x in enumerate(xi):
+                if 0 <= y < 5 and 0 <= x < 7:
+                    v = a[y, x]
+                    assert (np.isnan(near[i, j]) and np.isnan(v)) \
+                        or near[i, j] == v
+                else:
+                    assert np.isnan(near[i, j])
+
+    check()
