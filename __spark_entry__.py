@@ -740,7 +740,7 @@ def q_ann_ivf(spark, sf_dir):
     q = e.where(F.col("vec_id") < 10)
     return ann.ivf_search(indexed, q, cents, "embedding", "vec_id",
                           "vec_id", k=5, nprobe=8, rank_round=6) \
-        .select("q_id", "id", F.col("sim").alias("sim_r"), "rank")
+        .select("q_id", "id", F.round("sim", 6).alias("sim_r"), "rank")
 
 
 def _pix_sum_udf():

@@ -75,3 +75,38 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     a, b = a.sort_values(key).reset_index(drop=True), \
         b.sort_values(key).reset_index(drop=True)
     assert a[["q_id", "id", "rank"]].equals(b[["q_id", "id", "rank"]])
+
+
+def test_train_ivf_update_is_map_side(spark):
+    """The k-means update must shuffle NOTHING: assignment + partial
+    centroid sums fuse into one Arrow map stage, emitting at most
+    (partitions x k) rows to the driver — not O(n x d) exploded rows.
+    At 1e9 vectors x 768 dims the explode+groupBy shape shuffles
+    ~7.7e11 rows per iteration; this plan is pinned to prevent it."""
+    from vrtility_spark.storage import explain_str
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ann.train_ivf(e, "embedding", "vec_id", n_clusters=4, iters=1)
+    partials = e.select("embedding").mapInPandas(
+        ann._partial_sums_udf(cents, "embedding"),
+        "pid long, cluster long, vecsum array<double>, n long")
+    plan = explain_str(partials)
+    assert ") Exchange" not in plan, "update stage must not shuffle"
+    nparts = e.rdd.getNumPartitions()
+    assert partials.count() <= nparts * len(cents)
+    # merged partials reproduce the dense per-cluster means
+    pdf = partials.toPandas()
+    full = e.toPandas()
+    X = np.asarray(full.embedding.tolist(), dtype=np.float64)
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True),
+                            1e-12)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    lab = np.argmax(Xn @ cn.T, axis=1)
+    for k in range(len(cents)):
+        if not (lab == k).any():
+            continue
+        got_sum = np.sum([np.asarray(v) for v in
+                          pdf[pdf.cluster == k].vecsum], axis=0)
+        np.testing.assert_allclose(got_sum, X[lab == k].sum(axis=0),
+                                   rtol=1e-9)
+        assert int(pdf[pdf.cluster == k].n.sum()) == int((lab == k).sum())

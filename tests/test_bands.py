@@ -145,3 +145,26 @@ def test_asof_and_range_join(spark):
                         bucket_width_sec=width)
         pairs = sorted((r.id, r.wid) for r in rj.select("id", "wid").collect())
         assert pairs == [(1, "w2"), (2, "w1")], width
+
+
+def test_formula_ast_rejects_escapes():
+    """Bundles are portable JSON: a formula string must be DATA, not
+    code. The AST whitelist rejects every eval-escape shape while
+    accepting real band math."""
+    import pytest
+    for bad in (
+        "().__class__.__mro__[1].__subclasses__()",  # classic escape
+        "B04.__class__",                             # attribute access
+        "getattr(B04, 'x')",                         # non-whitelisted call
+        "B04[0]",                                    # subscript
+        "(lambda: 1)()",                             # lambda
+        "[b for b in (B04,)]",                       # comprehension
+        "'text'",                                    # non-numeric constant
+        "__import__",                                # dunder name
+    ):
+        with pytest.raises(ValueError):
+            bands.compile_formula(bad)
+    # the legitimate surface still compiles and evaluates
+    f = bands.compile_formula("where(B08 > B04, sqrt(abs(B08 - B04)), 0.0)")
+    env = {"B04": np.array([1.0, 9.0]), "B08": np.array([5.0, 5.0])}
+    np.testing.assert_allclose(f(env), [2.0, 0.0])

@@ -155,3 +155,28 @@ def test_set_scale_and_nodata_sequences(spark):
     # scalar form still sets the row-level columns
     s = bands.set_scale(df, 5.0, 1.0).toPandas().iloc[0]
     assert s.scale == 5.0 and s.offset == 1.0
+
+
+def test_scalar_set_meta_is_authoritative(spark):
+    """Scalar set_scale/set_nodata must beat stale per-band arrays:
+    every decode path prefers band_* arrays, so the scalar forms clear
+    them — otherwise set_nodata(df, -1.0) on a standard frame is
+    silently ignored."""
+    pdf = _mixed_pdf()
+    df = schema.images_df(spark, pdf)
+    s = bands.set_scale(df, 2.0, 0.5).toPandas().iloc[0]
+    assert s.scale == 2.0 and s.offset == 0.5
+    assert s.band_scale is None and s.band_offset is None
+    n = bands.set_nodata(df, -1.0).toPandas().iloc[0]
+    assert n.nodata == -1.0 and n.band_nodata is None
+
+    # behavioral: with the scalar sentinel -1.0 declared, REFL's -9999
+    # pixels are real data again and survive into the composite
+    base = composite.composite(
+        warp.assign_cells(df, datagen.TILE_RES), "median",
+        compute_dtype="float64").toPandas().iloc[0]
+    redecl = composite.composite(
+        warp.assign_cells(bands.set_nodata(df, -1.0), datagen.TILE_RES),
+        "median", compute_dtype="float64").toPandas().iloc[0]
+    assert bytes(redecl.bytes) != bytes(base.bytes)
+    assert redecl.nodata == -1.0 and redecl.band_nodata is None

@@ -203,3 +203,23 @@ def test_regrid_per_band_sentinels_mixed_profile(spark):
         assert (got[2][:, pad] == 0).all()       # SCL sentinel
         # live halves carry the source pixels (nearest at same res)
         np.testing.assert_array_equal(got[:, :, live], raw[:, :, src])
+
+
+def test_out_of_zone_footprint_emits_no_clamped_tiles(spark):
+    """cells_cover clamps indices to the zone range; a footprint pushed
+    outside [0, ZONE_SPAN) (reproject_zone allows it) must NOT produce
+    clamped edge cells — they would be all-sentinel tiles inflating
+    n_scenes and caption_agg downstream."""
+    span = cells.ZONE_SPAN
+    fully_out, _ = _scene("out", span + 10.0, span + 10.0)
+    straddle, _ = _scene("edge", span - S / 2, 0.0)  # half in, half out
+    df = schema.images_df(spark, pd.DataFrame([fully_out, straddle]))
+    tiles = warp.regrid_to_cells(df, datagen.TILE_RES, 8, 8,
+                                 resampling="nearest").toPandas()
+    # the fully-out scene contributes nothing
+    assert not (tiles.image_id == "out").any()
+    # the straddler yields exactly its one in-zone cell, no edge spray
+    edge_tiles = tiles[tiles.image_id == "edge"]
+    assert len(edge_tiles) == 1
+    _, _, ix, _ = cells.decode_np(edge_tiles.cell_id.to_numpy())
+    assert list(ix) == [(1 << datagen.TILE_RES) - 1]

@@ -122,3 +122,29 @@ def test_reproject_then_regrid_handles_unaligned_footprints(spark):
     a = out.sort_values("cell_id").reset_index(drop=True)
     b = out2.sort_values("cell_id").reset_index(drop=True)
     assert all(bytes(x) == bytes(y) for x, y in zip(a.bytes, b.bytes))
+
+
+def test_wkt_shift_handles_holes_and_multipolygon(spark):
+    """reproject_zone(wkt_col=...) must translate EVERY ring — interior
+    rings (holes) and MULTIPOLYGON parts — not just the outer ring."""
+    poly_hole = ("POLYGON ((0 0, 100 0, 100 100, 0 100, 0 0), "
+                 "(40 40, 60 40, 60 60, 40 60, 40 40))")
+    multi = ("MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0)), "
+             "((20 20, 30 20, 30 30, 20 30, 20 20)))")
+    df = spark.createDataFrame(
+        [("h", 31, poly_hole), ("m", 31, multi)],
+        "gid string, zone long, geom_wkt string")
+    out = {r.gid: r.geom_wkt
+           for r in reproject_zone(df, 30, wkt_col="geom_wkt").collect()}
+    dx, dy = cells.zone_shift_np(31, 30)
+    import re
+    num = r"-?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
+    for gid, src in (("h", poly_hole), ("m", multi)):
+        src_pts = re.findall(rf"({num})\s+({num})", src)
+        got_pts = re.findall(rf"({num})\s+({num})", out[gid])
+        assert len(got_pts) == len(src_pts)
+        for (sx, sy), (gx, gy) in zip(src_pts, got_pts):
+            assert float(gx) == float(sx) + dx
+            assert float(gy) == float(sy) + dy
+        # ring structure preserved
+        assert out[gid].count("(") == src.count("(")

@@ -5,10 +5,12 @@ Brute-force cosine top-k is the baseline (oracle-checked as the
 IVF (inverted-file) index — k-means coarse quantizer, cluster-pruned
 search — the standard recipe for 10^9+ vector corpora:
 
-- ``train_ivf``: distributed k-means (assignment in an Arrow-batched
-  pandas UDF against broadcast centroids; update via explode+groupBy —
-  centroids are tiny, vectors never leave executors). Deterministic:
-  init = first-k by id, fixed iterations.
+- ``train_ivf``: distributed k-means (assignment fused with MAP-SIDE
+  partial centroid sums in one Arrow stage against broadcast
+  centroids; the driver merges O(partitions x k) partial rows —
+  vectors never leave executors and nothing shuffles). Deterministic:
+  init = first-k by id, fixed iterations, (cluster, partition)-ordered
+  merge.
 - ``ivf_assign``: adds the ``cluster`` column (the "cell index" of
   vector space — same role cells.py plays for footprints).
 - ``ivf_search``: queries probe their ``nprobe`` nearest centroids,
@@ -40,27 +42,73 @@ def _assign_udf(centroids: np.ndarray):
     return assign
 
 
+def _partial_sums_udf(centroids: np.ndarray, vec_col: str):
+    """Fused assign + map-side combine for one k-means update: each
+    input partition emits AT MOST ``n_clusters`` rows
+    ``(pid, cluster, vecsum, n)`` — assignment against the broadcast
+    centroids and the per-cluster running sums happen inside ONE Arrow
+    stage, so nothing is shuffled at all (the follow-up ``collect()``
+    moves O(partitions x k) tiny rows to the driver, not n x d)."""
+    c = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True),
+                               1e-12)
+    d = centroids.shape[1]
+
+    def run(batches):
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        sums = np.zeros((len(c), d), dtype=np.float64)
+        counts = np.zeros(len(c), dtype=np.int64)
+        for pdf in batches:
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            if len(X) == 0:
+                continue
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                                1e-12)
+            lab = np.argmax(Xn @ c.T, axis=1)
+            # one bincount-style accumulate per batch; RAW vectors are
+            # summed (centroid = mean of members, matching the
+            # explode+groupBy formulation this replaces)
+            np.add.at(sums, lab, X)
+            np.add.at(counts, lab, 1)
+        hit = np.nonzero(counts)[0]
+        yield pd.DataFrame({
+            "pid": np.full(len(hit), pid, dtype=np.int64),
+            "cluster": hit.astype(np.int64),
+            "vecsum": [sums[k].tolist() for k in hit],
+            "n": counts[hit],
+        })
+
+    return run
+
+
 def train_ivf(df: DataFrame, vec_col: str, id_col: str, n_clusters: int,
               iters: int = 3) -> np.ndarray:
-    """Deterministic distributed k-means (cosine/spherical)."""
+    """Deterministic distributed k-means (cosine/spherical).
+
+    The update step is MAP-SIDE: per-partition partial centroid sums
+    inside an Arrow ``mapInPandas`` (one ``(cluster, vecsum, n)`` row
+    per partition per non-empty cluster), merged on the driver in
+    (cluster, partition-id) order for run-to-run determinism. At 1e9
+    vectors x 768 dims this moves O(partitions x k x d) doubles per
+    iteration — the explode+groupBy formulation it replaces shuffled
+    O(n x d) rows per iteration."""
     init = (df.orderBy(id_col).limit(n_clusters)
             .select(vec_col).toPandas()[vec_col].tolist())
     centroids = np.asarray(init, dtype=np.float64)
+    d = centroids.shape[1]
     for _ in range(iters):
-        assigned = df.select(
-            _assign_udf(centroids)(F.col(vec_col)).alias("cluster"),
-            F.col(vec_col).alias("v"))
-        sums = (assigned.select("cluster", F.posexplode("v").alias("dim", "val"))
-                .groupBy("cluster", "dim")
-                .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
-                .collect())
+        partials = df.select(vec_col).mapInPandas(
+            _partial_sums_udf(centroids, vec_col),
+            "pid long, cluster long, vecsum array<double>, n long")
+        rows = sorted(partials.collect(),
+                      key=lambda r: (r.cluster, r.pid))
         new = centroids.copy()
         agg: dict[int, np.ndarray] = {}
         cnt: dict[int, int] = {}
-        d = centroids.shape[1]
-        for row in sums:
-            agg.setdefault(row.cluster, np.zeros(d))[row.dim] = row.s
-            cnt[row.cluster] = row.n
+        for row in rows:
+            agg.setdefault(row.cluster, np.zeros(d))
+            agg[row.cluster] += np.asarray(row.vecsum, dtype=np.float64)
+            cnt[row.cluster] = cnt.get(row.cluster, 0) + row.n
         for k, v in agg.items():
             new[k] = v / max(cnt[k], 1)
         centroids = new
@@ -99,10 +147,12 @@ def ivf_search(indexed: DataFrame, queries: DataFrame, centroids: np.ndarray,
                nprobe: int = 4, rank_round: int | None = None) -> DataFrame:
     """Top-k cosine neighbours per query via cluster-pruned search.
 
-    Returns ``(q_id, id, sim, rank)``. ``rank_round`` ranks on the
-    similarity ROUNDED to that many decimals (+ id tiebreak) so
+    Returns ``(q_id, id, sim, rank)``. ``rank_round`` RANKS on the
+    similarity rounded to that many decimals (+ id tiebreak) so
     row_number is engine-independent — required when the result is
-    compared against an external SQL oracle.
+    compared against an external SQL oracle. The returned ``sim``
+    column always carries the full-precision similarity; only the
+    ordering key is rounded.
     """
     from pyspark.sql import Window
 
@@ -135,12 +185,11 @@ def ivf_search(indexed: DataFrame, queries: DataFrame, centroids: np.ndarray,
         F.zip_with("q_emb", "c_emb", lambda a, b: a * b),
         F.lit(0.0), lambda acc, v: acc + v)
     sim = dot / (F.col("q_norm") * F.col("c_norm"))
-    if rank_round is not None:
-        sim = F.round(sim, rank_round)
+    order_key = sim if rank_round is None else F.round(sim, rank_round)
     pairs = (q.join(cand, "cluster")
              .where(F.col("q_id") != F.col("id"))
-             .select("q_id", "id", sim.alias("sim"))
+             .select("q_id", "id", sim.alias("sim"), order_key.alias("_ord"))
              .dropDuplicates(["q_id", "id"]))
-    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "id")
+    w = Window.partitionBy("q_id").orderBy(F.desc("_ord"), "id")
     return (pairs.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k))
+            .where(F.col("rank") <= k).drop("_ord"))

@@ -129,13 +129,55 @@ _FORMULA_FUNCS = {
 }
 
 
+def _validate_formula_ast(expr: str) -> None:
+    """Whitelist-validate a band formula BEFORE compiling it.
+
+    Bundles (:meth:`Pipeline.to_bundle`) are portable JSON and may come
+    from untrusted files; bare ``eval`` with stripped builtins is still
+    escapable through attribute chains
+    (``().__class__.__mro__[1].__subclasses__()``). Only arithmetic is
+    a formula: names, numeric constants, arithmetic/comparison/boolean
+    operators, conditional expressions, and calls to the
+    ``_FORMULA_FUNCS`` whitelist. Attribute access, subscripts,
+    lambdas, comprehensions, starred args and dunder names are all
+    rejected by construction."""
+    import ast
+    tree = ast.parse(expr, "<band-formula>", mode="eval")
+    allowed = (ast.Expression, ast.BinOp, ast.UnaryOp, ast.Compare,
+               ast.BoolOp, ast.IfExp, ast.Call, ast.Name, ast.Constant,
+               ast.keyword, ast.Load,
+               ast.operator, ast.unaryop, ast.cmpop, ast.boolop)
+    for node in ast.walk(tree):
+        if not isinstance(node, allowed):
+            raise ValueError(
+                f"band formula {expr!r}: {type(node).__name__} nodes are "
+                "not allowed (formulas are arithmetic over band names "
+                f"and {sorted(_FORMULA_FUNCS)})")
+        if isinstance(node, ast.Call):
+            f = node.func
+            if not (isinstance(f, ast.Name) and f.id in _FORMULA_FUNCS):
+                raise ValueError(
+                    f"band formula {expr!r}: only calls to "
+                    f"{sorted(_FORMULA_FUNCS)} are allowed")
+        if isinstance(node, ast.Name) and node.id.startswith("__"):
+            raise ValueError(
+                f"band formula {expr!r}: dunder name {node.id!r} rejected")
+        if isinstance(node, ast.Constant) and not isinstance(
+                node.value, (int, float, bool)):
+            raise ValueError(
+                f"band formula {expr!r}: only numeric constants allowed")
+
+
 def compile_formula(expr: str) -> Callable[[dict], np.ndarray]:
     """Compile a band-math expression string — ``"(B08 - B04) /
     (B08 + B04)"`` — into a formula callable. The serializable twin of
     the reference's muparser/pixfun expressions
     (R/vrt-derived-block.R:47-154): band names resolve to float planes,
     a small NumPy function whitelist is available, builtins are not.
-    String formulas are what :meth:`Pipeline.to_bundle` persists."""
+    String formulas are what :meth:`Pipeline.to_bundle` persists; the
+    AST whitelist (:func:`_validate_formula_ast`) makes loading a
+    foreign bundle data-safe, not code-equivalent."""
+    _validate_formula_ast(expr)
     code = compile(expr, "<band-formula>", "eval")
 
     def f(b: dict) -> np.ndarray:
@@ -236,8 +278,15 @@ def set_scale(df: DataFrame, scale, offset=0.0) -> DataFrame:
     Scalars set the row-level columns; sequences set the per-band
     arrays (aligned with ``bands``, R/vrt-collect.R:139-148)."""
     if np.isscalar(scale) and np.isscalar(offset):
-        return df.withColumn("scale", F.lit(float(scale))) \
-                 .withColumn("offset", F.lit(float(offset)))
+        out = df.withColumn("scale", F.lit(float(scale))) \
+                .withColumn("offset", F.lit(float(offset)))
+        # the scalar declaration is AUTHORITATIVE: clear any stale
+        # per-band arrays, which every decode path would otherwise
+        # prefer (codec.row_band_meta) — silently ignoring the scalar
+        for c in ("band_scale", "band_offset"):
+            if c in out.columns:
+                out = out.withColumn(c, F.lit(None).cast("array<double>"))
+        return out
     nb = len(scale) if not np.isscalar(scale) else len(offset)
     sc = [scale] * nb if np.isscalar(scale) else list(scale)
     of = [offset] * nb if np.isscalar(offset) else list(offset)
@@ -251,7 +300,11 @@ def set_nodata(df: DataFrame, nodata) -> DataFrame:
     sequence declares per-band sentinels
     (R/gdalraster-tools.R:118-135)."""
     if np.isscalar(nodata):
-        return df.withColumn("nodata", F.lit(float(nodata)))
+        out = df.withColumn("nodata", F.lit(float(nodata)))
+        if "band_nodata" in out.columns:  # scalar wins over stale arrays
+            out = out.withColumn("band_nodata",
+                                 F.lit(None).cast("array<double>"))
+        return out
     return df.withColumn("band_nodata", _lit_arr(nodata))
 
 

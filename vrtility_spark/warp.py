@@ -82,15 +82,18 @@ def reproject_zone(df: DataFrame, target_zone: int,
 
 @F.pandas_udf(T.StringType())
 def _shift_wkt_udf(wkt: pd.Series, dx: pd.Series, dy: pd.Series) -> pd.Series:
-    """Translate every coordinate of a WKT POLYGON outer ring."""
+    """Translate every coordinate pair of a WKT geometry. Works on any
+    ring structure — POLYGON outer ring, interior rings (holes), and
+    MULTIPOLYGON — because it rewrites each ``x y`` pair in place
+    rather than slicing between the first ``((`` and ``))``."""
+    import re
+    num = r"-?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
+    pair = re.compile(rf"({num})\s+({num})")
     out = []
     for w, sx, sy in zip(wkt, dx, dy):
-        head = w[: w.index("((") + 2]
-        body = w[w.index("((") + 2: w.index("))")]
-        pts = [p.strip().split() for p in body.split(",")]
-        moved = ", ".join(f"{float(x) + sx!r} {float(y) + sy!r}"
-                          for x, y in pts)
-        out.append(head + moved + "))")
+        out.append(pair.sub(
+            lambda m: f"{float(m.group(1)) + sx!r} {float(m.group(2)) + sy!r}",
+            w))
     return pd.Series(out)
 
 
@@ -462,6 +465,18 @@ def regrid_to_cells(df: DataFrame, res: int, out_w: int, out_h: int,
         overrides, default = None, resampling
     size = cell_size(res)
     celled = cells_cover(df, res, out_col="cell_id")
+    # cells_cover CLAMPS indices to the zone range: a footprint pushed
+    # outside [0, ZONE_SPAN) (allowed by reproject_zone) would emit
+    # clamped edge cells whose true extent does not touch the
+    # footprint — all-sentinel tiles inflating n_scenes/caption_agg
+    # downstream. Keep only cover cells that genuinely intersect.
+    _ix = F.col("cell_id") % 8192
+    _iy = F.floor(F.col("cell_id") / 8192) % 8192
+    _cx0 = _ix.cast("double") * F.lit(size)
+    _cy0 = _iy.cast("double") * F.lit(size)
+    celled = celled.where(
+        (_cx0 < F.col("xmax")) & (_cx0 + F.lit(size) > F.col("xmin"))
+        & (_cy0 < F.col("ymax")) & (_cy0 + F.lit(size) > F.col("ymin")))
     celled = celled.withColumn("cell_prefix",
                                parent_col(F.col("cell_id"), prefix_k))
     out_schema = celled.schema
