@@ -223,3 +223,19 @@ def test_out_of_zone_footprint_emits_no_clamped_tiles(spark):
     assert len(edge_tiles) == 1
     _, _, ix, _ = cells.decode_np(edge_tiles.cell_id.to_numpy())
     assert list(ix) == [(1 << datagen.TILE_RES) - 1]
+
+
+def test_straddling_scene_caption_lands_in_every_covered_cell(spark):
+    """Caption provenance contract (pinned): a scene straddling N cells
+    contributes its caption to each of the N cells' composites exactly
+    once — per-cell provenance, not a global one-of."""
+    row, _ = _scene("straddler", S / 2, 0.0)     # straddles 2 cells in x
+    base, _ = _scene("anchor", 0.0, 0.0, seed=2)  # aligned neighbour
+    df = schema.images_df(spark, pd.DataFrame([row, base]))
+    tiles = warp.regrid_to_cells(df, datagen.TILE_RES, 8, 8,
+                                 resampling="nearest")
+    comp = composite.composite(tiles, "median").toPandas()
+    covered = comp[comp.caption_agg.str.contains("s straddler")]
+    assert len(covered) == 2  # both covered cells list the straddler
+    for agg in covered.caption_agg:
+        assert agg.count("s straddler") == 1  # once per cell, not more

@@ -63,3 +63,25 @@ def test_spark_m2m_hampel(spark, tiny_images):
     changed = any(bytes(out[out.image_id == iid].bytes.iloc[0]) != bytes(src[iid].bytes)
                   for iid in list(src)[:20])
     assert changed
+
+
+def test_moving_mean_cumsum_matches_loop_oracle():
+    """The cumsum-form moving mean must equal the naive per-timestep
+    window loop (truncated edges, NaN-aware, NaN positions preserved)."""
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(37, 23))
+    X[rng.random(X.shape) < 0.25] = np.nan
+    X[:, 3] = np.nan  # an all-NaN series
+    for half in (1, 2, 5, 40):  # 40 > T: full-series window
+        got = timeseries.moving_mean_np(X, half)
+        exp = np.full_like(X, np.nan)
+        T = X.shape[0]
+        for i in range(T):
+            lo, hi = max(0, i - half), min(T, i + half + 1)
+            with np.errstate(invalid="ignore"):
+                import warnings
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore", RuntimeWarning)
+                    exp[i] = np.nanmean(X[lo:hi], axis=0)
+        exp[np.isnan(X)] = np.nan
+        np.testing.assert_allclose(got, exp, rtol=1e-12, equal_nan=True)

@@ -164,6 +164,21 @@ def from_float(arr: np.ndarray, nodata, dtype: str) -> np.ndarray:
     return np.clip(np.round(out), info.min, info.max).astype(dtype)
 
 
+_RAW_ITEMSIZE = {"raw16": 2, "raw16s": 2, "rawf32": 4}
+
+
+def plane_count(buf: bytes, w: int, h: int, fmt: str) -> int | None:
+    """Number of band planes in a payload WITHOUT decoding it — raw
+    band-sequential formats derive it from the byte length. Returns
+    ``None`` for compressed formats (png/png8), where the caller must
+    decode. Used by the composite hot path: decoding a scene just to
+    count planes costs a full extra decode per group."""
+    itemsize = _RAW_ITEMSIZE.get(fmt)
+    if itemsize is None:
+        return None
+    return len(buf) // (itemsize * w * h)
+
+
 def row_band_meta(row, nb: int, col: str, fallback) -> np.ndarray | float:
     """Per-band metadata for one row: the ``band_scale`` /
     ``band_offset`` / ``band_nodata`` array when present and aligned

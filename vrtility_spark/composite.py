@@ -496,14 +496,22 @@ def composite(df: DataFrame, reducer: str | Callable[[np.ndarray], np.ndarray],
         dtype = codec.dtype_for(fmt)
         # per-band sentinels (band_nodata) supersede the scalar when
         # present; scenes in a group must agree on them too
-        first = next(pdf.itertuples(index=False))
-        nb0 = len(codec.decode(first.bytes, first.w, first.h, first.fmt))
+        rows = list(pdf.itertuples(index=False))
+        first = rows[0]
+        # plane count from the payload LENGTH for raw formats — a
+        # decode just to count planes is one redundant full decode per
+        # group (png payloads decode once and reuse it as stack[0])
+        nb0 = codec.plane_count(first.bytes, w, h, fmt)
+        first_arr = None
+        if nb0 is None:
+            first_arr = codec.decode(first.bytes, w, h, fmt)
+            nb0 = len(first_arr)
         nd = codec.row_band_meta(first, nb0, "band_nodata", nodata)
         if "band_nodata" in pdf.columns:
-            keys = pdf["band_nodata"].map(
-                lambda v: None if v is None
-                else np.asarray(v, dtype=np.float64).tobytes())
-            if keys.nunique(dropna=False) > 1:
+            seen = {None if v is None or (np.isscalar(v) and codec.pd_isna(v))
+                    else np.asarray(v, dtype=np.float64).tobytes()
+                    for v in pdf["band_nodata"]}
+            if len(seen) > 1:
                 raise ValueError(
                     f"cell {int(pdf[key].iloc[0])}: scenes disagree on "
                     "band_nodata; normalize the profile first")
@@ -512,13 +520,15 @@ def composite(df: DataFrame, reducer: str | Callable[[np.ndarray], np.ndarray],
         # matches the reference's Float32 derived-band policy
         # (R/vrt-derived-block.R:123); pass compute_dtype="float64"
         # for bit-exact parity with the float64 NumPy oracle.
-        def dec(r):
-            arr = codec.decode(r.bytes, r.w, r.h, r.fmt)
+        def dec(r, pre=None):
+            arr = codec.decode(r.bytes, r.w, r.h, r.fmt) if pre is None \
+                else pre
             if scene_fn is not None:
                 arr = scene_fn(arr, nd)
             return codec.to_float_masked(arr, nd).astype(compute_dtype)
 
-        stack = np.stack([dec(r) for r in pdf.itertuples(index=False)])
+        stack = np.stack([dec(r, first_arr if i == 0 else None)
+                          for i, r in enumerate(rows)])
         # (T, B, H, W)
         out = fn(stack)
         payload = codec.from_float(out, nd, dtype)

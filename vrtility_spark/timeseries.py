@@ -78,14 +78,25 @@ def locf_np(X: np.ndarray) -> np.ndarray:
 def moving_mean_np(X: np.ndarray, half: int) -> np.ndarray:
     """Centered moving mean over valid values, window ``2*half+1``
     (truncated at edges) — the reference's documented m2m example
-    (R/singleband-many-to-many.R:106-123)."""
-    T, P = X.shape
-    out = np.full_like(X, np.nan, dtype=np.float64)
-    for i in range(T):
-        lo, hi = max(0, i - half), min(T, i + half + 1)
-        with np.errstate(invalid="ignore"):
-            out[i] = np.nanmean(X[lo:hi], axis=0)
-    out[np.isnan(X)] = np.nan
+    (R/singleband-many-to-many.R:106-123).
+
+    Cumsum/valid-count arithmetic: O(T·P) total with no per-timestep
+    Python loop (the loop form re-reads each window, O(T·half·P))."""
+    Xf = np.asarray(X, dtype=np.float64)
+    T, P = Xf.shape
+    isna = np.isnan(Xf)
+    cs = np.zeros((T + 1, P))
+    np.cumsum(np.where(isna, 0.0, Xf), axis=0, out=cs[1:])
+    cn = np.zeros((T + 1, P))
+    np.cumsum((~isna).astype(np.float64), axis=0, out=cn[1:])
+    lo = np.maximum(np.arange(T) - half, 0)
+    hi = np.minimum(np.arange(T) + half + 1, T)
+    s = cs[hi] - cs[lo]
+    n = cn[hi] - cn[lo]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = s / n
+    out[n == 0] = np.nan
+    out[isna] = np.nan
     return out
 
 

@@ -456,7 +456,14 @@ def regrid_to_cells(df: DataFrame, res: int, out_w: int, out_h: int,
     ``scene_fn(arr, nodata)`` (e.g. a pending mask) fuses into the same
     decode — one Arrow pass instead of a materialized masked copy
     feeding a second chained Python stage (the composite fusion
-    policy, R/gdalraster-async.r:99-112)."""
+    policy, R/gdalraster-async.r:99-112).
+
+    Caption provenance contract: a scene straddling N cells duplicates
+    its row — caption included — into each of its N tiles. Downstream
+    ``composite.caption_agg`` therefore lists the scene once PER CELL
+    it contributes pixels to (correct per-cell provenance), not once
+    globally; global dedup is a ``distinct`` over (caption) if a
+    corpus-level list is wanted."""
     from vrtility_spark.cells import decode_np
     if isinstance(resampling, dict):
         overrides = dict(resampling)
