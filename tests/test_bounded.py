@@ -1,0 +1,164 @@
+"""Bounded-memory composite (the R/tiling.R:41-64 twin).
+
+The reference sizes its processing tiles so the full time stack fits a
+RAM budget. The engine's three answers, each pinned here:
+
+1. decomposable reducers run INCREMENTALLY (per-partition running
+   accumulators, no (T,B,H,W) stack) — results must equal the stack
+   path exactly;
+2. holistic reducers carry a stack-size guard that fails loudly,
+   naming the escape hatches, before a worker OOMs;
+3. `split_to_child_cells` shrinks groups 4^k-fold spatially before the
+   shuffle, and `assemble_child_tiles` reassembles composited children
+   into the byte-identical parent tile.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from vrtility_spark import codec, composite, datagen, masks, schema, warp
+
+
+def _celled(spark, tiny_images):
+    return warp.assign_cells(tiny_images, datagen.TILE_RES)
+
+
+def _rows_key(pdf):
+    pdf = pdf.copy()
+    pdf["bytes"] = pdf["bytes"].map(bytes)
+    pdf["band_nodata"] = pdf["band_nodata"].map(
+        lambda v: None if v is None else tuple(v))
+    return pdf.sort_values("cell_id").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("reducer", sorted(composite.DECOMPOSABLE))
+def test_incremental_matches_stack(spark, tiny_images, reducer):
+    """auto-routed incremental composite == forced stack path, byte
+    for byte, including masking fused via scene_fn, n_scenes,
+    datetime_median, nodata metadata and caption rollup."""
+    celled = _celled(spark, tiny_images)
+    fn = masks.make_scene_maskfun("int", datagen.S2_MASK_VALUES)
+    inc = composite.composite(celled, reducer, scene_fn=fn).toPandas()
+    stk = composite.composite(celled, reducer, scene_fn=fn, mode="stack",
+                              compute_dtype="float64").toPandas()
+    a, b = _rows_key(inc), _rows_key(stk)
+    assert list(a.cell_id) == list(b.cell_id)
+    for col in ("bytes", "w", "h", "fmt", "n_scenes", "datetime_median",
+                "nodata", "band_nodata", "caption_agg"):
+        assert list(a[col]) == list(b[col]), (reducer, col)
+
+
+def test_incremental_flush_on_cap_and_caption_overflow(spark, tiny_images):
+    """A partition holding more cells than max_active_cells flushes
+    partial rows early — the merge must absorb multiple partials per
+    cell; caption overflow must render identically to the stack path."""
+    celled = _celled(spark, tiny_images)
+    inc = composite.composite_incremental(
+        celled, "mean", caption_cap=2, max_active_cells=1).toPandas()
+    stk = composite.composite(celled, "mean", mode="stack",
+                              compute_dtype="float64",
+                              caption_cap=2).toPandas()
+    a, b = _rows_key(inc), _rows_key(stk)
+    assert list(a.bytes) == list(b.bytes)
+    assert list(a.caption_agg) == list(b.caption_agg)
+    assert a.caption_agg.str.contains(r"\+3 more").all()  # 5 scenes, cap 2
+
+
+def test_incremental_per_band_nodata(spark):
+    """Per-band sentinels flow through the incremental path: each plane
+    masks ITS OWN sentinel before accumulating."""
+    from test_perband import _mixed_pdf
+    df = schema.images_df(spark, _mixed_pdf())
+    celled = warp.assign_cells(df, datagen.TILE_RES)
+    inc = composite.composite(celled, "mean").toPandas()
+    stk = composite.composite(celled, "mean", mode="stack",
+                              compute_dtype="float64").toPandas()
+    assert bytes(inc.bytes.iloc[0]) == bytes(stk.bytes.iloc[0])
+    assert list(inc.band_nodata.iloc[0]) == [-9999.0, 0.0, 0.0]
+
+
+def test_stack_guard_raises_loudly(spark, tiny_images):
+    """A holistic reducer over a group whose stack exceeds the budget
+    must fail with the escape hatches by name, not OOM."""
+    import re
+    celled = _celled(spark, tiny_images)
+    guarded = composite.composite(celled, "median", max_stack_bytes=10_000)
+    with pytest.raises(Exception) as ei:
+        guarded.collect()
+    msg = str(ei.value)
+    assert re.search(r"max_stack_bytes", msg)
+    assert "split_to_child_cells" in msg and "DECOMPOSABLE" in msg
+    # the same input under the same budget passes incrementally
+    ok = composite.composite(celled, "mean", max_stack_bytes=10_000)
+    assert ok.count() > 0
+
+
+def test_m2m_guard_raises_loudly(spark, tiny_images):
+    from vrtility_spark import timeseries
+    celled = _celled(spark, tiny_images)
+    with pytest.raises(Exception) as ei:
+        timeseries.singleband_m2m(
+            celled, lambda X: X, max_stack_bytes=10_000).collect()
+    assert "split_to_child_cells" in str(ei.value)
+
+
+def test_split_compose_assemble_equals_direct(spark, tiny_images):
+    """The spatial escape hatch end to end: split scenes into 4 child
+    cells (groups now fit a budget the direct stack exceeds), composite
+    each child under that budget, reassemble — byte-identical to the
+    unguarded direct composite."""
+    celled = _celled(spark, tiny_images)
+    direct = composite.composite(celled, "median",
+                                 compute_dtype="float64").toPandas()
+
+    sub = composite.split_to_child_cells(celled, k=1)
+    child = composite.composite(sub, "median", compute_dtype="float64",
+                                max_stack_bytes=16_000)  # child stack
+    # 5x5x8x8x8B = 12.8 kB fits; the direct 16x16 stack (51.2 kB) won't
+    back = composite.assemble_child_tiles(child, k=1).toPandas()
+
+    a, b = _rows_key(direct), _rows_key(back)
+    assert list(a.cell_id) == list(b.cell_id)
+    for col in ("bytes", "w", "h", "fmt", "n_scenes", "datetime_median",
+                "nodata", "band_nodata", "caption_agg"):
+        assert list(a[col]) == list(b[col]), col
+
+
+def test_assemble_fills_missing_children_with_sentinel(spark, tiny_images):
+    """A parent with an absent child tile reassembles with the sentinel
+    in that quadrant (regrid convention: row 0 = ymin edge)."""
+    celled = _celled(spark, tiny_images)
+    sub = composite.split_to_child_cells(celled, k=1)
+    child = composite.composite(sub, "median")
+    one_parent = child.toPandas().sort_values("cell_id").iloc[:3]
+    # keep 3 of the 4 children of the lowest parent
+    from vrtility_spark import cells
+    parents = cells.parent_np(one_parent.cell_id.to_numpy(), 1)
+    keep = one_parent[parents == parents[0]]
+    assert len(keep) >= 2
+    back = composite.assemble_child_tiles(
+        spark.createDataFrame(keep), k=1).toPandas()
+    row = back.iloc[0]
+    arr = codec.decode(row.bytes, row.w, row.h, row.fmt)
+    # at least one quadrant is all-sentinel (nodata == 0 here)
+    h2, w2 = row.h // 2, row.w // 2
+    quads = [arr[:, dy * h2:(dy + 1) * h2, dx * w2:(dx + 1) * w2]
+             for dy in (0, 1) for dx in (0, 1)]
+    assert any((q == 0).all() for q in quads)
+
+
+def test_incremental_plan_is_partial_aggregated(spark, tiny_images):
+    """Plan pin: the decomposable path must accumulate MAP-SIDE —
+    an Arrow map stage BEFORE the one exchange, and the grouped merge
+    after it. (Root-first formatted plan: merge < exchange < map.)"""
+    from vrtility_spark.storage import explain_str
+    celled = _celled(spark, tiny_images)
+    plan = explain_str(composite.composite(celled, "mean"))
+    i_merge = plan.index("FlatMapGroupsInPandas")
+    i_ex = plan.index("Exchange")
+    i_map = plan.index("MapInPandas")
+    assert i_merge < i_ex < i_map, plan
+    assert plan.count(") Exchange") == 1

@@ -452,15 +452,319 @@ COMPOSITE_SCHEMA = (
 
 CAPTION_CAP = 16  # captions folded into caption_agg before truncation
 
+# ------------------------------------------- bounded-memory machinery ----
+#
+# The reference sizes its processing tiles so the full time stack fits a
+# RAM budget (R/tiling.R:41-64; nsplits from rows*cols*bands*items*3 vs
+# machine RAM, R/vrtility-package.R:163-171). The engine's twins:
+#
+# 1. DECOMPOSABLE reducers never materialize the (T,B,H,W) stack at all:
+#    `composite` routes them through per-partition partial accumulators
+#    (one Arrow map stage) merged per cell — group memory is
+#    O(B*H*W), independent of T, and the shuffle moves
+#    O(cells x partitions) partial rows instead of every scene.
+# 2. HOLISTIC reducers (median/quantile/xoid/geomedian) need the stack;
+#    `max_stack_bytes` estimates T*B*H*W*itemsize per cell and fails
+#    LOUDLY before the worker OOMs, naming the escape hatches.
+# 3. `split_to_child_cells` is the spatial escape hatch: scenes split
+#    into their 4^k child cells BEFORE the shuffle, dividing the per-
+#    group stack by 4^k by construction (`assemble_child_tiles` puts
+#    the composited children back together).
+
+#: default per-cell stack budget for holistic reducers (bytes of the
+#: decoded (T,B,H,W) compute array). 2 GiB leaves headroom for the
+#: kernels' ~3x temporaries inside a typical 8-16 GiB executor slot.
+MAX_STACK_BYTES = 2 << 30
+
+#: reducers with an O(1)-per-scene accumulator (never stack T)
+DECOMPOSABLE = frozenset(
+    ["mean", "sum", "min", "max", "mosaic", "first", "geomean", "mean_db"])
+
+_PARTIAL_SCHEMA = (
+    "cell_id long, w int, h int, fmt string, nodata double, "
+    "band_nodata array<double>, nb int, n_scenes int, "
+    "acc1 binary, acc2 binary, dts array<timestamp>, "
+    "caps array<string>, n_caps long"
+)
+
+_TS_NONE = np.int64(np.iinfo(np.int64).min)  # "no valid obs yet" stamp
+
+
+def _profile_key(row):
+    v = getattr(row, "band_nodata", None)
+    if v is None or (np.isscalar(v) and codec.pd_isna(v)):
+        bn = None
+    else:
+        bn = np.asarray(v, dtype=np.float64).tobytes()
+    return (int(row.w), int(row.h), row.fmt, float(row.nodata), bn)
+
+
+class _CellAcc:
+    """Running accumulator for one cell under a decomposable reducer."""
+
+    __slots__ = ("reducer", "profile", "nd", "nb", "n", "acc1", "acc2",
+                 "dts", "caps", "n_caps", "cap")
+
+    def __init__(self, reducer, row, cap):
+        self.reducer = reducer
+        self.profile = _profile_key(row)
+        self.nb = None
+        self.n = 0
+        self.acc1 = self.acc2 = None
+        self.dts = []
+        self.caps = []
+        self.n_caps = 0
+        self.cap = cap
+
+    def add(self, data, t_ns, dt, caption):
+        """Fold one decoded scene (float64, NaN = invalid) in."""
+        r = self.reducer
+        if self.acc1 is None:
+            self.nb = data.shape[0]
+            if r in ("min", "max", "mosaic", "first"):
+                self.acc1 = np.full(data.shape, np.nan)
+            else:
+                self.acc1 = np.zeros(data.shape)
+            if r in ("mosaic", "first"):
+                self.acc2 = np.full(data.shape, _TS_NONE, dtype=np.int64)
+            elif r in ("min", "max"):
+                self.acc2 = None
+            else:
+                self.acc2 = np.zeros(data.shape, dtype=np.int64)
+        ok = ~np.isnan(data)
+        if r in ("mean", "sum", "mean_db"):
+            self.acc1 += np.where(ok, data, 0.0)
+            self.acc2 += ok
+        elif r == "geomean":
+            with np.errstate(divide="ignore", invalid="ignore"):
+                lg = np.log(data)
+            self.acc1 += np.where(ok, lg, 0.0)
+            self.acc2 += ok
+        elif r == "min":
+            self.acc1 = np.fmin(self.acc1, data)
+        elif r == "max":
+            self.acc1 = np.fmax(self.acc1, data)
+        else:  # mosaic / first: best-timestamp valid observation wins
+            if r == "mosaic":
+                better = ok & (t_ns > self.acc2)
+            else:
+                better = ok & ((self.acc2 == _TS_NONE) | (t_ns < self.acc2))
+            self.acc1 = np.where(better, data, self.acc1)
+            self.acc2 = np.where(better, t_ns, self.acc2)
+        self.n += 1
+        self.dts.append(dt)
+        self.caps.append(caption)
+        self.n_caps += 1
+        if len(self.caps) > 4 * self.cap:  # bounded caption buffer
+            self.caps = sorted(self.caps)[: self.cap]
+
+    def to_row(self, cell_id):
+        caps = sorted(self.caps)[: self.cap]
+        return {
+            "cell_id": int(cell_id),
+            "w": self.profile[0], "h": self.profile[1],
+            "fmt": self.profile[2], "nodata": self.profile[3],
+            "band_nodata": (None if self.profile[4] is None else
+                            list(np.frombuffer(self.profile[4], "<f8"))),
+            "nb": int(self.nb), "n_scenes": int(self.n),
+            "acc1": self.acc1.astype("<f8").tobytes(),
+            "acc2": (b"" if self.acc2 is None
+                     else self.acc2.astype("<i8").tobytes()),
+            "dts": self.dts, "caps": caps, "n_caps": int(self.n_caps),
+        }
+
+
+def _merge_accs(reducer, a1_list, a2_list):
+    """Combine per-partition partial accumulators (same shapes)."""
+    if reducer in ("mean", "sum", "mean_db", "geomean"):
+        return sum(a1_list), sum(a2_list)
+    if reducer == "min":
+        out = a1_list[0]
+        for a in a1_list[1:]:
+            out = np.fmin(out, a)
+        return out, None
+    if reducer == "max":
+        out = a1_list[0]
+        for a in a1_list[1:]:
+            out = np.fmax(out, a)
+        return out, None
+    # mosaic / first
+    v, t = a1_list[0], a2_list[0]
+    for vn, tn in zip(a1_list[1:], a2_list[1:]):
+        valid_n = tn != _TS_NONE
+        if reducer == "mosaic":
+            better = valid_n & (tn > t)
+        else:
+            better = valid_n & ((t == _TS_NONE) | (tn < t))
+        v = np.where(better, vn, v)
+        t = np.where(better, tn, t)
+    return v, t
+
+
+def _finalize(reducer, a1, a2):
+    """(acc1, acc2) -> (B,H,W) float plane with NaN nodata."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if reducer == "mean":
+            out = a1 / a2
+        elif reducer == "sum":
+            out = np.where(a2 > 0, a1, np.nan)
+        elif reducer == "geomean":
+            out = np.exp(a1 / a2)
+        elif reducer == "mean_db":
+            out = 10.0 * np.log10(a1 / a2)
+        elif reducer in ("min", "max"):
+            return a1
+        else:  # mosaic / first
+            return np.where(a2 != _TS_NONE, a1, np.nan)
+    out[a2 == 0] = np.nan
+    return out
+
+
+def _median_datetime(dt: pd.Series):
+    dt = dt.sort_values().reset_index(drop=True)
+    n_dt = len(dt)
+    if n_dt % 2 == 1:
+        return dt.iloc[n_dt // 2]
+    lo, hi = dt.iloc[n_dt // 2 - 1], dt.iloc[n_dt // 2]
+    return lo + (hi - lo) / 2
+
+
+def _caption_agg(caps: list, total: int, cap: int) -> str:
+    caps = sorted(caps)[:cap]
+    if total > cap:
+        return "|".join(caps) + f"|+{total - cap} more"
+    return "|".join(caps)
+
+
+def composite_incremental(
+        df: DataFrame, reducer: str, key: str = "cell_id",
+        scene_fn: Callable[[np.ndarray, float], np.ndarray] | None = None,
+        caption_cap: int = CAPTION_CAP,
+        max_active_cells: int = 64) -> DataFrame:
+    """Bounded-memory composite for DECOMPOSABLE reducers — the
+    R/tiling.R:41-64 answer, Spark-shaped: never materializes the
+    (T,B,H,W) stack.
+
+    Stage 1 (narrow ``mapInPandas``, runs BEFORE the shuffle): scenes
+    decode batch-by-batch and fold into per-cell running accumulators
+    (sum+count / min / max / best-timestamp value). Working set =
+    ``max_active_cells`` x O(B*H*W) — bounded regardless of T; if a
+    partition touches more cells, states flush early as extra partial
+    rows (merging handles any number of partials per cell).
+
+    Stage 2 (``groupBy(cell).applyInPandas``): merges at most
+    O(input partitions) tiny partial rows per cell and finalizes —
+    the shuffle moves partial accumulators, not scenes, so both the
+    shuffle volume and the merge-group memory are independent of the
+    number of scenes per cell.
+
+    Results match the stack path exactly for integer payloads (partial
+    sums of integers are exact in float64); see DECOMPOSABLE.
+    """
+    if reducer not in DECOMPOSABLE:
+        raise KeyError(f"{reducer!r} is not decomposable; "
+                       f"choose from {sorted(DECOMPOSABLE)}")
+    cap = int(caption_cap)
+
+    def partials(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        states: dict[int, _CellAcc] = {}
+
+        def flush(keys=None):
+            keys = list(states) if keys is None else keys
+            if not keys:
+                return None
+            out = pd.DataFrame([states.pop(c).to_row(c) for c in keys])
+            return out
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                cell = int(getattr(row, key))
+                st = states.get(cell)
+                if st is None:
+                    st = states[cell] = _CellAcc(reducer, row, cap)
+                elif st.profile != _profile_key(row):
+                    raise ValueError(
+                        f"cell {cell}: scenes disagree on pixel grid/"
+                        f"codec/nodata/band_nodata; normalize them onto "
+                        "one target grid/profile first")
+                arr = codec.decode(row.bytes, row.w, row.h, row.fmt)
+                nb = len(arr)
+                nd = codec.row_band_meta(row, nb, "band_nodata", row.nodata)
+                if scene_fn is not None:
+                    arr = scene_fn(arr, nd)
+                data = codec.to_float_masked(arr, nd)
+                dt = row.datetime
+                st.add(data, np.int64(pd.Timestamp(dt).value), dt,
+                       row.caption)
+            if len(states) > max_active_cells:
+                yield flush()
+        tail = flush()
+        if tail is not None:
+            yield tail
+
+    part = df.mapInPandas(partials, schema=_PARTIAL_SCHEMA)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        if (pdf.w.nunique() > 1 or pdf.h.nunique() > 1
+                or pdf.fmt.nunique() > 1
+                or pdf.nodata.nunique(dropna=False) > 1):
+            raise ValueError(
+                f"cell {int(pdf.cell_id.iloc[0])}: partials disagree on "
+                "pixel grid/codec/nodata; normalize the profile first")
+        first = pdf.iloc[0]
+        nb, h, w = int(first.nb), int(first.h), int(first.w)
+        shape = (nb, h, w)
+        a1 = [np.frombuffer(b, "<f8").reshape(shape) for b in pdf.acc1]
+        a2 = None
+        if reducer not in ("min", "max"):
+            dt2 = "<i8" if reducer in ("mosaic", "first") else "<i8"
+            a2 = [np.frombuffer(b, dt2).reshape(shape) for b in pdf.acc2]
+        m1, m2 = _merge_accs(reducer, a1, a2)
+        out = _finalize(reducer, m1, m2)
+        bn = first.band_nodata
+        nd = (float(first.nodata) if bn is None
+              else np.asarray(bn, dtype=np.float64))
+        payload = codec.from_float(out, nd, codec.dtype_for(first.fmt))
+        all_dts = pd.Series(
+            [t for lst in pdf.dts for t in lst])
+        caps = [c for lst in pdf.caps for c in lst]
+        total = int(pdf.n_caps.sum())
+        return pd.DataFrame([{
+            "cell_id": int(first.cell_id),
+            "bytes": codec.encode(payload, first.fmt),
+            "w": w, "h": h, "fmt": first.fmt,
+            "n_scenes": int(pdf.n_scenes.sum()),
+            "datetime_median": _median_datetime(all_dts),
+            "nodata": float(first.nodata),
+            "band_nodata": None if bn is None else list(bn),
+            "caption_agg": _caption_agg(caps, total, cap),
+        }])
+
+    return part.groupBy("cell_id").applyInPandas(merge,
+                                                 schema=COMPOSITE_SCHEMA)
+
 
 def composite(df: DataFrame, reducer: str | Callable[[np.ndarray], np.ndarray],
               key: str = "cell_id", compute_dtype: str = "float32",
               scene_fn: Callable[[np.ndarray, float], np.ndarray] | None = None,
               caption_cap: int = CAPTION_CAP,
+              mode: str = "auto",
+              max_stack_bytes: int | None = MAX_STACK_BYTES,
               ) -> DataFrame:
     """``groupBy(cell).applyInPandas(reduce)`` — the whole
     multiband_reduce driver (R/multiband_reduce.R:103-259) as one
     shuffle + one Arrow-vectorized grouped map.
+
+    Memory policy (the R/tiling.R:41-64 twin): ``mode="auto"`` routes
+    DECOMPOSABLE named reducers through
+    :func:`composite_incremental` — per-partition running accumulators,
+    group memory independent of the number of scenes. Holistic reducers
+    (median/quantile/xoid/geomedian) take the stack path below, guarded
+    by ``max_stack_bytes``: a cell whose decoded (T,B,H,W) stack would
+    exceed the budget fails loudly (naming
+    :func:`split_to_child_cells` and the incremental path as escape
+    hatches) instead of OOM-killing the executor. ``mode="stack"`` /
+    ``mode="incremental"`` force a path.
 
     Expects an images DataFrame carrying ``cell_id`` (see
     :func:`vrtility_spark.warp.assign_cells`); scenes in a group share
@@ -475,6 +779,14 @@ def composite(df: DataFrame, reducer: str | Callable[[np.ndarray], np.ndarray],
     VRT evaluating mask ∘ composite per block in one pass
     (R/gdalraster-async.r:99-112), skipping a full payload rewrite.
     """
+    if mode not in ("auto", "stack", "incremental"):
+        raise ValueError(f"unknown composite mode {mode!r}")
+    if mode == "incremental" or (
+            mode == "auto" and isinstance(reducer, str)
+            and reducer in DECOMPOSABLE):
+        return composite_incremental(df, reducer, key=key,
+                                     scene_fn=scene_fn,
+                                     caption_cap=caption_cap)
     fn = resolve_reducer(reducer)
 
     def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -506,6 +818,21 @@ def composite(df: DataFrame, reducer: str | Callable[[np.ndarray], np.ndarray],
         if nb0 is None:
             first_arr = codec.decode(first.bytes, w, h, fmt)
             nb0 = len(first_arr)
+        # RAM guard for the holistic stack (the reference's tiling
+        # budget, R/tiling.R:41-64): fail loudly before the worker OOMs
+        itemsize = np.dtype(compute_dtype).itemsize
+        est = len(rows) * nb0 * h * w * itemsize
+        if max_stack_bytes is not None and est > max_stack_bytes:
+            raise ValueError(
+                f"cell {int(pdf[key].iloc[0])}: composite stack needs "
+                f"~{est / 2**30:.2f} GiB ({len(rows)} scenes x {nb0} "
+                f"bands x {h}x{w} px x {compute_dtype}), over the "
+                f"max_stack_bytes budget ({max_stack_bytes / 2**30:.2f} "
+                "GiB). Escape hatches: a DECOMPOSABLE reducer (mean/min/"
+                "max/sum/mosaic/first/geomean/mean_db run incrementally "
+                "and never stack), split_to_child_cells(df, k) to shrink "
+                "groups 4^k-fold spatially before the shuffle, or a "
+                "bigger max_stack_bytes on a larger executor.")
         nd = codec.row_band_meta(first, nb0, "band_nodata", nodata)
         if "band_nodata" in pdf.columns:
             seen = {None if v is None or (np.isscalar(v) and codec.pd_isna(v))
@@ -558,6 +885,112 @@ def composite(df: DataFrame, reducer: str | Callable[[np.ndarray], np.ndarray],
         }])
 
     return df.groupBy(key).applyInPandas(reduce_group, schema=COMPOSITE_SCHEMA)
+
+
+def split_to_child_cells(df: DataFrame, k: int = 1,
+                         key: str = "cell_id") -> DataFrame:
+    """Spatial sub-tiling BEFORE the composite shuffle — the engine's
+    ``nsplits`` (R/tiling.R:41-64: the reference splits its processing
+    extent until ``rows*cols*bands*items*3`` fits RAM).
+
+    Each aligned scene tile (carrying ``cell_id`` at some res r) splits
+    into its ``4^k`` child cells at res r+k: a narrow ``mapInPandas``
+    (no shuffle), after which every downstream group — including a
+    HOLISTIC composite's (T,B,H,W) stack — is 4^k times smaller BY
+    CONSTRUCTION. Child tiles are real cells of the index, so every
+    cell-keyed operator works on them unchanged;
+    :func:`assemble_child_tiles` puts composited children back
+    together. ``cell_prefix`` (an ancestor of every child) is left
+    untouched. Pixel row 0 is the ymin edge (the regrid convention).
+    """
+    from vrtility_spark import cells as _cells
+    n = 1 << int(k)
+    out_schema = df.schema
+    cols = [f.name for f in df.schema.fields]
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for row in pdf.itertuples(index=False):
+                if row.w % n or row.h % n:
+                    raise ValueError(
+                        f"split_to_child_cells(k={k}): tile {row.w}x"
+                        f"{row.h} px does not divide into {n}x{n} blocks")
+                arr = codec.decode(row.bytes, row.w, row.h, row.fmt)
+                zone, res, ix, iy = (int(v) for v in
+                                     _cells.decode_np(getattr(row, key)))
+                sw, sh = row.w // n, row.h // n
+                xs = (row.xmax - row.xmin) / n
+                ys = (row.ymax - row.ymin) / n
+                base = row._asdict()
+                for dy in range(n):
+                    for dx in range(n):
+                        r2 = dict(base)
+                        block = arr[:, dy * sh:(dy + 1) * sh,
+                                    dx * sw:(dx + 1) * sw]
+                        r2["bytes"] = codec.encode(
+                            np.ascontiguousarray(block), row.fmt)
+                        r2["w"], r2["h"] = sw, sh
+                        r2["xmin"] = row.xmin + dx * xs
+                        r2["xmax"] = row.xmin + (dx + 1) * xs
+                        r2["ymin"] = row.ymin + dy * ys
+                        r2["ymax"] = row.ymin + (dy + 1) * ys
+                        r2[key] = int(_cells.encode_np(
+                            zone, res + k, ix * n + dx, iy * n + dy))
+                        out_rows.append(r2)
+            yield pd.DataFrame(out_rows)[cols]
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def assemble_child_tiles(comp: DataFrame, k: int = 1) -> DataFrame:
+    """Reassemble composites of ``4^k`` child cells (from
+    :func:`split_to_child_cells` + :func:`composite`) into their parent
+    tile. Group memory = one parent tile. Missing children fill with
+    the (per-band) sentinel. ``n_scenes``/``datetime_median``/
+    ``caption_agg`` come from the child with the most scenes (lowest
+    cell id on ties) — identical across children when every scene
+    covers the whole parent tile."""
+    from vrtility_spark import cells as _cells
+    from vrtility_spark.cells import parent_col
+    n = 1 << int(k)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        first = pdf.iloc[0]
+        sw, sh, fmt = int(first.w), int(first.h), first.fmt
+        arr0 = codec.decode(first.bytes, sw, sh, fmt)
+        nb = len(arr0)
+        bn = first.band_nodata
+        nd = (float(first.nodata) if bn is None
+              else np.asarray(bn, dtype=np.float64))
+        fill = codec.from_float(
+            np.full((nb, 1, 1), np.nan), nd, arr0.dtype.name)
+        canvas = np.tile(fill, (1, sh * n, sw * n))
+        z0 = r0 = None
+        for row in pdf.itertuples(index=False):
+            zone, res, ix, iy = (int(v) for v in
+                                 _cells.decode_np(row.cell_id))
+            z0, r0 = zone, res
+            a = codec.decode(row.bytes, row.w, row.h, row.fmt)
+            dy, dx = iy % n, ix % n
+            canvas[:, dy * sh:(dy + 1) * sh, dx * sw:(dx + 1) * sw] = a
+        zone, res, ix, iy = (int(v) for v in
+                             _cells.decode_np(int(pdf.cell_id.iloc[0])))
+        parent = int(_cells.encode_np(zone, res - k, ix // n, iy // n))
+        pick = pdf.sort_values(["n_scenes", "cell_id"],
+                               ascending=[False, True]).iloc[0]
+        return pd.DataFrame([{
+            "cell_id": parent, "bytes": codec.encode(canvas, fmt),
+            "w": sw * n, "h": sh * n, "fmt": fmt,
+            "n_scenes": int(pick.n_scenes),
+            "datetime_median": pick.datetime_median,
+            "nodata": float(first.nodata),
+            "band_nodata": None if bn is None else list(bn),
+            "caption_agg": pick.caption_agg,
+        }])
+
+    return (comp.groupBy(parent_col(F.col("cell_id"), k).alias("_parent"))
+            .applyInPandas(run, schema=COMPOSITE_SCHEMA))
 
 
 def scalar_composite_cols(reducer: str, col: str):

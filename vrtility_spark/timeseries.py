@@ -106,9 +106,14 @@ M2M_SCHEMA = (
 )
 
 
+#: default per-cell stack budget — see composite.MAX_STACK_BYTES
+MAX_STACK_BYTES = 2 << 30
+
+
 def singleband_m2m(df: DataFrame,
                    m2m_fun: Callable[[np.ndarray], np.ndarray],
-                   key: str = "cell_id") -> DataFrame:
+                   key: str = "cell_id",
+                   max_stack_bytes: int | None = MAX_STACK_BYTES) -> DataFrame:
     """Grouped many-to-many map: per cell, stack the time series, apply
     ``m2m_fun`` to each band's (time × pixels) matrix, emit one row per
     input timestep — the ``singleband_m2m`` driver
@@ -132,6 +137,18 @@ def singleband_m2m(df: DataFrame,
         nodata = float(pdf.nodata.iloc[0])
         w, h, fmt = int(pdf.w.iloc[0]), int(pdf.h.iloc[0]), pdf.fmt.iloc[0]
         dtype = codec.dtype_for(fmt)
+        # same RAM guard as composite (R/tiling.R:41-64 twin): a m2m
+        # group materializes the full (T,B,H,W) float stack in one task
+        nb_est = codec.plane_count(pdf.bytes.iloc[0], w, h, fmt) or 1
+        est = len(pdf) * nb_est * h * w * 8
+        if max_stack_bytes is not None and est > max_stack_bytes:
+            raise ValueError(
+                f"cell {int(pdf[key].iloc[0])}: m2m stack needs "
+                f"~{est / 2**30:.2f} GiB ({len(pdf)} scenes x {nb_est} "
+                f"bands x {h}x{w} px x float64), over max_stack_bytes "
+                f"({max_stack_bytes / 2**30:.2f} GiB). Split spatially "
+                "with composite.split_to_child_cells(df, k) before the "
+                "shuffle, or raise max_stack_bytes on a larger executor.")
         stack = np.stack([
             codec.to_float_masked(codec.decode(r.bytes, r.w, r.h, r.fmt), nodata)
             for r in pdf.itertuples(index=False)
