@@ -162,3 +162,20 @@ def test_incremental_plan_is_partial_aggregated(spark, tiny_images):
     i_map = plan.index("MapInPandas")
     assert i_merge < i_ex < i_map, plan
     assert plan.count(") Exchange") == 1
+
+
+def test_group_size_metrics_calibrate_guard(spark, tiny_images):
+    """The lineage group-size histogram gives the RAM guard observed
+    data: the decoded-stack estimate derived from measured payload
+    bytes exactly predicts where the guard trips."""
+    from vrtility_spark import lineage
+    celled = _celled(spark, tiny_images)
+    m = lineage.group_size_metrics(celled).toPandas()
+    assert {"n_scenes", "payload_bytes", "max_scene_bytes"} <= set(m.columns)
+    # uint16 payloads composited in float64: decoded stack = 4x payload
+    est_max = int((m.payload_bytes * 4).max())
+    with pytest.raises(Exception, match="max_stack_bytes"):
+        composite.composite(celled, "median", compute_dtype="float64",
+                            max_stack_bytes=est_max - 1).collect()
+    assert composite.composite(celled, "median", compute_dtype="float64",
+                               max_stack_bytes=est_max).count() > 0

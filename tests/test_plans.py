@@ -101,3 +101,15 @@ def test_reproject_cells_stays_in_codegen(spark):
     n_exchanges = plan.count(") Exchange")
     assert n_exchanges == 2, f"reproject_cells: {n_exchanges} shuffles"
     assert "EvalPython" not in plan
+
+
+def test_regrid_pipeline_single_shuffle_one_arrow_map(spark):
+    """The general-warp pipeline's scale contract, pinned: the
+    expression-only cover explode plus mask-fused regrid is ONE Arrow
+    map stage with NO Exchange before the composite's single shuffle.
+    A second MapInPandas would mean a materialized masked copy; a
+    second Exchange would mean the explode shuffled."""
+    plan = _plan(spark, "image_regrid_composite")
+    assert plan.count(") Exchange") == 1, plan
+    assert plan.count(") MapInPandas") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan

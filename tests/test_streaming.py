@@ -179,3 +179,33 @@ def test_stream_regrid_unaligned_equals_batch(spark, tmp_path):
         .select("cell_id", "n_scenes", "caption_agg").toPandas()
     assert len(got) == len(batch)
     assert sorted(map(tuple, got.values)) == sorted(map(tuple, batch.values))
+
+
+def test_stream_regrid_history_scan_prunes(spark, tmp_path):
+    """The regrid streaming path's history re-read must prune AT THE
+    SCAN: the scenes log is cover-exploded and partitioned by cover
+    cell, so `affected cells` becomes PartitionFilters on cell_id —
+    bytes read scale with the batch's footprint, not history size."""
+    import os
+
+    from vrtility_spark.lineage import SnapshotTable as ST
+    from vrtility_spark.storage import explain_str
+
+    land = str(tmp_path / "landing_pr")
+    tbl_dir = str(tmp_path / "pr_tbl")
+    sub = schema.images_df(spark, datagen.offset_images_pandas())
+    sub.repartition(4, "image_id").write.parquet(land)
+    q = streaming.composite_stream(spark, land, tbl_dir, reducer="median",
+                                   max_files_per_batch=2, regrid=(16, 16))
+    q.awaitTermination(300)
+
+    scenes = ST(os.path.join(tbl_dir, "scenes"))
+    some = scenes.read(spark).select("cell_id").distinct().limit(3).collect()
+    hist = streaming.regrid_history(spark, scenes,
+                                    [r.cell_id for r in some])
+    plan = explain_str(hist)
+    seg = plan.split("PartitionFilters", 1)
+    assert len(seg) == 2 and "cell_id" in seg[1][:300], plan
+    # and the pruned read returns exactly the requested cells
+    got = {r.cell_id for r in hist.select("cell_id").distinct().collect()}
+    assert got == {r.cell_id for r in some}

@@ -116,6 +116,10 @@ class SnapshotTable:
                     nbytes += f.stat().st_size
                     nfiles += 1
             sizes[key] = {"bytes": nbytes, "files": nfiles}
+        partitions = {str(r[partition_col]):
+                      {"rows": r["count"],
+                       **sizes.get(str(r[partition_col]), {})}
+                      for r in stats}
         manifest = {
             "snapshot_id": snap_id,
             "uuid": str(uuid.uuid4()),
@@ -125,10 +129,16 @@ class SnapshotTable:
             "upsert": bool(upsert),
             "tag": tag,
             "data_dir": f"snap-{snap_id}",
-            "partitions": {str(r[partition_col]):
-                           {"rows": r["count"],
-                            **sizes.get(str(r[partition_col]), {})}
-                           for r in stats},
+            "partitions": partitions,
+            # observed group-size ceiling — what a planner (or a human
+            # picking composite.max_stack_bytes) calibrates against
+            # without opening any partition
+            "max_partition": {
+                "rows": max((p["rows"] for p in partitions.values()),
+                            default=0),
+                "bytes": max((p.get("bytes", 0)
+                              for p in partitions.values()), default=0),
+            },
             "self": f"manifest-{snap_id}.json",
         }
         mpath = os.path.join(self.dir, manifest["self"])
@@ -209,3 +219,21 @@ def partition_metrics(df: DataFrame) -> DataFrame:
     distribution (north_rule: 'skew handled explicitly')."""
     return (df.withColumn("_pid", F.spark_partition_id())
               .groupBy("_pid").count().orderBy("_pid"))
+
+
+def group_size_metrics(df: DataFrame, key: str = "cell_id",
+                       bytes_col: str = "bytes") -> DataFrame:
+    """Per-GROUP (cell) scene-count / payload-bytes histogram — the
+    observed data that calibrates ``composite.max_stack_bytes`` (the
+    reference sizes tiles against machine RAM,
+    /root/reference/R/tiling.R:41-64; here the budget can be set
+    against measured group sizes at any sf instead of guessed).
+
+    ``payload_bytes`` is the ENCODED size; the decoded compute stack is
+    ``payload_bytes x (compute itemsize / storage itemsize)`` — e.g.
+    4x for uint16 payloads composited in float64."""
+    ln = F.length(bytes_col)
+    return (df.groupBy(key).agg(
+        F.count("*").alias("n_scenes"),
+        F.sum(ln).alias("payload_bytes"),
+        F.max(ln).alias("max_scene_bytes")))

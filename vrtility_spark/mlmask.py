@@ -12,6 +12,10 @@ model call is stubbed behind ``model="fake"``:
 - ``model="fake"`` — deterministic stand-in (brightness threshold on
   the mean of the requested planes) so the full Spark plumbing (schema,
   batching, plane injection) is real and tested;
+- ``model=<callable>`` — a real predictor ``(planes (C,H,W) float32)
+  -> (H,W) 0/1 mask`` (e.g. a torch module wrapped in a closure); this
+  is the branch a real deployment uses, exercised by the torch-gated
+  test in tests/test_bands.py (skipped where torch is absent);
 - ``model="omnicloudmask"`` — imports torch/omnicloudmask if present,
   else raises ``NotImplementedError`` naming the missing dependency.
 """
@@ -44,7 +48,9 @@ def create_mlmask(df: DataFrame, bands: Sequence[str] = ("B04", "B03", "B08"),
     ``masks.vrt_set_maskfun(df, "int", [0])`` to apply it (class 0 =
     cloud), mirroring how the reference chains create-mask → set-mask.
     """
-    if model == "omnicloudmask":
+    if callable(model):
+        predict = model  # real inference path: any (C,H,W)->(H,W) model
+    elif model == "omnicloudmask":
         try:
             import omnicloudmask  # noqa: F401
             import torch  # noqa: F401
@@ -52,23 +58,32 @@ def create_mlmask(df: DataFrame, bands: Sequence[str] = ("B04", "B03", "B08"),
             raise NotImplementedError(
                 "model='omnicloudmask' needs the torch + omnicloudmask "
                 "packages (not available in this environment); use "
-                "model='fake' for the deterministic stand-in") from e
-    elif model != "fake":
+                "model='fake' for the deterministic stand-in, or pass a "
+                "callable (C,H,W)->(H,W) predictor") from e
+        predict = _fake_model  # pragma: no cover - replaced when present
+    elif model == "fake":
+        predict = _fake_model
+    else:
         raise ValueError(f"unknown model {model!r}")
 
     wanted = list(bands)
     out_schema = df.schema
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # a real model would be loaded HERE, once per worker, outside
-        # the per-batch loop (the batched-inference pattern)
+        # a heavyweight model is loaded once per worker (this generator
+        # body runs once per task), then applied per scene below —
+        # the batched-inference pattern
         for pdf in batches:
             blobs, bands_out, fmts = [], [], []
             for row in pdf.itertuples(index=False):
                 arr = codec.decode(row.bytes, row.w, row.h, row.fmt)
                 names = list(row.bands)
                 planes = arr[[names.index(b) for b in wanted]].astype(np.float32)
-                mask = _fake_model(planes)
+                mask = np.asarray(predict(planes), dtype=np.uint8)
+                if mask.shape != planes.shape[1:]:
+                    raise ValueError(
+                        f"mlmask model returned shape {mask.shape}, "
+                        f"expected {planes.shape[1:]}")
                 plane = mask.astype(arr.dtype)[None]
                 # a lossy codec destroys 0/1 class planes (png8's
                 # quantization by 257 rounds 1 -> 0 = everything cloud);

@@ -116,9 +116,10 @@ class Pipeline:
     def create_mlmask(self, bands=("B04", "B03", "B08"),
                       model: str = "fake") -> "Pipeline":
         from vrtility_spark.mlmask import create_mlmask
+        params = ({"bands": list(bands), "model": model}
+                  if isinstance(model, str) else self._UNBUNDLEABLE)
         return self._next(create_mlmask(self.df, bands, model), (),
-                          "create_mlmask",
-                          {"bands": list(bands), "model": model})
+                          "create_mlmask", params)
 
     # ------------------------------------------- band ops (P2/O5-O7/F1-F3)
     def subset_bands(self, keep) -> "Pipeline":

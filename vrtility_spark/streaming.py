@@ -193,13 +193,14 @@ def make_batch_processor(spark: SparkSession, table_dir: str,
     the composite commit) is directly testable.
 
     ``regrid=(out_w, out_h)`` switches the per-batch recompute to the
-    GENERAL warp (:func:`vrtility_spark.warp.regrid_to_cells`): scenes
-    whose footprints straddle cells affect EVERY covered cell, history
-    is re-read for exactly those cells, and tiles are regridded (masks
-    fused) before compositing — streaming over unaligned footprints."""
+    GENERAL warp (:func:`vrtility_spark.warp.regrid_to_cells`): the
+    scenes snapshot stores one row per (scene, COVER cell) partitioned
+    by the cover cell, so a batch's history re-read is a
+    partition-pruned scan of exactly the affected cells
+    (:func:`regrid_history`) — no re-derivation of ``cells_cover``
+    over all history — and tiles regrid per stored cover row
+    (``precelled``, masks fused) before compositing."""
     import os as _os
-
-    from pyspark.sql import functions as SF
 
     from vrtility_spark.masks import make_scene_maskfun
     from vrtility_spark.warp import cells_cover, regrid_to_cells
@@ -219,34 +220,44 @@ def make_batch_processor(spark: SparkSession, table_dir: str,
         # otherwise leave the replayed batch's cells stale forever.
         # The upsert itself is idempotent (newest snapshot wins per
         # cell), so re-running it on replay is safe.
-        celled_new = assign_cells(batch_df, cell_res)
-        if str(batch_id) not in scenes_tbl.tags():
-            scenes_tbl.commit(celled_new, "cell_id", tag=str(batch_id))
         if regrid is None:
+            celled_new = assign_cells(batch_df, cell_res)
+            if str(batch_id) not in scenes_tbl.tags():
+                scenes_tbl.commit(celled_new, "cell_id", tag=str(batch_id))
             affected = celled_new.select("cell_id").distinct()
             history = scenes_tbl.read(spark) \
                 .join(affected, "cell_id", "left_semi")
             masked = vrt_set_maskfun(history, "int", vals)
             tbl.commit(composite(masked, reducer), "cell_id", upsert=True)
             return
-        # general-warp path: a straddling scene touches every covered
-        # cell, so 'affected' is the batch's COVER set; the history
-        # read pulls any scene overlapping those cells, regrids it
-        # (mask fused into the same decode), and composites only the
-        # affected cells
-        affected = (cells_cover(batch_df, cell_res, out_col="cell_id")
-                    .select("cell_id").distinct())
-        history = scenes_tbl.read(spark).drop("cell_id", "cell_prefix")
-        keep_ids = (cells_cover(history.select(
-            "image_id", "zone", "xmin", "ymin", "xmax", "ymax"),
-            cell_res, out_col="cell_id")
-            .join(affected, "cell_id", "left_semi")
-            .select("image_id").distinct())
-        relevant = history.join(keep_ids, "image_id", "left_semi")
+        # general-warp path: the scenes log is COVER-EXPLODED (one row
+        # per scene x covered cell, partitioned by that cell), so
+        # "every scene overlapping the affected cells" is a pruned
+        # scan of the affected partitions — bytes read scale with the
+        # batch's footprint, not with history size
+        celled_new = cells_cover(batch_df, cell_res, out_col="cell_id")
+        if str(batch_id) not in scenes_tbl.tags():
+            scenes_tbl.commit(celled_new, "cell_id", tag=str(batch_id))
+        affected_ids = [r.cell_id for r in
+                        celled_new.select("cell_id").distinct().collect()]
+        relevant = regrid_history(spark, scenes_tbl, affected_ids)
         tiles = regrid_to_cells(relevant, cell_res, *regrid,
                                 resampling="nearest",
-                                scene_fn=make_scene_maskfun("int", vals))
-        tiles = tiles.join(affected, "cell_id", "left_semi")
+                                scene_fn=make_scene_maskfun("int", vals),
+                                precelled=True)
         tbl.commit(composite(tiles, reducer), "cell_id", upsert=True)
 
     return process_batch
+
+
+def regrid_history(spark: SparkSession, scenes_tbl: SnapshotTable,
+                   affected_ids) -> DataFrame:
+    """Scan-pruned history read for the regrid streaming path: the
+    scenes snapshot stores one row per (scene, cover cell) PARTITIONED
+    BY the cover cell, so re-reading the history relevant to a batch is
+    `cell_id IN (affected)` — a PartitionFilters-pruned scan whose
+    bytes scale with the batch's cover set, not with total history
+    (plan-pinned in tests/test_streaming.py)."""
+    from pyspark.sql import functions as SF
+    return scenes_tbl.read(spark).where(
+        SF.col("cell_id").isin([int(c) for c in affected_ids]))

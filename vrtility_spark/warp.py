@@ -434,7 +434,8 @@ def regrid_to_cells(df: DataFrame, res: int, out_w: int, out_h: int,
                     resampling: str | dict = "bilinear",
                     mask_plane: bool = True,
                     prefix_k: int = 2,
-                    scene_fn=None) -> DataFrame:
+                    scene_fn=None,
+                    precelled: bool = False) -> DataFrame:
     """The GENERAL warp: scenes with ARBITRARY footprints → one
     sentinel-padded tile per covering cell, all on the cell's canonical
     ``(out_w, out_h)`` grid — the full ``vrt_warp`` target-grid
@@ -463,7 +464,12 @@ def regrid_to_cells(df: DataFrame, res: int, out_w: int, out_h: int,
     ``composite.caption_agg`` therefore lists the scene once PER CELL
     it contributes pixels to (correct per-cell provenance), not once
     globally; global dedup is a ``distinct`` over (caption) if a
-    corpus-level list is wanted."""
+    corpus-level list is wanted.
+
+    ``precelled=True`` skips the cover explode: rows already carry ONE
+    cover cell each in ``cell_id`` (e.g. a scenes table stored
+    cover-exploded and partition-pruned at the scan — the streaming
+    history path). The intersect filter still applies."""
     from vrtility_spark.cells import decode_np
     if isinstance(resampling, dict):
         overrides = dict(resampling)
@@ -471,7 +477,10 @@ def regrid_to_cells(df: DataFrame, res: int, out_w: int, out_h: int,
     else:
         overrides, default = None, resampling
     size = cell_size(res)
-    celled = cells_cover(df, res, out_col="cell_id")
+    if precelled:
+        celled = df
+    else:
+        celled = cells_cover(df, res, out_col="cell_id")
     # cells_cover CLAMPS indices to the zone range: a footprint pushed
     # outside [0, ZONE_SPAN) (allowed by reproject_zone) would emit
     # clamped edge cells whose true extent does not touch the
