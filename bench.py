@@ -31,8 +31,17 @@ BENCH_QUERIES = [
     "knn", "hampel",
     "composite_scalars", "asof_join", "range_join", "rollup",
     "anti_join", "set_ops", "simhash", "dedup_exact_docs", "ngram_jaccard",
-    "minhash_docs", "minhash_lsh", "token_stats", "quality_score",
-    "lang_id", "fingerprint", "embedding_topk", "embedding_lsh",
+    "near_dup_clusters", "minhash_docs", "minhash_lsh", "token_stats",
+    "quality_score", "lang_id", "fingerprint", "embedding_topk",
+    "embedding_lsh", "ann_ivf",
+    # fixture-scale payload queries: constant-size inputs, benched so
+    # round-over-round regressions on these operators stay visible
+    # (the sf-scaled image pipeline is timed separately below; its
+    # keys image_median/geomedian_composite + image_regrid_pipeline
+    # deliberately stay out of this list)
+    "image_medoid_composite", "image_hls_composite",
+    "image_regrid_composite", "image_hampel",
+    "audio_features", "video_features",
 ]
 
 IMG = dict(zones=(30, 31, 27), nx=8, ny=8, n_dates=5, w=64, h=64)
