@@ -179,3 +179,30 @@ def test_group_size_metrics_calibrate_guard(spark, tiny_images):
                             max_stack_bytes=est_max - 1).collect()
     assert composite.composite(celled, "median", compute_dtype="float64",
                                max_stack_bytes=est_max).count() > 0
+
+
+def test_composite_auto_picks_nsplits_from_budget(spark, tiny_images):
+    """composite_auto measures the largest group, derives k, and the
+    split->composite->assemble result equals the direct composite —
+    the automatic-nsplits behavior of the reference's tiling policy."""
+    celled = _celled(spark, tiny_images)
+    direct = composite.composite(celled, "median",
+                                 compute_dtype="float64").toPandas()
+    # largest group: 5 scenes x 5x16x16 px x float64 = 51.2 kB
+    # -> k=1 under a 16 kB budget (12.8 kB fits)
+    auto = composite.composite_auto(celled, "median",
+                                    compute_dtype="float64",
+                                    max_stack_bytes=16_000).toPandas()
+    a, b = _rows_key(direct), _rows_key(auto)
+    assert list(a.cell_id) == list(b.cell_id)
+    assert list(a.bytes) == list(b.bytes)
+    assert (b.w == 16).all()  # reassembled to full tiles
+
+    # ample budget -> k=0, plain stack path, same result
+    plain = composite.composite_auto(celled, "median",
+                                     compute_dtype="float64").toPandas()
+    assert list(_rows_key(plain).bytes) == list(a.bytes)
+
+    # decomposable reducer: incremental regardless of budget
+    inc = composite.composite_auto(celled, "mean", max_stack_bytes=1)
+    assert inc.count() == len(a)

@@ -993,6 +993,56 @@ def assemble_child_tiles(comp: DataFrame, k: int = 1) -> DataFrame:
             .applyInPandas(run, schema=COMPOSITE_SCHEMA))
 
 
+def composite_auto(df: DataFrame,
+                   reducer: str | Callable[[np.ndarray], np.ndarray],
+                   key: str = "cell_id", compute_dtype: str = "float32",
+                   scene_fn: Callable[[np.ndarray, float], np.ndarray] | None = None,
+                   caption_cap: int = CAPTION_CAP,
+                   max_stack_bytes: int = MAX_STACK_BYTES) -> DataFrame:
+    """RAM-aware composite PLANNER — the full twin of the reference's
+    automatic ``nsplits`` (R/tiling.R:41-64 picks the split count from
+    ``rows*cols*bands*items*3`` vs machine RAM,
+    R/vrtility-package.R:163-171). Decomposable reducers route
+    incremental (no stack at all). For holistic reducers it MEASURES
+    the largest per-cell decoded stack (one tiny aggregation job — the
+    AQE-statistics pattern, exact for raw payloads, bands*w*h for
+    compressed ones), picks the smallest k with ``est / 4^k <= budget``
+    (bounded by pixel divisibility), then runs
+    ``split_to_child_cells(k) -> composite -> assemble_child_tiles(k)``.
+    k = 0 degenerates to the plain stack path; the per-group guard
+    stays armed either way."""
+    if isinstance(reducer, str) and reducer in DECOMPOSABLE:
+        return composite_incremental(df, reducer, key=key,
+                                     scene_fn=scene_fn,
+                                     caption_cap=caption_cap)
+    itemsize = int(np.dtype(compute_dtype).itemsize)
+    storage = F.when(F.col("fmt") == "rawf32", F.lit(4.0)).otherwise(F.lit(2.0))
+    elems = F.when(F.col("fmt").isin("raw16", "raw16s", "rawf32"),
+                   F.length("bytes") / storage) \
+             .otherwise(F.size("bands") * F.col("w") * F.col("h"))
+    g = df.groupBy(key).agg(F.sum(elems * itemsize).alias("gb"))
+    stats = (df.agg(F.min("w").alias("mw"), F.min("h").alias("mh"))
+             .crossJoin(g.agg(F.max("gb").alias("max_gb"))).collect()[0])
+    if stats.max_gb is None:  # empty input
+        return composite(df, reducer, key, compute_dtype, scene_fn,
+                         caption_cap, mode="stack",
+                         max_stack_bytes=max_stack_bytes)
+    est, mw, mh = float(stats.max_gb), int(stats.mw), int(stats.mh)
+    k = 0
+    while (est / 4 ** k > max_stack_bytes
+           and mw % (1 << (k + 1)) == 0 and mh % (1 << (k + 1)) == 0):
+        k += 1
+    if k == 0:
+        return composite(df, reducer, key, compute_dtype, scene_fn,
+                         caption_cap, mode="stack",
+                         max_stack_bytes=max_stack_bytes)
+    sub = split_to_child_cells(df, k, key)
+    child = composite(sub, reducer, key, compute_dtype, scene_fn,
+                      caption_cap, mode="stack",
+                      max_stack_bytes=max_stack_bytes)
+    return assemble_child_tiles(child, k)
+
+
 def scalar_composite_cols(reducer: str, col: str):
     """Expression-path twins for scalar columns (parity tests / SQL
     oracle): the same reductions via built-in functions only."""
