@@ -206,3 +206,25 @@ def test_composite_auto_picks_nsplits_from_budget(spark, tiny_images):
     # decomposable reducer: incremental regardless of budget
     inc = composite.composite_auto(celled, "mean", max_stack_bytes=1)
     assert inc.count() == len(a)
+
+
+def test_incremental_geomean_negative_values_match_stack(spark):
+    """geomean over int16 payloads with NEGATIVE observations: the
+    stack path's nanmean excludes NaN logs (negative values) but keeps
+    log(0) = -inf; the incremental accumulator must do exactly that."""
+    from test_perband import _mixed_pdf
+    pdf = _mixed_pdf(n_scenes=4, seed=9)
+    # inject negatives (not the sentinel) into the DN plane
+    rows = []
+    for i, r in pdf.iterrows():
+        arr = codec.decode(r.bytes, 8, 8, "raw16s").copy()
+        arr[1, ::3, ::2] = -5 - i
+        r = r.copy()
+        r.bytes = codec.encode(arr, "raw16s")
+        rows.append(r)
+    df = schema.images_df(spark, pd.DataFrame(rows))
+    celled = warp.assign_cells(df, datagen.TILE_RES)
+    inc = composite.composite(celled, "geomean").toPandas()
+    stk = composite.composite(celled, "geomean", mode="stack",
+                              compute_dtype="float64").toPandas()
+    assert bytes(inc.bytes.iloc[0]) == bytes(stk.bytes.iloc[0])

@@ -136,3 +136,22 @@ def test_bundle_refuses_unserializable(spark, tiny_images_pdf, tmp_path):
     p = Pipeline(df).warp(cell_res=datagen.TILE_RES).composite(lambda s: s[0])
     with pytest.raises(ValueError, match="composite"):
         p.to_bundle(str(tmp_path / "x.json"))
+
+
+def test_bundle_carries_memory_policy_and_split(spark, tiny_images, tmp_path):
+    """The RAM policy (mode/max_stack_bytes) and the sub-tiling knob are
+    verbs: a replayed bundle keeps the same memory behavior."""
+    from vrtility_spark import composite as C
+    p = (Pipeline(tiny_images)
+         .set_maskfun("int", datagen.S2_MASK_VALUES)
+         .warp(cell_res=datagen.TILE_RES)
+         .split_cells(1)
+         .composite("median", mode="stack", max_stack_bytes=16_000))
+    path = str(tmp_path / "policy.json")
+    p.to_bundle(path)
+    replay = Pipeline.from_bundle(path, tiny_images)
+    got = C.assemble_child_tiles(replay.df, 1).toPandas()
+    want = C.assemble_child_tiles(p.df, 1).toPandas()
+    key = lambda d: sorted((int(r.cell_id), bytes(r.bytes))
+                           for _, r in d.iterrows())
+    assert key(got) == key(want) and len(got) == 12

@@ -538,8 +538,13 @@ class _CellAcc:
         elif r == "geomean":
             with np.errstate(divide="ignore", invalid="ignore"):
                 lg = np.log(data)
-            self.acc1 += np.where(ok, lg, 0.0)
-            self.acc2 += ok
+            # stack-path parity: geomean_t = exp(nanmean(log)) — a
+            # NEGATIVE observation's NaN log is EXCLUDED from the mean
+            # (log(0) = -inf is included); poisoning the running sum
+            # with NaN would instead blank the pixel
+            okl = ok & ~np.isnan(lg)
+            self.acc1 += np.where(okl, lg, 0.0)
+            self.acc2 += okl
         elif r == "min":
             self.acc1 = np.fmin(self.acc1, data)
         elif r == "max":

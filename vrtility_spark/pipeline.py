@@ -205,12 +205,28 @@ class Pipeline:
                           self._UNBUNDLEABLE)
 
     # -------------------------------------------------- reduce (A1-A13)
-    def composite(self, reducer="median") -> "Pipeline":
-        params = ({"reducer": reducer} if isinstance(reducer, str)
-                  else self._UNBUNDLEABLE)
+    def composite(self, reducer="median", mode: str = "auto",
+                  max_stack_bytes: int | None = None) -> "Pipeline":
+        """Temporal composite. ``mode``/``max_stack_bytes`` carry the
+        memory policy (composite.MAX_STACK_BYTES default) into bundles
+        so a replayed plan keeps its RAM budget."""
+        params = ({"reducer": reducer, "mode": mode,
+                   "max_stack_bytes": max_stack_bytes}
+                  if isinstance(reducer, str) else self._UNBUNDLEABLE)
+        kw = {} if max_stack_bytes is None else \
+            {"max_stack_bytes": max_stack_bytes}
         return self._next(_composite.composite(self._df, reducer,
-                                               scene_fn=self._scene_fn()),
+                                               scene_fn=self._scene_fn(),
+                                               mode=mode, **kw),
                           (), "composite", params)
+
+    def split_cells(self, k: int = 1) -> "Pipeline":
+        """Spatial sub-tiling (composite.split_to_child_cells): scenes
+        split into their 4^k child cells so downstream groups shrink
+        4^k-fold — the reference's nsplits knob (R/tiling.R:41-64)."""
+        return self._next(
+            _composite.split_to_child_cells(self.df, k), (),
+            "split_cells", {"k": int(k)})
 
     # ------------------------------------------------- m2m / W1-W2
     def hampel(self, k: int, t0: float = 3.0, impute_na: bool = False) -> "Pipeline":
