@@ -785,6 +785,33 @@ def q_image_median_composite(spark, sf_dir):
         ps("bytes", "w", "h", "fmt").alias("pix_sum"))
 
 
+def q_image_split_composite(spark, sf_dir):
+    """The bounded-memory SPATIAL escape hatch at the correctness gate:
+    scenes split into their 4 child cells (composite.split_to_child_cells,
+    the reference's nsplits tiling policy R/tiling.R:41-64), composited
+    per child under a stack budget the un-split group would exceed,
+    then reassembled — must be byte-identical to the direct median
+    composite, so it pins against the SAME constants oracle."""
+    _ensure_shipped(spark)
+    from vrtility_spark import composite as C
+    from vrtility_spark import datagen, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    p = (Pipeline(images)
+         .set_maskfun("int", datagen.S2_MASK_VALUES)
+         .warp(cell_res=datagen.TILE_RES)
+         .split_cells(1)
+         .composite("median", mode="stack", max_stack_bytes=16_000))
+    out = C.assemble_child_tiles(p.df, 1)
+    ps = _pix_sum_udf()
+    return out.select(
+        "cell_id", "n_scenes",
+        F.date_format("datetime_median", "yyyy-MM-dd").alias("dt_med"),
+        F.length("bytes").alias("payload_len"),
+        F.md5("caption_agg").alias("caption_md5"),
+        ps("bytes", "w", "h", "fmt").alias("pix_sum"))
+
+
 def q_image_medoid_composite(spark, sf_dir):
     _ensure_shipped(spark)
     out = _image_composite(spark, "medoid")
@@ -932,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh": q_embedding_lsh,
         "ann_ivf": q_ann_ivf,
         "image_median_composite": q_image_median_composite,
+        "image_split_composite": q_image_split_composite,
         "image_medoid_composite": q_image_medoid_composite,
         "image_hls_composite": q_image_hls_composite,
         "image_regrid_composite": q_image_regrid_composite,

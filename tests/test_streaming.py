@@ -209,3 +209,28 @@ def test_stream_regrid_history_scan_prunes(spark, tmp_path):
     # and the pruned read returns exactly the requested cells
     got = {r.cell_id for r in hist.select("cell_id").distinct().collect()}
     assert got == {r.cell_id for r in some}
+
+
+def test_stream_incremental_reducer_equals_batch(spark, tiny_images, tmp_path):
+    """Streaming with a DECOMPOSABLE reducer routes each per-batch
+    recompute through the incremental (partial-accumulator) composite —
+    final state must still equal one batch run, byte for byte."""
+    land = str(tmp_path / "landing_inc")
+    tbl_dir = str(tmp_path / "inc_tbl")
+    tiny_images.repartition(5, "image_id").write.parquet(land)
+
+    q = streaming.composite_stream(spark, land, tbl_dir, reducer="mean",
+                                   max_files_per_batch=2)
+    q.awaitTermination(240)
+
+    got = SnapshotTable(tbl_dir).read(spark) \
+        .select("cell_id", "n_scenes", "bytes", "caption_agg").toPandas()
+    batch = composite(
+        warp.assign_cells(vrt_set_maskfun(tiny_images, "int",
+                                          datagen.S2_MASK_VALUES),
+                          datagen.TILE_RES), "mean") \
+        .select("cell_id", "n_scenes", "bytes", "caption_agg").toPandas()
+    key = lambda d: sorted((int(r.cell_id), int(r.n_scenes),
+                            bytes(r.bytes), r.caption_agg)
+                           for _, r in d.iterrows())
+    assert key(got) == key(batch)

@@ -271,6 +271,12 @@ def main() -> None:
             image_composite_rows("median"),
             ["cell_id", "n_scenes", "dt_med", "payload_len",
              "caption_md5", "pix_sum"]),
+        # split->composite->assemble must be byte-identical to the
+        # direct median composite: SAME expected rows, separate entry
+        "image_split_composite": values_sql(
+            image_composite_rows("median"),
+            ["cell_id", "n_scenes", "dt_med", "payload_len",
+             "caption_md5", "pix_sum"]),
         "image_medoid_composite": values_sql(
             image_composite_rows("medoid"),
             ["cell_id", "n_scenes", "payload_len", "caption_md5",
