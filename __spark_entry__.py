@@ -720,6 +720,20 @@ def q_embedding_lsh(spark, sf_dir):
     )
 
 
+def q_embedding_dup_clusters(spark, sf_dir):
+    """Embedding-cosine near-dup DEDUP (the fifth dedup modality,
+    completing exact / MinHash-LSH / SimHash / n-gram Jaccard):
+    LSH-bucketed cosine pairs → connected components → canonical
+    min-id representative per cluster, all through the same
+    distributed clustering operator as the text dedups. Oracle:
+    recursive-CTE transitive closure over the identical pair set."""
+    _ensure_shipped(spark)
+    from vrtility_spark.dedup import dedup_clusters
+    pairs = q_embedding_lsh(spark, sf_dir).select(
+        F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
+    return dedup_clusters(pairs)
+
+
 # =====================================================================
 # image-payload pipeline (rows-only: not SQL-expressible — pixel kernels
 # are verified against the NumPy oracle in tests/)
@@ -957,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh": q_embedding_lsh,
+        "embedding_dup_clusters": q_embedding_dup_clusters,
         "ann_ivf": q_ann_ivf,
         "image_median_composite": q_image_median_composite,
         "image_split_composite": q_image_split_composite,
@@ -1433,6 +1448,48 @@ def oracle_sql() -> dict[str, str]:
                         * sqrt(list_sum(list_transform(b.embedding,
                             x -> cast(x as double) * cast(x as double))))),
                      6) >= 0.2
+        """,
+        "embedding_dup_clusters": """
+            with recursive keyed as (
+              select vec_id, embedding,
+                     cast((case when embedding[1] > 0 then 1 else 0 end)
+                        + (case when embedding[2] > 0 then 2 else 0 end)
+                        + (case when embedding[3] > 0 then 4 else 0 end)
+                        + (case when embedding[4] > 0 then 8 else 0 end)
+                        + (case when embedding[5] > 0 then 16 else 0 end)
+                        + (case when embedding[6] > 0 then 32 else 0 end)
+                        as bigint) as bucket
+              from embeddings
+            ), pr as (
+              select a.vec_id as a_id, b.vec_id as b_id
+              from keyed a join keyed b
+                on a.bucket = b.bucket and a.vec_id < b.vec_id
+              where round(
+                       list_sum(list_transform(
+                         list_zip(a.embedding, b.embedding),
+                         z -> cast(z[1] as double) * cast(z[2] as double)))
+                       / (sqrt(list_sum(list_transform(a.embedding,
+                              x -> cast(x as double) * cast(x as double))))
+                          * sqrt(list_sum(list_transform(b.embedding,
+                              x -> cast(x as double) * cast(x as double))))),
+                       6) >= 0.2
+            ), edges as (
+              select a_id as a, b_id as b from pr
+              union
+              select b_id, a_id from pr
+            ), reach(a, b) as (
+              select a, b from edges
+              union
+              select r.a, e.b from reach r join edges e on r.b = e.a
+            ), comp as (
+              select a as doc_id, least(a, min(b)) as cluster_rep
+              from reach group by a
+            ), sz as (
+              select cluster_rep, count(*) as cluster_size
+              from comp group by cluster_rep
+            )
+            select comp.doc_id, comp.cluster_rep, sz.cluster_size
+            from comp join sz using (cluster_rep)
         """,
         "ann_ivf": """
             with pairs as (

@@ -49,6 +49,12 @@ def connected_components(edges: DataFrame, src: str = "src",
     sym = sym.localCheckpoint(eager=True)
     labels = sym.select("id").distinct().withColumn("comp", F.col("id"))
     labels = labels.localCheckpoint(eager=True)
+
+    def _total(lbl):
+        return lbl.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_total = _total(labels)
     for _ in range(max_iter):
         nb_comp = (sym.join(labels.withColumnRenamed("id", "nb")
                             .withColumnRenamed("comp", "nb_comp"), "nb")
@@ -66,13 +72,16 @@ def connected_components(edges: DataFrame, src: str = "src",
         new_labels = (labels.unionByName(nb_comp).unionByName(jumped)
                       .groupBy("id").agg(F.min("comp").alias("comp")))
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .where(F.col("n.comp") != F.col("o.comp"))
-                   .limit(1).count())
+        # convergence probe: labels only ever DECREASE, so the exact
+        # (decimal, overflow-free) sum of labels is strictly monotone
+        # until fixpoint — sum unchanged ⟺ no node changed. One narrow
+        # aggregation instead of a full label-label join per round
+        # (at 1e9 nodes the join probe shuffles the whole label table).
+        total = _total(new_labels)
         labels = new_labels
-        if changed == 0:
+        if total == prev_total:
             break
+        prev_total = total
     return labels
 
 
