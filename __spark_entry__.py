@@ -560,6 +560,20 @@ def q_near_dup_clusters(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+def q_dedup_corpus(spark, sf_dir):
+    """The END of the dedup pipeline: the corpus itself with every
+    non-canonical near-dup cluster member removed (keep-min-id), via
+    dedup.drop_near_duplicates over the capped n-gram-Jaccard pair
+    graph — what a training run actually consumes. Oracle: recursive
+    closure + anti-join."""
+    _ensure_shipped(spark)
+    from vrtility_spark.dedup import drop_near_duplicates
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs)
+    return drop_near_duplicates(docs, pairs) \
+        .select("doc_id", "lang", "n_chars")
+
+
 def q_minhash_docs(spark, sf_dir):
     """MinHash signatures from arithmetic permutations of an md5-derived
     shingle hash (identical integer math in Spark and DuckDB)."""
@@ -963,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": q_dedup_exact_docs,
         "ngram_jaccard": q_ngram_jaccard,
         "near_dup_clusters": q_near_dup_clusters,
+        "dedup_corpus": q_dedup_corpus,
         "minhash_docs": q_minhash_docs,
         "minhash_lsh": q_minhash_lsh,
         "token_stats": q_token_stats,
@@ -1312,6 +1327,43 @@ def oracle_sql() -> dict[str, str]:
             )
             select comp.doc_id, comp.cluster_rep, sz.cluster_size
             from comp join sz using (cluster_rep)
+        """,
+        "dedup_corpus": shingle_cte.replace(
+            "with words", "with recursive words") + f"""
+            , hot as (
+              select sh from sh group by sh having count(*) > {NGRAM_DF_CAP}
+            ), shf as (
+              select * from sh where sh not in (select sh from hot)
+            ), sizes as (
+              select doc_id, count(*) as n_sh from shf group by doc_id
+            ), common as (
+              select a.doc_id as doc_a, b.doc_id as doc_b,
+                     count(*) as n_common
+              from shf a join shf b on a.sh = b.sh and a.doc_id < b.doc_id
+              group by a.doc_id, b.doc_id
+            ), pr as (
+              select doc_a, doc_b from common c
+              join sizes sa on sa.doc_id = c.doc_a
+              join sizes sb on sb.doc_id = c.doc_b
+              where round(c.n_common * 1.0
+                          / (sa.n_sh + sb.n_sh - c.n_common), 6) >= 0.05
+            ), edges as (
+              select doc_a as a, doc_b as b from pr
+              union
+              select doc_b, doc_a from pr
+            ), reach(a, b) as (
+              select a, b from edges
+              union
+              select r.a, e.b from reach r join edges e on r.b = e.a
+            ), comp as (
+              select a as doc_id, least(a, min(b)) as cluster_rep
+              from reach group by a
+            )
+            select d.doc_id, d.lang, d.n_chars
+            from documents d
+            where not exists (select 1 from comp
+                              where comp.doc_id = d.doc_id
+                                and comp.doc_id <> comp.cluster_rep)
         """,
         "minhash_docs": shingle_cte + f"""
             , hashed as (

@@ -31,7 +31,7 @@ BENCH_QUERIES = [
     "knn", "hampel",
     "composite_scalars", "asof_join", "range_join", "rollup",
     "anti_join", "set_ops", "simhash", "dedup_exact_docs", "ngram_jaccard",
-    "near_dup_clusters", "minhash_docs", "minhash_lsh", "token_stats",
+    "near_dup_clusters", "dedup_corpus", "minhash_docs", "minhash_lsh", "token_stats",
     "quality_score", "lang_id", "fingerprint", "embedding_topk",
     "embedding_lsh", "embedding_dup_clusters", "ann_ivf",
     # fixture-scale payload queries: constant-size inputs, benched so
