@@ -42,13 +42,18 @@ def connected_components(edges: DataFrame, src: str = "src",
     here the symmetric closure alone would run the pair generator
     twice)."""
     edges = edges.select(src, dst).localCheckpoint(eager=True)
+    # LAZY checkpoints: marking for checkpoint without eager=True lets
+    # the NEXT action (the convergence-probe aggregation below) both
+    # materialize the truncated lineage and read the total in ONE job —
+    # eager checkpoints cost a separate materialization job per round,
+    # pure fixed overhead in an iterative operator
     sym = (edges.select(F.col(src).alias("id"), F.col(dst).alias("nb"))
            .unionByName(edges.select(F.col(dst).alias("id"),
                                      F.col(src).alias("nb")))
            .distinct())
-    sym = sym.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=False)
     labels = sym.select("id").distinct().withColumn("comp", F.col("id"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=False)
 
     def _total(lbl):
         return lbl.agg(
@@ -71,7 +76,7 @@ def connected_components(edges: DataFrame, src: str = "src",
                   .select("id", F.col("_rcomp").alias("comp")))
         new_labels = (labels.unionByName(nb_comp).unionByName(jumped)
                       .groupBy("id").agg(F.min("comp").alias("comp")))
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = new_labels.localCheckpoint(eager=False)
         # convergence probe: labels only ever DECREASE, so the exact
         # (decimal, overflow-free) sum of labels is strictly monotone
         # until fixpoint — sum unchanged ⟺ no node changed. One narrow
