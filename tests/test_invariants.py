@@ -125,3 +125,58 @@ def test_unknown_distance_errors():
     X = np.ones((3, 2, 1))
     with pytest.raises(KeyError):
         composite.xoid_mb(X, composite._nanmedian_stat, distance_type="nope")
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(2, 12), st.integers(1, 3),
+       st.integers(1, 4), st.integers(2, 5), st.sampled_from(
+           ["mean", "sum", "min", "max", "mosaic", "first",
+            "geomean", "mean_db"]))
+@settings(max_examples=60, deadline=None)
+def test_incremental_merge_algebra_equals_stack(seed, T, B, n_parts, px,
+                                                reducer):
+    """PROPERTY: for ANY scene set, ANY NaN pattern and ANY partition
+    split, accumulating per part then merging partials finalizes to the
+    stack kernel's answer — the algebraic core of composite_incremental
+    (associativity/commutativity of every accumulator family)."""
+    import pandas as pd
+
+    from vrtility_spark import composite as C
+    rng = np.random.default_rng(seed)
+    stack = rng.uniform(0.5, 1000.0, size=(T, B, px, px))
+    stack[rng.random(stack.shape) < 0.3] = np.nan
+    stack[:, :, 0, 0] = np.nan  # an all-invalid pixel
+    t_ns = np.sort(rng.choice(10**6, size=T, replace=False)).astype(np.int64)
+
+    class Row:
+        w, h = px, px
+        fmt = "rawf32"
+        nodata = float("nan")
+        band_nodata = None
+
+    bounds = sorted(rng.integers(0, T + 1, size=n_parts - 1).tolist())
+    parts, prev = [], 0
+    for b in bounds + [T]:
+        parts.append(list(range(prev, b)))
+        prev = b
+    a1s, a2s = [], []
+    for idxs in parts:
+        if not idxs:
+            continue
+        acc = C._CellAcc(reducer, Row(), cap=16)
+        for t in idxs:
+            acc.add(stack[t].astype(np.float64), t_ns[t],
+                    pd.Timestamp(t_ns[t]), f"c{t}")
+        a1s.append(acc.acc1)
+        a2s.append(acc.acc2)
+    m1, m2 = C._merge_accs(reducer, a1s, a2s)
+    got = C._finalize(reducer, m1, m2)
+
+    fn = {"mean": C.mean_t, "sum": C.sum_t, "min": C.min_t, "max": C.max_t,
+          "mosaic": C.mosaic_t, "first": C.first_t, "geomean": C.geomean_t,
+          "mean_db": C.mean_db_t}[reducer]
+    import warnings
+    with np.errstate(all="ignore"), warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        want = fn(stack)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9,
+                               equal_nan=True)
