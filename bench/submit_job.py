@@ -19,16 +19,26 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+# driver-side import works both under spark-submit --py-files and as a
+# plain script run from anywhere; executors get the package from
+# --py-files (cluster) or session.ship_package (local)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--job", choices=["composite", "hampel", "join", "knn"],
+    ap.add_argument("--job", choices=["composite", "bounded", "hampel", "join", "knn"],
                     default="composite")
     ap.add_argument("--reducer", default="geomedian")
+    ap.add_argument("--budget", type=int, default=None,
+                    help="bounded job: per-cell stack budget in bytes "
+                         "(composite.MAX_STACK_BYTES default)")
     ap.add_argument("--nx", type=int, default=8)
     ap.add_argument("--ny", type=int, default=8)
     ap.add_argument("--px", type=int, default=64)
@@ -58,6 +68,15 @@ def main() -> None:
             result = tbl.remaining(result, "cell_id")
         manifest = tbl.commit(result, "cell_id")
         n = sum(p["rows"] for p in manifest["partitions"].values())
+    elif args.job == "bounded":
+        # RAM-budgeted composite: measures group sizes, splits to child
+        # cells if needed, reassembles — the cluster-shaped entry point
+        # for the tiling policy (composite_auto)
+        masked = vrt_set_maskfun(celled, "int", datagen.S2_MASK_VALUES)
+        kw = {} if args.budget is None else {"max_stack_bytes": args.budget}
+        result = composite.composite_auto(masked, args.reducer, **kw)
+        result.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
     elif args.job == "hampel":
         result = timeseries.hampel(celled, k=1, t0=3.0)
         result.write.mode("overwrite").partitionBy("datetime").parquet(args.out)
