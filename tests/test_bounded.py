@@ -58,6 +58,10 @@ def test_incremental_flush_on_cap_and_caption_overflow(spark, tiny_images):
     celled = _celled(spark, tiny_images)
     inc = composite.composite_incremental(
         celled, "mean", caption_cap=2, max_active_cells=1).toPandas()
+    # byte-bound flush path: a ~one-accumulator budget forces a flush
+    # after nearly every scene — result must be identical
+    inc_b = composite.composite_incremental(
+        celled, "mean", caption_cap=2, max_active_bytes=50_000).toPandas()
     stk = composite.composite(celled, "mean", mode="stack",
                               compute_dtype="float64",
                               caption_cap=2).toPandas()
@@ -65,6 +69,9 @@ def test_incremental_flush_on_cap_and_caption_overflow(spark, tiny_images):
     assert list(a.bytes) == list(b.bytes)
     assert list(a.caption_agg) == list(b.caption_agg)
     assert a.caption_agg.str.contains(r"\+3 more").all()  # 5 scenes, cap 2
+    c = _rows_key(inc_b)
+    assert list(c.bytes) == list(b.bytes)
+    assert list(c.caption_agg) == list(b.caption_agg)
 
 
 def test_incremental_per_band_nodata(spark):

@@ -641,21 +641,31 @@ def _caption_agg(caps: list, total: int, cap: int) -> str:
     return "|".join(caps)
 
 
+#: accumulator working-set budget per task for the incremental map
+#: stage — states flush early past EITHER bound (cells or bytes), so a
+#: task's memory is capped even for huge tiles (a 256x256 5-band cell's
+#: accumulators are ~5 MB; 64 of them would be ~330 MB without the
+#: byte bound)
+MAX_ACTIVE_BYTES = 256 << 20
+
+
 def composite_incremental(
         df: DataFrame, reducer: str, key: str = "cell_id",
         scene_fn: Callable[[np.ndarray, float], np.ndarray] | None = None,
         caption_cap: int = CAPTION_CAP,
-        max_active_cells: int = 64) -> DataFrame:
+        max_active_cells: int = 64,
+        max_active_bytes: int = MAX_ACTIVE_BYTES) -> DataFrame:
     """Bounded-memory composite for DECOMPOSABLE reducers — the
     R/tiling.R:41-64 answer, Spark-shaped: never materializes the
     (T,B,H,W) stack.
 
     Stage 1 (narrow ``mapInPandas``, runs BEFORE the shuffle): scenes
     decode batch-by-batch and fold into per-cell running accumulators
-    (sum+count / min / max / best-timestamp value). Working set =
-    ``max_active_cells`` x O(B*H*W) — bounded regardless of T; if a
-    partition touches more cells, states flush early as extra partial
-    rows (merging handles any number of partials per cell).
+    (sum+count / min / max / best-timestamp value). Working set is
+    bounded by BOTH ``max_active_cells`` and ``max_active_bytes``
+    (accumulator bytes, the binding bound for large tiles) regardless
+    of T; past either bound, states flush early as extra partial rows
+    (merging handles any number of partials per cell).
 
     Stage 2 (``groupBy(cell).applyInPandas``): merges at most
     O(input partitions) tiny partial rows per cell and finalizes —
@@ -701,7 +711,10 @@ def composite_incremental(
                 dt = row.datetime
                 st.add(data, np.int64(pd.Timestamp(dt).value), dt,
                        row.caption)
-            if len(states) > max_active_cells:
+            tot_bytes = sum(
+                s.acc1.nbytes + (0 if s.acc2 is None else s.acc2.nbytes)
+                for s in states.values() if s.acc1 is not None)
+            if len(states) > max_active_cells or tot_bytes >= max_active_bytes:
                 yield flush()
         tail = flush()
         if tail is not None:
