@@ -110,3 +110,14 @@ def test_train_ivf_update_is_map_side(spark):
         np.testing.assert_allclose(got_sum, X[lab == k].sum(axis=0),
                                    rtol=1e-9)
         assert int(pdf[pdf.cluster == k].n.sum()) == int((lab == k).sum())
+
+
+def test_train_ivf_spark_combine_matches_driver(spark):
+    """The distributed partial-merge ('spark' combine, for extreme
+    partition x cluster products) must produce the same centroids as
+    the deterministic driver merge up to float summation order."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = ann.train_ivf(e, "embedding", "vec_id", n_clusters=4, iters=2)
+    b = ann.train_ivf(e, "embedding", "vec_id", n_clusters=4, iters=2,
+                      combine="spark")
+    np.testing.assert_allclose(a, b, rtol=1e-9)

@@ -82,16 +82,28 @@ def _partial_sums_udf(centroids: np.ndarray, vec_col: str):
 
 
 def train_ivf(df: DataFrame, vec_col: str, id_col: str, n_clusters: int,
-              iters: int = 3) -> np.ndarray:
+              iters: int = 3, combine: str = "driver") -> np.ndarray:
     """Deterministic distributed k-means (cosine/spherical).
 
     The update step is MAP-SIDE: per-partition partial centroid sums
     inside an Arrow ``mapInPandas`` (one ``(cluster, vecsum, n)`` row
-    per partition per non-empty cluster), merged on the driver in
-    (cluster, partition-id) order for run-to-run determinism. At 1e9
-    vectors x 768 dims this moves O(partitions x k x d) doubles per
-    iteration — the explode+groupBy formulation it replaces shuffled
-    O(n x d) rows per iteration."""
+    per partition per non-empty cluster) — the explode+groupBy
+    formulation it replaces shuffled O(n x d) rows per iteration.
+
+    ``combine`` picks where partials merge:
+
+    - ``"driver"`` (default): collect O(partitions x k) rows, merge in
+      (cluster, partition-id) order — bit-deterministic run to run.
+      Right up to ~10^3 partitions x 10^3 clusters.
+    - ``"spark"``: one tiny shuffle reduces partials per cluster
+      (element-wise array sum), then k rows collect — for extreme
+      partition x cluster products where the driver collect itself
+      would be the bottleneck. Summation order inside a cluster is
+      Spark-determined (float drift ~1e-15 relative; rank_round in
+      :func:`ivf_search` absorbs it).
+    """
+    if combine not in ("driver", "spark"):
+        raise ValueError(f"unknown combine {combine!r}")
     init = (df.orderBy(id_col).limit(n_clusters)
             .select(vec_col).toPandas()[vec_col].tolist())
     centroids = np.asarray(init, dtype=np.float64)
@@ -100,17 +112,30 @@ def train_ivf(df: DataFrame, vec_col: str, id_col: str, n_clusters: int,
         partials = df.select(vec_col).mapInPandas(
             _partial_sums_udf(centroids, vec_col),
             "pid long, cluster long, vecsum array<double>, n long")
-        rows = sorted(partials.collect(),
-                      key=lambda r: (r.cluster, r.pid))
         new = centroids.copy()
-        agg: dict[int, np.ndarray] = {}
-        cnt: dict[int, int] = {}
-        for row in rows:
-            agg.setdefault(row.cluster, np.zeros(d))
-            agg[row.cluster] += np.asarray(row.vecsum, dtype=np.float64)
-            cnt[row.cluster] = cnt.get(row.cluster, 0) + row.n
-        for k, v in agg.items():
-            new[k] = v / max(cnt[k], 1)
+        if combine == "spark":
+            zero = F.array(*[F.lit(0.0)] * d)
+            rows = (partials.groupBy("cluster")
+                    .agg(F.aggregate(
+                            F.collect_list("vecsum"), zero,
+                            lambda acc, v: F.zip_with(
+                                acc, v, lambda a, b: a + b)).alias("s"),
+                         F.sum("n").alias("n"))
+                    .collect())
+            for row in rows:
+                new[row.cluster] = (np.asarray(row.s, dtype=np.float64)
+                                    / max(row.n, 1))
+        else:
+            rows = sorted(partials.collect(),
+                          key=lambda r: (r.cluster, r.pid))
+            agg: dict[int, np.ndarray] = {}
+            cnt: dict[int, int] = {}
+            for row in rows:
+                agg.setdefault(row.cluster, np.zeros(d))
+                agg[row.cluster] += np.asarray(row.vecsum, dtype=np.float64)
+                cnt[row.cluster] = cnt.get(row.cluster, 0) + row.n
+            for k, v in agg.items():
+                new[k] = v / max(cnt[k], 1)
         centroids = new
     return centroids
 
