@@ -235,3 +235,72 @@ def test_incremental_geomean_negative_values_match_stack(spark):
     stk = composite.composite(celled, "geomean", mode="stack",
                               compute_dtype="float64").toPandas()
     assert bytes(inc.bytes.iloc[0]) == bytes(stk.bytes.iloc[0])
+
+
+def test_incremental_nan_nodata_profile(spark, tiny_images):
+    """rawf32 frames carry a NaN sentinel: the incremental path's
+    profile key must treat NaN nodata as EQUAL across scenes (NaN !=
+    NaN would reject every valid derived-band group) and match the
+    stack path byte for byte."""
+    from vrtility_spark import bands
+    derived = bands.derived_band(tiny_images, "NDVI",
+                                 "(B08 - B04) / (B08 + B04)")
+    celled = warp.assign_cells(derived, datagen.TILE_RES)
+    inc = composite.composite(celled, "mean").toPandas()
+    stk = composite.composite(celled, "mean", mode="stack",
+                              compute_dtype="float64").toPandas()
+    assert len(inc) == len(stk) == 12
+    a, b = _rows_key(inc), _rows_key(stk)
+    assert list(a.bytes) == list(b.bytes)
+
+
+def test_incremental_mixed_band_count_raises(spark, tiny_images):
+    """A scene with a different plane count in the same cell must fail
+    LOUDLY on the incremental path (numpy broadcasting would otherwise
+    silently smear one plane across all accumulator bands)."""
+    import pytest as _pt
+    pdf = tiny_images.toPandas().iloc[:3].copy()
+    # drop two planes from the second scene's payload only
+    r = pdf.iloc[1]
+    arr = codec.decode(r.bytes, r.w, r.h, r.fmt)
+    pdf.loc[pdf.index[1], "bytes"] = codec.encode(arr[:1], r.fmt)
+    pdf["band_scale"] = None
+    pdf["band_offset"] = None
+    pdf["band_nodata"] = None
+    df = schema.images_df(spark, pdf).coalesce(1)
+    celled = warp.assign_cells(df, datagen.TILE_RES)
+    with _pt.raises(Exception, match="band counts|accumulator"):
+        composite.composite(celled, "mean").collect()
+
+
+def test_incremental_cross_partition_band_nodata_disagreement(spark):
+    """band_nodata disagreement must raise even when each input
+    partition is internally consistent (the merge re-checks)."""
+    import pytest as _pt
+    from test_perband import _mixed_pdf
+    a = _mixed_pdf(n_scenes=2, seed=1)
+    b = _mixed_pdf(n_scenes=2, seed=2)
+    b["image_id"] = ["bx_0", "bx_1"]
+    b["band_nodata"] = [[-9999.0, 0.0, 1.0]] * 2  # disagrees with a
+    import pandas as pd
+    df = schema.images_df(spark, pd.concat([a, b], ignore_index=True)) \
+        .repartition(4, "image_id")
+    celled = warp.assign_cells(df, datagen.TILE_RES)
+    with _pt.raises(Exception, match="band_nodata|disagree"):
+        composite.composite(celled, "mean").collect()
+
+
+def test_split_guard_rejects_res_overflow(spark, tiny_images):
+    """Children past MAX_RES cannot be encoded — the split must refuse
+    instead of silently corrupting cell ids."""
+    import pytest as _pt
+    from vrtility_spark import cells
+    celled = _celled(spark, tiny_images)
+    # fabricate res-13 cell ids directly
+    pdf = celled.toPandas().iloc[:1].copy()
+    zone, res, ix, iy = (int(v[0]) for v in
+                         cells.decode_np(pdf.cell_id.to_numpy()))
+    pdf["cell_id"] = int(cells.encode_np(zone, cells.MAX_RES, ix, iy))
+    df = spark.createDataFrame(pdf)
+    with _pt.raises(Exception, match="MAX_RES"):
+        composite.split_to_child_cells(df, 1).collect()

@@ -496,7 +496,11 @@ def _profile_key(row):
         bn = None
     else:
         bn = np.asarray(v, dtype=np.float64).tobytes()
-    return (int(row.w), int(row.h), row.fmt, float(row.nodata), bn)
+    # NaN-sentinel frames (rawf32 / derived bands): NaN != NaN would
+    # make every profile "disagree" — key NaN as its repr instead
+    nd = float(row.nodata)
+    return (int(row.w), int(row.h), row.fmt,
+            "nan" if nd != nd else nd, bn)
 
 
 class _CellAcc:
@@ -531,6 +535,11 @@ class _CellAcc:
                 self.acc2 = None
             else:
                 self.acc2 = np.zeros(data.shape, dtype=np.int64)
+        if data.shape != self.acc1.shape:
+            raise ValueError(
+                f"scene plane shape {data.shape} disagrees with the "
+                f"cell's accumulator {self.acc1.shape} (mixed band "
+                "counts in one cell); normalize the profile first")
         ok = ~np.isnan(data)
         if r in ("mean", "sum", "mean_db"):
             self.acc1 += np.where(ok, data, 0.0)
@@ -654,7 +663,8 @@ def composite_incremental(
         scene_fn: Callable[[np.ndarray, float], np.ndarray] | None = None,
         caption_cap: int = CAPTION_CAP,
         max_active_cells: int = 64,
-        max_active_bytes: int = MAX_ACTIVE_BYTES) -> DataFrame:
+        max_active_bytes: int = MAX_ACTIVE_BYTES,
+        compute_dtype: str = "float32") -> DataFrame:
     """Bounded-memory composite for DECOMPOSABLE reducers — the
     R/tiling.R:41-64 answer, Spark-shaped: never materializes the
     (T,B,H,W) stack.
@@ -675,6 +685,11 @@ def composite_incremental(
 
     Results match the stack path exactly for integer payloads (partial
     sums of integers are exact in float64); see DECOMPOSABLE.
+    Accumulation is always float64 (a precision superset); the
+    finalized plane is cast to ``compute_dtype`` before encoding, so
+    the declared compute precision is honored at the output. For
+    bit-exact float-payload parity with a float32 STACK computation,
+    force ``mode="stack"``.
     """
     if reducer not in DECOMPOSABLE:
         raise KeyError(f"{reducer!r} is not decomposable; "
@@ -723,22 +738,29 @@ def composite_incremental(
     part = df.mapInPandas(partials, schema=_PARTIAL_SCHEMA)
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        # cross-PARTITION profile agreement: each partial was checked
+        # internally, but two partitions can each be consistent while
+        # disagreeing with each other — including on band_nodata
+        bn_keys = {None if v is None
+                   else np.asarray(v, dtype=np.float64).tobytes()
+                   for v in pdf.band_nodata}
         if (pdf.w.nunique() > 1 or pdf.h.nunique() > 1
-                or pdf.fmt.nunique() > 1
-                or pdf.nodata.nunique(dropna=False) > 1):
+                or pdf.fmt.nunique() > 1 or pdf.nb.nunique() > 1
+                or pdf.nodata.nunique(dropna=False) > 1
+                or len(bn_keys) > 1):
             raise ValueError(
                 f"cell {int(pdf.cell_id.iloc[0])}: partials disagree on "
-                "pixel grid/codec/nodata; normalize the profile first")
+                "pixel grid/codec/nodata/band_nodata; normalize the "
+                "profile first")
         first = pdf.iloc[0]
         nb, h, w = int(first.nb), int(first.h), int(first.w)
         shape = (nb, h, w)
         a1 = [np.frombuffer(b, "<f8").reshape(shape) for b in pdf.acc1]
         a2 = None
         if reducer not in ("min", "max"):
-            dt2 = "<i8" if reducer in ("mosaic", "first") else "<i8"
-            a2 = [np.frombuffer(b, dt2).reshape(shape) for b in pdf.acc2]
+            a2 = [np.frombuffer(b, "<i8").reshape(shape) for b in pdf.acc2]
         m1, m2 = _merge_accs(reducer, a1, a2)
-        out = _finalize(reducer, m1, m2)
+        out = _finalize(reducer, m1, m2).astype(compute_dtype)
         bn = first.band_nodata
         nd = (float(first.nodata) if bn is None
               else np.asarray(bn, dtype=np.float64))
@@ -804,7 +826,8 @@ def composite(df: DataFrame, reducer: str | Callable[[np.ndarray], np.ndarray],
             and reducer in DECOMPOSABLE):
         return composite_incremental(df, reducer, key=key,
                                      scene_fn=scene_fn,
-                                     caption_cap=caption_cap)
+                                     caption_cap=caption_cap,
+                                     compute_dtype=compute_dtype)
     fn = resolve_reducer(reducer)
 
     def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -937,6 +960,12 @@ def split_to_child_cells(df: DataFrame, k: int = 1,
                 arr = codec.decode(row.bytes, row.w, row.h, row.fmt)
                 zone, res, ix, iy = (int(v) for v in
                                      _cells.decode_np(getattr(row, key)))
+                if res + k > _cells.MAX_RES:
+                    raise ValueError(
+                        f"split_to_child_cells(k={k}): children would "
+                        f"sit at res {res + k} > MAX_RES="
+                        f"{_cells.MAX_RES} — the cell-id radix cannot "
+                        "encode them; split less or start coarser")
                 sw, sh = row.w // n, row.h // n
                 xs = (row.xmax - row.xmin) / n
                 ys = (row.ymax - row.ymin) / n
@@ -984,12 +1013,11 @@ def assemble_child_tiles(comp: DataFrame, k: int = 1) -> DataFrame:
         fill = codec.from_float(
             np.full((nb, 1, 1), np.nan), nd, arr0.dtype.name)
         canvas = np.tile(fill, (1, sh * n, sw * n))
-        z0 = r0 = None
-        for row in pdf.itertuples(index=False):
-            zone, res, ix, iy = (int(v) for v in
-                                 _cells.decode_np(row.cell_id))
-            z0, r0 = zone, res
-            a = codec.decode(row.bytes, row.w, row.h, row.fmt)
+        for i, row in enumerate(pdf.itertuples(index=False)):
+            _, _, ix, iy = (int(v) for v in _cells.decode_np(row.cell_id))
+            # first child's decode is reused from the nb probe above
+            a = arr0 if i == 0 else codec.decode(row.bytes, row.w,
+                                                 row.h, row.fmt)
             dy, dx = iy % n, ix % n
             canvas[:, dy * sh:(dy + 1) * sh, dx * sw:(dx + 1) * sw] = a
         zone, res, ix, iy = (int(v) for v in
@@ -1032,23 +1060,35 @@ def composite_auto(df: DataFrame,
     if isinstance(reducer, str) and reducer in DECOMPOSABLE:
         return composite_incremental(df, reducer, key=key,
                                      scene_fn=scene_fn,
-                                     caption_cap=caption_cap)
+                                     caption_cap=caption_cap,
+                                     compute_dtype=compute_dtype)
     itemsize = int(np.dtype(compute_dtype).itemsize)
     storage = F.when(F.col("fmt") == "rawf32", F.lit(4.0)).otherwise(F.lit(2.0))
     elems = F.when(F.col("fmt").isin("raw16", "raw16s", "rawf32"),
                    F.length("bytes") / storage) \
              .otherwise(F.size("bands") * F.col("w") * F.col("h"))
     g = df.groupBy(key).agg(F.sum(elems * itemsize).alias("gb"))
-    stats = (df.agg(F.min("w").alias("mw"), F.min("h").alias("mh"))
+    # largest power-of-two factor PER ROW (x & -x), minimized across the
+    # table: with mixed tile sizes, k must divide EVERY tile, not just
+    # the smallest one (min(w) % 2^k alone would plan splits that
+    # split_to_child_cells rejects at runtime)
+    pow2 = lambda c: F.col(c).bitwiseAND(-F.col(c))
+    res_of = (F.floor(F.col(key) / (8192 * 8192)) % 16)
+    stats = (df.agg(F.min(pow2("w")).alias("pw"),
+                    F.min(pow2("h")).alias("ph"),
+                    F.max(res_of).alias("max_res"))
              .crossJoin(g.agg(F.max("gb").alias("max_gb"))).collect()[0])
     if stats.max_gb is None:  # empty input
         return composite(df, reducer, key, compute_dtype, scene_fn,
                          caption_cap, mode="stack",
                          max_stack_bytes=max_stack_bytes)
-    est, mw, mh = float(stats.max_gb), int(stats.mw), int(stats.mh)
+    from vrtility_spark.cells import MAX_RES
+    est = float(stats.max_gb)
+    k_cap = min(int(stats.pw).bit_length() - 1,
+                int(stats.ph).bit_length() - 1,
+                MAX_RES - int(stats.max_res))
     k = 0
-    while (est / 4 ** k > max_stack_bytes
-           and mw % (1 << (k + 1)) == 0 and mh % (1 << (k + 1)) == 0):
+    while est / 4 ** k > max_stack_bytes and k < k_cap:
         k += 1
     if k == 0:
         return composite(df, reducer, key, compute_dtype, scene_fn,

@@ -40,6 +40,19 @@ def _fake_model(planes: np.ndarray) -> np.ndarray:
     return (mean <= thr).astype(np.uint8)
 
 
+def _omnicloudmask_predict(planes: np.ndarray) -> np.ndarray:
+    """Real OmniCloudMask inference over one (red, green, nir) stack —
+    the engine twin of the reference's pixel function
+    (/root/reference/R/zvrt-pixel-funs-mask.R:313-333:
+    ``omc.predict_from_array(np_rgn, ...)`` then the class plane).
+    Class 0 = clear → mask 1 (valid); clouds/shadows (1/2/3) → 0,
+    matching the engine's mask polarity."""  # pragma: no cover - torch
+    import omnicloudmask as omc
+    pred = np.asarray(omc.predict_from_array(
+        planes.astype(np.float32), batch_size=1))
+    return (pred.reshape(pred.shape[-2:]) == 0).astype(np.uint8)
+
+
 def create_mlmask(df: DataFrame, bands: Sequence[str] = ("B04", "B03", "B08"),
                   model: str = "fake", mask_name: str = "MLMASK") -> DataFrame:
     """Append an ML-predicted 0/1 mask plane computed from ``bands``.
@@ -60,7 +73,7 @@ def create_mlmask(df: DataFrame, bands: Sequence[str] = ("B04", "B03", "B08"),
                 "packages (not available in this environment); use "
                 "model='fake' for the deterministic stand-in, or pass a "
                 "callable (C,H,W)->(H,W) predictor") from e
-        predict = _fake_model  # pragma: no cover - replaced when present
+        predict = _omnicloudmask_predict  # pragma: no cover - needs torch
     elif model == "fake":
         predict = _fake_model
     else:

@@ -106,8 +106,7 @@ M2M_SCHEMA = (
 )
 
 
-#: default per-cell stack budget — see composite.MAX_STACK_BYTES
-MAX_STACK_BYTES = 2 << 30
+from vrtility_spark.composite import MAX_STACK_BYTES  # one shared budget
 
 
 def singleband_m2m(df: DataFrame,
