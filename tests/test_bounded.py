@@ -304,3 +304,39 @@ def test_split_guard_rejects_res_overflow(spark, tiny_images):
     df = spark.createDataFrame(pdf)
     with _pt.raises(Exception, match="MAX_RES"):
         composite.split_to_child_cells(df, 1).collect()
+
+
+def test_composite_auto_mixed_tile_sizes_caps_k(spark, tiny_images):
+    """With mixed tile sizes, composite_auto's k must divide EVERY
+    tile (min power-of-two factor across the table), not just the
+    smallest — a 24px tile caps k at 3 even if a 32px tile allows 5."""
+    import pandas as pd
+    pdf = tiny_images.toPandas().copy()
+    # shrink one ZONE's tiles to 12x12 (pow2 factor 4) — sizes stay
+    # uniform within each cell, mixed across the table
+    rows = []
+    for _, r in pdf.iterrows():
+        r = r.copy()
+        if r.zone == 30:
+            arr = codec.decode(r.bytes, r.w, r.h, r.fmt)[:, :12, :12]
+            r.bytes = codec.encode(np.ascontiguousarray(arr), r.fmt)
+            r.w = r.h = 12
+        rows.append(r)
+    df = schema.images_df(spark, pd.DataFrame(rows))
+    celled = warp.assign_cells(df, datagen.TILE_RES)
+    # ample budget: k=0, runs unsplit
+    out = composite.composite_auto(celled, "median",
+                                   compute_dtype="float64",
+                                   max_stack_bytes=10**9)
+    assert out.count() > 0
+    # tight budget: largest 16px group (51.2 kB) forces k=2 (3.2 kB
+    # children) — 12 is divisible by 4 too, so the plan is valid for
+    # EVERY tile and the reassembled result equals the direct one
+    auto = composite.composite_auto(celled, "median",
+                                    compute_dtype="float64",
+                                    max_stack_bytes=4000).toPandas()
+    direct = composite.composite(celled, "median",
+                                 compute_dtype="float64").toPandas()
+    a, b = _rows_key(direct), _rows_key(auto)
+    assert list(a.cell_id) == list(b.cell_id)
+    assert list(a.bytes) == list(b.bytes)
