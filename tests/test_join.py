@@ -176,3 +176,42 @@ def test_asof_join_property_vs_bruteforce(spark):
                     best = max(cands, key=lambda r: (-r.rts, r.rid))
                 exp[l.lid] = best.rid
         assert dict(zip(got.lid, got.rid)) == exp, direction
+
+
+def test_parse_wkt_outer_ring_ignores_holes():
+    """POLYGON with interior rings parses to the OUTER ring (holes
+    ignored by contract); MULTIPOLYGON raises by name, pointing at the
+    one-row-per-part multipart contract."""
+    import pytest as _pt
+
+    from vrtility_spark.join import parse_wkt_polygon, polygon_area
+    ring = parse_wkt_polygon(
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+        "(2 2, 3 2, 3 3, 2 3, 2 2))")
+    assert ring.shape == (5, 2)
+    assert polygon_area(ring) == 100.0
+    with _pt.raises(ValueError, match="one row per part"):
+        parse_wkt_polygon(
+            "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)))")
+
+
+def test_asof_join_ignores_null_timestamps(spark):
+    """Null-ts right rows must never match (NULLS FIRST would sort one
+    'before everything' and fabricate matches for unmatched left rows);
+    null-ts left rows are dropped."""
+    import datetime as dt
+
+    from vrtility_spark.join import asof_join
+    t = lambda s: dt.datetime(2024, 1, s)
+    left = spark.createDataFrame(
+        [(1, t(5), 100), (1, t(1), 101), (1, None, 102)],
+        "user_id long, ts timestamp, event_id long")
+    right = spark.createDataFrame(
+        [(1, t(3), 900), (1, None, 901)],
+        "user_id long, pts timestamp, p_id long")
+    out = asof_join(left, right, on="user_id", left_time="ts",
+                    right_time="pts", left_id="event_id").toPandas()
+    # only the t(5) click matches (to the t(3) purchase); the t(1)
+    # click has no prior purchase and the null rows are gone
+    assert sorted(out.event_id) == [100]
+    assert list(out.p_id) == [900]

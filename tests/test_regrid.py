@@ -239,3 +239,21 @@ def test_straddling_scene_caption_lands_in_every_covered_cell(spark):
     assert len(covered) == 2  # both covered cells list the straddler
     for agg in covered.caption_agg:
         assert agg.count("s straddler") == 1  # once per cell, not more
+
+
+def test_regrid_plane_drop_trims_band_metadata(spark):
+    """A mask spec with drop_mask_band fused into regrid must leave
+    bands/band_* aligned with the (B-1)-plane payload — stale length-B
+    arrays would silently disable per-band sentinels downstream."""
+    from vrtility_spark.pipeline import Pipeline
+    row, _ = _scene("meta", 0.0, 0.0)
+    df = schema.images_df(spark, pd.DataFrame([row]))
+    out = (Pipeline(df)
+           .set_maskfun("int", [9], drop_mask_band=True)
+           .regrid(datagen.TILE_RES, 8, 8, resampling="nearest")
+           .df).toPandas().iloc[0]
+    arr = codec.decode(out.bytes, out.w, out.h, out.fmt)
+    assert len(arr) == 2  # SCL plane dropped
+    assert list(out.bands) == ["B04", "B08"]
+    assert len(out.band_nodata) == 2
+    assert len(out.band_scale) == 2 and len(out.band_offset) == 2

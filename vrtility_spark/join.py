@@ -40,8 +40,19 @@ DEFAULT_JOIN_RES = 6  # 16384 m cells
 # --------------------------------------------------- geometry kernels ----
 
 def parse_wkt_polygon(wkt: str) -> np.ndarray:
-    """Minimal WKT POLYGON ring parser → (n, 2) float array (outer ring)."""
-    body = wkt[wkt.index("((") + 2:wkt.index("))")]
+    """Minimal WKT POLYGON parser → (n, 2) float array of the OUTER
+    ring. Interior rings (holes) are ignored — coverage treats a
+    footprint as its outer boundary. MULTIPOLYGON raises by name: the
+    spatial_join multipart contract is one row per part (several rows
+    per ``aoi_id``), which also gives each part its own bbox/cover
+    cells."""
+    w = wkt.strip()
+    if w[:12].upper().startswith("MULTIPOLYGON"):
+        raise ValueError(
+            "MULTIPOLYGON WKT: split the geometry into one row per "
+            "part (spatial_join sums coverage over an aoi_id's rows)")
+    start = w.index("((") + 2
+    body = w[start:w.index(")", start)]  # outer ring ends at first ')'
     pts = [p.strip().split() for p in body.split(",")]
     return np.array([[float(p[0]), float(p[1])] for p in pts], dtype=np.float64)
 
@@ -267,7 +278,12 @@ def spatial_join(images: DataFrame, aoi: DataFrame,
         ).where(F.col("isect_area") > 0)
         refined = (per_part.groupBy("aoi_id", "image_id")
                    .agg(*meta_aggs, F.sum("isect_area").alias("isect_area")))
-    refined = (refined.join(F.broadcast(aoi_total), "aoi_id")
+    # aoi_total is one row per aoi_id — broadcast it only when the
+    # caller declared the AOI side broadcastable (broadcast_aoi=False
+    # means "too many AOIs to ship to every executor", which applies
+    # to the totals table just as much as to the cover cells)
+    totals = F.broadcast(aoi_total) if broadcast_aoi else aoi_total
+    refined = (refined.join(totals, "aoi_id")
                .withColumn("coverage",
                            F.col("isect_area") / F.col("aoi_area")))
     if min_coverage_of_aoi is not None:
@@ -326,6 +342,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     # the right row travels as ONE struct so last(..., ignorenulls) picks
     # a whole row atomically (per-column last could mix rows when a right
     # column is legitimately null)
+    # rows without a timestamp can neither match nor be matched (SQL
+    # ASOF semantics: NULL compares false); dropping them up front also
+    # keeps NULLS FIRST ordering from promoting a null-ts right row to
+    # "earliest" and fabricating matches
+    left = left.where(F.col(left_time).isNotNull())
+    right = right.where(F.col(right_time).isNotNull())
     rhs = right.select(
         F.col(on),
         F.col(right_time).alias("_asof_ts"),

@@ -171,7 +171,9 @@ def vrt_set_maskfun(df: DataFrame, maskfun: str, mask_values: Sequence[int],
             pdf = pdf.copy()
             pdf["bytes"] = out_bytes
             if drop:
-                pdf["bands"] = pdf["bands"].map(lambda b: list(b)[:-1])
+                if "bands" in pdf.columns:  # null bands stay null
+                    pdf["bands"] = pdf["bands"].map(
+                        lambda b: None if b is None else list(b)[:-1])
                 for c in ("band_scale", "band_offset", "band_nodata"):
                     if c in pdf.columns:
                         pdf[c] = pdf[c].map(

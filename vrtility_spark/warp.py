@@ -375,10 +375,9 @@ def warp_np(arr: np.ndarray, out_h: int, out_w: int, method: str,
         if nodata is None or is_class[b]:
             planes.append(resample_plane(arr[b], out_h, out_w, methods[b]))
         else:
-            from vrtility_spark import codec as _c
             ndb = float(nd_arr[b % len(nd_arr)])
             planes.append(resample_plane_masked(
-                _c.to_float_masked(arr[b][None], ndb)[0],
+                codec.to_float_masked(arr[b][None], ndb)[0],
                 out_h, out_w, methods[b]))
     return np.stack(planes)
 
@@ -499,7 +498,7 @@ def regrid_to_cells(df: DataFrame, res: int, out_w: int, out_h: int,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            blobs = []
+            blobs, nbs = [], []
             bxmin, bymin, bxmax, bymax = [], [], [], []
             for row in pdf.itertuples(index=False):
                 arr = codec.decode(row.bytes, row.w, row.h, row.fmt)
@@ -509,6 +508,7 @@ def regrid_to_cells(df: DataFrame, res: int, out_w: int, out_h: int,
                                          row.nodata)
                 if scene_fn is not None:
                     arr = scene_fn(arr, nd)
+                nbs.append(len(arr))
                 nd_arr = np.atleast_1d(np.asarray(nd, dtype=np.float64))
                 methods, is_class = resolve_plane_methods(
                     names, len(arr), default, overrides, mask_plane)
@@ -550,6 +550,16 @@ def regrid_to_cells(df: DataFrame, res: int, out_w: int, out_h: int,
             if "res_x" in pdf.columns:
                 pdf["res_x"] = size / out_w
                 pdf["res_y"] = size / out_h
+            if scene_fn is not None:
+                # a plane-dropping scene_fn (e.g. a mask spec with
+                # drop_mask_band) must leave band metadata aligned with
+                # the payload: trim bands/band_* to the OUTPUT plane
+                # count (scene_fns only drop trailing planes)
+                for c in ("bands", "band_scale", "band_offset",
+                          "band_nodata"):
+                    if c in pdf.columns:
+                        pdf[c] = [None if v is None else list(v)[:n]
+                                  for v, n in zip(pdf[c], nbs)]
             yield pdf
 
     return celled.mapInPandas(run, schema=out_schema)
