@@ -66,3 +66,28 @@ def test_manifest_partition_byte_metrics(spark, tiny_images, tmp_path):
     for p in m["partitions"].values():
         assert p["rows"] == 5
         assert p["bytes"] > 0 and p["files"] >= 1
+
+
+def test_empty_snapshot_then_read_and_compact(spark, tiny_images, tmp_path):
+    """A fully-resumed job commits an EMPTY snapshot; read() must skip
+    it (no schema to infer) — and compact() rewrites the chain into one
+    parentless snapshot with identical rows and preserved tags."""
+    from vrtility_spark import composite, lineage, warp
+    tbl = lineage.SnapshotTable(str(tmp_path / "t"))
+    df = warp.assign_cells(tiny_images, datagen.TILE_RES)
+    comp = composite.composite(df, "median")
+    m1 = tbl.commit(comp, "cell_id", tag="b0")
+    m2 = tbl.commit(tbl.remaining(comp, "cell_id"), "cell_id", tag="b1")
+    assert m2["partitions"] == {}          # nothing left: empty snapshot
+    assert m2["snapshot_id"] > m1["snapshot_id"]  # monotonic even same-ms
+    before = tbl.read(spark).toPandas()    # must not crash on the empty one
+    assert len(before) == 12
+
+    m3 = lineage.compact(tbl, spark)
+    assert m3["parent"] is None
+    after = lineage.SnapshotTable(tbl.dir)  # fresh instance, cold cache
+    got = after.read(spark).toPandas()
+    key = lambda d: sorted((int(r.cell_id), bytes(r.bytes))
+                           for _, r in d.iterrows())
+    assert key(got) == key(before)
+    assert after.tags() == {"b0", "b1"}    # idempotency tags survive

@@ -155,3 +155,43 @@ def test_bundle_carries_memory_policy_and_split(spark, tiny_images, tmp_path):
     key = lambda d: sorted((int(r.cell_id), bytes(r.bytes))
                            for _, r in d.iterrows())
     assert key(got) == key(want) and len(got) == 12
+
+
+def test_bundle_rejects_non_transformation_verbs(spark, tiny_images, tmp_path):
+    """Bundles are untrusted portable files: a hand-crafted bundle
+    naming a sink verb (compute would overwrite an arbitrary path on
+    load) must be rejected by the replay whitelist."""
+    import json
+
+    import pytest as _pt
+    path = str(tmp_path / "evil.json")
+    with open(path, "w") as f:
+        json.dump({"format": "vrtility_spark.bundle", "version": 1,
+                   "verbs": [{"verb": "compute",
+                              "params": {"path": str(tmp_path / "x")}}]}, f)
+    with _pt.raises(ValueError, match="not replayable"):
+        Pipeline.from_bundle(path, tiny_images)
+
+
+def test_mask_drop_flag_survives_flush(spark, tiny_images):
+    """A drop_mask_band spec flushed by an intermediate verb must still
+    inform later mask_plane defaults — the payload has no QA plane, so
+    warp must NOT nearest-resample the last DATA band."""
+    from vrtility_spark import codec
+    p = (Pipeline(tiny_images)
+         .set_maskfun("int", datagen.S2_MASK_VALUES, drop_mask_band=True)
+         .subset_bands(["B04", "B08"])   # flushes the mask spec
+         .warp(cell_res=datagen.TILE_RES, out_w=8, out_h=8,
+               resampling="average"))
+    row = p.df.toPandas().iloc[0]
+    arr = codec.decode(row.bytes, row.w, row.h, row.fmt)
+    assert len(arr) == 2
+    # nearest on raw codes of a DATA band would reproduce exact source
+    # pixels; 'average' downsampling of a non-constant band cannot.
+    src = Pipeline(tiny_images).set_maskfun(
+        "int", datagen.S2_MASK_VALUES, drop_mask_band=True) \
+        .subset_bands(["B04", "B08"]).df.toPandas()
+    s = src[src.image_id == row.image_id].iloc[0]
+    sarr = codec.decode(s.bytes, s.w, s.h, s.fmt)
+    nearest = sarr[1][::2, ::2][:8, :8]
+    assert not np.array_equal(arr[1], nearest)

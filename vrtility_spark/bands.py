@@ -67,6 +67,12 @@ def _payload_map(df: DataFrame, fn) -> DataFrame:
                         if v is None or idx is None:
                             metas[c].append(
                                 None if v is None else list(v))
+                        elif any(i >= len(v) for i in idx if i >= 0):
+                            # metadata array shorter than the plane
+                            # count (the documented divergence case,
+                            # codec.row_band_meta): degrade to the
+                            # scalar convention, don't crash the stage
+                            metas[c].append(None)
                         else:
                             v = list(v)
                             metas[c].append(

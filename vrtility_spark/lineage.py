@@ -35,6 +35,19 @@ class SnapshotTable:
     def __init__(self, table_dir: str):
         self.dir = table_dir
         os.makedirs(table_dir, exist_ok=True)
+        # manifest files are immutable once published (atomic rename),
+        # so the chain walk memoizes them — a long-running stream calls
+        # tags()/read()/commit() every micro-batch and would otherwise
+        # re-open O(chain) JSON files each time
+        self._manifest_cache: dict[str, dict] = {}
+
+    def _load_manifest(self, name: str) -> dict:
+        m = self._manifest_cache.get(name)
+        if m is None:
+            with open(os.path.join(self.dir, name)) as f:
+                m = json.load(f)
+            self._manifest_cache[name] = m
+        return m
 
     # ------------------------------------------------------- helpers
     def _current_path(self):
@@ -57,10 +70,7 @@ class SnapshotTable:
         while m is not None:
             done |= set(m["partitions"].keys())
             parent = m.get("parent")
-            m = None
-            if parent:
-                with open(os.path.join(self.dir, parent)) as f:
-                    m = json.load(f)
+            m = self._load_manifest(parent) if parent else None
         return done
 
     # -------------------------------------------------------- commit
@@ -81,8 +91,14 @@ class SnapshotTable:
         ``tag`` is an idempotency token (e.g. a streaming batch id):
         it is recorded in the manifest and readable via :meth:`tags`,
         letting at-least-once writers skip replayed work."""
-        snap_id = int(time.time() * 1000)
         prev = self.current_manifest()
+        # strictly monotonic: a commit in the same millisecond (or
+        # after a clock step back) must not reuse or precede the
+        # previous id — equal ids would collide on the data dir and
+        # could produce a self-referential parent pointer
+        snap_id = int(time.time() * 1000)
+        if prev is not None:
+            snap_id = max(snap_id, int(prev["snapshot_id"]) + 1)
         prev_upsert = bool(prev.get("upsert")) if prev else None
         if upsert is None:
             upsert = prev_upsert if prev_upsert is not None else False
@@ -168,11 +184,9 @@ class SnapshotTable:
         while m is not None:
             if m.get("tag") is not None:
                 out.add(m["tag"])
+            out.update(m.get("tags", ()))  # carried through compaction
             parent = m.get("parent")
-            m = None
-            if parent:
-                with open(os.path.join(self.dir, parent)) as f:
-                    m = json.load(f)
+            m = self._load_manifest(parent) if parent else None
         return out
 
     def read(self, spark: SparkSession) -> DataFrame:
@@ -188,8 +202,12 @@ class SnapshotTable:
         upsert = bool(m.get("upsert"))
         pc = m["partition_col"]
         dfs = []
+        append_paths = []
         seen: set[str] = set()
         while m is not None:
+            # an EMPTY snapshot (e.g. a resume that had nothing left)
+            # has no files to infer a schema from and no rows to
+            # contribute — skip it instead of failing the whole read
             if upsert:
                 mine = [p for p in m["partitions"] if p not in seen]
                 seen.update(mine)
@@ -199,18 +217,56 @@ class SnapshotTable:
                     if len(mine) < len(m["partitions"]):
                         d = d.where(F.col(pc).cast("string").isin(mine))
                     dfs.append(d)
-            else:
-                dfs.append(spark.read.parquet(
-                    os.path.join(self.dir, m["data_dir"])))
+            elif m["partitions"]:
+                append_paths.append(os.path.join(self.dir, m["data_dir"]))
             parent = m.get("parent")
-            m = None
-            if parent:
-                with open(os.path.join(self.dir, parent)) as f:
-                    m = json.load(f)
+            m = self._load_manifest(parent) if parent else None
+        # each snapshot dir is its own partitioned root (snap-<id>/
+        # key=value/...), so they are read per-dir and unioned; a
+        # long-running stream should periodically :meth:`compact` the
+        # chain so this stays O(1) relations
+        dfs.extend(spark.read.parquet(p) for p in append_paths)
+        if not dfs:
+            raise ValueError(
+                f"snapshot table {self.dir} holds no rows (all "
+                "snapshots empty)")
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
         return out
+
+
+def compact(table: SnapshotTable, spark: SparkSession) -> dict:
+    """Rewrite the whole snapshot chain into ONE fresh snapshot (same
+    visible rows, parentless manifest) — the maintenance operation that
+    keeps :meth:`SnapshotTable.read` O(1) relations for long-running
+    streams (every micro-batch otherwise unions one DataFrame per
+    historical snapshot). Call periodically (e.g. every K batches or
+    when the chain length passes a threshold); readers see either the
+    old chain or the compacted one (CURRENT swaps atomically)."""
+    m = table.current_manifest()
+    if m is None:
+        raise ValueError(f"snapshot table {table.dir} has no commits")
+    state = table.read(spark).localCheckpoint(eager=True)
+    pc = m["partition_col"]
+    upsert = bool(m.get("upsert"))
+    old_tags = sorted(table.tags())
+    fresh = SnapshotTable(table.dir + ".compact")
+    manifest = fresh.commit(state, pc, upsert=upsert)
+    # idempotency tags survive compaction (at-least-once writers check
+    # them to skip replayed batches)
+    manifest["tags"] = old_tags
+    with open(os.path.join(fresh.dir, manifest["self"]), "w") as f:
+        json.dump(manifest, f, indent=1)
+    # adopt the compacted snapshot into this table's directory
+    os.replace(os.path.join(fresh.dir, manifest["data_dir"]),
+               os.path.join(table.dir, manifest["data_dir"]))
+    os.replace(os.path.join(fresh.dir, manifest["self"]),
+               os.path.join(table.dir, manifest["self"]))
+    os.replace(os.path.join(fresh.dir, "CURRENT"), table._current_path())
+    os.rmdir(fresh.dir)
+    table._manifest_cache.clear()
+    return manifest
 
 
 def partition_metrics(df: DataFrame) -> DataFrame:

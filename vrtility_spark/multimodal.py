@@ -156,6 +156,9 @@ def resize_video(df: DataFrame, out_w: int, out_h: int,
             payloads = []
             for r in pdf.itertuples(index=False):
                 frames = decode_video(r.bytes, r.w, r.h, r.fmt)
+                if len(frames) == 0:  # zero-frame clips pass through
+                    payloads.append(b"")
+                    continue
                 out = np.stack([
                     np.clip(np.round(resample_plane(f, out_h, out_w, method)),
                             0, 255)

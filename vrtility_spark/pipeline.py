@@ -47,8 +47,16 @@ class Pipeline:
     #: verbs whose params cannot be serialized into a bundle
     _UNBUNDLEABLE = object()
 
+    #: transformation verbs a bundle may replay (sinks and file-writing
+    #: methods are deliberately absent)
+    _BUNDLE_VERBS = frozenset([
+        "cloud_filter", "orbit_filter", "drop_duplicates", "date_range",
+        "set_maskfun", "create_mlmask", "subset_bands", "derived_band",
+        "set_scale", "reproject", "warp", "regrid", "composite",
+        "hampel", "split_cells"])
+
     def __init__(self, df: DataFrame, mask_specs: tuple = (),
-                 log: tuple = ()):
+                 log: tuple = (), mask_dropped: bool = False):
         self._df = df
         # pending lazy masks: (maskfun, values, buffer_size, drop)
         self._mask_specs = tuple(mask_specs)
@@ -56,9 +64,16 @@ class Pipeline:
         # serialized-plan twin of the reference's vrt_save/vrt_bundle
         # (R/vrt-save.R:51-109, R/vrt-bundle.R:19-143)
         self._log = tuple(log)
+        # sticky: a drop_mask_band spec leaves the payload WITHOUT a
+        # trailing class plane even after the spec is flushed — later
+        # mask_plane defaults must remember that, not just consult the
+        # pending (unflushed) specs
+        self._mask_dropped = bool(mask_dropped) or any(
+            s[3] for s in self._mask_specs)
 
     def _next(self, df: DataFrame, mask_specs, verb: str, params):
-        return Pipeline(df, mask_specs, self._log + ((verb, params),))
+        return Pipeline(df, mask_specs, self._log + ((verb, params),),
+                        self._mask_dropped)
 
     @property
     def df(self) -> DataFrame:
@@ -71,7 +86,7 @@ class Pipeline:
         df = self._df
         for spec in self._mask_specs:
             df = _masks.vrt_set_maskfun(df, *spec)
-        return Pipeline(df, (), self._log)
+        return Pipeline(df, (), self._log, self._mask_dropped)
 
     def _scene_fn(self):
         if not self._mask_specs:
@@ -131,7 +146,7 @@ class Pipeline:
                      keep_mask_plane: bool | None = None) -> "Pipeline":
         from vrtility_spark import bands as _b
         if keep_mask_plane is None:  # dropped-mask payloads have no QA plane
-            keep_mask_plane = not any(s[3] for s in self._mask_specs)
+            keep_mask_plane = not self._mask_dropped
         expr = formula if isinstance(formula, str) \
             else getattr(formula, "expr", None)
         params = ({"name": name, "formula": expr, "replace": bool(replace),
@@ -168,7 +183,7 @@ class Pipeline:
             # If a recorded mask spec dropped the mask band, the last
             # plane is DATA — don't force it to nearest
             if mask_plane is None:
-                mask_plane = not any(spec[3] for spec in self._mask_specs)
+                mask_plane = not self._mask_dropped
             df = _warp.assign_cells(self.df, cell_res, prefix_k)
             return self._next(
                 _warp.warp_to_grid(df, out_w, out_h or out_w,
@@ -187,7 +202,7 @@ class Pipeline:
         already tile the grid). Pending masks FUSE into the regrid's
         decode pass (one Arrow stage, no materialized masked copy)."""
         if mask_plane is None:
-            mask_plane = not any(spec[3] for spec in self._mask_specs)
+            mask_plane = not self._mask_dropped
         return self._next(
             _warp.regrid_to_cells(self._df, cell_res, out_w,
                                   out_h or out_w, resampling,
@@ -287,5 +302,13 @@ class Pipeline:
             raise ValueError(f"{path} is not a vrtility_spark bundle")
         p = cls(df)
         for step in bundle["verbs"]:
+            # bundles are untrusted portable files: only TRANSFORMATION
+            # verbs replay (the same trust boundary as the AST-hardened
+            # band formulas) — a bundle naming compute/to_bundle could
+            # otherwise overwrite arbitrary paths on load
+            if step["verb"] not in cls._BUNDLE_VERBS:
+                raise ValueError(
+                    f"bundle verb {step['verb']!r} is not replayable; "
+                    f"allowed: {sorted(cls._BUNDLE_VERBS)}")
             p = getattr(p, step["verb"])(**step["params"])
         return p

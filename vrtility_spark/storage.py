@@ -67,16 +67,29 @@ def read_images_table(spark: SparkSession, table: str) -> DataFrame:
 def scan_bbox(spark: SparkSession, path: str, zone: int,
               xmin: float, ymin: float, xmax: float, ymax: float,
               cell_res: int, prefix_k: int = 2,
-              t0=None, t1=None) -> DataFrame:
+              t0=None, t1=None,
+              max_footprint_edge: float = 0.0) -> DataFrame:
     """Pruned scan of all scenes whose footprint may intersect the bbox.
 
     The candidate ``cell_prefix`` list is computed driver-side from the
     bbox (tiny), giving an `IN` predicate on partition columns that
     Catalyst turns into directory pruning; the exact bbox test runs
     only on surviving rows.
+
+    ``cell_prefix`` derives from a scene's footprint CENTER, so the
+    prefix list must cover every center a bbox-intersecting scene can
+    have. Grid-aligned tiles (footprint == one cell at ``cell_res``)
+    need no slack; for ARBITRARY footprints pass the table's maximum
+    footprint edge length as ``max_footprint_edge`` — the bbox is
+    expanded by half of it before the cover, since an intersecting
+    scene's center lies within half its edge of the bbox. Without it,
+    a scene straddling the bbox edge with its center in a neighbouring
+    prefix cell would be pruned away before the exact refine.
     """
+    e2 = float(max_footprint_edge) / 2.0
     prefixes = sorted(set(parent_np(
-        cover_bbox_np(zone, xmin, ymin, xmax, ymax, cell_res), prefix_k
+        cover_bbox_np(zone, xmin - e2, ymin - e2, xmax + e2, ymax + e2,
+                      cell_res), prefix_k
     ).tolist()))
     df = spark.read.parquet(path)
     df = df.where((F.col("zone") == zone) & F.col("cell_prefix").isin(prefixes))

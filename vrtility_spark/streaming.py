@@ -92,7 +92,7 @@ def stateful_running_mean(spark: SparkSession, input_dir: str,
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    vals = mask_values or datagen.S2_MASK_VALUES
+    vals = datagen.S2_MASK_VALUES if mask_values is None else mask_values
 
     def update(key, pdfs, state):
         import numpy as np
@@ -152,7 +152,8 @@ def composite_stream(spark: SparkSession, input_dir: str, table_dir: str,
                      reducer: str = "median", cell_res: int = datagen.TILE_RES,
                      mask_values=None, checkpoint_dir: str | None = None,
                      max_files_per_batch: int = 32,
-                     regrid: tuple[int, int] | None = None):
+                     regrid: tuple[int, int] | None = None,
+                     regrid_resampling: str | dict = "nearest"):
     """Stream scenes → masked per-cell composites, correct under ANY
     micro-batch split.
 
@@ -174,7 +175,8 @@ def composite_stream(spark: SparkSession, input_dir: str, table_dir: str,
     ``trigger(availableNow=True)`` gives drain-and-stop semantics.
     """
     process_batch = make_batch_processor(spark, table_dir, reducer,
-                                         cell_res, mask_values, regrid)
+                                         cell_res, mask_values, regrid,
+                                         regrid_resampling)
     stream = read_scene_stream(spark, input_dir, max_files_per_batch)
     writer = (stream.writeStream.foreachBatch(process_batch)
               .option("checkpointLocation",
@@ -187,7 +189,8 @@ def make_batch_processor(spark: SparkSession, table_dir: str,
                          reducer: str = "median",
                          cell_res: int = datagen.TILE_RES,
                          mask_values=None,
-                         regrid: tuple[int, int] | None = None):
+                         regrid: tuple[int, int] | None = None,
+                         regrid_resampling: str | dict = "nearest"):
     """The foreachBatch body of :func:`composite_stream`, exposed so
     the at-least-once replay path (crash between the scenes commit and
     the composite commit) is directly testable.
@@ -206,7 +209,7 @@ def make_batch_processor(spark: SparkSession, table_dir: str,
     from vrtility_spark.warp import cells_cover, regrid_to_cells
     tbl = SnapshotTable(table_dir)
     scenes_tbl = SnapshotTable(_os.path.join(table_dir, "scenes"))
-    vals = mask_values or datagen.S2_MASK_VALUES
+    vals = datagen.S2_MASK_VALUES if mask_values is None else mask_values
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -241,8 +244,11 @@ def make_batch_processor(spark: SparkSession, table_dir: str,
         affected_ids = [r.cell_id for r in
                         celled_new.select("cell_id").distinct().collect()]
         relevant = regrid_history(spark, scenes_tbl, affected_ids)
+        # regrid_resampling defaults to 'nearest' (deterministic under
+        # replay); pass the batch pipeline's choice (e.g. 'bilinear')
+        # to keep streamed == batch for a bilinear batch run
         tiles = regrid_to_cells(relevant, cell_res, *regrid,
-                                resampling="nearest",
+                                resampling=regrid_resampling,
                                 scene_fn=make_scene_maskfun("int", vals),
                                 precelled=True)
         tbl.commit(composite(tiles, reducer), "cell_id", upsert=True)
