@@ -36,9 +36,8 @@ BENCH_QUERIES = [
     "embedding_lsh", "embedding_dup_clusters", "ann_ivf",
     # fixture-scale payload queries: constant-size inputs, benched so
     # round-over-round regressions on these operators stay visible
-    # (the sf-scaled image pipeline is timed separately below; its
-    # keys image_median/geomedian_composite + image_regrid_pipeline
-    # deliberately stay out of this list)
+    # (the sf-scaled image pipeline is timed in image_pipeline_bench —
+    # generation cached once, each shape best-of-reps like these keys)
     "image_medoid_composite", "image_hls_composite",
     "image_regrid_composite", "image_hampel",
     "audio_features", "video_features",
@@ -51,24 +50,18 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def image_pipeline_bench(spark):
+def image_pipeline_bench(spark, reps: int):
+    """sf-scaled image pipeline, best-of-`reps` per key.
+
+    Generation happens ONCE (cached, materialized outside every timed
+    window); each of the three pipeline shapes is then timed `reps`
+    times and the per-key minimum kept — same contention-noise policy
+    as the relational keys (interference only ever adds time).
+    """
     images = datagen.images_spark(spark, **IMG).cache()
     n = images.count()  # materialize generation outside the timed section
-    t0 = time.perf_counter()
-    comp = (Pipeline(images)
-            .set_maskfun("int", datagen.S2_MASK_VALUES)
-            .warp(cell_res=datagen.TILE_RES)
-            .composite("median").df)
-    _force(comp)
-    t_median = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    comp2 = (Pipeline(images)
-             .set_maskfun("int", datagen.S2_MASK_VALUES)
-             .warp(cell_res=datagen.TILE_RES)
-             .composite("geomedian").df)
-    _force(comp2)
-    t_geomedian = time.perf_counter() - t0
-    # general-warp path: deterministic sub-tile offsets force every
+
+    # general-warp input: deterministic sub-tile offsets force every
     # scene through regrid_to_cells (explode + resample + pad) before
     # compositing — the no-alignment-assumption pipeline
     from pyspark.sql import functions as F
@@ -76,24 +69,53 @@ def image_pipeline_bench(spark):
            / 4.0 * datagen.TILE_SPAN)
     shifted = images.withColumn("xmin", F.col("xmin") + off) \
                     .withColumn("xmax", F.col("xmax") + off)
-    t0 = time.perf_counter()
-    comp3 = (Pipeline(shifted)
-             .set_maskfun("int", datagen.S2_MASK_VALUES)
-             .regrid(datagen.TILE_RES, IMG["w"], IMG["h"],
-                     resampling="nearest")
-             .composite("median").df)
-    _force(comp3)
-    t_regrid = time.perf_counter() - t0
+
+    def _median():
+        return (Pipeline(images)
+                .set_maskfun("int", datagen.S2_MASK_VALUES)
+                .warp(cell_res=datagen.TILE_RES)
+                .composite("median").df)
+
+    def _geomedian():
+        return (Pipeline(images)
+                .set_maskfun("int", datagen.S2_MASK_VALUES)
+                .warp(cell_res=datagen.TILE_RES)
+                .composite("geomedian").df)
+
+    def _regrid():
+        return (Pipeline(shifted)
+                .set_maskfun("int", datagen.S2_MASK_VALUES)
+                .regrid(datagen.TILE_RES, IMG["w"], IMG["h"],
+                        resampling="nearest")
+                .composite("median").df)
+
+    shapes = {"image_median_composite": _median,
+              "image_geomedian_composite": _geomedian,
+              "image_regrid_pipeline": _regrid}
+    times: dict[str, float] = {}
+    for _rep in range(reps):
+        for key, build in shapes.items():
+            t0 = time.perf_counter()
+            _force(build())
+            t = time.perf_counter() - t0
+            if key not in times or t < times[key]:
+                times[key] = t
     images.unpersist()
-    return n, {"image_median_composite": t_median,
-               "image_geomedian_composite": t_geomedian,
-               "image_regrid_pipeline": t_regrid}
+    return n, times
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1
+    # quiet-window self-probe BEFORE the Spark session exists: raw
+    # kernel multiprocessing throughput annotates the committed JSON
+    # with its own noise context (quiet >= ~24 chunks/s/proc).
+    # bench.py the module shadows bench/ the dir, hence the path insert.
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "bench"))
+    from probe import kernel_probe
+    probe = kernel_probe()
     spark = get_spark("vrtility-bench", cores=cpus, shuffle_partitions=cpus)
     queries = entrymod.queries()
 
@@ -120,7 +142,7 @@ def main() -> None:
             if name not in times or t < times[name]:
                 times[name] = t
 
-    n_scenes, img_times = image_pipeline_bench(spark)
+    n_scenes, img_times = image_pipeline_bench(spark, reps)
     times.update({k: round(v, 3) for k, v in img_times.items()})
 
     total = round(sum(times.values()), 3)
@@ -131,6 +153,8 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "cpus": cpus,
+        "reps": reps,
+        "probe": probe,
         "image_bench_scenes": n_scenes,
         "scenes_per_sec_median_composite": round(
             n_scenes / img_times["image_median_composite"], 2),

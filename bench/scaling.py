@@ -97,14 +97,19 @@ def main() -> None:
     # the engine's capability at that parallelism. Alternating order
     # keeps slow phases from landing entirely on one level.
     trials = int(os.environ.get("SCALING_TRIALS", "3"))
+    from probe import kernel_probe
     results: dict[int, dict] = {}
     for t in range(trials):
         for cores in (N_BASE, 4 * N_BASE):
+            # per-trial noise context: raw-kernel per-proc throughput
+            # immediately before the trial (quiet >= ~24 chunks/s/proc)
+            probe = kernel_probe()
             out = f"/tmp/scaling_{cores}_{t}.json"
             subprocess.run([sys.executable, __file__, "--worker", str(cores),
                             out], check=True, cwd=REPO)
             with open(out) as f:
                 res = json.load(f)
+            res["probe"] = probe
             print(json.dumps({"trial": t, **res}))
             if cores not in results or res["wall_sec"] < results[cores]["wall_sec"]:
                 results[cores] = res
@@ -124,6 +129,15 @@ def main() -> None:
     _write_md(tn, t4n, eff)
 
 
+def _probe_cell(res: dict) -> str:
+    p = res.get("probe")
+    if not p:
+        return "n/a"
+    tag = "quiet" if p["quiet"] else "NOISY"
+    return (f"{p['per_proc_chunks_per_sec_min']}–"
+            f"{p['per_proc_chunks_per_sec_mean']} ({tag})")
+
+
 def _write_md(tn: dict, t4n: dict, eff: float) -> None:
     w = WORKLOAD
     md = f"""# BENCH — scaling evidence (north_rule)
@@ -140,10 +154,15 @@ shows intermittent sibling-tenant contention that slows single trials
 30-70%, and interference only ever adds time, so the per-level minimum
 is the unbiased capability estimate.
 
-| parallelism | wall (s) | scenes/s | cells/s |
-|---|---|---|---|
-| local[{tn['cores']}]  | {tn['wall_sec']} | {tn['scenes_per_sec']} | {tn['cells_per_sec']} |
-| local[{t4n['cores']}] | {t4n['wall_sec']} | {t4n['scenes_per_sec']} | {t4n['cells_per_sec']} |
+| parallelism | wall (s) | scenes/s | cells/s | pre-trial probe (chunks/s/proc, min–mean) |
+|---|---|---|---|---|
+| local[{tn['cores']}]  | {tn['wall_sec']} | {tn['scenes_per_sec']} | {tn['cells_per_sec']} | {_probe_cell(tn)} |
+| local[{t4n['cores']}] | {t4n['wall_sec']} | {t4n['scenes_per_sec']} | {t4n['cells_per_sec']} | {_probe_cell(t4n)} |
+
+The probe column is the raw geomedian kernel under plain
+multiprocessing (8 procs, no Spark) run immediately before the winning
+trial — quiet windows measure >= ~24 chunks/s/proc; the committed row
+carries its own noise context (bench/probe.py).
 
 **Scaling efficiency** throughput_4N / (4 x throughput_N) =
 **{eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"}).

@@ -107,3 +107,46 @@ def test_connected_components_chain_and_cliques(spark):
     kept = {r.doc_id for r in
             drop_near_duplicates(corpus, edges).collect()}
     assert kept == set(range(25)) - {2, 3, 4, 5, 11, 21}
+
+
+def test_reliable_checkpoint_requires_dir(spark):
+    """Without a context checkpoint dir, reliable=True raises a clear
+    error instead of Spark's deep-stack SparkException. (Defined BEFORE
+    the reliable-CC test: that one sets the context-global dir.)"""
+    import pytest
+
+    from vrtility_spark.checkpointing import truncate_lineage
+
+    if spark.sparkContext.getCheckpointDir() is None:
+        with pytest.raises(ValueError, match="checkpoint directory"):
+            truncate_lineage(spark.range(3), reliable=True)
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """reliable=True runs CC on durable checkpoints: labels identical
+    to the local path, lineage truncated (the result plan reads the
+    checkpointed RDD, not the edge pipeline), and the checkpoint files
+    actually land in the durable dir — the 100-TB fault-tolerance
+    path."""
+    import os
+
+    from vrtility_spark.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21)],
+        "doc_a long, doc_b long")
+    ckdir = str(tmp_path / "ck")
+    rel = connected_components(edges, "doc_a", "doc_b",
+                               reliable=True, checkpoint_dir=ckdir)
+    local = connected_components(edges, "doc_a", "doc_b")
+    assert ({(r.id, r.comp) for r in rel.collect()}
+            == {(r.id, r.comp) for r in local.collect()})
+    # durable state exists on disk (per-round RDD checkpoint dirs)
+    ckfiles = [os.path.join(dp, f)
+               for dp, _dn, fns in os.walk(ckdir) for f in fns]
+    assert ckfiles, "reliable CC wrote no checkpoint files"
+    # lineage is truncated: the analyzed plan is rooted at a scan of
+    # the checkpointed relation, with no join/aggregate replay above it
+    plan = rel._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" in plan or "Checkpoint" in plan
+    assert "Join" not in plan

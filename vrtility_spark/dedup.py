@@ -31,17 +31,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .checkpointing import truncate_lineage
+
 
 def connected_components(edges: DataFrame, src: str = "src",
-                         dst: str = "dst", max_iter: int = 50) -> DataFrame:
+                         dst: str = "dst", max_iter: int = 50,
+                         reliable: bool = False,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """(id, comp) for every node of the undirected edge set; ``comp``
     is the component's minimum id.
 
     The edge input is materialized ONCE up front (iterative operators
     otherwise re-evaluate their whole upstream pipeline per reference —
     here the symmetric closure alone would run the pair generator
-    twice)."""
-    edges = edges.select(src, dst).localCheckpoint(eager=True)
+    twice).
+
+    ``reliable=True`` checkpoints every round to durable storage (see
+    :mod:`vrtility_spark.checkpointing`) so an hours-long CC job
+    survives executor loss; the default ``localCheckpoint`` is the
+    right call where no durable checkpoint dir exists."""
+    def _ckpt(df, eager):
+        return truncate_lineage(df, eager=eager, reliable=reliable,
+                                checkpoint_dir=checkpoint_dir)
+
+    edges = _ckpt(edges.select(src, dst), True)
     # LAZY checkpoints: marking for checkpoint without eager=True lets
     # the NEXT action (the convergence-probe aggregation below) both
     # materialize the truncated lineage and read the total in ONE job —
@@ -51,9 +64,9 @@ def connected_components(edges: DataFrame, src: str = "src",
            .unionByName(edges.select(F.col(dst).alias("id"),
                                      F.col(src).alias("nb")))
            .distinct())
-    sym = sym.localCheckpoint(eager=False)
+    sym = _ckpt(sym, False)
     labels = sym.select("id").distinct().withColumn("comp", F.col("id"))
-    labels = labels.localCheckpoint(eager=False)
+    labels = _ckpt(labels, False)
 
     def _total(lbl):
         return lbl.agg(
@@ -76,7 +89,7 @@ def connected_components(edges: DataFrame, src: str = "src",
                   .select("id", F.col("_rcomp").alias("comp")))
         new_labels = (labels.unionByName(nb_comp).unionByName(jumped)
                       .groupBy("id").agg(F.min("comp").alias("comp")))
-        new_labels = new_labels.localCheckpoint(eager=False)
+        new_labels = _ckpt(new_labels, False)
         # convergence probe: labels only ever DECREASE, so the exact
         # (decimal, overflow-free) sum of labels is strictly monotone
         # until fixpoint — sum unchanged ⟺ no node changed. One narrow
@@ -91,12 +104,15 @@ def connected_components(edges: DataFrame, src: str = "src",
 
 
 def dedup_clusters(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b",
-                   max_iter: int = 50) -> DataFrame:
+                   max_iter: int = 50, reliable: bool = False,
+                   checkpoint_dir: str | None = None) -> DataFrame:
     """Near-dup pairs → ``(doc_id, cluster_rep, cluster_size)`` for
     every document that appears in a pair; ``cluster_rep`` is the
     cluster's minimum doc id (the kept canonical), so the deduplicated
     corpus is ``corpus MINUS (doc_id != cluster_rep)``."""
-    comp = connected_components(pairs, src=a, dst=b, max_iter=max_iter)
+    comp = connected_components(pairs, src=a, dst=b, max_iter=max_iter,
+                                reliable=reliable,
+                                checkpoint_dir=checkpoint_dir)
     sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
     return (comp.join(sizes, "comp")
             .select(F.col("id").alias("doc_id"),
@@ -106,10 +122,13 @@ def dedup_clusters(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b",
 
 def drop_near_duplicates(corpus: DataFrame, pairs: DataFrame,
                          id_col: str = "doc_id",
-                         a: str = "doc_a", b: str = "doc_b") -> DataFrame:
+                         a: str = "doc_a", b: str = "doc_b",
+                         reliable: bool = False,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """The corpus with every non-canonical cluster member removed —
     keep-min-id semantics, matching exact-dedup's keep-first."""
-    clusters = dedup_clusters(pairs, a=a, b=b)
+    clusters = dedup_clusters(pairs, a=a, b=b, reliable=reliable,
+                              checkpoint_dir=checkpoint_dir)
     losers = clusters.where(F.col("doc_id") != F.col("cluster_rep")) \
         .select(F.col("doc_id").alias(id_col))
     return corpus.join(losers, id_col, "left_anti")

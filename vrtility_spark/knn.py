@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from vrtility_spark.cells import _B, cell_size, encode_np
+from vrtility_spark.checkpointing import truncate_lineage
 
 _SQRT2 = math.sqrt(2.0)
 
@@ -95,7 +96,8 @@ def _min_disk_radius(q, res: int, qcounts: dict, counted_r: int) -> int | None:
 def knn_tiles(tiles: DataFrame, queries: DataFrame, res: int,
               max_rings: int = 64, initial_radius: int | None = None,
               n_tiles_hint: int | None = None,
-              persist: bool = True) -> DataFrame:
+              persist: bool = True, reliable: bool = False,
+              checkpoint_dir: str | None = None) -> DataFrame:
     """K nearest tiles per query row (exact).
 
     ``tiles`` must carry ``cell_id`` at ``res`` (see
@@ -227,7 +229,11 @@ def knn_tiles(tiles: DataFrame, queries: DataFrame, res: int,
            .withColumn("rank", F.row_number().over(w))
            .where(F.col("rank") <= F.col("k"))
            .select("query_id", "image_id", "dist", "rank", "caption", "phash"))
-    result = out.localCheckpoint(eager=True)
+    # materialize before unpersisting the shared projection; the result
+    # must outlive tiles_p. reliable=True makes it durable (executor
+    # loss after this operator completes can't lose the answer).
+    result = truncate_lineage(out, eager=True, reliable=reliable,
+                              checkpoint_dir=checkpoint_dir)
     if persist:
         tiles_p.unpersist()
     return result
