@@ -340,3 +340,54 @@ def test_composite_auto_mixed_tile_sizes_caps_k(spark, tiny_images):
     a, b = _rows_key(direct), _rows_key(auto)
     assert list(a.cell_id) == list(b.cell_id)
     assert list(a.bytes) == list(b.bytes)
+
+
+def test_composite_auto_per_cell_adaptive_split(spark, tiny_images):
+    """Per-cell routing: duplicating one tile's scenes 4x pushes only
+    THAT cell over budget — plan_splits gives it _k=1 and every cold
+    cell _k=0 (no global 4^k split tax), and the routed union equals
+    the direct composite byte for byte."""
+    pdf = tiny_images.toPandas()
+    sel = ((pdf.zone == pdf.zone.iloc[0]) & (pdf.xmin == pdf.xmin.min())
+           & (pdf.ymin == pdf.ymin.min()))
+    extra = []
+    for rep in range(3):
+        dup = pdf[sel].copy()
+        dup["image_id"] = dup.image_id + f"_dup{rep}"
+        extra.append(dup)
+    df = schema.images_df(spark, pd.concat([pdf, *extra],
+                                           ignore_index=True))
+    celled = _celled(spark, df)
+    # hot cell: 20 scenes x 5x16x16 px x f64 = 204.8 kB -> k=1 under a
+    # 60 kB budget (51.2 kB children); cold cells: 51.2 kB -> k=0
+    plan = composite.plan_splits(celled, compute_dtype="float64",
+                                 max_stack_bytes=60_000).toPandas()
+    assert (plan._k == 1).sum() == 1
+    assert (plan._k == 0).sum() == len(plan) - 1
+    direct = composite.composite(celled, "median",
+                                 compute_dtype="float64").toPandas()
+    auto = composite.composite_auto(celled, "median",
+                                    compute_dtype="float64",
+                                    max_stack_bytes=60_000).toPandas()
+    a, b = _rows_key(direct), _rows_key(auto)
+    assert list(a.cell_id) == list(b.cell_id)
+    assert list(a.bytes) == list(b.bytes)
+    assert list(a.n_scenes) == list(b.n_scenes)
+    assert list(a.caption_agg) == list(b.caption_agg)
+
+
+def test_incremental_partials_shuffle_volume(spark, tiny_images):
+    """The O-claim of BENCH/PLANS.md as an executable gate: stage 1 of
+    the incremental composite emits at most partitions x cells partial
+    rows (no early flush at these sizes) — the shuffle moves partials,
+    not scenes, so its volume is independent of scenes per cell."""
+    n_parts = 2
+    celled = _celled(spark, tiny_images).repartition(n_parts)
+    part = composite.incremental_partials(celled, "mean")
+    n_partials = part.count()
+    n_cells = celled.select("cell_id").distinct().count()
+    n_scenes = celled.count()
+    assert n_partials <= n_parts * n_cells
+    # 5 scenes/cell across 2 partitions: strictly fewer partial rows
+    # than scene rows must cross the exchange
+    assert n_partials < n_scenes

@@ -132,6 +132,18 @@ def xy_to_cell_col(zone: Column, x: Column, y: Column, res: int) -> Column:
     return ((zone.cast("long") * 16 + F.lit(res)) * _B + iy) * _B + ix
 
 
+def res_col(cell_id: Column) -> Column:
+    """Resolution field of a cell id as a Column expression — the
+    single place that knows the radix layout (keep operators off
+    inline ``8192*8192``/``16`` literals)."""
+    return F.floor(cell_id / F.lit(_B * _B)) % 16
+
+
+def zone_col(cell_id: Column) -> Column:
+    """Zone field of a cell id as a Column expression."""
+    return F.floor(cell_id / F.lit(16 * _B * _B))
+
+
 def parent_col(cell_id: Column, k: int = 1) -> Column:
     """``cell_prefix`` as a Column expression (ancestor ``k`` levels up)."""
     ix = cell_id % _B

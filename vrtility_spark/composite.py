@@ -658,39 +658,17 @@ def _caption_agg(caps: list, total: int, cap: int) -> str:
 MAX_ACTIVE_BYTES = 256 << 20
 
 
-def composite_incremental(
+def incremental_partials(
         df: DataFrame, reducer: str, key: str = "cell_id",
         scene_fn: Callable[[np.ndarray, float], np.ndarray] | None = None,
         caption_cap: int = CAPTION_CAP,
         max_active_cells: int = 64,
-        max_active_bytes: int = MAX_ACTIVE_BYTES,
-        compute_dtype: str = "float32") -> DataFrame:
-    """Bounded-memory composite for DECOMPOSABLE reducers — the
-    R/tiling.R:41-64 answer, Spark-shaped: never materializes the
-    (T,B,H,W) stack.
-
-    Stage 1 (narrow ``mapInPandas``, runs BEFORE the shuffle): scenes
-    decode batch-by-batch and fold into per-cell running accumulators
-    (sum+count / min / max / best-timestamp value). Working set is
-    bounded by BOTH ``max_active_cells`` and ``max_active_bytes``
-    (accumulator bytes, the binding bound for large tiles) regardless
-    of T; past either bound, states flush early as extra partial rows
-    (merging handles any number of partials per cell).
-
-    Stage 2 (``groupBy(cell).applyInPandas``): merges at most
-    O(input partitions) tiny partial rows per cell and finalizes —
-    the shuffle moves partial accumulators, not scenes, so both the
-    shuffle volume and the merge-group memory are independent of the
-    number of scenes per cell.
-
-    Results match the stack path exactly for integer payloads (partial
-    sums of integers are exact in float64); see DECOMPOSABLE.
-    Accumulation is always float64 (a precision superset); the
-    finalized plane is cast to ``compute_dtype`` before encoding, so
-    the declared compute precision is honored at the output. For
-    bit-exact float-payload parity with a float32 STACK computation,
-    force ``mode="stack"``.
-    """
+        max_active_bytes: int = MAX_ACTIVE_BYTES) -> DataFrame:
+    """Stage 1 of the incremental composite: the narrow (shuffle-free)
+    per-partition accumulator map, exposed separately so its output —
+    the ONLY thing the composite shuffles — can be counted and gated
+    in tests: absent early flushes, rows <= input partitions x cells,
+    independent of scenes per cell."""
     if reducer not in DECOMPOSABLE:
         raise KeyError(f"{reducer!r} is not decomposable; "
                        f"choose from {sorted(DECOMPOSABLE)}")
@@ -735,7 +713,47 @@ def composite_incremental(
         if tail is not None:
             yield tail
 
-    part = df.mapInPandas(partials, schema=_PARTIAL_SCHEMA)
+    return df.mapInPandas(partials, schema=_PARTIAL_SCHEMA)
+
+
+def composite_incremental(
+        df: DataFrame, reducer: str, key: str = "cell_id",
+        scene_fn: Callable[[np.ndarray, float], np.ndarray] | None = None,
+        caption_cap: int = CAPTION_CAP,
+        max_active_cells: int = 64,
+        max_active_bytes: int = MAX_ACTIVE_BYTES,
+        compute_dtype: str = "float32") -> DataFrame:
+    """Bounded-memory composite for DECOMPOSABLE reducers — the
+    R/tiling.R:41-64 answer, Spark-shaped: never materializes the
+    (T,B,H,W) stack.
+
+    Stage 1 (narrow ``mapInPandas``, runs BEFORE the shuffle): scenes
+    decode batch-by-batch and fold into per-cell running accumulators
+    (sum+count / min / max / best-timestamp value). Working set is
+    bounded by BOTH ``max_active_cells`` and ``max_active_bytes``
+    (accumulator bytes, the binding bound for large tiles) regardless
+    of T; past either bound, states flush early as extra partial rows
+    (merging handles any number of partials per cell).
+
+    Stage 2 (``groupBy(cell).applyInPandas``): merges at most
+    O(input partitions) tiny partial rows per cell and finalizes —
+    the shuffle moves partial accumulators, not scenes, so both the
+    shuffle volume and the merge-group memory are independent of the
+    number of scenes per cell.
+
+    Results match the stack path exactly for integer payloads (partial
+    sums of integers are exact in float64); see DECOMPOSABLE.
+    Accumulation is always float64 (a precision superset); the
+    finalized plane is cast to ``compute_dtype`` before encoding, so
+    the declared compute precision is honored at the output. For
+    bit-exact float-payload parity with a float32 STACK computation,
+    force ``mode="stack"``.
+    """
+    part = incremental_partials(df, reducer, key=key, scene_fn=scene_fn,
+                                caption_cap=caption_cap,
+                                max_active_cells=max_active_cells,
+                                max_active_bytes=max_active_bytes)
+    cap = int(caption_cap)
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         # cross-PARTITION profile agreement: each partial was checked
@@ -1039,6 +1057,44 @@ def assemble_child_tiles(comp: DataFrame, k: int = 1) -> DataFrame:
             .applyInPandas(run, schema=COMPOSITE_SCHEMA))
 
 
+def plan_splits(df: DataFrame, key: str = "cell_id",
+                compute_dtype: str = "float32",
+                max_stack_bytes: int = MAX_STACK_BYTES) -> DataFrame:
+    """Per-cell split plan: ``(key, _k)`` with the smallest ``k`` whose
+    child stacks fit the budget, ``est / 4^k <= max_stack_bytes``.
+
+    Stack size is estimated per GROUP (exact element count for raw
+    payloads via byte length, ``bands*w*h`` for compressed ones — the
+    AQE-statistics pattern), so a dense megacity cell gets its own deep
+    split while a cold ocean cell keeps ``_k = 0``. The cap is also
+    per cell: the largest power-of-two factor (``x & -x``) of every
+    tile edge IN THAT CELL — k must divide every tile the split will
+    touch — and the cell-radix headroom ``MAX_RES - res`` via
+    :func:`vrtility_spark.cells.res_col` (the single owner of the
+    radix layout)."""
+    from vrtility_spark.cells import MAX_RES, res_col
+    itemsize = int(np.dtype(compute_dtype).itemsize)
+    storage = F.when(F.col("fmt") == "rawf32", F.lit(4.0)).otherwise(F.lit(2.0))
+    elems = F.when(F.col("fmt").isin("raw16", "raw16s", "rawf32"),
+                   F.length("bytes") / storage) \
+             .otherwise(F.size("bands") * F.col("w") * F.col("h"))
+    pow2 = lambda c: F.col(c).bitwiseAND(-F.col(c))
+    g = df.groupBy(key).agg(F.sum(elems * itemsize).alias("gb"),
+                            F.min(pow2("w")).alias("pw"),
+                            F.min(pow2("h")).alias("ph"))
+    budget = float(max_stack_bytes)
+    # pw/ph are exact powers of two, so log2 is integral; ceil(log4) is
+    # the closed form of "smallest k with gb/4^k <= budget" (exact at
+    # the power-of-4 boundaries the while-loop form would hit)
+    k_cap = F.least(F.log2("pw").cast("int"), F.log2("ph").cast("int"),
+                    (F.lit(MAX_RES) - res_col(F.col(key))).cast("int"))
+    k_need = F.when(F.col("gb") <= budget, F.lit(0)).otherwise(
+        F.ceil(F.log2(F.col("gb") / budget) / 2).cast("int"))
+    return g.select(key,
+                    F.greatest(F.lit(0),
+                               F.least(k_need, k_cap)).alias("_k"))
+
+
 def composite_auto(df: DataFrame,
                    reducer: str | Callable[[np.ndarray], np.ndarray],
                    key: str = "cell_id", compute_dtype: str = "float32",
@@ -1050,55 +1106,50 @@ def composite_auto(df: DataFrame,
     ``rows*cols*bands*items*3`` vs machine RAM,
     R/vrtility-package.R:163-171). Decomposable reducers route
     incremental (no stack at all). For holistic reducers it MEASURES
-    the largest per-cell decoded stack (one tiny aggregation job — the
-    AQE-statistics pattern, exact for raw payloads, bands*w*h for
-    compressed ones), picks the smallest k with ``est / 4^k <= budget``
-    (bounded by pixel divisibility), then runs
-    ``split_to_child_cells(k) -> composite -> assemble_child_tiles(k)``.
-    k = 0 degenerates to the plain stack path; the per-group guard
-    stays armed either way."""
+    per-cell decoded stack sizes (:func:`plan_splits`, one tiny
+    aggregation job) and routes PER CELL: only over-budget cells run
+    ``split_to_child_cells(k) -> composite -> assemble_child_tiles(k)``
+    at their own smallest sufficient ``k``; cells already under budget
+    take the plain stack path unsplit. One hot megacity cell therefore
+    no longer forces every cold ocean cell to split 4^k-fold — at 100×
+    scale the split tax is paid exactly where the density is.
+
+    The plan table (one narrow row per cell) is broadcast onto the
+    scenes, so routing adds no shuffle; each distinct ``k`` (a handful
+    at most) becomes one filtered branch over the same input, unioned
+    at the end. Callers with an expensive upstream pipeline should
+    persist/write ``df`` first if the branch re-scan matters. The
+    per-group ``max_stack_bytes`` guard stays armed either way."""
     if isinstance(reducer, str) and reducer in DECOMPOSABLE:
         return composite_incremental(df, reducer, key=key,
                                      scene_fn=scene_fn,
                                      caption_cap=caption_cap,
                                      compute_dtype=compute_dtype)
-    itemsize = int(np.dtype(compute_dtype).itemsize)
-    storage = F.when(F.col("fmt") == "rawf32", F.lit(4.0)).otherwise(F.lit(2.0))
-    elems = F.when(F.col("fmt").isin("raw16", "raw16s", "rawf32"),
-                   F.length("bytes") / storage) \
-             .otherwise(F.size("bands") * F.col("w") * F.col("h"))
-    g = df.groupBy(key).agg(F.sum(elems * itemsize).alias("gb"))
-    # largest power-of-two factor PER ROW (x & -x), minimized across the
-    # table: with mixed tile sizes, k must divide EVERY tile, not just
-    # the smallest one (min(w) % 2^k alone would plan splits that
-    # split_to_child_cells rejects at runtime)
-    pow2 = lambda c: F.col(c).bitwiseAND(-F.col(c))
-    res_of = (F.floor(F.col(key) / (8192 * 8192)) % 16)
-    stats = (df.agg(F.min(pow2("w")).alias("pw"),
-                    F.min(pow2("h")).alias("ph"),
-                    F.max(res_of).alias("max_res"))
-             .crossJoin(g.agg(F.max("gb").alias("max_gb"))).collect()[0])
-    if stats.max_gb is None:  # empty input
+    plan = plan_splits(df, key=key, compute_dtype=compute_dtype,
+                       max_stack_bytes=max_stack_bytes)
+    ks = sorted(r._k for r in plan.select("_k").distinct().collect())
+    if not ks or ks == [0]:  # empty input or everything fits
         return composite(df, reducer, key, compute_dtype, scene_fn,
                          caption_cap, mode="stack",
                          max_stack_bytes=max_stack_bytes)
-    from vrtility_spark.cells import MAX_RES
-    est = float(stats.max_gb)
-    k_cap = min(int(stats.pw).bit_length() - 1,
-                int(stats.ph).bit_length() - 1,
-                MAX_RES - int(stats.max_res))
-    k = 0
-    while est / 4 ** k > max_stack_bytes and k < k_cap:
-        k += 1
-    if k == 0:
-        return composite(df, reducer, key, compute_dtype, scene_fn,
-                         caption_cap, mode="stack",
-                         max_stack_bytes=max_stack_bytes)
-    sub = split_to_child_cells(df, k, key)
-    child = composite(sub, reducer, key, compute_dtype, scene_fn,
-                      caption_cap, mode="stack",
-                      max_stack_bytes=max_stack_bytes)
-    return assemble_child_tiles(child, k)
+    routed = df.join(F.broadcast(plan), key)
+    parts = []
+    for kv in ks:
+        sel = routed.where(F.col("_k") == kv).drop("_k")
+        if kv == 0:
+            parts.append(composite(sel, reducer, key, compute_dtype,
+                                   scene_fn, caption_cap, mode="stack",
+                                   max_stack_bytes=max_stack_bytes))
+        else:
+            child = composite(split_to_child_cells(sel, kv, key), reducer,
+                              key, compute_dtype, scene_fn, caption_cap,
+                              mode="stack",
+                              max_stack_bytes=max_stack_bytes)
+            parts.append(assemble_child_tiles(child, kv))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def scalar_composite_cols(reducer: str, col: str):
