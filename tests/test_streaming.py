@@ -234,3 +234,35 @@ def test_stream_incremental_reducer_equals_batch(spark, tiny_images, tmp_path):
                             bytes(r.bytes), r.caption_agg)
                            for _, r in d.iterrows())
     assert key(got) == key(batch)
+
+
+def test_stream_regrid_semi_join_past_isin_cap(spark, tmp_path):
+    """A batch whose cover set exceeds max_isin_cells must route the
+    history re-read through the broadcast semi-join instead of a giant
+    driver-side isin literal — and still converge to the exact batch
+    result."""
+    from vrtility_spark.masks import make_scene_maskfun
+    from vrtility_spark.warp import regrid_to_cells
+
+    land = str(tmp_path / "landing_cap")
+    tbl_dir = str(tmp_path / "cap_tbl")
+    pdf = datagen.offset_images_pandas()
+    sub = schema.images_df(spark, pdf)
+    sub.repartition(6, "image_id").write.parquet(land)
+
+    # every offset batch covers >1 cell, so cap=1 forces the semi-join
+    # path on every single batch
+    q = streaming.composite_stream(spark, land, tbl_dir, reducer="median",
+                                   max_files_per_batch=2, regrid=(16, 16),
+                                   max_isin_cells=1)
+    q.awaitTermination(300)
+
+    got = SnapshotTable(tbl_dir).read(spark) \
+        .select("cell_id", "n_scenes", "caption_agg").toPandas()
+    tiles = regrid_to_cells(
+        sub, datagen.TILE_RES, 16, 16, resampling="nearest",
+        scene_fn=make_scene_maskfun("int", datagen.S2_MASK_VALUES))
+    batch = composite(tiles, "median") \
+        .select("cell_id", "n_scenes", "caption_agg").toPandas()
+    assert len(got) == len(batch)
+    assert sorted(map(tuple, got.values)) == sorted(map(tuple, batch.values))

@@ -9,8 +9,8 @@ search — the standard recipe for 10^9+ vector corpora:
   partial centroid sums in one Arrow stage against broadcast
   centroids; the driver merges O(partitions x k) partial rows —
   vectors never leave executors and nothing shuffles). Deterministic:
-  init = first-k by id, fixed iterations, (cluster, partition)-ordered
-  merge.
+  seeded hash-coin k-means|| init (``init_kmeans_parallel``), fixed
+  iterations, (cluster, partition)-ordered merge.
 - ``ivf_assign``: adds the ``cluster`` column (the "cell index" of
   vector space — same role cells.py plays for footprints).
 - ``ivf_search``: queries probe their ``nprobe`` nearest centroids,
@@ -81,8 +81,136 @@ def _partial_sums_udf(centroids: np.ndarray, vec_col: str):
     return run
 
 
+def _normalize(X: np.ndarray) -> np.ndarray:
+    return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+
+def _min_d2_udf(cands: np.ndarray, passthrough: tuple[str, ...] = ()):
+    """Arrow map: per-point spherical distance to the nearest current
+    candidate, ``d2 = max(0, 1 - max cos sim)``, with ``passthrough``
+    columns carried along (column ``_emb`` holds the vector)."""
+    cn = _normalize(cands)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(pdf["_emb"].tolist(), dtype=np.float64)
+            d2 = np.maximum(1.0 - (_normalize(X) @ cn.T).max(axis=1), 0.0)
+            out = pdf[["_emb", *passthrough]].copy()
+            out["d2"] = d2
+            yield out
+
+    return run
+
+
+def init_kmeans_parallel(df: DataFrame, vec_col: str, id_col: str,
+                         n_clusters: int, seed: int = 42, rounds: int = 2,
+                         oversample: int | None = None) -> np.ndarray:
+    """Deterministic k-means|| seeding (Bahmani et al., VLDB'12),
+    Spark-shaped: start from the minimum-id vector, then for each round
+    sample every point independently with probability
+    ``l * d²(x)/Σd²`` against the current candidate set — the sampling
+    coin is ``xxhash64(id, seed, round)`` (JVM-side, engine-exact), so
+    the init is bit-reproducible run to run with no RNG state. Each
+    round costs two narrow Arrow passes (Σd², then the sample filter);
+    nothing shuffles and only ~``l`` vectors per round reach the
+    driver. Candidates are weighted by the number of points nearest to
+    them (one map-side count pass) and reduced to ``n_clusters``
+    centers driver-side with greedy weighted k-means++ plus a few
+    weighted Lloyd polish steps — the candidate pool is O(l·rounds),
+    driver-trivial at any corpus size."""
+    el = float(oversample if oversample is not None else 2 * n_clusters)
+    proj = df.select(F.col(id_col).alias("_id"),
+                     F.transform(F.col(vec_col),
+                                 lambda a: a.cast("double")).alias("_emb"))
+    first = proj.orderBy("_id").limit(1).collect()
+    if not first:
+        return np.zeros((0, 0), dtype=np.float64)
+    cands = [np.asarray(first[0]._emb, dtype=np.float64)]
+    d = len(cands[0])
+    for r in range(rounds):
+        C = np.stack(cands)
+        # Σd² — one narrow pass, one tiny aggregate
+        tot_row = (proj.mapInPandas(_min_d2_udf(C),
+                                    "_emb array<double>, d2 double")
+                   .agg(F.sum("d2").alias("t")).collect()[0])
+        total = float(tot_row.t or 0.0)
+        if total <= 0.0:  # every point is (numerically) a candidate
+            break
+        # deterministic coin in [0, 1): xxhash64 of (id, seed, round)
+        u = (F.pmod(F.xxhash64(F.col("_id"), F.lit(int(seed)), F.lit(r)),
+                    F.lit(2 ** 40)).cast("double") / F.lit(float(2 ** 40)))
+        sampled = (proj.withColumn("_u", u)
+                   .mapInPandas(_min_d2_udf(C, ("_u",)),
+                                "_emb array<double>, _u double, d2 double")
+                   .where(F.col("_u") * total < F.lit(el) * F.col("d2"))
+                   .select("_emb").collect())
+        cands.extend(np.asarray(row._emb, dtype=np.float64)
+                     for row in sampled)
+    if len(cands) < n_clusters:
+        # degenerate sampling (tiny corpus / tight duplicates): top up
+        # the pool with the first ids, old-init style, weight 1
+        pad = (proj.orderBy("_id").limit(n_clusters + len(cands))
+               .select("_emb").collect())
+        cands.extend(np.asarray(row._emb, dtype=np.float64) for row in pad)
+    C = np.unique(np.stack(cands), axis=0)  # dedupe, deterministic order
+    if len(C) <= n_clusters:
+        out = np.zeros((n_clusters, d), dtype=np.float64)
+        out[:len(C)] = C
+        out[len(C):] = C[0] if len(C) else 0.0
+        return out
+    # weight candidates by nearest-point counts (map-side, no shuffle)
+    counts = np.zeros(len(C), dtype=np.float64)
+    for row in (df.select(F.col(vec_col).alias("_v"))
+                .mapInPandas(_count_nearest_udf(C, "_v"),
+                             "cluster long, n long").collect()):
+        counts[row.cluster] += row.n
+    w = np.maximum(counts, 1e-9)
+    Cn = _normalize(C)
+    # greedy weighted k-means++: argmax of w·d² (index tiebreak) —
+    # deterministic without RNG
+    sel = [int(np.argmax(w))]
+    d2 = np.maximum(1.0 - Cn @ Cn[sel[0]], 0.0)
+    while len(sel) < n_clusters:
+        score = w * d2
+        score[sel] = -1.0
+        nxt = int(np.argmax(score))
+        sel.append(nxt)
+        d2 = np.minimum(d2, np.maximum(1.0 - Cn @ Cn[nxt], 0.0))
+    centers = C[sel].copy()
+    for _ in range(3):  # weighted Lloyd polish on the candidate pool
+        lab = np.argmax(Cn @ _normalize(centers).T, axis=1)
+        for j in range(n_clusters):
+            m = lab == j
+            if m.any():
+                centers[j] = np.average(C[m], axis=0, weights=w[m])
+    return centers
+
+
+def _count_nearest_udf(cands: np.ndarray, vec_col: str):
+    """Arrow map: per-partition counts of the nearest candidate —
+    O(candidates) rows out per partition, vectors stay put."""
+    cn = _normalize(cands)
+
+    def run(batches):
+        counts = np.zeros(len(cn), dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            lab = np.argmax(_normalize(X) @ cn.T, axis=1)
+            np.add.at(counts, lab, 1)
+        hit = np.nonzero(counts)[0]
+        yield pd.DataFrame({"cluster": hit.astype(np.int64),
+                            "n": counts[hit]})
+
+    return run
+
+
 def train_ivf(df: DataFrame, vec_col: str, id_col: str, n_clusters: int,
-              iters: int = 3, combine: str = "driver") -> np.ndarray:
+              iters: int = 3, combine: str = "driver",
+              init: str = "kmeans||", seed: int = 42) -> np.ndarray:
     """Deterministic distributed k-means (cosine/spherical).
 
     The update step is MAP-SIDE: per-partition partial centroid sums
@@ -101,12 +229,28 @@ def train_ivf(df: DataFrame, vec_col: str, id_col: str, n_clusters: int,
       would be the bottleneck. Summation order inside a cluster is
       Spark-determined (float drift ~1e-15 relative; rank_round in
       :func:`ivf_search` absorbs it).
+
+    ``init="kmeans||"`` (default) seeds with the deterministic
+    oversampled sampler (:func:`init_kmeans_parallel`, ``seed``-keyed);
+    ``init="first"`` keeps the legacy first-k-by-id seeding (the
+    recall baseline in test_ann). Exact search (``nprobe =
+    n_clusters``) is init-independent; pruned-search recall at fixed
+    nprobe is what the better init buys.
     """
     if combine not in ("driver", "spark"):
         raise ValueError(f"unknown combine {combine!r}")
-    init = (df.orderBy(id_col).limit(n_clusters)
-            .select(vec_col).toPandas()[vec_col].tolist())
-    centroids = np.asarray(init, dtype=np.float64)
+    if init == "kmeans||":
+        centroids = init_kmeans_parallel(df, vec_col, id_col, n_clusters,
+                                         seed=seed)
+    elif init == "first":
+        # legacy deterministic init: first-k rows by id — clustering-
+        # quality-naive (correlated ids seed one region), kept for
+        # comparisons and as the recall-test baseline
+        rows = (df.orderBy(id_col).limit(n_clusters)
+                .select(vec_col).toPandas()[vec_col].tolist())
+        centroids = np.asarray(rows, dtype=np.float64)
+    else:
+        raise ValueError(f"unknown init {init!r}")
     d = centroids.shape[1]
     for _ in range(iters):
         partials = df.select(vec_col).mapInPandas(

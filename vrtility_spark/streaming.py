@@ -153,7 +153,8 @@ def composite_stream(spark: SparkSession, input_dir: str, table_dir: str,
                      mask_values=None, checkpoint_dir: str | None = None,
                      max_files_per_batch: int = 32,
                      regrid: tuple[int, int] | None = None,
-                     regrid_resampling: str | dict = "nearest"):
+                     regrid_resampling: str | dict = "nearest",
+                     max_isin_cells: int = 4096):
     """Stream scenes → masked per-cell composites, correct under ANY
     micro-batch split.
 
@@ -176,7 +177,7 @@ def composite_stream(spark: SparkSession, input_dir: str, table_dir: str,
     """
     process_batch = make_batch_processor(spark, table_dir, reducer,
                                          cell_res, mask_values, regrid,
-                                         regrid_resampling)
+                                         regrid_resampling, max_isin_cells)
     stream = read_scene_stream(spark, input_dir, max_files_per_batch)
     writer = (stream.writeStream.foreachBatch(process_batch)
               .option("checkpointLocation",
@@ -190,7 +191,8 @@ def make_batch_processor(spark: SparkSession, table_dir: str,
                          cell_res: int = datagen.TILE_RES,
                          mask_values=None,
                          regrid: tuple[int, int] | None = None,
-                         regrid_resampling: str | dict = "nearest"):
+                         regrid_resampling: str | dict = "nearest",
+                         max_isin_cells: int = 4096):
     """The foreachBatch body of :func:`composite_stream`, exposed so
     the at-least-once replay path (crash between the scenes commit and
     the composite commit) is directly testable.
@@ -241,9 +243,18 @@ def make_batch_processor(spark: SparkSession, table_dir: str,
         celled_new = cells_cover(batch_df, cell_res, out_col="cell_id")
         if str(batch_id) not in scenes_tbl.tags():
             scenes_tbl.commit(celled_new, "cell_id", tag=str(batch_id))
-        affected_ids = [r.cell_id for r in
-                        celled_new.select("cell_id").distinct().collect()]
-        relevant = regrid_history(spark, scenes_tbl, affected_ids)
+        affected = celled_new.select("cell_id").distinct()
+        # bounded driver-side cell list: limit(cap+1) returns ALL ids
+        # when the cover set fits the cap (the common, batch-bounded
+        # case — a pruned isin scan); a pathological batch covering
+        # more cells than the cap routes through a broadcast semi-join
+        # instead of building a multi-million-literal driver list
+        sample = affected.limit(max_isin_cells + 1).collect()
+        if len(sample) <= max_isin_cells:
+            relevant = regrid_history(spark, scenes_tbl,
+                                      [r.cell_id for r in sample])
+        else:
+            relevant = regrid_history(spark, scenes_tbl, affected)
         # regrid_resampling defaults to 'nearest' (deterministic under
         # replay); pass the batch pipeline's choice (e.g. 'bilinear')
         # to keep streamed == batch for a bilinear batch run
@@ -257,13 +268,22 @@ def make_batch_processor(spark: SparkSession, table_dir: str,
 
 
 def regrid_history(spark: SparkSession, scenes_tbl: SnapshotTable,
-                   affected_ids) -> DataFrame:
+                   affected) -> DataFrame:
     """Scan-pruned history read for the regrid streaming path: the
     scenes snapshot stores one row per (scene, cover cell) PARTITIONED
     BY the cover cell, so re-reading the history relevant to a batch is
     `cell_id IN (affected)` — a PartitionFilters-pruned scan whose
     bytes scale with the batch's cover set, not with total history
-    (plan-pinned in tests/test_streaming.py)."""
+    (plan-pinned in tests/test_streaming.py).
+
+    ``affected`` is either a driver-side id list (the common case —
+    static partition pruning) or a ``cell_id`` DataFrame for cover sets
+    past the isin cap — a broadcast LEFT SEMI join, which Spark's
+    dynamic partition pruning can still push to the partitioned scan."""
     from pyspark.sql import functions as SF
-    return scenes_tbl.read(spark).where(
-        SF.col("cell_id").isin([int(c) for c in affected_ids]))
+    hist = scenes_tbl.read(spark)
+    if isinstance(affected, DataFrame):
+        return hist.join(SF.broadcast(affected.select("cell_id").distinct()),
+                         "cell_id", "left_semi")
+    return hist.where(
+        SF.col("cell_id").isin([int(c) for c in affected]))
