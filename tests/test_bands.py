@@ -213,3 +213,44 @@ def test_mlmask_real_torch_model(spark, tiny_images):
                        out.iloc[0].fmt)
     assert set(np.unique(arr[-1])) <= {0, 1}
     assert list(out.iloc[0].bands)[-1] == "MLMASK"
+
+
+def test_mlmask_vendored_weights_numpy(spark, tiny_images):
+    """P11 run-it-for-real gate, runnable in ANY environment: the
+    vendored tiny-conv-net weights (models/tinycloud.npz, fixed on
+    disk) execute through create_mlmask's real-predictor branch via
+    the NumPy forward — a real loaded-weights inference, not a
+    derived-from-input fake. The resulting plane must be a mixed 0/1
+    mask (the generator centered the logit on a sample scene) and be
+    deterministic run to run."""
+    predict = mlmask.tiny_conv_predictor(backend="numpy")
+    out = mlmask.create_mlmask(tiny_images, bands=("B04", "B03", "B08"),
+                               model=predict).toPandas()
+    row = out.sort_values("image_id").iloc[0]
+    arr = codec.decode(row.bytes, row.w, row.h, row.fmt)
+    assert list(row.bands)[-1] == "MLMASK"
+    vals = set(np.unique(arr[-1]))
+    assert vals == {0, 1}  # mixed mask: both classes present
+    out2 = mlmask.create_mlmask(tiny_images, bands=("B04", "B03", "B08"),
+                                model=mlmask.tiny_conv_predictor(
+                                    backend="numpy")).toPandas()
+    row2 = out2.sort_values("image_id").iloc[0]
+    assert bytes(row.bytes) == bytes(row2.bytes)
+
+
+def test_mlmask_vendored_weights_torch_parity(spark, tiny_images):
+    """Torch backend of the SAME vendored weights must agree with the
+    NumPy forward (env-gated; CI: pip install torch && pytest -k
+    torch). Same weights + same math => same mask up to float
+    associativity at the 0-logit boundary (none expected)."""
+    import pytest
+    pytest.importorskip("torch")
+    pdf = tiny_images.limit(4).toPandas()
+    np_pred = mlmask.tiny_conv_predictor(backend="numpy")
+    t_pred = mlmask.tiny_conv_predictor(backend="torch")
+    for _, row in pdf.iterrows():
+        arr = codec.decode(row.bytes, row.w, row.h, row.fmt)
+        names = list(row.bands)
+        planes = arr[[names.index(b) for b in ("B04", "B03", "B08")]]
+        a, b = np_pred(planes), t_pred(planes)
+        assert (a == b).mean() >= 0.999, "torch/numpy forward disagree"

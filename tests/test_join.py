@@ -7,6 +7,7 @@ import numpy as np
 from pyspark.sql import functions as F
 
 import oracle
+from vrtility_spark import datagen, schema
 from vrtility_spark import join as J
 from vrtility_spark import lineage
 
@@ -215,3 +216,49 @@ def test_asof_join_ignores_null_timestamps(spark):
     # click has no prior purchase and the null rows are gone
     assert sorted(out.event_id) == [100]
     assert list(out.p_id) == [900]
+
+
+def test_auto_salt_count_and_flattening(spark, tiny_images, tiny_aoi,
+                                        tiny_images_pdf, tiny_aoi_pdf):
+    """n_salts='auto' sizes itself from the measured per-cell
+    histogram: a hot-key table (one footprint repeated) auto-selects
+    n_salts > 0 and the salted key histogram flattens; a uniform table
+    auto-selects 0; joined rows are identical to the unsalted join."""
+    import pandas as pd
+
+    # uniform occupancy -> no salting
+    uni = J.cells_cover(
+        tiny_images.select("image_id", "zone", "xmin", "ymin",
+                           "xmax", "ymax"),
+        datagen.TILE_RES, out_col="jcell")
+    assert J.auto_salt_count(uni) == 0
+
+    # hot cell: every scene of zone 0 duplicated onto ONE footprint
+    pdf = tiny_images_pdf.copy()
+    hot = pdf.iloc[0]
+    dups = []
+    for i in range(len(pdf)):
+        r = pdf.iloc[0].copy()
+        r.image_id = f"hot_{i}"
+        dups.append(r)
+    hot_pdf = pd.concat([pdf, pd.DataFrame(dups)], ignore_index=True)
+    hot_df = schema.images_df(spark, hot_pdf)
+    hot_cells = J.cells_cover(
+        hot_df.select("image_id", "zone", "xmin", "ymin", "xmax", "ymax"),
+        datagen.TILE_RES, out_col="jcell")
+    n = J.auto_salt_count(hot_cells)
+    assert n > 0
+    # the (jcell, salt) histogram flattens vs the raw jcell histogram
+    raw = hot_cells.groupBy("jcell").count().toPandas()["count"]
+    salted = (hot_cells.withColumn(
+        "salt", F.pmod(F.xxhash64("image_id"), F.lit(n)).cast("int"))
+        .groupBy("jcell", "salt").count().toPandas()["count"])
+    assert salted.max() < raw.max()
+
+    # end-to-end: auto-salted non-broadcast join == plain join rows
+    a = J.spatial_join(hot_df, tiny_aoi, n_salts="auto",
+                       broadcast_aoi=False) \
+        .select("aoi_id", "image_id").toPandas()
+    b = J.spatial_join(hot_df, tiny_aoi).select("aoi_id", "image_id") \
+        .toPandas()
+    assert sorted(map(tuple, a.values)) == sorted(map(tuple, b.values))

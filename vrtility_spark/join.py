@@ -24,6 +24,7 @@ point-probe variant.
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import numpy as np
@@ -171,17 +172,54 @@ def _polygon_area_udf(wkt: pd.Series) -> pd.Series:
     return wkt.map(lambda s: polygon_area(parse_wkt_polygon(s)))
 
 
+def auto_salt_count(df: DataFrame, key: str = "jcell",
+                    id_col: str = "image_id", sample_mod: int = 1,
+                    cap: int = 16, skew_factor: float = 4.0) -> int:
+    """Derive the salt count from the measured per-cell histogram —
+    SURVEY §7.2 stage 5's skew answer without a manual knob.
+
+    One map-side-combinable ``groupBy(key).count()`` (one tiny row per
+    cell reaches the shuffle) gives max and mean cell occupancy; a key
+    is only "hot" when its rows exceed ``skew_factor`` times the mean
+    — below that, normal partition packing absorbs it (and AQE's
+    skew-join split is the backstop). The hottest cell is split into
+    pieces of roughly ``skew_factor x mean`` rows:
+    ``n_salts = ceil(max / (skew_factor * mean))``, capped (salting
+    multiplies the other side's rows ``n_salts``-fold, so past ``cap``
+    it costs more than it saves). ``sample_mod > 1`` measures a
+    deterministic 1-in-N hash sample of ``id_col`` instead of the full
+    table — at 10^12 rows the histogram's shuffle then scales down N×
+    while max/mean ratios are preserved for any cell big enough to
+    matter."""
+    cnt = df
+    if sample_mod > 1:
+        cnt = df.where(F.pmod(F.xxhash64(id_col), F.lit(sample_mod)) == 0)
+    hist = cnt.groupBy(key).agg(F.count("*").alias("n"))
+    stats = hist.agg(F.max("n").alias("mx"),
+                     F.avg("n").alias("avg")).collect()[0]
+    if stats.mx is None or stats.avg is None or stats.avg <= 0:
+        return 0
+    if float(stats.mx) <= skew_factor * float(stats.avg):
+        return 0
+    return min(cap, math.ceil(float(stats.mx)
+                              / (skew_factor * float(stats.avg))))
+
+
 def spatial_join(images: DataFrame, aoi: DataFrame,
                  join_res: int = DEFAULT_JOIN_RES,
                  min_coverage_of_aoi: float | None = None,
-                 n_salts: int = 0,
+                 n_salts: int | str = 0,
                  broadcast_aoi: bool = True) -> DataFrame:
     """scenes ⋈ AOIs where footprint ∩ polygon has positive area.
 
     Returns one row per (aoi_id, image_id) with ``isect_area`` and
     ``coverage`` = area(∩)/area(AOI) — the reference's coverage ratio
     (R/stac-utils.R:494-506). ``min_coverage_of_aoi`` applies the
-    theta-filter; ``n_salts > 0`` salts the coarse join for hot cells.
+    theta-filter; ``n_salts > 0`` salts the coarse join for hot cells,
+    ``n_salts="auto"`` sizes the salt from the measured per-cell
+    histogram (:func:`auto_salt_count`) — and resolves to 0 under
+    ``broadcast_aoi=True``, where no shuffle partitions by cell and
+    salting would only multiply the broadcast side.
 
     Size ``join_res`` so one cell edge is at least the typical scene
     footprint edge: the big side explodes to ``~(edge/cell + 1)^2``
@@ -237,6 +275,8 @@ def spatial_join(images: DataFrame, aoi: DataFrame,
         "aoi_id", "geom_wkt", "jcell",
         *[F.col(c).alias(f"p_{c}") for c in part_bbox]) if all_rect \
         else aoi_cells.drop(*part_bbox, "zone", "part_area")
+    if n_salts == "auto":
+        n_salts = 0 if broadcast_aoi else auto_salt_count(img_cells)
     if n_salts > 0:
         img_cells = img_cells.withColumn(
             "salt", F.pmod(F.xxhash64("image_id"), F.lit(n_salts)).cast("int"))

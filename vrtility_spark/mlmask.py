@@ -53,6 +53,85 @@ def _omnicloudmask_predict(planes: np.ndarray) -> np.ndarray:
     return (pred.reshape(pred.shape[-2:]) == 0).astype(np.uint8)
 
 
+def _np_conv2d(x: np.ndarray, w: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """3x3 same-padding conv, (C,H,W) x (O,C,3,3) -> (O,H,W)."""
+    C, H, W = x.shape
+    O = w.shape[0]
+    xp = np.pad(x, ((0, 0), (1, 1), (1, 1)))
+    out = np.empty((O, H, W), dtype=np.float32)
+    for o in range(O):
+        acc = np.full((H, W), b[o], dtype=np.float32)
+        for c in range(C):
+            for di in range(3):
+                for dj in range(3):
+                    acc += w[o, c, di, dj] * xp[c, di:di + H, dj:dj + W]
+        out[o] = acc
+    return out
+
+
+TINY_WEIGHTS = __file__.rsplit("/", 1)[0] + "/models/tinycloud.npz"
+
+
+def tiny_conv_predictor(weights_path: str | None = None,
+                        backend: str = "auto"):
+    """REAL-WEIGHTS predictor from the vendored tiny conv-net fixture
+    (``models/tinycloud.npz``: conv3x3(3→4) + ReLU + conv3x3(4→1),
+    weights generated once by ``tools/gen_tiny_weights.py`` with a
+    fixed seed and committed — fixed on disk, not derived from the
+    input). This is the P11 run-it-for-real gate: the returned
+    callable exercises ``create_mlmask``'s real-predictor branch with
+    loaded weights in any environment.
+
+    ``backend="numpy"`` runs the forward pass in NumPy (always
+    available); ``backend="torch"`` builds the equivalent
+    ``torch.nn.Conv2d`` stack and loads the SAME weights (parity is
+    asserted by the torch-gated test); ``backend="auto"`` prefers
+    torch when importable. CI note for the torch path:
+    ``pip install torch && python -m pytest tests -k torch -q``.
+
+    Input planes are scaled by 1/10000 (the S2 reflectance
+    convention); cloud where the output logit exceeds 0 → mask 0,
+    else 1 (valid), matching the engine's mask polarity.
+    """
+    path = weights_path or TINY_WEIGHTS
+    wts = np.load(path)
+    w1, b1, w2, b2 = (wts[k].astype(np.float32)
+                      for k in ("w1", "b1", "w2", "b2"))
+    if backend == "auto":
+        try:
+            import torch  # noqa: F401
+            backend = "torch"
+        except ImportError:
+            backend = "numpy"
+    if backend == "numpy":
+        def predict(planes: np.ndarray) -> np.ndarray:
+            x = planes.astype(np.float32) / 10000.0
+            h = np.maximum(_np_conv2d(x, w1, b1), 0.0)
+            logit = _np_conv2d(h, w2, b2)[0]
+            return (logit <= 0.0).astype(np.uint8)
+        return predict
+    if backend == "torch":  # pragma: no cover - torch absent here
+        import torch
+
+        net1 = torch.nn.Conv2d(w1.shape[1], w1.shape[0], 3, padding=1)
+        net2 = torch.nn.Conv2d(w2.shape[1], w2.shape[0], 3, padding=1)
+        with torch.no_grad():
+            net1.weight.copy_(torch.from_numpy(w1))
+            net1.bias.copy_(torch.from_numpy(b1))
+            net2.weight.copy_(torch.from_numpy(w2))
+            net2.bias.copy_(torch.from_numpy(b2))
+        net1.eval(), net2.eval()
+
+        def predict(planes: np.ndarray) -> np.ndarray:
+            with torch.no_grad():
+                x = torch.from_numpy(
+                    planes.astype(np.float32) / 10000.0)[None]
+                logit = net2(torch.relu(net1(x)))[0, 0].numpy()
+            return (logit <= 0.0).astype(np.uint8)
+        return predict
+    raise ValueError(f"unknown backend {backend!r}")
+
+
 def create_mlmask(df: DataFrame, bands: Sequence[str] = ("B04", "B03", "B08"),
                   model: str = "fake", mask_name: str = "MLMASK") -> DataFrame:
     """Append an ML-predicted 0/1 mask plane computed from ``bands``.

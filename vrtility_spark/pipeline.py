@@ -200,7 +200,14 @@ class Pipeline:
         sentinel-padded tile per covering cell (the full vrt_warp
         target-grid normalization; use :meth:`warp` when footprints
         already tile the grid). Pending masks FUSE into the regrid's
-        decode pass (one Arrow stage, no materialized masked copy)."""
+        decode pass (one Arrow stage, no materialized masked copy).
+
+        Caption provenance: a scene straddling N cells contributes its
+        caption to each of those N cells — a later
+        :meth:`composite`'s ``caption_agg`` lists the scene once PER
+        CELL it feeds pixels into (per-cell provenance), not once
+        globally (see ``warp.regrid_to_cells`` and
+        tests/test_regrid.py::test_straddling_scene_splits_into_padded_tiles)."""
         if mask_plane is None:
             mask_plane = not self._mask_dropped
         return self._next(
@@ -224,7 +231,13 @@ class Pipeline:
                   max_stack_bytes: int | None = None) -> "Pipeline":
         """Temporal composite. ``mode``/``max_stack_bytes`` carry the
         memory policy (composite.MAX_STACK_BYTES default) into bundles
-        so a replayed plan keeps its RAM budget."""
+        so a replayed plan keeps its RAM budget.
+
+        ``caption_agg`` provenance: the rollup is PER CELL — after a
+        :meth:`regrid`, a scene straddling N cells appears in up to N
+        cells' caption lists (it fed pixels into each); dedupe across
+        cells only if a corpus-global list is wanted. Capped at
+        composite.CAPTION_CAP entries plus an overflow count."""
         params = ({"reducer": reducer, "mode": mode,
                    "max_stack_bytes": max_stack_bytes}
                   if isinstance(reducer, str) else self._UNBUNDLEABLE)

@@ -34,7 +34,7 @@ def ship_package(spark: SparkSession) -> None:
     src_mtime = max(
         os.path.getmtime(os.path.join(root, f))
         for root, _, files in os.walk(pkg_dir)
-        for f in files if f.endswith(".py"))
+        for f in files if f.endswith((".py", ".npz")))
     # stale → rebuild into a pid-suffixed tmp and atomically replace;
     # NEVER remove-first: a concurrent driver between the remove and
     # the replace would addPyFile a missing path (FileNotFound)
@@ -43,7 +43,7 @@ def ship_package(spark: SparkSession) -> None:
         with zipfile.ZipFile(tmp, "w") as z:
             for root, _, files in os.walk(pkg_dir):
                 for f in files:
-                    if f.endswith(".py"):
+                    if f.endswith((".py", ".npz")):
                         full = os.path.join(root, f)
                         rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                         z.write(full, rel)
