@@ -840,6 +840,42 @@ def q_image_split_composite(spark, sf_dir):
         ps("bytes", "w", "h", "fmt").alias("pix_sum"))
 
 
+def q_image_budget_composite(spark, sf_dir):
+    """The PER-CELL RAM planner at the correctness gate: the minimum
+    cell's scenes are duplicated (10 vs 5), so under a 30 kB float32
+    budget composite(mode='budget') (composite.plan_splits +
+    composite_auto — the automatic per-cell nsplits twin of
+    R/tiling.R:41-64) splits exactly that cell (k=1) and runs every
+    other cell unsplit; the routed union must equal the plain per-cell
+    medians of the duplicated fixture, pinned against the
+    independently-computed constants oracle."""
+    _ensure_shipped(spark)
+    import pandas as pd
+
+    from vrtility_spark import datagen, schema
+    from vrtility_spark.pipeline import Pipeline
+    pdf = datagen.images_pandas(nx=2, ny=2, w=16, h=16)
+    cx, cy = (pdf.xmin + pdf.xmax) / 2, (pdf.ymin + pdf.ymax) / 2
+    cid = cells.xy_to_cell_np(pdf.zone.values, cx.values, cy.values,
+                              datagen.TILE_RES)
+    hot = int(cid.min())
+    dups = pdf[cid == hot].copy()
+    dups["image_id"] = dups.image_id + "_dup"
+    images = schema.images_df(spark, pd.concat([pdf, dups],
+                                               ignore_index=True))
+    out = (Pipeline(images)
+           .set_maskfun("int", datagen.S2_MASK_VALUES)
+           .warp(cell_res=datagen.TILE_RES)
+           .composite("median", mode="budget", max_stack_bytes=30_000).df)
+    ps = _pix_sum_udf()
+    return out.select(
+        "cell_id", "n_scenes",
+        F.date_format("datetime_median", "yyyy-MM-dd").alias("dt_med"),
+        F.length("bytes").alias("payload_len"),
+        F.md5("caption_agg").alias("caption_md5"),
+        ps("bytes", "w", "h", "fmt").alias("pix_sum"))
+
+
 def q_image_medoid_composite(spark, sf_dir):
     _ensure_shipped(spark)
     out = _image_composite(spark, "medoid")
@@ -990,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "image_median_composite": q_image_median_composite,
         "image_split_composite": q_image_split_composite,
+        "image_budget_composite": q_image_budget_composite,
         "image_medoid_composite": q_image_medoid_composite,
         "image_hls_composite": q_image_hls_composite,
         "image_regrid_composite": q_image_regrid_composite,

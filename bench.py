@@ -39,7 +39,7 @@ BENCH_QUERIES = [
     # (the sf-scaled image pipeline is timed in image_pipeline_bench —
     # generation cached once, each shape best-of-reps like these keys)
     "image_medoid_composite", "image_hls_composite",
-    "image_regrid_composite", "image_hampel",
+    "image_regrid_composite", "image_hampel", "image_budget_composite",
     "audio_features", "video_features",
 ]
 

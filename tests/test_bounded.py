@@ -391,3 +391,19 @@ def test_incremental_partials_shuffle_volume(spark, tiny_images):
     # 5 scenes/cell across 2 partitions: strictly fewer partial rows
     # than scene rows must cross the exchange
     assert n_partials < n_scenes
+
+
+def test_pipeline_budget_mode(spark, tiny_images):
+    """mode='budget' is reachable from the Pipeline API (and thus
+    bundles): routes through composite_auto and equals the plain
+    composite."""
+    from vrtility_spark.pipeline import Pipeline
+    via = (Pipeline(tiny_images)
+           .warp(cell_res=datagen.TILE_RES)
+           .composite("median", mode="budget", max_stack_bytes=16_000)
+           .df.toPandas())
+    direct = composite.composite(
+        _celled(spark, tiny_images), "median").toPandas()
+    a, b = _rows_key(direct), _rows_key(via)
+    assert list(a.cell_id) == list(b.cell_id)
+    assert list(a.bytes) == list(b.bytes)

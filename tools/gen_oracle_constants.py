@@ -101,6 +101,49 @@ def image_composite_rows(reducer: str):
     return rows
 
 
+def image_budget_rows():
+    """Hot-cell fixture for the per-cell budget router: the scenes of
+    the MINIMUM cell are duplicated (10 scenes vs 5 elsewhere), so
+    under a 30 kB float32 budget exactly that cell splits (k=1) while
+    every other cell runs unsplit — expected rows are the plain
+    per-cell medians of the duplicated fixture (duplicating every
+    member of a multiset leaves its median unchanged; n_scenes and the
+    caption rollup do change)."""
+    import pandas as pd
+    pdf = _grouped_fixture()
+    hot = int(pdf.cell_id.min())
+    dups = pdf[pdf.cell_id == hot].copy()
+    dups["image_id"] = dups.image_id + "_dup"
+    pdf = pd.concat([pdf, dups], ignore_index=True)
+    rows = []
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        with np.errstate(all="ignore"):
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                out = composite.REDUCERS["median"](_masked_stack(grp, nd))
+        payload = codec.encode(codec.from_float(out, nd, "uint16"), "raw16")
+        dts = grp.datetime.sort_values().reset_index(drop=True)
+        n_dt = len(dts)
+        if n_dt % 2 == 1:
+            med_dt = dts.iloc[n_dt // 2]
+        else:  # duplicated-cell even count: interpolate (equal middles)
+            lo, hi = dts.iloc[n_dt // 2 - 1], dts.iloc[n_dt // 2]
+            med_dt = lo + (hi - lo) / 2
+        agg = _caption_agg(grp.caption.tolist())
+        rows.append({
+            "cell_id": int(cell_id), "n_scenes": len(grp),
+            "dt_med": f"{med_dt:%Y-%m-%d}",
+            "payload_len": len(payload),
+            "caption_md5": hashlib.md5(agg.encode()).hexdigest(),
+            "pix_sum": int(np.frombuffer(payload, "<u2")
+                           .astype(np.int64).sum()),
+        })
+    return rows
+
+
 def image_hls_rows():
     """HLS profile: int16 storage, per-band sentinels -9999, bitmask
     Fmask plane — mean composite through the per-band metadata path."""
@@ -275,6 +318,11 @@ def main() -> None:
         # direct median composite: SAME expected rows, separate entry
         "image_split_composite": values_sql(
             image_composite_rows("median"),
+            ["cell_id", "n_scenes", "dt_med", "payload_len",
+             "caption_md5", "pix_sum"]),
+        # per-cell budget router: only the duplicated (hot) cell splits
+        "image_budget_composite": values_sql(
+            image_budget_rows(),
             ["cell_id", "n_scenes", "dt_med", "payload_len",
              "caption_md5", "pix_sum"]),
         "image_medoid_composite": values_sql(

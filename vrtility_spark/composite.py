@@ -822,7 +822,9 @@ def composite(df: DataFrame, reducer: str | Callable[[np.ndarray], np.ndarray],
     exceed the budget fails loudly (naming
     :func:`split_to_child_cells` and the incremental path as escape
     hatches) instead of OOM-killing the executor. ``mode="stack"`` /
-    ``mode="incremental"`` force a path.
+    ``mode="incremental"`` force a path; ``mode="budget"`` runs the
+    measured per-cell split planner (:func:`composite_auto`) so
+    over-budget cells sub-tile instead of failing.
 
     Expects an images DataFrame carrying ``cell_id`` (see
     :func:`vrtility_spark.warp.assign_cells`); scenes in a group share
@@ -837,8 +839,18 @@ def composite(df: DataFrame, reducer: str | Callable[[np.ndarray], np.ndarray],
     VRT evaluating mask ∘ composite per block in one pass
     (R/gdalraster-async.r:99-112), skipping a full payload rewrite.
     """
-    if mode not in ("auto", "stack", "incremental"):
+    if mode not in ("auto", "stack", "incremental", "budget"):
         raise ValueError(f"unknown composite mode {mode!r}")
+    if mode == "budget":
+        # measured per-cell split planner: decomposable reducers still
+        # route incremental inside; holistic ones split only their
+        # over-budget cells (see composite_auto)
+        return composite_auto(df, reducer, key=key,
+                              compute_dtype=compute_dtype,
+                              scene_fn=scene_fn, caption_cap=caption_cap,
+                              max_stack_bytes=max_stack_bytes
+                              if max_stack_bytes is not None
+                              else MAX_STACK_BYTES)
     if mode == "incremental" or (
             mode == "auto" and isinstance(reducer, str)
             and reducer in DECOMPOSABLE):
