@@ -129,6 +129,26 @@ def main() -> None:
     _write_md(tn, t4n, eff)
 
 
+def _load_history(path: str) -> list[str]:
+    """Existing '## Measurement history' table rows (kept verbatim) —
+    every run stays published; a rewrite must never erase the record."""
+    rows: list[str] = []
+    if not os.path.exists(path):
+        return rows
+    in_hist = False
+    for line in open(path):
+        if line.startswith("## Measurement history"):
+            in_hist = True
+            continue
+        if in_hist and line.startswith("## "):
+            break
+        if (in_hist and line.startswith("|")
+                and not line.startswith("|---")
+                and "efficiency" not in line):
+            rows.append(line.rstrip())
+    return rows
+
+
 def _probe_cell(res: dict) -> str:
     p = res.get("probe")
     if not p:
@@ -140,6 +160,13 @@ def _probe_cell(res: dict) -> str:
 
 def _write_md(tn: dict, t4n: dict, eff: float) -> None:
     w = WORKLOAD
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    label = os.environ.get("SCALING_LABEL", "latest build")
+    prior = _load_history(out_path)
+    new_row = (f"| {label} ({_probe_cell(tn)} / {_probe_cell(t4n)}) "
+               f"| {tn['scenes_per_sec']} | {t4n['scenes_per_sec']} "
+               f"| {eff:.3f} |")
+    history = "\n".join(["|---|---|---|---|"] + prior + [new_row])
     md = f"""# BENCH — scaling evidence (north_rule)
 
 Workload: distributed synthetic generation ({tn['n_scenes']} scenes,
@@ -166,6 +193,16 @@ carries its own noise context (bench/probe.py).
 
 **Scaling efficiency** throughput_4N / (4 x throughput_N) =
 **{eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"}).
+
+## Measurement history (same harness, best-of-k alternating trials per run)
+
+| run | local[N] scenes/s (best) | local[4N] scenes/s (best) | efficiency |
+{history}
+
+All runs stay published — interference only ever adds time, so
+per-level minima are the capability estimates, and a noisy-window row
+next to a quiet-window row on the same build shows the contention
+mode rather than hiding it.
 
 ## Why N={tn['cores']} (and what it took to get here)
 
