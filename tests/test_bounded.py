@@ -254,6 +254,33 @@ def test_incremental_nan_nodata_profile(spark, tiny_images):
     assert list(a.bytes) == list(b.bytes)
 
 
+def test_incremental_mixed_nodata_profiles_one_flush(spark, tiny_images_pdf):
+    """One partition holding BOTH NaN-sentinel (rawf32) cells and
+    numeric-nodata (raw16) cells must flush cleanly: the partial rows'
+    `nodata double` column would otherwise mix the profile key's
+    "nan" STRING with floats — Arrow rejects (or silently coerces,
+    version-dependent) a str in a double column."""
+    pdf = tiny_images_pdf.copy()
+    west = pdf.xmin == 0.0
+    for i in pdf.index[west]:
+        r = pdf.loc[i]
+        arr = codec.decode(r.bytes, r.w, r.h, r.fmt).astype(np.float32)
+        arr[arr == r.nodata] = np.nan
+        pdf.loc[i, "bytes"] = codec.encode(arr, "rawf32")
+        pdf.loc[i, "fmt"] = "rawf32"
+        pdf.loc[i, "nodata"] = np.nan
+    df = schema.images_df(spark, pdf).coalesce(1)
+    celled = warp.assign_cells(df, datagen.TILE_RES)
+    inc = composite.composite(celled, "mean").toPandas()
+    stk = composite.composite(celled, "mean", mode="stack",
+                              compute_dtype="float64").toPandas()
+    assert len(inc) == len(stk) == 12
+    a, b = _rows_key(inc), _rows_key(stk)
+    assert list(a.bytes) == list(b.bytes)
+    # NaN-sentinel cells really took the NaN path end to end
+    assert a.nodata.isna().sum() == 6 and b.nodata.isna().sum() == 6
+
+
 def test_incremental_mixed_band_count_raises(spark, tiny_images):
     """A scene with a different plane count in the same cell must fail
     LOUDLY on the incremental path (numpy broadcasting would otherwise

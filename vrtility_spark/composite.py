@@ -574,10 +574,18 @@ class _CellAcc:
 
     def to_row(self, cell_id):
         caps = sorted(self.caps)[: self.cap]
+        # profile[3] keys NaN nodata as the STRING "nan" (NaN != NaN
+        # would break the equality check); the partial row's `nodata
+        # double` column needs the float back — a str leaking into an
+        # Arrow double column is rejected (or silently coerced,
+        # version-dependent) when a flush mixes NaN-sentinel cells
+        # with numeric-nodata cells
+        nd = self.profile[3]
         return {
             "cell_id": int(cell_id),
             "w": self.profile[0], "h": self.profile[1],
-            "fmt": self.profile[2], "nodata": self.profile[3],
+            "fmt": self.profile[2],
+            "nodata": float("nan") if isinstance(nd, str) else nd,
             "band_nodata": (None if self.profile[4] is None else
                             list(np.frombuffer(self.profile[4], "<f8"))),
             "nb": int(self.nb), "n_scenes": int(self.n),
