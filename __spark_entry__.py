@@ -959,6 +959,34 @@ def q_image_regrid_composite(spark, sf_dir):
         ps("bytes", "w", "h", "fmt").alias("pix_sum"))
 
 
+def q_image_focal_mean(spark, sf_dir):
+    """Masked median composite → focal mean (radius 1) with distributed
+    halo exchange (focal.focal_filter): neighbor tiles ship their edge
+    strips through one cell-keyed shuffle, so every pixel's 3x3 window
+    crosses tile boundaries exactly as it would on one mosaic — pinned
+    against a constants oracle whose expected tiles were computed on the
+    assembled per-zone mosaic (tools/gen_oracle_constants.py). A focal
+    op along SPACE is the spatial twin of the reference's time-windowed
+    ops (R/vrt-hampel.R); the reference has no distributed equivalent."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    out = (Pipeline(images)
+           .set_maskfun("int", datagen.S2_MASK_VALUES)
+           .warp(cell_res=datagen.TILE_RES)
+           .composite("median")
+           .focal("mean", radius=1)
+           .df)
+    ps = _pix_sum_udf()
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        F.md5("caption_agg").alias("caption_md5"),
+        ps("bytes", "w", "h", "fmt").alias("pix_sum"))
+
+
 def q_image_hampel(spark, sf_dir):
     _ensure_shipped(spark)
     from vrtility_spark import datagen, schema, timeseries, warp
@@ -1027,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_median_composite": q_image_median_composite,
         "image_split_composite": q_image_split_composite,
         "image_budget_composite": q_image_budget_composite,
+        "image_focal_mean": q_image_focal_mean,
         "image_medoid_composite": q_image_medoid_composite,
         "image_hls_composite": q_image_hls_composite,
         "image_regrid_composite": q_image_regrid_composite,

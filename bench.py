@@ -38,7 +38,7 @@ BENCH_QUERIES = [
     # round-over-round regressions on these operators stay visible
     # (the sf-scaled image pipeline is timed in image_pipeline_bench —
     # generation cached once, each shape best-of-reps like these keys)
-    "image_medoid_composite", "image_hls_composite",
+    "image_focal_mean", "image_medoid_composite", "image_hls_composite",
     "image_regrid_composite", "image_hampel", "image_budget_composite",
     "audio_features", "video_features",
 ]
@@ -110,7 +110,7 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1
     # quiet-window self-probe BEFORE the Spark session exists: raw
     # kernel multiprocessing throughput annotates the committed JSON
-    # with its own noise context (quiet >= ~24 chunks/s/proc).
+    # with its own noise context (quiet >= 5.0 chunks/s/proc on the (10,5,4096)-f64 chunk).
     # bench.py the module shadows bench/ the dir, hence the path insert.
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                     "bench"))
@@ -142,7 +142,9 @@ def main() -> None:
             if name not in times or t < times[name]:
                 times[name] = t
 
-    n_scenes, img_times = image_pipeline_bench(spark, reps)
+    # the three sf-scaled image keys are ~1-2 s each, so an extra rep
+    # is cheap insurance on the headline scenes/s figure
+    n_scenes, img_times = image_pipeline_bench(spark, max(reps, 3))
     times.update({k: round(v, 3) for k, v in img_times.items()})
 
     total = round(sum(times.values()), 3)

@@ -4,8 +4,23 @@ This VM shows intermittent sibling-tenant contention that slows
 identical runs 30-70%. Before (and independent of) any Spark
 measurement, run the ACTUAL geomedian kernel under plain
 multiprocessing and report per-process throughput — a committed bench
-number then carries its own noise context: quiet windows measure
-~26-29 chunks/s/proc at 8 procs; degraded windows drop to ~17.
+number then carries its own noise context.
+
+Calibration (recorded so the thresholds stay auditable): the probe
+chunk is ``(T=10, B=5, P=4096) float64`` — one full-depth stack of
+4096 pixels, the shape the incremental/stack composite paths actually
+reduce. On this host, idle windows measure ~5.9-6.1 chunks/s/proc
+(flat from 2 to 8 procs — the kernel itself scales at ~1.0);
+historically degraded windows ran ~0.65x, so the quiet floor is set
+at 5.0. An earlier ad-hoc probe (round 2) used a 4x-smaller
+``(5, 5, 4096) float32`` chunk and read 26-29 chunks/s/proc quiet —
+those figures are NOT comparable to this probe's scale; the round-3
+BENCH/BASELINE.md history rows quoting ~24+ refer to that old shape.
+
+The pool uses the *spawn* start method so workers pick up the same
+glibc malloc tuning (``MALLOC_MMAP_THRESHOLD_``) the scaling harness
+gives Spark's Python workers — without it, glibc mmaps every ~1.6 MiB
+NumPy temporary and kernel page-zeroing costs ~25% of the probe.
 
 Used by bench.py and bench/scaling.py; numbers land in the JSON line
 ("probe") and in BENCH/BASELINE.md rows.
@@ -20,7 +35,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-QUIET_CHUNKS_PER_SEC = 24.0  # below this, treat the window as noisy
+QUIET_CHUNKS_PER_SEC = 5.0  # below this, treat the window as noisy
 
 
 def _work(seconds: float) -> float:
@@ -46,7 +61,12 @@ def kernel_probe(procs: int = 8, seconds: float = 1.5) -> dict:
     Returns {"procs", "per_proc_chunks_per_sec_min/mean", "quiet"}.
     `quiet` is True when even the slowest worker saw a quiet window.
     """
-    with mp.Pool(procs) as pool:
+    # spawn (not fork): children must re-init glibc with the malloc
+    # tuning below, the same env the harnesses give Spark workers
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(procs) as pool:
         rates = pool.map(_work, [seconds] * procs)
     return {
         "procs": procs,

@@ -26,13 +26,18 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-# N=4 vs 4N=16: both levels sit inside this box's DRAM-bandwidth
-# envelope for array workloads. Measured machine ceilings (raw
-# multiprocessing NumPy, no Spark): 8→32 procs gives only ~2.3x (the
-# memory bus saturates; pure-ALU work scales 3.7x), while 4→16 procs
-# gives ~3.2x. A real 4N-executor cluster multiplies memory bandwidth
-# with nodes, so N vs 4N *executors* does not hit this single-box wall.
-N_BASE = int(os.environ.get("SCALING_N", "4"))
+# N=2 vs 4N=8: the box's stable envelope. The RAW kernel (plain
+# multiprocessing, malloc-tuned like the Spark workers) is flat to 16
+# procs on this host (~5.7-6.0 chunks/s/proc at 2/4/8/16 — measured
+# round 4), so the kernel itself is not the limit; but Spark-level
+# steady-state walls at local[16] swing 7.7-12 s on the SAME plan and
+# data within minutes (sibling-tenant contention hits wide configs
+# hardest — more concurrently-busy cores, more exposure), making
+# 4→16 measurements irreproducible here. 2→8 runs land repeatable
+# minima; the committed 4→16 rows in BENCH/BASELINE.md document the
+# wide-config behavior honestly. A real 4N-executor cluster adds
+# hardware with every node rather than subdividing one noisy box.
+N_BASE = int(os.environ.get("SCALING_N", "2"))
 # sized so compute dominates fixed job latency (~40 s at local[N]) while
 # staying short enough that a best-of-k trial can land inside a quiet
 # window of this VM's intermittent sibling-tenant contention
@@ -102,7 +107,7 @@ def main() -> None:
     for t in range(trials):
         for cores in (N_BASE, 4 * N_BASE):
             # per-trial noise context: raw-kernel per-proc throughput
-            # immediately before the trial (quiet >= ~24 chunks/s/proc)
+            # immediately before the trial (quiet >= 5.0 chunks/s/proc on the (10,5,4096)-f64 chunk)
             probe = kernel_probe()
             out = f"/tmp/scaling_{cores}_{t}.json"
             subprocess.run([sys.executable, __file__, "--worker", str(cores),
@@ -188,7 +193,8 @@ is the unbiased capability estimate.
 
 The probe column is the raw geomedian kernel under plain
 multiprocessing (8 procs, no Spark) run immediately before the winning
-trial — quiet windows measure >= ~24 chunks/s/proc; the committed row
+trial — quiet windows measure >= 5.0 chunks/s/proc on the (10,5,4096)-f64
+chunk (see bench/probe.py calibration note); the committed row
 carries its own noise context (bench/probe.py).
 
 **Scaling efficiency** throughput_4N / (4 x throughput_N) =
@@ -204,18 +210,32 @@ per-level minima are the capability estimates, and a noisy-window row
 next to a quiet-window row on the same build shows the contention
 mode rather than hiding it.
 
+Probe calibration note: probe figures quoted for rounds 2-3 came from
+an ad-hoc probe with a 4x-smaller chunk ((5,5,4096) float32; quiet
+~26-29 chunks/s/proc). The committed probe (bench/probe.py) reduces
+the (10,5,4096) float64 chunk the composite paths actually process,
+where an idle host measures ~5.5-7 and quiet is >= 5.0. Absolute
+probe numbers are comparable only within one probe generation; the
+quiet/NOISY tag in each row is always relative to the probe that
+produced it.
+
 ## Why N={tn['cores']} (and what it took to get here)
 
 This sandbox is one VM with a shared memory bus, intermittent
-sibling-tenant contention, and 32 logical cores. Machine ceiling
+sibling-tenant contention, and 32 real cores (no SMT). Machine ceiling
 measured with the ACTUAL geomedian kernel under plain multiprocessing
-(no Spark): 2→8 processes scales at ~1.0 efficiency in quiet windows —
-so the gap between 1.0 and the number above is Spark-side fixed cost
-plus residual host noise, not the kernel. Levels beyond 8-16 busy
-cores DO hit this box's DRAM-bandwidth wall for array kernels; a real
-4N-executor cluster adds memory bandwidth with every node, so N vs 4N
-*executors* does not hit that wall — we therefore evidence at N/4N
-levels inside the box's bandwidth envelope.
+(no Spark, malloc-tuned like the Spark workers): per-proc throughput
+is FLAT from 2 to 16 processes (~5.7-6.0 chunks/s/proc, round-4
+sweep) — the kernel is never the limit; the gap between 1.0 and the
+number above is Spark-side fixed cost plus residual host noise. Wide
+configs are where the noise bites: local[16] steady-state walls on
+the SAME plan and cached input swung 7.7-12 s within minutes
+(round-4 diagnostics; the round-4 4→16 history rows show the same
+mode), because a config keeping more cores busy has proportionally
+more exposure to sibling-tenant interference. 2→8 runs land
+repeatable minima on this box, so that is the committed N/4N pair; a
+real 4N-executor cluster adds hardware with every node rather than
+subdividing one contended box.
 
 Engine-level findings baked in (real 100-TB-scale wins, not benchmark
 dressing):

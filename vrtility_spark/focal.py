@@ -1,0 +1,280 @@
+"""Focal (neighborhood) raster operators with distributed halo exchange.
+
+A focal statistic at pixel ``(y, x)`` reduces the ``(2r+1)^2`` window
+centered there — the first raster operator class whose per-tile result
+depends on NEIGHBOR tiles' pixels. The reference computes windowed
+statistics only along time (Hampel, ``R/vrt-hampel.R``); spatial focal
+ops are the natural spatial twin, and at 100 TB they force the one
+pattern a naive port gets wrong: you cannot gather the mosaic.
+
+Spark-first plan (the classic distributed halo exchange, one shuffle):
+
+1. **Halo emit** (``mapInPandas``, narrow): each tile row decodes once
+   and emits its full row unchanged (the *center* record) plus up to 8
+   tiny *halo* records — the ``r``-pixel strips its neighbors need,
+   addressed by pure cell-index arithmetic (:mod:`cells`; no join, no
+   geometry). A strip is ``r*(w|h)`` pixels, so shuffled halo bytes are
+   ~``4r/w`` of the tile bytes (0.4% at r=1, w=1024) — the shuffle
+   stays ~tile-sized no matter the kernel radius.
+2. **Assemble + reduce** (``groupBy(cell).applyInPandas``): each cell
+   places its center tile and incoming strips into a NaN-padded
+   ``(B, h+2r, w+2r)`` array and runs one vectorized NaN-aware kernel
+   (integral-image sums for mean/sum/count — O(HW) independent of r;
+   sliding-window views for min/max/median; weighted kernels for
+   convolution). Cells missing a neighbor see NaN padding — windows
+   shrink at the domain edge instead of inventing data.
+
+Scale notes: partitioning and shuffle volume are the same as
+:func:`composite.composite` (one exchange keyed by ``cell_id``); halo
+records are addressed without any driver-side state, so the operator
+is a pure pipeline stage. Works on ANY one-row-per-cell tile table
+(composite outputs, regridded scenes, overview levels).
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from vrtility_spark import cells, codec
+
+FOCAL_OPS = ("mean", "sum", "count", "min", "max", "median", "conv")
+
+# helper columns carried through the halo shuffle (dropped on output)
+_H_DEST, _H_SX, _H_SY, _H_STRIP, _H_SH, _H_SW, _H_NB = (
+    "__dest", "__sx", "__sy", "__strip", "__sh", "__sw", "__nb")
+
+
+# ------------------------------------------------------ NumPy kernels ----
+
+def _win_sum(A: np.ndarray, k: int) -> np.ndarray:
+    """(B, Hp, Wp) → (B, Hp-k+1, Wp-k+1) sum of every k x k window via
+    a zero-padded integral image — O(HW) regardless of k. Exact for
+    integer-valued float64 inputs (sums stay below 2**53)."""
+    B, Hp, Wp = A.shape
+    Z = np.zeros((B, Hp + 1, Wp + 1), dtype=np.float64)
+    Z[:, 1:, 1:] = A.cumsum(axis=1).cumsum(axis=2)
+    return (Z[:, k:, k:] - Z[:, :-k, k:] - Z[:, k:, :-k] + Z[:, :-k, :-k])
+
+
+def focal_np(P: np.ndarray, op: str, radius: int,
+             weights: np.ndarray | None = None,
+             normalize: bool | None = None) -> np.ndarray:
+    """Reduce every ``(2r+1)^2`` window of the PADDED ``(B, H+2r, W+2r)``
+    array (NaN = invalid / outside domain) to the ``(B, H, W)`` output.
+
+    NaN-aware semantics: a window reduces over its valid samples only
+    (count is the number of valid samples); an all-NaN window yields
+    NaN. ``conv`` computes ``sum(w_i * v_i)`` over valid samples,
+    divided by ``sum(w_i over valid)`` when ``normalize`` (default:
+    auto — True iff ``weights.sum() != 0``, so smoothing kernels
+    renormalize around holes while zero-sum kernels like Sobel don't).
+    """
+    r = int(radius)
+    k = 2 * r + 1
+    B, Hp, Wp = P.shape
+    H, W = Hp - 2 * r, Wp - 2 * r
+    if H <= 0 or W <= 0:
+        raise ValueError(f"padded array {Hp}x{Wp} too small for radius {r}")
+    if op in ("mean", "sum", "count"):
+        V = np.isfinite(P)
+        s = _win_sum(np.where(V, P, 0.0), k)
+        c = _win_sum(V.astype(np.float64), k)
+        if op == "count":
+            return c
+        if op == "sum":
+            out = s
+        else:
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out = s / c
+        out[c == 0] = np.nan
+        return out
+    if op in ("min", "max", "median"):
+        from numpy.lib.stride_tricks import sliding_window_view
+        Wv = sliding_window_view(P, (k, k), axis=(1, 2))  # (B,H,W,k,k)
+        f = {"min": np.nanmin, "max": np.nanmax, "median": np.nanmedian}[op]
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN windows
+            return f(Wv, axis=(-2, -1))
+    if op == "conv":
+        if weights is None:
+            raise ValueError("op='conv' needs a (2r+1, 2r+1) weights array")
+        w = np.asarray(weights, dtype=np.float64)
+        if w.shape != (k, k):
+            raise ValueError(f"weights shape {w.shape} != ({k}, {k})")
+        if normalize is None:
+            normalize = bool(w.sum() != 0.0)
+        from numpy.lib.stride_tricks import sliding_window_view
+        V = np.isfinite(P)
+        Av = sliding_window_view(np.where(V, P, 0.0), (k, k), axis=(1, 2))
+        num = np.einsum("bhwij,ij->bhw", Av, w)
+        Vv = sliding_window_view(V.astype(np.float64), (k, k), axis=(1, 2))
+        if normalize:
+            den = np.einsum("bhwij,ij->bhw", Vv, w)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out = num / den
+            out[den == 0] = np.nan
+        else:
+            out = num
+            out[np.einsum("bhwij,ij->bhw", Vv, np.ones_like(w)) == 0] = np.nan
+        return out
+    raise KeyError(f"unknown focal op {op!r}; known: {FOCAL_OPS}")
+
+
+# ------------------------------------------------- distributed driver ----
+
+def _neighbor_id(zone: int, res: int, ix: int, iy: int,
+                 dx: int, dy: int) -> int | None:
+    n = 1 << res
+    jx, jy = ix + dx, iy + dy
+    if not (0 <= jx < n and 0 <= jy < n):
+        return None  # zone edge: no neighbor, window shrinks
+    return int(cells.encode_np(zone, res, jx, jy))
+
+
+def focal_filter(df: DataFrame, op: str = "mean", radius: int = 1,
+                 weights: np.ndarray | None = None,
+                 normalize: bool | None = None,
+                 fill: bool = False, key: str = "cell_id") -> DataFrame:
+    """Apply a focal statistic to a one-row-per-cell tile table.
+
+    ``fill=False`` (default) keeps the input's nodata mask: output
+    pixels that were nodata stay nodata (a smoothing filter must not
+    grow the data footprint). ``fill=True`` computes wherever the
+    window holds >= 1 valid sample — focal hole-filling.
+
+    Output schema == input schema (payload replaced); all metadata
+    columns pass through from each cell's own row, so the operator is
+    chainable with every other cell-keyed stage.
+    """
+    if op not in FOCAL_OPS:
+        raise KeyError(f"unknown focal op {op!r}; known: {FOCAL_OPS}")
+    r = int(radius)
+    if r < 1:
+        raise ValueError("radius must be >= 1")
+    wk = None if weights is None else np.asarray(weights, np.float64).tolist()
+    in_fields = [T.StructField(f.name, f.dataType, True) for f in df.schema.fields]
+    names = [f.name for f in df.schema.fields]
+    for req in (key, "bytes", "w", "h", "fmt", "nodata"):
+        if req not in names:
+            raise ValueError(f"focal_filter input is missing column {req!r}")
+    helper_fields = [
+        T.StructField(_H_DEST, T.LongType(), True),
+        T.StructField(_H_SX, T.IntegerType(), True),
+        T.StructField(_H_SY, T.IntegerType(), True),
+        T.StructField(_H_STRIP, T.BinaryType(), True),
+        T.StructField(_H_SH, T.IntegerType(), True),
+        T.StructField(_H_SW, T.IntegerType(), True),
+        T.StructField(_H_NB, T.IntegerType(), True),
+    ]
+    mid_schema = T.StructType(in_fields + helper_fields)
+
+    def emit_halos(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out: list[dict] = []
+            null_row = {c: None for c in names}
+            for row in pdf.itertuples(index=False):
+                d = dict(zip(names, row))
+                cid = int(d[key])
+                center = dict(d)
+                center.update({_H_DEST: cid, _H_SX: 0, _H_SY: 0,
+                               _H_STRIP: None, _H_SH: None, _H_SW: None,
+                               _H_NB: None})
+                out.append(center)
+                zone, res, ix, iy = (int(v) for v in cells.decode_np(cid))
+                w, h = int(d["w"]), int(d["h"])
+                if r > min(w, h):
+                    raise ValueError(
+                        f"radius {r} exceeds tile size {w}x{h}; halo "
+                        "strips may only come from the adjacent ring — "
+                        "use a coarser overview level or a smaller radius")
+                arr = codec.decode(d["bytes"], w, h, d["fmt"])
+                nb = len(arr)
+                nd = codec.row_band_meta(row, nb, "band_nodata", d["nodata"])
+                A = codec.to_float_masked(arr, nd)
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        if dx == 0 and dy == 0:
+                            continue
+                        dest = _neighbor_id(zone, res, ix, iy, dx, dy)
+                        if dest is None:
+                            continue
+                        # receiver-relative sender offset
+                        sx, sy = -dx, -dy
+                        rs = slice(h - r, h) if dy == 1 else \
+                            (slice(0, r) if dy == -1 else slice(0, h))
+                        cs = slice(w - r, w) if dx == 1 else \
+                            (slice(0, r) if dx == -1 else slice(0, w))
+                        strip = np.ascontiguousarray(A[:, rs, cs])
+                        halo = dict(null_row)
+                        halo.update({
+                            _H_DEST: dest, _H_SX: sx, _H_SY: sy,
+                            _H_STRIP: strip.astype(np.float64).tobytes(),
+                            _H_SH: strip.shape[1], _H_SW: strip.shape[2],
+                            _H_NB: nb})
+                        out.append(halo)
+            yield pd.DataFrame(out, columns=names + [
+                _H_DEST, _H_SX, _H_SY, _H_STRIP, _H_SH, _H_SW, _H_NB])
+
+    out_schema = T.StructType(in_fields)
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        centers = pdf[(pdf[_H_SX] == 0) & (pdf[_H_SY] == 0)]
+        if len(centers) == 0:
+            return pd.DataFrame(columns=names)  # halo-only: no tile here
+        if len(centers) > 1:
+            raise ValueError(
+                f"focal_filter: cell {int(pdf[_H_DEST].iloc[0])} has "
+                f"{len(centers)} tile rows; composite to one row per "
+                "cell first")
+        c = centers.iloc[0]
+        w, h, fmt = int(c["w"]), int(c["h"]), c["fmt"]
+        arr = codec.decode(c["bytes"], w, h, fmt)
+        nb = len(arr)
+        nd = codec.row_band_meta(
+            next(centers.itertuples(index=False)), nb, "band_nodata",
+            float(c["nodata"]))
+        A = codec.to_float_masked(arr, nd)
+        P = np.full((nb, h + 2 * r, w + 2 * r), np.nan, dtype=np.float64)
+        P[:, r:r + h, r:r + w] = A
+        halos = pdf[(pdf[_H_SX] != 0) | (pdf[_H_SY] != 0)]
+        # NOTE: itertuples would mangle the dunder helper columns
+        # (namedtuple fields cannot start with "_") — zip the columns
+        for sx, sy, sh, sw, snb, buf in zip(
+                halos[_H_SX], halos[_H_SY], halos[_H_SH], halos[_H_SW],
+                halos[_H_NB], halos[_H_STRIP]):
+            sx, sy, sh, sw, snb = (int(sx), int(sy), int(sh), int(sw),
+                                   int(snb))
+            if snb != nb:
+                raise ValueError(
+                    f"focal_filter: neighbor tile has {snb} bands, "
+                    f"center has {nb}; normalize band layout first")
+            strip = np.frombuffer(buf, dtype=np.float64).reshape(snb, sh, sw)
+            # strip rows run toward the receiver: a sender at sy=-1
+            # contributed its NORTH rows, which land just under row r
+            y0 = 0 if sy == -1 else (r if sy == 0 else r + h)
+            x0 = 0 if sx == -1 else (r if sx == 0 else r + w)
+            if (sh not in (r, h)) or (sw not in (r, w)):
+                raise ValueError(
+                    f"focal_filter: neighbor strip {sh}x{sw} does not "
+                    f"match tile grid {h}x{w} at radius {r}; tiles at "
+                    "one res must share pixel dimensions")
+            P[:, y0:y0 + sh, x0:x0 + sw] = strip
+        wts = None if wk is None else np.asarray(wk, dtype=np.float64)
+        out = focal_np(P, op, r, weights=wts, normalize=normalize)
+        if not fill:
+            out = np.where(np.isnan(A), np.nan, out)
+        payload = codec.from_float(out, nd, codec.dtype_for(fmt))
+        res_row = {n: c[n] for n in names}
+        res_row["bytes"] = codec.encode(payload, fmt)
+        return pd.DataFrame([res_row], columns=names)
+
+    mid = df.mapInPandas(emit_halos, schema=mid_schema)
+    return mid.groupBy(_H_DEST).applyInPandas(assemble, schema=out_schema)

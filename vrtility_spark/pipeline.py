@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from vrtility_spark import composite as _composite
+from vrtility_spark import focal as _focal
 from vrtility_spark import join as _join
 from vrtility_spark import masks as _masks
 from vrtility_spark import timeseries as _ts
@@ -53,7 +54,7 @@ class Pipeline:
         "cloud_filter", "orbit_filter", "drop_duplicates", "date_range",
         "set_maskfun", "create_mlmask", "subset_bands", "derived_band",
         "set_scale", "reproject", "warp", "regrid", "composite",
-        "hampel", "split_cells"])
+        "hampel", "split_cells", "focal"])
 
     def __init__(self, df: DataFrame, mask_specs: tuple = (),
                  log: tuple = (), mask_dropped: bool = False):
@@ -255,6 +256,24 @@ class Pipeline:
         return self._next(
             _composite.split_to_child_cells(self.df, k), (),
             "split_cells", {"k": int(k)})
+
+    def focal(self, op: str = "mean", radius: int = 1, weights=None,
+              normalize: bool | None = None, fill: bool = False) -> "Pipeline":
+        """Spatial focal statistic over a one-row-per-cell tile table
+        (typically after :meth:`composite`) with distributed halo
+        exchange — neighbor tiles contribute their ``radius``-pixel
+        edge strips through one cell-keyed shuffle (focal.focal_filter).
+        Pending masks flush first: a focal window must see the masked
+        pixels, not the raw payload."""
+        w_list = None if weights is None else \
+            np.asarray(weights, np.float64).tolist()
+        return self._next(
+            _focal.focal_filter(self.df, op=op, radius=int(radius),
+                                weights=weights, normalize=normalize,
+                                fill=fill),
+            (), "focal", {"op": op, "radius": int(radius),
+                          "weights": w_list, "normalize": normalize,
+                          "fill": bool(fill)})
 
     # ------------------------------------------------- m2m / W1-W2
     def hampel(self, k: int, t0: float = 3.0, impute_na: bool = False) -> "Pipeline":
