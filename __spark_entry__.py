@@ -987,6 +987,38 @@ def q_image_focal_mean(spark, sf_dir):
         ps("bytes", "w", "h", "fmt").alias("pix_sum"))
 
 
+def q_image_overview(spark, sf_dir):
+    """Masked median composite → 1-level overview pyramid
+    (overviews.build_pyramid): every 2x2 block of sibling tiles
+    reduces to its parent cell through one parent-keyed shuffle —
+    average for the data bands, mode for the SCL class plane (the
+    categorical twin of warp's class-plane nearest rule). The
+    distributed levels are pinned against a constants oracle whose
+    expected tiles were block-reduced from the same mosaics Spark-free
+    (tools/gen_oracle_constants.py); the reference delegates this to
+    the COG driver's embedded overviews (R/gdal-options.R:124-146) —
+    at 100 TB the pyramid is a geometric series of shrinking shuffles,
+    never a gather."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    nb = len(datagen.S2_BANDS)
+    out = (Pipeline(images)
+           .set_maskfun("int", datagen.S2_MASK_VALUES)
+           .warp(cell_res=datagen.TILE_RES)
+           .composite("median")
+           .overviews(1, method=["average"] * (nb - 1) + ["mode"])
+           .df)
+    ps = _pix_sum_udf()
+    return out.select(
+        "level", "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        F.md5("caption_agg").alias("caption_md5"),
+        ps("bytes", "w", "h", "fmt").alias("pix_sum"))
+
+
 def q_image_hampel(spark, sf_dir):
     _ensure_shipped(spark)
     from vrtility_spark import datagen, schema, timeseries, warp
@@ -1056,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_split_composite": q_image_split_composite,
         "image_budget_composite": q_image_budget_composite,
         "image_focal_mean": q_image_focal_mean,
+        "image_overview": q_image_overview,
         "image_medoid_composite": q_image_medoid_composite,
         "image_hls_composite": q_image_hls_composite,
         "image_regrid_composite": q_image_regrid_composite,

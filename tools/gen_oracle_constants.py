@@ -205,6 +205,73 @@ def image_focal_rows():
     return sorted(rows, key=lambda d: d["cell_id"])
 
 
+def image_overview_rows():
+    """Masked median composite → 1-level overview pyramid replicated
+    without Spark: per-cell median tiles (level 0) plus, per zone, the
+    2x2 children assembled and factor-2 block-reduced with
+    overviews.downsample2_np (loop-oracle-gated in tests/
+    test_overviews.py) — average for data bands, mode for the SCL
+    class plane.  Pins the parent-keyed level shuffle: n_scenes SUMS
+    over children, caption passes through from the representative
+    child (most scenes, lowest cell id on ties)."""
+    from vrtility_spark import overviews
+
+    pdf = _grouped_fixture()
+    tiles: dict[int, np.ndarray] = {}
+    meta: dict[int, tuple] = {}
+    rows = []
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        with np.errstate(all="ignore"):
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                out = composite.REDUCERS["median"](_masked_stack(grp, nd))
+        tiles[int(cell_id)] = codec.from_float(out, nd, "uint16")
+        meta[int(cell_id)] = (nd, len(grp),
+                              _caption_agg(grp.caption.tolist()))
+        payload = codec.encode(tiles[int(cell_id)], "raw16")
+        rows.append({
+            "level": 0, "cell_id": int(cell_id), "n_scenes": len(grp),
+            "payload_len": len(payload),
+            "caption_md5": hashlib.md5(
+                meta[int(cell_id)][2].encode()).hexdigest(),
+            "pix_sum": int(np.frombuffer(payload, "<u2")
+                           .astype(np.int64).sum()),
+        })
+    by_zone: dict[int, list] = {}
+    for cid in tiles:
+        zone, _res, ix, iy = (int(v) for v in cells.decode_np(cid))
+        by_zone.setdefault(zone, []).append((cid, ix, iy))
+    h = w = 16
+    for zone, lst in sorted(by_zone.items()):
+        nd = meta[lst[0][0]][0]
+        nb = tiles[lst[0][0]].shape[0]
+        canvas = np.full((nb, 2 * h, 2 * w), np.nan)
+        for cid, ix, iy in lst:
+            A = codec.to_float_masked(tiles[cid], nd)
+            dy, dx = iy % 2, ix % 2
+            canvas[:, dy * h:(dy + 1) * h, dx * w:(dx + 1) * w] = A
+        method = ["average"] * (nb - 1) + ["mode"]
+        out = overviews.downsample2_np(canvas, method)
+        payload = codec.encode(codec.from_float(out, nd, "uint16"),
+                               "raw16")
+        pick = sorted(lst, key=lambda t: (-meta[t[0]][1], t[0]))[0]
+        _, res, ix0, iy0 = (int(v) for v in cells.decode_np(lst[0][0]))
+        parent = int(cells.encode_np(zone, res - 1, ix0 // 2, iy0 // 2))
+        rows.append({
+            "level": 1, "cell_id": parent,
+            "n_scenes": sum(meta[c][1] for c, _, _ in lst),
+            "payload_len": len(payload),
+            "caption_md5": hashlib.md5(
+                meta[pick[0]][2].encode()).hexdigest(),
+            "pix_sum": int(np.frombuffer(payload, "<u2")
+                           .astype(np.int64).sum()),
+        })
+    return sorted(rows, key=lambda d: (d["level"], d["cell_id"]))
+
+
 def image_hls_rows():
     """HLS profile: int16 storage, per-band sentinels -9999, bitmask
     Fmask plane — mean composite through the per-band metadata path."""
@@ -391,6 +458,12 @@ def main() -> None:
             image_focal_rows(),
             ["cell_id", "n_scenes", "payload_len", "caption_md5",
              "pix_sum"]),
+        # composite -> overview level: pins the parent-keyed pyramid
+        # shuffle (average data bands, mode class plane)
+        "image_overview": values_sql(
+            image_overview_rows(),
+            ["level", "cell_id", "n_scenes", "payload_len",
+             "caption_md5", "pix_sum"]),
         "image_medoid_composite": values_sql(
             image_composite_rows("medoid"),
             ["cell_id", "n_scenes", "payload_len", "caption_md5",

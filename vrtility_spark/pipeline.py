@@ -30,6 +30,7 @@ from vrtility_spark import composite as _composite
 from vrtility_spark import focal as _focal
 from vrtility_spark import join as _join
 from vrtility_spark import masks as _masks
+from vrtility_spark import overviews as _overviews
 from vrtility_spark import timeseries as _ts
 from vrtility_spark import warp as _warp
 
@@ -54,7 +55,7 @@ class Pipeline:
         "cloud_filter", "orbit_filter", "drop_duplicates", "date_range",
         "set_maskfun", "create_mlmask", "subset_bands", "derived_band",
         "set_scale", "reproject", "warp", "regrid", "composite",
-        "hampel", "split_cells", "focal"])
+        "hampel", "split_cells", "focal", "overview_level", "overviews"])
 
     def __init__(self, df: DataFrame, mask_specs: tuple = (),
                  log: tuple = (), mask_dropped: bool = False):
@@ -274,6 +275,32 @@ class Pipeline:
             (), "focal", {"op": op, "radius": int(radius),
                           "weights": w_list, "normalize": normalize,
                           "fill": bool(fill)})
+
+    def overview_level(self, method="average") -> "Pipeline":
+        """One overview level up (2x coarser ground resolution): every
+        2x2 block of sibling tiles reduces to its parent cell's tile
+        through one parent-keyed shuffle (overviews.build_level — the
+        distributed twin of the COG driver's embedded overviews,
+        R/gdal-options.R:124-146). ``method`` is one of
+        ``overviews.OVERVIEW_METHODS`` or a per-plane list (keep class
+        planes ``mode``). Pending masks flush first."""
+        m = method if isinstance(method, str) else list(method)
+        return self._next(
+            _overviews.build_level(self.df, method=method),
+            (), "overview_level", {"method": m})
+
+    def overviews(self, levels: int, method="average",
+                  include_base: bool = True) -> "Pipeline":
+        """The full overview pyramid as one table with a ``level``
+        column (overviews.build_pyramid): level ``l`` is ``2^l``x
+        coarser, built level-from-level so each step shuffles 4x fewer
+        bytes. Pending masks flush first."""
+        m = method if isinstance(method, str) else list(method)
+        return self._next(
+            _overviews.build_pyramid(self.df, int(levels), method=method,
+                                     include_base=bool(include_base)),
+            (), "overviews", {"levels": int(levels), "method": m,
+                              "include_base": bool(include_base)})
 
     # ------------------------------------------------- m2m / W1-W2
     def hampel(self, k: int, t0: float = 3.0, impute_na: bool = False) -> "Pipeline":
