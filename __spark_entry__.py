@@ -1019,6 +1019,86 @@ def q_image_overview(spark, sf_dir):
         ps("bytes", "w", "h", "fmt").alias("pix_sum"))
 
 
+def q_image_hillshade(spark, sf_dir):
+    """Masked median composite → hillshade (terrain.terrain): Horn 3x3
+    gradients with the focal halo exchange, so shading crosses tile
+    seams exactly as on one mosaic; output re-types to rawf32 with the
+    -9999 sentinel. Pinned against constants computed Spark-free on
+    the assembled per-zone mosaics (tools/gen_oracle_constants.py).
+    The reference leaves terrain products to GDAL utilities outside
+    its pipeline (gdaldem); here they are cell-keyed pipeline stages."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    out = (Pipeline(images)
+           .set_maskfun("int", datagen.S2_MASK_VALUES)
+           .warp(cell_res=datagen.TILE_RES)
+           .composite("median")
+           .terrain("hillshade")
+           .df)
+
+    @F.pandas_udf("double")
+    def hs_sum(b: pd.Series, w: pd.Series, h: pd.Series,
+               fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        out = []
+        for x, wi, hi, f in zip(b, w, h, fmt):
+            dec = codec.decode(x, int(wi), int(hi), f).astype(np.float64)
+            valid = dec[dec != -9999.0]
+            out.append(float(np.round(valid, 3).sum()))
+        return pd.Series(out)
+
+    @F.pandas_udf("long")
+    def nd_px(b: pd.Series, w: pd.Series, h: pd.Series,
+              fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        out = []
+        for x, wi, hi, f in zip(b, w, h, fmt):
+            dec = codec.decode(x, int(wi), int(hi), f).astype(np.float64)
+            out.append(int((dec == -9999.0).sum()))
+        return pd.Series(out)
+
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        F.md5("caption_agg").alias("caption_md5"),
+        hs_sum("bytes", "w", "h", "fmt").alias("hs_sum"),
+        nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
+
+
+def q_zonal_stats(spark, sf_dir):
+    """Masked median composite → zonal statistics per AOI polygon
+    (zonal.zonal_stats): AOI parts explode to cover cells (pure
+    expressions) and BROADCAST onto the tile table, an Arrow map
+    reduces each matched tile to per-band moment partials over the
+    pixels whose centers pass the point-in-polygon test, and a JVM
+    groupBy merges the 48-byte partials — tile bytes never shuffle.
+    The reference reaches the same numbers by warping to the AOI
+    window and reducing driver-side (R/vrt-warp.R:473-477 +
+    R/multiband_reduce.R); here the reduction is decomposable, so a
+    polygon over a million tiles costs one broadcast join + one tiny
+    agg. Pinned against constants reduced Spark-free from the same
+    fixture mosaics (tools/gen_oracle_constants.py)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema, zonal
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    tiles = (Pipeline(images)
+             .set_maskfun("int", datagen.S2_MASK_VALUES)
+             .warp(cell_res=datagen.TILE_RES)
+             .composite("median").df)
+    aoi = schema.aoi_df(spark, datagen.aoi_pandas(nx=2, ny=2))
+    out = zonal.zonal_stats(tiles, aoi, datagen.TILE_RES)
+    return out.select(
+        "aoi_id", "band", "px_count", "valid_count", "px_sum",
+        F.round("mean", 6).alias("mean_r"),
+        F.round("std", 6).alias("std_r"),
+        "px_min", "px_max")
+
+
 def q_image_hampel(spark, sf_dir):
     _ensure_shipped(spark)
     from vrtility_spark import datagen, schema, timeseries, warp
@@ -1089,6 +1169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_budget_composite": q_image_budget_composite,
         "image_focal_mean": q_image_focal_mean,
         "image_overview": q_image_overview,
+        "zonal_stats": q_zonal_stats,
+        "image_hillshade": q_image_hillshade,
         "image_medoid_composite": q_image_medoid_composite,
         "image_hls_composite": q_image_hls_composite,
         "image_regrid_composite": q_image_regrid_composite,

@@ -1,0 +1,184 @@
+"""Terrain derivatives: Horn kernels vs naive loops and closed forms,
+and the distributed halo-exchange product vs one assembled mosaic."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from vrtility_spark import cells, codec, terrain
+from vrtility_spark.pipeline import Pipeline
+
+RNG = np.random.default_rng(31)
+
+
+def _pad(G):
+    B, H, W = G.shape
+    P = np.full((B, H + 2, W + 2), np.nan)
+    P[:, 1:-1, 1:-1] = G
+    return P
+
+
+# ------------------------------------------------------- loop oracle ----
+
+def horn_loop(G, sx, sy):
+    B, H, W = G.shape
+    P = _pad(G)
+    dzdx = np.full((B, H, W), np.nan)
+    dzdy = np.full((B, H, W), np.nan)
+    for b in range(B):
+        for i in range(H):
+            for j in range(W):
+                win = P[b, i:i + 3, j:j + 3]
+                if np.isnan(win).any():
+                    continue
+                # row 0 of the window is SOUTH (lower y)
+                dzdx[b, i, j] = ((win[2, 2] + 2 * win[1, 2] + win[0, 2])
+                                 - (win[2, 0] + 2 * win[1, 0] + win[0, 0])
+                                 ) / (8 * sx)
+                dzdy[b, i, j] = ((win[2, 0] + 2 * win[2, 1] + win[2, 2])
+                                 - (win[0, 0] + 2 * win[0, 1] + win[0, 2])
+                                 ) / (8 * sy)
+    return dzdx, dzdy
+
+
+def test_horn_matches_loop():
+    G = np.round(RNG.uniform(0, 500, size=(2, 9, 11)))
+    G[RNG.random(G.shape) < 0.1] = np.nan
+    gx, gy = terrain.horn_gradients_np(_pad(G), 3.0, 5.0)
+    lx, ly = horn_loop(G, 3.0, 5.0)
+    np.testing.assert_allclose(gx, lx, rtol=1e-12, equal_nan=True)
+    np.testing.assert_allclose(gy, ly, rtol=1e-12, equal_nan=True)
+
+
+def test_slope_aspect_on_inclined_plane():
+    # z = 2x + 0y at pixel size 1: dz/dx = 2, slope = atan(2),
+    # downslope points west (azimuth 270)
+    H = W = 8
+    x = np.arange(W) + 0.5
+    G = np.tile(2.0 * x, (H, 1))[None]
+    interior = (slice(1, -1), slice(1, -1))
+    s = terrain.slope_np(_pad(G), 1.0, 1.0)[0][interior]
+    np.testing.assert_allclose(s, np.degrees(np.arctan(2.0)), rtol=1e-12)
+    a = terrain.aspect_np(_pad(G), 1.0, 1.0)[0][interior]
+    np.testing.assert_allclose(a, 270.0, rtol=1e-12)
+    # z rising with y: downslope faces south (180)
+    Gy = np.tile((np.arange(H) + 0.5)[:, None], (1, W))[None]
+    ay = terrain.aspect_np(_pad(Gy), 1.0, 1.0)[0][interior]
+    np.testing.assert_allclose(ay, 180.0, rtol=1e-12)
+    # percent units
+    sp = terrain.slope_np(_pad(G), 1.0, 1.0, units="percent")[0][interior]
+    np.testing.assert_allclose(sp, 200.0, rtol=1e-12)
+
+
+def test_flat_and_hillshade_closed_form():
+    G = np.full((1, 6, 6), 42.0)
+    interior = (slice(1, -1), slice(1, -1))
+    s = terrain.slope_np(_pad(G), 1.0, 1.0)[0]
+    np.testing.assert_allclose(s[interior], 0.0, atol=1e-12)
+    a = terrain.aspect_np(_pad(G), 1.0, 1.0)[0]
+    assert np.isnan(a[interior]).all()  # flat → NaN aspect
+    hs = terrain.hillshade_np(_pad(G), 1.0, 1.0, altitude=45.0)[0]
+    np.testing.assert_allclose(
+        hs[interior], 255.0 * np.cos(np.radians(45.0)), rtol=1e-12)
+    # edge ring (window leaves the domain) is NaN everywhere
+    assert np.isnan(s[0, :]).all() and np.isnan(hs[:, 0]).all()
+
+
+def test_hole_poisons_neighbors():
+    G = np.round(RNG.uniform(0, 100, size=(1, 7, 7)))
+    G[0, 3, 3] = np.nan
+    s = terrain.slope_np(_pad(G), 1.0, 1.0)[0]
+    assert np.isnan(s[2:5, 2:5]).all()  # all 9 windows touching it
+    assert np.isfinite(s[1, 1])
+
+
+def test_unknown_ops_raise():
+    with pytest.raises(KeyError):
+        terrain.terrain_np(np.ones((1, 4, 4)), "tpi", 1.0, 1.0)
+    with pytest.raises(ValueError):
+        terrain.slope_np(np.ones((1, 4, 4)), 1.0, 1.0, units="radians")
+
+
+# ------------------------------------------- distributed halo product ----
+
+ZONE, RES = 50, 3
+FMT, NODATA = "raw16", 0.0
+TILE_SCHEMA = ("cell_id long, bytes binary, w int, h int, fmt string, "
+               "nodata double")
+
+
+def _grid_tiles(h, w, positions, nan_frac=0.1, seed=13):
+    rng = np.random.default_rng(seed)
+    nx = max(p[0] for p in positions) + 1
+    ny = max(p[1] for p in positions) + 1
+    G = np.full((1, ny * h, nx * w), np.nan)
+    rows = []
+    for ix, iy in positions:
+        arr = np.round(rng.uniform(1, 500, size=(1, h, w)))
+        arr[rng.random(arr.shape) < nan_frac] = NODATA
+        cid = int(cells.encode_np(ZONE, RES, ix, iy))
+        rows.append({"cell_id": cid,
+                     "bytes": codec.encode(arr.astype(np.uint16), FMT),
+                     "w": w, "h": h, "fmt": FMT, "nodata": NODATA})
+        A = arr.astype(np.float64)
+        A[A == NODATA] = np.nan
+        G[:, iy * h:(iy + 1) * h, ix * w:(ix + 1) * w] = A
+    return rows, G
+
+
+@pytest.mark.parametrize("op", ["slope", "hillshade"])
+def test_distributed_matches_global_mosaic(spark, op):
+    h = w = 16
+    positions = [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0)]
+    rows, G = _grid_tiles(h, w, positions)
+    df = spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+    size = cells.cell_size(RES)
+    sx, sy = size / w, size / h
+    out = {r.cell_id: r for r in terrain.terrain(df, op).collect()}
+    assert len(out) == len(positions)
+    want_all = terrain.terrain_np(_pad(G), op, sx, sy)
+    for (ix, iy) in positions:
+        cid = int(cells.encode_np(ZONE, RES, ix, iy))
+        r = out[cid]
+        assert r.fmt == "rawf32" and r.nodata == -9999.0
+        got = codec.to_float_masked(
+            codec.decode(r.bytes, r.w, r.h, r.fmt), r.nodata)
+        want = want_all[:, iy * h:(iy + 1) * h, ix * w:(ix + 1) * w]
+        # mosaic positions with a neighbor tile MISSING are NaN in G
+        # already, so the global crop is exactly the halo semantics
+        np.testing.assert_allclose(got, want.astype(np.float32),
+                                   rtol=1e-6, equal_nan=True)
+
+
+def test_explicit_pixel_size_and_chaining(spark):
+    rows, G = _grid_tiles(8, 8, [(0, 0)])
+    df = spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+    out = terrain.terrain(df, "slope", pixel_size=2.0).collect()[0]
+    got = codec.to_float_masked(
+        codec.decode(out.bytes, out.w, out.h, out.fmt), out.nodata)
+    want = terrain.slope_np(_pad(G), 2.0, 2.0).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-6, equal_nan=True)
+    # rawf32 output is itself a valid tile table: slope of slope runs
+    df2 = spark.createDataFrame(
+        pd.DataFrame([out.asDict(recursive=True)]), TILE_SCHEMA)
+    out2 = terrain.terrain(df2, "slope", pixel_size=2.0).collect()
+    assert out2[0].fmt == "rawf32"
+
+
+def test_terrain_pipeline_verb_and_bundle(spark, tmp_path, tiny_images):
+    from vrtility_spark import datagen
+    p = (Pipeline(tiny_images)
+         .set_maskfun("int", datagen.S2_MASK_VALUES)
+         .warp(cell_res=datagen.TILE_RES)
+         .composite("median")
+         .terrain("hillshade", azimuth=135.0))
+    rows = p.df.collect()
+    assert len(rows) == 12 and rows[0].fmt == "rawf32"
+    bp = str(tmp_path / "ter.json")
+    p.to_bundle(bp)
+    replay = Pipeline.from_bundle(bp, tiny_images)
+    a = {r.cell_id: bytes(r.bytes) for r in rows}
+    b = {r.cell_id: bytes(r.bytes) for r in replay.df.collect()}
+    assert a == b

@@ -1,0 +1,232 @@
+"""Zonal statistics: partial-moment kernel vs naive per-pixel loops
+(and a closed-form rectangle check), and the distributed broadcast-join
+pipeline vs a single-machine reduction over the assembled mosaic."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from vrtility_spark import cells, codec, zonal
+from vrtility_spark.join import parse_wkt_polygon, points_in_polygon_np
+
+RNG = np.random.default_rng(23)
+
+ZONE, RES = 40, 3
+FMT, NODATA = "raw16", 0.0
+TILE_SCHEMA = ("cell_id long, bytes binary, w int, h int, fmt string, "
+               "nodata double")
+AOI_SCHEMA = ("aoi_id string, zone long, geom_wkt string, xmin double, "
+              "ymin double, xmax double, ymax double")
+
+
+def _rect_wkt(x0, y0, x1, y1):
+    return (f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, "
+            f"{x0} {y1}, {x0} {y0}))")
+
+
+# ------------------------------------------------------- loop oracle ----
+
+def zonal_loop(A, ring, xmin, ymin, xmax, ymax):
+    """Deliberately-naive per-pixel accumulation (point-at-a-time PIP)."""
+    B, H, W = A.shape
+    out = []
+    for b in range(B):
+        n_in = nv = 0
+        s = s2 = 0.0
+        mn, mx = np.inf, -np.inf
+        for i in range(H):
+            for j in range(W):
+                cx = xmin + (j + 0.5) * (xmax - xmin) / W
+                cy = ymin + (i + 0.5) * (ymax - ymin) / H
+                if not points_in_polygon_np(
+                        np.array([cx]), np.array([cy]), ring)[0]:
+                    continue
+                n_in += 1
+                v = A[b, i, j]
+                if np.isfinite(v):
+                    nv += 1
+                    s += v
+                    s2 += v * v
+                    mn, mx = min(mn, v), max(mx, v)
+        out.append((n_in, nv, s, s2, mn, mx))
+    return out
+
+
+def _rand(shape, nan_frac=0.2):
+    a = np.round(RNG.uniform(1, 4000, size=shape))
+    a[RNG.random(shape) < nan_frac] = np.nan
+    return a
+
+
+def test_partials_match_loop_concave():
+    A = _rand((2, 12, 12))
+    ring = parse_wkt_polygon(
+        "POLYGON ((1 1, 9 1, 9 4, 5 4, 5 10, 1 10, 1 1))")  # L-shape
+    got = zonal.zonal_partials_np(A, ring, 0.0, 0.0, 12.0, 12.0)
+    want = zonal_loop(A, ring, 0.0, 0.0, 12.0, 12.0)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=1e-12)
+
+
+def test_partials_rect_closed_form():
+    # axis-aligned rect: inside-pixels are exactly an index slice, an
+    # independent check of the pixel-center grid convention
+    A = _rand((1, 16, 16), nan_frac=0.0)
+    ring = parse_wkt_polygon(_rect_wkt(4.0, 2.0, 11.0, 9.0))
+    got = zonal.zonal_partials_np(A, ring, 0.0, 0.0, 16.0, 16.0)
+    sub = A[0, 2:9, 4:11]  # centers at j+0.5 in [4,11) -> j in 4..10
+    assert got[0][0] == sub.size
+    assert got[0][1] == sub.size
+    assert got[0][2] == sub.sum()
+    assert got[0][4] == sub.min() and got[0][5] == sub.max()
+
+
+def test_partials_empty_and_all_nodata():
+    A = np.full((1, 4, 4), np.nan)
+    ring = parse_wkt_polygon(_rect_wkt(0.0, 0.0, 4.0, 4.0))
+    n_in, nv, s, s2, mn, mx = zonal.zonal_partials_np(
+        A, ring, 0.0, 0.0, 4.0, 4.0)[0]
+    assert (n_in, nv, s, s2) == (16, 0, 0.0, 0.0)
+    assert mn == np.inf and mx == -np.inf
+    # polygon entirely off-tile
+    far = parse_wkt_polygon(_rect_wkt(50.0, 50.0, 60.0, 60.0))
+    assert zonal.zonal_partials_np(
+        np.ones((1, 4, 4)), far, 0.0, 0.0, 4.0, 4.0)[0][0] == 0
+
+
+# ------------------------------------------------- distributed stats ----
+
+def _tiles(h, w, positions, seed=9, zone=ZONE, res=RES):
+    size = cells.cell_size(res)
+    rng = np.random.default_rng(seed)
+    rows, mosaics = [], {}
+    for ix, iy in positions:
+        arr = np.round(rng.uniform(1, 4000, size=(2, h, w)))
+        arr[rng.random(arr.shape) < 0.15] = NODATA
+        cid = int(cells.encode_np(zone, res, ix, iy))
+        rows.append({"cell_id": cid,
+                     "bytes": codec.encode(arr.astype(np.uint16), FMT),
+                     "w": w, "h": h, "fmt": FMT, "nodata": NODATA})
+        A = arr.astype(np.float64)
+        A[A == NODATA] = np.nan
+        mosaics[cid] = (A, ix * size, iy * size, (ix + 1) * size,
+                        (iy + 1) * size)
+    return rows, mosaics
+
+
+def _expected(mosaics, aoi_rows):
+    """Driver-side reduction with the loop-gated partial kernel."""
+    agg = {}
+    for a in aoi_rows:
+        ring = parse_wkt_polygon(a["geom_wkt"])
+        for cid, (A, x0, y0, x1, y1) in mosaics.items():
+            zone = int(cells.decode_np(cid)[0])
+            if zone != a["zone"]:
+                continue
+            # bbox prefilter (cover-cell analogue)
+            if (x1 <= a["xmin"] or x0 >= a["xmax"]
+                    or y1 <= a["ymin"] or y0 >= a["ymax"]):
+                continue
+            for b, p in enumerate(
+                    zonal.zonal_partials_np(A, ring, x0, y0, x1, y1)):
+                if p[0] == 0:
+                    continue
+                k = (a["aoi_id"], b)
+                c = agg.setdefault(k, [0, 0, 0.0, 0.0, np.inf, -np.inf])
+                c[0] += p[0]; c[1] += p[1]; c[2] += p[2]; c[3] += p[3]
+                c[4] = min(c[4], p[4]); c[5] = max(c[5], p[5])
+    return agg
+
+
+@pytest.mark.parametrize("broadcast_aoi", [True, False])
+def test_zonal_matches_driver_reduction(spark, broadcast_aoi):
+    size = cells.cell_size(RES)
+    rows, mosaics = _tiles(16, 16, [(ix, iy) for ix in range(3)
+                                    for iy in range(2)])
+    aoi_rows = [
+        {"aoi_id": "rect", "zone": ZONE,
+         "geom_wkt": _rect_wkt(0.3 * size, 0.2 * size,
+                               2.4 * size, 1.7 * size)},
+        {"aoi_id": "L", "zone": ZONE,
+         "geom_wkt": (f"POLYGON (({0.1*size} {0.1*size}, "
+                      f"{2.8*size} {0.1*size}, {2.8*size} {0.9*size}, "
+                      f"{1.1*size} {0.9*size}, {1.1*size} {1.9*size}, "
+                      f"{0.1*size} {1.9*size}, {0.1*size} {0.1*size}))")},
+        {"aoi_id": "miss", "zone": ZONE,
+         "geom_wkt": _rect_wkt(50 * size, 50 * size,
+                               51 * size, 51 * size)},
+        {"aoi_id": "otherzone", "zone": ZONE + 1,
+         "geom_wkt": _rect_wkt(0.0, 0.0, 3 * size, 2 * size)},
+    ]
+    for a in aoi_rows:
+        from vrtility_spark.datagen import _wkt_coords
+        xs, ys = _wkt_coords(a["geom_wkt"])
+        a.update(xmin=min(xs), ymin=min(ys), xmax=max(xs), ymax=max(ys))
+    tiles = spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+    aoi = spark.createDataFrame(pd.DataFrame(aoi_rows), AOI_SCHEMA)
+    got = {(r.aoi_id, r.band): r for r in
+           zonal.zonal_stats(tiles, aoi, RES,
+                             broadcast_aoi=broadcast_aoi).collect()}
+    want = _expected(mosaics, aoi_rows)
+    assert set(got) == set(want)
+    assert {k[0] for k in got} == {"rect", "L"}  # miss/otherzone absent
+    for k, (n_in, nv, s, s2, mn, mx) in want.items():
+        r = got[k]
+        assert r.px_count == n_in and r.valid_count == nv
+        np.testing.assert_allclose(r.px_sum, s, rtol=1e-12)
+        np.testing.assert_allclose(r.mean, s / nv, rtol=1e-12)
+        np.testing.assert_allclose(
+            r.std, np.sqrt(max(0.0, s2 / nv - (s / nv) ** 2)), rtol=1e-9)
+        assert r.px_min == mn and r.px_max == mx
+
+
+def test_zonal_multipart_and_per_band_nodata(spark):
+    size = cells.cell_size(RES)
+    rows, mosaics = _tiles(8, 8, [(0, 0)])
+    rows2, mosaics2 = _tiles(8, 8, [(0, 0)], seed=10, zone=ZONE + 1)
+    # plane 1 of the second zone's tile uses sentinel 65535
+    arr = codec.decode(rows2[0]["bytes"], 8, 8, FMT).astype(np.float64)
+    arr[1][arr[1] == NODATA] = 65535.0
+    rows2[0]["bytes"] = codec.encode(arr.astype(np.uint16), FMT)
+    rows2[0]["band_nodata"] = [0.0, 65535.0]
+    rows[0]["band_nodata"] = None
+    aoi_rows = [  # one multipart AOI, one part per zone
+        {"aoi_id": "xz", "zone": ZONE,
+         "geom_wkt": _rect_wkt(0.0, 0.0, 0.6 * size, size)},
+        {"aoi_id": "xz", "zone": ZONE + 1,
+         "geom_wkt": _rect_wkt(0.4 * size, 0.0, size, size)},
+    ]
+    for a in aoi_rows:
+        from vrtility_spark.datagen import _wkt_coords
+        xs, ys = _wkt_coords(a["geom_wkt"])
+        a.update(xmin=min(xs), ymin=min(ys), xmax=max(xs), ymax=max(ys))
+    tiles = spark.createDataFrame(
+        pd.DataFrame(rows + rows2),
+        TILE_SCHEMA + ", band_nodata array<double>")
+    aoi = spark.createDataFrame(pd.DataFrame(aoi_rows), AOI_SCHEMA)
+    got = {(r.aoi_id, r.band): r for r in
+           zonal.zonal_stats(tiles, aoi, RES).collect()}
+    # with band_nodata [0, 65535] the engine's decoded view of the
+    # second tile equals the pre-rewrite mosaic: the 0-holes became
+    # 65535-holes and both decode to NaN (values in [1, 4000] collide
+    # with neither sentinel); a scalar-nodata bug would instead count
+    # the 65535s as valid and mismatch
+    want = _expected(mosaics, aoi_rows[:1])
+    for k, v in _expected(mosaics2, aoi_rows[1:]).items():
+        c = want.setdefault(k, [0, 0, 0.0, 0.0, np.inf, -np.inf])
+        c[0] += v[0]; c[1] += v[1]; c[2] += v[2]; c[3] += v[3]
+        c[4] = min(c[4], v[4]); c[5] = max(c[5], v[5])
+    assert set(got) == set(want)
+    for k, (n_in, nv, s, s2, mn, mx) in want.items():
+        r = got[k]
+        assert (r.px_count, r.valid_count) == (n_in, nv)
+        np.testing.assert_allclose(r.px_sum, s, rtol=1e-12)
+
+
+def test_zonal_missing_column_raises(spark):
+    rows, _ = _tiles(8, 8, [(0, 0)])
+    tiles = spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+    with pytest.raises(ValueError, match="missing column"):
+        zonal.zonal_stats(tiles.drop("nodata"), tiles, RES)

@@ -272,6 +272,132 @@ def image_overview_rows():
     return sorted(rows, key=lambda d: (d["level"], d["cell_id"]))
 
 
+def image_hillshade_rows():
+    """Masked median composite → hillshade (Horn 3x3, sun at 315/45)
+    replicated without Spark: per-zone mosaics assembled, padded,
+    reduced with terrain.hillshade_np (kernels loop-/closed-form-gated
+    in tests/test_terrain.py), cropped back to tiles and run through
+    the exact rawf32/-9999 encode round-trip — pinning the halo
+    exchange AND the float payload re-typing byte-for-byte.  The
+    checksum is sum(round(v, 3)) over valid pixels in float64 (order-
+    stable: identical element order both sides) plus the -9999 count."""
+    from vrtility_spark import terrain
+
+    pdf = _grouped_fixture()
+    tiles: dict[int, np.ndarray] = {}
+    meta: dict[int, tuple] = {}
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        with np.errstate(all="ignore"):
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                out = composite.REDUCERS["median"](_masked_stack(grp, nd))
+        tiles[int(cell_id)] = codec.from_float(out, nd, "uint16")
+        meta[int(cell_id)] = (nd, len(grp),
+                              _caption_agg(grp.caption.tolist()))
+    by_zone: dict[int, list] = {}
+    for cid in tiles:
+        zone, _res, ix, iy = (int(v) for v in cells.decode_np(cid))
+        by_zone.setdefault(zone, []).append((cid, ix, iy))
+    h = w = 16
+    size = cells.cell_size(datagen.TILE_RES)
+    sx, sy = size / w, size / h
+    rows = []
+    for zone, lst in sorted(by_zone.items()):
+        x0 = min(ix for _, ix, _ in lst)
+        y0 = min(iy for _, _, iy in lst)
+        gx = max(ix for _, ix, _ in lst) - x0 + 1
+        gy = max(iy for _, _, iy in lst) - y0 + 1
+        nb = tiles[lst[0][0]].shape[0]
+        G = np.full((nb, gy * h, gx * w), np.nan)
+        for cid, ix, iy in lst:
+            A = codec.to_float_masked(tiles[cid], meta[cid][0])
+            G[:, (iy - y0) * h:(iy - y0 + 1) * h,
+              (ix - x0) * w:(ix - x0 + 1) * w] = A
+        P = np.full((nb, gy * h + 2, gx * w + 2), np.nan)
+        P[:, 1:-1, 1:-1] = G
+        hs = terrain.hillshade_np(P, sx, sy)
+        for cid, ix, iy in lst:
+            tile = hs[:, (iy - y0) * h:(iy - y0 + 1) * h,
+                      (ix - x0) * w:(ix - x0 + 1) * w]
+            payload = codec.encode(
+                codec.from_float(tile, -9999.0, "float32"), "rawf32")
+            dec = codec.decode(payload, w, h, "rawf32").astype(np.float64)
+            valid = dec[dec != -9999.0]
+            nd_, n_scenes, agg = meta[cid]
+            rows.append({
+                "cell_id": cid, "n_scenes": n_scenes,
+                "payload_len": len(payload),
+                "caption_md5": hashlib.md5(agg.encode()).hexdigest(),
+                # raw f64 sum of identically-ordered rounded values:
+                # bitwise deterministic, no final rounding needed
+                "hs_sum": float(np.round(valid, 3).sum()),
+                "nodata_px": int((dec == -9999.0).sum()),
+            })
+    return sorted(rows, key=lambda d: d["cell_id"])
+
+
+def zonal_rows():
+    """Masked median composite → zonal statistics per AOI polygon,
+    replicated without Spark: each fixture AOI part is reduced over
+    the composite tiles its bbox touches with zonal.zonal_partials_np
+    (loop-oracle-gated in tests/test_zonal.py), partials merged per
+    (aoi_id, band) exactly as the engine's groupBy does — integer
+    moments are exact in f64, so the merge order cannot matter."""
+    from vrtility_spark import zonal
+    from vrtility_spark.join import parse_wkt_polygon
+
+    pdf = _grouped_fixture()
+    tiles: dict[int, np.ndarray] = {}
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        with np.errstate(all="ignore"):
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                out = composite.REDUCERS["median"](_masked_stack(grp, nd))
+        tiles[int(cell_id)] = codec.to_float_masked(
+            codec.from_float(out, nd, "uint16"), nd)
+    agg: dict[tuple, list] = {}
+    for a in datagen.aoi_pandas(nx=2, ny=2).itertuples(index=False):
+        zone_a = int(a.srs.split(":")[1])
+        ring = parse_wkt_polygon(a.geom_wkt)
+        for cid, A in tiles.items():
+            zone, res, ix, iy = (int(v) for v in cells.decode_np(cid))
+            if zone != zone_a:
+                continue
+            size = cells.cell_size(res)
+            x0, y0 = ix * size, iy * size
+            if (x0 + size <= a.xmin or x0 >= a.xmax
+                    or y0 + size <= a.ymin or y0 >= a.ymax):
+                continue
+            for b, p in enumerate(zonal.zonal_partials_np(
+                    A, ring, x0, y0, x0 + size, y0 + size)):
+                if p[0] == 0:
+                    continue
+                c = agg.setdefault((a.aoi_id, b),
+                                   [0, 0, 0.0, 0.0, np.inf, -np.inf])
+                c[0] += p[0]; c[1] += p[1]; c[2] += p[2]; c[3] += p[3]
+                c[4] = min(c[4], p[4]); c[5] = max(c[5], p[5])
+    rows = []
+    for (aoi_id, band), (n_in, nv, s, s2, mn, mx) in sorted(agg.items()):
+        mean = s / nv if nv else None
+        std = (float(np.sqrt(max(0.0, s2 / nv - mean * mean)))
+               if nv else None)
+        rows.append({
+            "aoi_id": aoi_id, "band": band, "px_count": n_in,
+            "valid_count": nv, "px_sum": s if nv else 0.0,
+            "mean_r": None if nv == 0 else _round_half_up(mean, 6),
+            "std_r": None if nv == 0 else _round_half_up(std, 6),
+            "px_min": None if nv == 0 else mn,
+            "px_max": None if nv == 0 else mx,
+        })
+    return rows
+
+
 def image_hls_rows():
     """HLS profile: int16 storage, per-band sentinels -9999, bitmask
     Fmask plane — mean composite through the per-band metadata path."""
@@ -420,10 +546,14 @@ def video_rows():
 
 
 def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
     if isinstance(v, float):
-        return repr(v)
+        # an unadorned 17-digit literal parses as DECIMAL in DuckDB and
+        # loses ~1e-11; casting the string is exactly the IEEE double
+        return f"cast('{v!r}' as double)"
     return str(v)
 
 
@@ -464,6 +594,18 @@ def main() -> None:
             image_overview_rows(),
             ["level", "cell_id", "n_scenes", "payload_len",
              "caption_md5", "pix_sum"]),
+        # composite -> hillshade: pins the Horn-gradient halo exchange
+        # and the rawf32 re-typing
+        "image_hillshade": values_sql(
+            image_hillshade_rows(),
+            ["cell_id", "n_scenes", "payload_len", "caption_md5",
+             "hs_sum", "nodata_px"]),
+        # composite -> per-AOI zonal statistics (pixel-center PIP,
+        # decomposable moment partials, broadcast cover join)
+        "zonal_stats": values_sql(
+            zonal_rows(),
+            ["aoi_id", "band", "px_count", "valid_count", "px_sum",
+             "mean_r", "std_r", "px_min", "px_max"]),
         "image_medoid_composite": values_sql(
             image_composite_rows("medoid"),
             ["cell_id", "n_scenes", "payload_len", "caption_md5",

@@ -137,22 +137,39 @@ def _neighbor_id(zone: int, res: int, ix: int, iy: int,
     return int(cells.encode_np(zone, res, jx, jy))
 
 
-def focal_filter(df: DataFrame, op: str = "mean", radius: int = 1,
+def focal_filter(df: DataFrame, op="mean", radius: int = 1,
                  weights: np.ndarray | None = None,
                  normalize: bool | None = None,
-                 fill: bool = False, key: str = "cell_id") -> DataFrame:
+                 fill: bool = False, key: str = "cell_id",
+                 out_fmt: str | None = None,
+                 out_nodata: float | None = None) -> DataFrame:
     """Apply a focal statistic to a one-row-per-cell tile table.
+
+    ``op`` is a name from :data:`FOCAL_OPS`, or a CALLABLE custom
+    kernel ``(P, meta) -> (B, H, W)`` receiving the NaN-padded
+    ``(B, H+2r, W+2r)`` window array and ``meta = {"cell_id", "w",
+    "h"}`` (how :mod:`terrain` plugs Horn-gradient kernels into the
+    same halo exchange).
 
     ``fill=False`` (default) keeps the input's nodata mask: output
     pixels that were nodata stay nodata (a smoothing filter must not
     grow the data footprint). ``fill=True`` computes wherever the
     window holds >= 1 valid sample — focal hole-filling.
 
+    ``out_fmt`` re-types the output payload (e.g. ``"rawf32"`` for
+    float derivatives of integer tiles) with ``out_nodata`` as its
+    scalar sentinel (default NaN for float formats, the input scalar
+    otherwise — note a NaN sentinel surfaces as a NULL ``nodata``
+    column through the Arrow grouped-map path; pass a finite sentinel
+    like :mod:`terrain`'s -9999 to keep the output chainable); any
+    per-band ``band_nodata`` arrays are nulled, the scalar becomes
+    authoritative.
+
     Output schema == input schema (payload replaced); all metadata
     columns pass through from each cell's own row, so the operator is
     chainable with every other cell-keyed stage.
     """
-    if op not in FOCAL_OPS:
+    if not callable(op) and op not in FOCAL_OPS:
         raise KeyError(f"unknown focal op {op!r}; known: {FOCAL_OPS}")
     r = int(radius)
     if r < 1:
@@ -267,13 +284,32 @@ def focal_filter(df: DataFrame, op: str = "mean", radius: int = 1,
                     f"match tile grid {h}x{w} at radius {r}; tiles at "
                     "one res must share pixel dimensions")
             P[:, y0:y0 + sh, x0:x0 + sw] = strip
-        wts = None if wk is None else np.asarray(wk, dtype=np.float64)
-        out = focal_np(P, op, r, weights=wts, normalize=normalize)
+        if callable(op):
+            out = op(P, {"cell_id": int(c[key]), "w": w, "h": h})
+        else:
+            wts = None if wk is None else np.asarray(wk, dtype=np.float64)
+            out = focal_np(P, op, r, weights=wts, normalize=normalize)
         if not fill:
             out = np.where(np.isnan(A), np.nan, out)
-        payload = codec.from_float(out, nd, codec.dtype_for(fmt))
         res_row = {n: c[n] for n in names}
-        res_row["bytes"] = codec.encode(payload, fmt)
+        if out_fmt is None:
+            payload = codec.from_float(out, nd, codec.dtype_for(fmt))
+            res_row["bytes"] = codec.encode(payload, fmt)
+        else:
+            nd_out = out_nodata
+            if nd_out is None:
+                nd_out = (float("nan")
+                          if np.issubdtype(
+                              np.dtype(codec.dtype_for(out_fmt)),
+                              np.floating)
+                          else float(c["nodata"]))
+            payload = codec.from_float(out, nd_out,
+                                       codec.dtype_for(out_fmt))
+            res_row["bytes"] = codec.encode(payload, out_fmt)
+            res_row["fmt"] = out_fmt
+            res_row["nodata"] = nd_out
+            if "band_nodata" in names:
+                res_row["band_nodata"] = None
         return pd.DataFrame([res_row], columns=names)
 
     mid = df.mapInPandas(emit_halos, schema=mid_schema)

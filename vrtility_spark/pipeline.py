@@ -55,7 +55,8 @@ class Pipeline:
         "cloud_filter", "orbit_filter", "drop_duplicates", "date_range",
         "set_maskfun", "create_mlmask", "subset_bands", "derived_band",
         "set_scale", "reproject", "warp", "regrid", "composite",
-        "hampel", "split_cells", "focal", "overview_level", "overviews"])
+        "hampel", "split_cells", "focal", "overview_level", "overviews",
+        "terrain"])
 
     def __init__(self, df: DataFrame, mask_specs: tuple = (),
                  log: tuple = (), mask_dropped: bool = False):
@@ -275,6 +276,24 @@ class Pipeline:
             (), "focal", {"op": op, "radius": int(radius),
                           "weights": w_list, "normalize": normalize,
                           "fill": bool(fill)})
+
+    def terrain(self, op: str, units: str = "degrees",
+                azimuth: float = 315.0, altitude: float = 45.0,
+                pixel_size=None) -> "Pipeline":
+        """Terrain derivative (slope/aspect/hillshade, Horn 3x3) over a
+        one-row-per-cell tile table via the focal halo exchange
+        (terrain.terrain) — gradients cross tile seams exactly; output
+        re-types to rawf32 with NaN nodata. Pending masks flush first."""
+        from vrtility_spark import terrain as _terrain
+        psz = pixel_size if (pixel_size is None or np.isscalar(pixel_size)) \
+            else list(pixel_size)
+        return self._next(
+            _terrain.terrain(self.df, op, units=units, azimuth=azimuth,
+                             altitude=altitude, pixel_size=pixel_size),
+            (), "terrain", {"op": op, "units": units,
+                            "azimuth": float(azimuth),
+                            "altitude": float(altitude),
+                            "pixel_size": psz})
 
     def overview_level(self, method="average") -> "Pipeline":
         """One overview level up (2x coarser ground resolution): every

@@ -1,0 +1,155 @@
+"""Terrain derivatives — slope / aspect / hillshade over tiled rasters.
+
+The gdaldem family as distributed operators: Horn's 3x3 finite
+differences (the GDAL default) computed per tile with the focal halo
+exchange (:func:`focal.focal_filter`), so gradients at tile edges see
+their neighbors' pixels exactly as they would on one mosaic — the
+boundary condition a tile-at-a-time port silently gets wrong on every
+tile seam.  The reference leaves terrain products to GDAL utilities
+outside its pipeline; here they are cell-keyed stages chainable with
+every other operator (one shuffle, tile-sized halo strips).
+
+Conventions (this engine's pixel grid, row 0 = the ymin/SOUTH edge):
+
+* gradients are in world coordinates (z per metre; ``pixel_size``
+  derives from the cell's resolution unless given);
+* ``aspect`` is the compass azimuth of the DOWNSLOPE direction,
+  degrees clockwise from north (+y), 0 <= a < 360; flat pixels are
+  NaN (nodata), the gdaldem flat convention;
+* ``hillshade`` is ``255 * max(0, cos(zenith)cos(slope) +
+  sin(zenith)sin(slope)cos(azimuth - aspect))`` with the sun at
+  ``azimuth`` (default 315 deg, NW) and ``altitude`` (45 deg);
+* a pixel whose 3x3 window touches ANY invalid sample (nodata or the
+  domain edge) is NaN — gdaldem's strict edge semantics (no
+  ``-compute_edges``): derivatives are never invented from partial
+  windows.
+
+Outputs re-type to ``rawf32`` payloads with the classic ``-9999``
+sentinel — slope in [0, 90] degrees would be destroyed by integer
+quantization, and a NaN sentinel would surface as a NULL ``nodata``
+column through Arrow.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from vrtility_spark import cells
+from vrtility_spark.focal import focal_filter
+
+TERRAIN_OPS = ("slope", "aspect", "hillshade")
+
+
+# ------------------------------------------------------ NumPy kernels ----
+
+def horn_gradients_np(P: np.ndarray, sx: float, sy: float):
+    """Horn (1981) 3x3 gradients of the padded ``(B, H+2, W+2)`` array
+    → ``(dz/dx, dz/dy)`` each ``(B, H, W)``, NaN wherever the window
+    holds any invalid sample.  Row index increases with y (south-up
+    padding handled by the caller's grid convention)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+    W = sliding_window_view(P, (3, 3), axis=(1, 2))  # (B, H, W, 3, 3)
+    zSW, zS, zSE = W[..., 0, 0], W[..., 0, 1], W[..., 0, 2]
+    zW_, zE_ = W[..., 1, 0], W[..., 1, 2]
+    zNW, zN, zNE = W[..., 2, 0], W[..., 2, 1], W[..., 2, 2]
+    dzdx = ((zNE + 2 * zE_ + zSE) - (zNW + 2 * zW_ + zSW)) / (8.0 * sx)
+    dzdy = ((zNW + 2 * zN + zNE) - (zSW + 2 * zS + zSE)) / (8.0 * sy)
+    bad = np.isnan(W).any(axis=(-2, -1))  # strict: center column too
+    dzdx[bad] = np.nan
+    dzdy[bad] = np.nan
+    return dzdx, dzdy
+
+
+def slope_np(P: np.ndarray, sx: float, sy: float,
+             units: str = "degrees") -> np.ndarray:
+    """Slope of the padded array: ``degrees`` (default) or ``percent``."""
+    dzdx, dzdy = horn_gradients_np(P, sx, sy)
+    m = np.sqrt(dzdx * dzdx + dzdy * dzdy)
+    if units == "degrees":
+        return np.degrees(np.arctan(m))
+    if units == "percent":
+        return 100.0 * m
+    raise ValueError(f"unknown slope units {units!r}")
+
+
+def aspect_np(P: np.ndarray, sx: float, sy: float) -> np.ndarray:
+    """Downslope azimuth, degrees clockwise from north; flat → NaN."""
+    dzdx, dzdy = horn_gradients_np(P, sx, sy)
+    with np.errstate(invalid="ignore"):
+        az = np.degrees(np.arctan2(-dzdx, -dzdy)) % 360.0
+        az[(dzdx == 0) & (dzdy == 0)] = np.nan
+    return az
+
+
+def hillshade_np(P: np.ndarray, sx: float, sy: float,
+                 azimuth: float = 315.0,
+                 altitude: float = 45.0) -> np.ndarray:
+    """Shaded relief in [0, 255] (float); NaN where gradients are."""
+    dzdx, dzdy = horn_gradients_np(P, sx, sy)
+    slope_r = np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy))
+    with np.errstate(invalid="ignore"):
+        aspect_r = np.arctan2(-dzdx, -dzdy)  # flat → 0, harmless: sin=0
+    zen = np.radians(90.0 - altitude)
+    az = np.radians(azimuth)
+    hs = (np.cos(zen) * np.cos(slope_r)
+          + np.sin(zen) * np.sin(slope_r) * np.cos(az - aspect_r))
+    return 255.0 * np.clip(hs, 0.0, 1.0)
+
+
+def terrain_np(P: np.ndarray, op: str, sx: float, sy: float,
+               units: str = "degrees", azimuth: float = 315.0,
+               altitude: float = 45.0) -> np.ndarray:
+    if op == "slope":
+        return slope_np(P, sx, sy, units=units)
+    if op == "aspect":
+        return aspect_np(P, sx, sy)
+    if op == "hillshade":
+        return hillshade_np(P, sx, sy, azimuth=azimuth, altitude=altitude)
+    raise KeyError(f"unknown terrain op {op!r}; known: {TERRAIN_OPS}")
+
+
+# ------------------------------------------------- distributed driver ----
+
+def terrain(df: DataFrame, op: str, units: str = "degrees",
+            azimuth: float = 315.0, altitude: float = 45.0,
+            pixel_size: float | tuple[float, float] | None = None,
+            key: str = "cell_id") -> DataFrame:
+    """Distributed terrain derivative over a one-row-per-cell tile
+    table (every plane is treated as a DEM; subset to the elevation
+    band first for a classic single-band product).
+
+    Plugs :func:`terrain_np` into the focal halo exchange as a custom
+    kernel — radius-1 strips shuffle, gradients cross tile seams
+    exactly, domain edges go NaN.  ``pixel_size`` (metres; scalar or
+    ``(sx, sy)``) defaults to each cell's own ground sample distance
+    ``cell_size(res) / (w, h)`` — correct even for mixed-resolution
+    tables (e.g. overview levels).  Output payloads are ``rawf32``
+    with NaN nodata.
+    """
+    if op not in TERRAIN_OPS:
+        raise KeyError(f"unknown terrain op {op!r}; known: {TERRAIN_OPS}")
+    if units not in ("degrees", "percent"):
+        raise ValueError(f"unknown slope units {units!r}")
+    ps = pixel_size
+    if ps is not None and np.isscalar(ps):
+        ps = (float(ps), float(ps))
+
+    def kernel(P: np.ndarray, meta: dict) -> np.ndarray:
+        if ps is None:
+            _, res, _, _ = (int(v) for v in
+                            cells.decode_np(meta["cell_id"]))
+            size = cells.cell_size(res)
+            sx, sy = size / meta["w"], size / meta["h"]
+        else:
+            sx, sy = ps
+        return terrain_np(P, op, sx, sy, units=units, azimuth=azimuth,
+                          altitude=altitude)
+
+    # finite sentinel (gdaldem's classic -9999): NaN would surface as a
+    # NULL nodata column through the Arrow grouped-map path, breaking
+    # float(row.nodata) in downstream cell-keyed operators; -9999 is
+    # outside every terrain product's range (slope [0,90]/percent>=0,
+    # aspect [0,360), hillshade [0,255])
+    return focal_filter(df, op=kernel, radius=1, fill=True, key=key,
+                        out_fmt="rawf32", out_nodata=-9999.0)

@@ -1,0 +1,159 @@
+"""Zonal statistics — per-AOI pixel aggregates over a tile table.
+
+The raster←vector reduction: for each AOI polygon, aggregate every
+pixel whose CENTER falls inside the polygon across all tiles it
+touches.  The reference reaches this with GDAL's warp-to-AOI +
+driver-side R reductions (``projwin`` windowing,
+/root/reference/R/vrt-warp.R:473-477, then ``multiband_reduce``
+R/multiband_reduce.R); at 100 TB the polygon can cover millions of
+tiles, so the reduction must be DECOMPOSABLE — nothing ever holds more
+than one tile.
+
+Spark-first plan (zero shuffle of tile bytes):
+
+1. **Cover** — each AOI part explodes to its bbox's covering cells at
+   the tile resolution (:func:`warp.cells_cover`, pure expressions).
+   The AOI side is small by contract → ``broadcast()``.
+2. **Join** — tiles ⋈ cover on ``cell_id``: a broadcast hash join, so
+   tile rows never move and Catalyst prunes scanned columns.
+3. **Partials** (``mapInPandas``, narrow): decode the tile once per
+   matched AOI, test the tile's pixel-center grid against the polygon
+   ring (:func:`join.points_in_polygon_np` — the same vectorized
+   crossing-parity kernel the spatial join refines with), and emit one
+   tiny row per band: ``(px_count, valid_count, sum, sumsq, min,
+   max)`` over inside-pixels.  Integer-valued partial sums are exact
+   in f64 (< 2**53), so the final merge is order-independent —
+   hash-stable across partitionings.
+4. **Merge** — ``groupBy(aoi_id, band)`` over the partial rows with
+   built-in ``sum/min/max`` (JVM, whole-stage codegen); mean and
+   population-std derive from the moments.  The shuffle carries only
+   O(AOIs × tiles-touched × bands) 48-byte rows, never pixels.
+
+Multipart AOIs (one row per part, the engine-wide contract —
+join.py's spatial_join) aggregate across parts; parts are assumed
+disjoint, as geometry parts are.  Pixel-center convention: row 0 is
+the ymin edge (the regrid/overview convention), center offset +0.5 px.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vrtility_spark import cells, codec
+from vrtility_spark.join import parse_wkt_polygon, points_in_polygon_np
+from vrtility_spark.warp import cells_cover
+
+_PARTIAL_SCHEMA = (
+    "aoi_id string, band int, px_count long, valid_count long, "
+    "px_sum double, px_sumsq double, px_min double, px_max double"
+)
+
+
+def zonal_partials_np(A: np.ndarray, ring: np.ndarray,
+                      xmin: float, ymin: float, xmax: float, ymax: float):
+    """Per-band partial moments of the NaN-masked ``(B, H, W)`` tile
+    over pixels whose centers fall inside ``ring``.  Returns a list of
+    ``(px_count, valid_count, sum, sumsq, min, max)`` tuples, one per
+    band (min/max are ``+inf/-inf`` when no valid pixel — the merge
+    identity elements)."""
+    B, H, W = A.shape
+    xs = xmin + (np.arange(W) + 0.5) * (xmax - xmin) / W
+    ys = ymin + (np.arange(H) + 0.5) * (ymax - ymin) / H
+    gx, gy = np.meshgrid(xs, ys)
+    inside = points_in_polygon_np(gx, gy, ring)
+    n_in = int(inside.sum())
+    out = []
+    for b in range(B):
+        v = A[b][inside]
+        v = v[np.isfinite(v)]
+        if len(v):
+            out.append((n_in, int(len(v)), float(v.sum()),
+                        float((v * v).sum()), float(v.min()),
+                        float(v.max())))
+        else:
+            out.append((n_in, 0, 0.0, 0.0, np.inf, -np.inf))
+    return out
+
+
+def zonal_stats(tiles: DataFrame, aoi: DataFrame, res: int,
+                key: str = "cell_id",
+                broadcast_aoi: bool = True) -> DataFrame:
+    """Per-(AOI, band) pixel statistics over a one-row-per-cell tile
+    table at resolution ``res``.
+
+    Output: ``(aoi_id, band, px_count, valid_count, px_sum, mean,
+    std, px_min, px_max)`` — ``px_count`` counts pixel centers inside
+    the polygon (nodata included), ``valid_count``/moments cover valid
+    pixels only; ``mean``/``std`` (population) are null when no valid
+    pixel.  AOIs touching no tile yield no row.
+
+    ``broadcast_aoi=False`` routes a huge AOI side through a shuffle
+    hash join instead (both sides partition by cell; tiles are unique
+    per cell so no salting is needed).
+    """
+    names = [f.name for f in tiles.schema.fields]
+    for req in (key, "bytes", "w", "h", "fmt", "nodata"):
+        if req not in names:
+            raise ValueError(f"zonal_stats tiles are missing column {req!r}")
+    aoi_parts = aoi.select("aoi_id", "zone", "geom_wkt",
+                           "xmin", "ymin", "xmax", "ymax")
+    cover = (cells_cover(aoi_parts, int(res), out_col="_zcell")
+             .select("aoi_id", "geom_wkt", "_zcell"))
+    right = F.broadcast(cover) if broadcast_aoi else cover
+    joined = tiles.join(right, tiles[key] == cover["_zcell"])
+
+    def emit(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        ring_cache: dict[str, np.ndarray] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for row in pdf.itertuples(index=False):
+                cid = int(getattr(row, key))
+                zone, r, ix, iy = (int(v) for v in cells.decode_np(cid))
+                size = cells.cell_size(r)
+                x0, y0 = ix * size, iy * size
+                arr = codec.decode(row.bytes, int(row.w), int(row.h),
+                                   row.fmt)
+                nd = codec.row_band_meta(row, len(arr), "band_nodata",
+                                         float(row.nodata))
+                A = codec.to_float_masked(arr, nd)
+                ring = ring_cache.get(row.geom_wkt)
+                if ring is None:
+                    ring = parse_wkt_polygon(row.geom_wkt)
+                    ring_cache[row.geom_wkt] = ring
+                parts = zonal_partials_np(A, ring, x0, y0,
+                                          x0 + size, y0 + size)
+                for b, p in enumerate(parts):
+                    if p[0] == 0:
+                        continue  # polygon misses every pixel center
+                    rows.append((row.aoi_id, b) + p)
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "aoi_id", "band", "px_count", "valid_count",
+                    "px_sum", "px_sumsq", "px_min", "px_max"])
+
+    partials = joined.mapInPandas(emit, schema=_PARTIAL_SCHEMA)
+    agg = (partials.groupBy("aoi_id", "band")
+           .agg(F.sum("px_count").alias("px_count"),
+                F.sum("valid_count").alias("valid_count"),
+                F.sum("px_sum").alias("px_sum"),
+                F.sum("px_sumsq").alias("_sumsq"),
+                F.min("px_min").alias("_min"),
+                F.max("px_max").alias("_max")))
+    valid = F.col("valid_count")
+    mean = F.col("px_sum") / valid
+    var = F.greatest(F.lit(0.0), F.col("_sumsq") / valid - mean * mean)
+    has = valid > 0
+    return agg.select(
+        "aoi_id", "band", "px_count", "valid_count",
+        F.when(has, F.col("px_sum")).otherwise(F.lit(0.0)).alias("px_sum"),
+        F.when(has, mean).alias("mean"),
+        F.when(has, F.sqrt(var)).alias("std"),
+        F.when(has, F.col("_min")).alias("px_min"),
+        F.when(has, F.col("_max")).alias("px_max"))
