@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     # generation cached once, each shape best-of-reps like these keys)
     "image_focal_mean", "image_medoid_composite", "image_hls_composite",
     "image_regrid_composite", "image_hampel", "image_budget_composite",
+    "image_overview", "image_hillshade", "zonal_stats",
     "audio_features", "video_features",
 ]
 
@@ -89,9 +90,20 @@ def image_pipeline_bench(spark, reps: int):
                         resampling="nearest")
                 .composite("median").df)
 
+    def _pyramid():
+        # composite + 2 overview levels: the delta vs
+        # image_median_composite is the pyramid's two shrinking
+        # parent-keyed shuffles (levels are 4x and 16x smaller)
+        return (Pipeline(images)
+                .set_maskfun("int", datagen.S2_MASK_VALUES)
+                .warp(cell_res=datagen.TILE_RES)
+                .composite("median")
+                .overviews(2, include_base=False).df)
+
     shapes = {"image_median_composite": _median,
               "image_geomedian_composite": _geomedian,
-              "image_regrid_pipeline": _regrid}
+              "image_regrid_pipeline": _regrid,
+              "image_pyramid": _pyramid}
     times: dict[str, float] = {}
     for _rep in range(reps):
         for key, build in shapes.items():
