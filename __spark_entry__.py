@@ -1068,6 +1068,37 @@ def q_image_hillshade(spark, sf_dir):
         nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
 
 
+def q_rasterize_aoi(spark, sf_dir):
+    """Vector→raster (rasterize.rasterize_aoi): fixture AOI polygons
+    burn into 16x16 tiles at the tile resolution — cover cells from
+    pure expressions, one grouped map runs the pixel-center
+    point-in-polygon burn per covered cell (merge=max, deterministic
+    under overlap). The inverse of zonal_stats; together they close
+    the raster↔vector loop the north rule asks for. Output scales
+    with the vector footprint, never the grid. Pinned against
+    constants burned Spark-free with the same loop-oracle-gated
+    kernels (tools/gen_oracle_constants.py)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, rasterize, schema
+    aoi = schema.aoi_df(spark, datagen.aoi_pandas(nx=2, ny=2))
+    out = rasterize.rasterize_aoi(aoi, datagen.TILE_RES, 16, 16)
+
+    @F.pandas_udf("long")
+    def burned(b: pd.Series, w: pd.Series, h: pd.Series,
+               fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        out = []
+        for x, wi, hi, f in zip(b, w, h, fmt):
+            dec = codec.decode(x, int(wi), int(hi), f)
+            out.append(int(np.round(float(dec.sum()))))
+        return pd.Series(out)
+
+    return out.select(
+        "cell_id", "n_parts",
+        F.length("bytes").alias("payload_len"),
+        burned("bytes", "w", "h", "fmt").alias("burned_px"))
+
+
 def q_zonal_stats(spark, sf_dir):
     """Masked median composite → zonal statistics per AOI polygon
     (zonal.zonal_stats): AOI parts explode to cover cells (pure
@@ -1171,6 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_overview": q_image_overview,
         "zonal_stats": q_zonal_stats,
         "image_hillshade": q_image_hillshade,
+        "rasterize_aoi": q_rasterize_aoi,
         "image_medoid_composite": q_image_medoid_composite,
         "image_hls_composite": q_image_hls_composite,
         "image_regrid_composite": q_image_regrid_composite,

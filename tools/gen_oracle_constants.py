@@ -339,6 +339,40 @@ def image_hillshade_rows():
     return sorted(rows, key=lambda d: d["cell_id"])
 
 
+def rasterize_rows():
+    """Fixture AOIs burned into 16x16 tiles at the tile res, replicated
+    without Spark: cover cells from cover_bbox_np, pixel-center PIP per
+    part, merge=max — the same kernels the engine ships
+    (loop-oracle-gated in tests/test_rasterize.py).  Pins the
+    vector→raster direction: burned-pixel counts per covered cell."""
+    from vrtility_spark import rasterize
+    from vrtility_spark.join import parse_wkt_polygon, points_in_polygon_np
+
+    w = h = 16
+    agg: dict[int, list] = {}
+    for a in datagen.aoi_pandas(nx=2, ny=2).itertuples(index=False):
+        zone = int(a.srs.split(":")[1])
+        for cid in cells.cover_bbox_np(zone, a.xmin, a.ymin,
+                                       a.xmax, a.ymax, datagen.TILE_RES):
+            agg.setdefault(int(cid), []).append(a.geom_wkt)
+    rows = []
+    for cid, wkts in sorted(agg.items()):
+        _, res, ix, iy = (int(v) for v in cells.decode_np(cid))
+        size = cells.cell_size(res)
+        gx, gy = rasterize._pixel_centers(w, h, ix * size, iy * size,
+                                          size)
+        canvas = np.zeros((h, w))
+        for wkt in wkts:
+            canvas[points_in_polygon_np(
+                gx, gy, parse_wkt_polygon(wkt))] = 1.0
+        rows.append({
+            "cell_id": cid, "n_parts": len(wkts),
+            "payload_len": w * h * 4,
+            "burned_px": int(canvas.sum()),
+        })
+    return rows
+
+
 def zonal_rows():
     """Masked median composite → zonal statistics per AOI polygon,
     replicated without Spark: each fixture AOI part is reduced over
@@ -600,6 +634,10 @@ def main() -> None:
             image_hillshade_rows(),
             ["cell_id", "n_scenes", "payload_len", "caption_md5",
              "hs_sum", "nodata_px"]),
+        # vector->raster: AOI polygons burned into cover-cell tiles
+        "rasterize_aoi": values_sql(
+            rasterize_rows(),
+            ["cell_id", "n_parts", "payload_len", "burned_px"]),
         # composite -> per-AOI zonal statistics (pixel-center PIP,
         # decomposable moment partials, broadcast cover join)
         "zonal_stats": values_sql(

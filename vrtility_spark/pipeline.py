@@ -277,6 +277,19 @@ class Pipeline:
                           "weights": w_list, "normalize": normalize,
                           "fill": bool(fill)})
 
+    def clip(self, aoi: DataFrame, res: int, invert: bool = False,
+             aoi_id=None) -> "Pipeline":
+        """Cutline clip (rasterize.clip_tiles): NaN out pixels whose
+        centers fall outside the AOI polygons (``invert=True``:
+        inside), dropping tiles the AOI never covers. Broadcast cover
+        join — tile bytes never shuffle. Unbundleable (carries a live
+        AOI DataFrame). Pending masks flush first."""
+        from vrtility_spark import rasterize as _rasterize
+        return self._next(
+            _rasterize.clip_tiles(self.df, aoi, int(res),
+                                  invert=bool(invert), aoi_id=aoi_id),
+            (), "clip", self._UNBUNDLEABLE)
+
     def terrain(self, op: str, units: str = "degrees",
                 azimuth: float = 315.0, altitude: float = 45.0,
                 pixel_size=None) -> "Pipeline":
