@@ -358,6 +358,34 @@ def q_hampel(spark, sf_dir):
                 F.col("x0")).otherwise(F.col("value")), 4).alias("filtered"))
 
 
+def q_savgol(spark, sf_dir):
+    """Savitzky–Golay smoothing (window 5, polyorder 2) on scalar
+    per-user series: the closed-form center coefficients
+    (-3, 12, 17, 12, -3)/35 as ONE fixed lag/lead expression — no
+    self-join, no array collection, bit-identical operation order in
+    Spark and the SQL oracle. Edge rows keep their value (the same
+    edge-preservation rule as hampel / timeseries.savgol_np, whose
+    image twin is pytest-gated against this kernel)."""
+    ev = _t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.col("value")
+    sg = ((F.lit(-3.0) * F.lag("value", 2).over(wo)
+           + F.lit(12.0) * F.lag("value", 1).over(wo)
+           + F.lit(17.0) * v
+           + F.lit(12.0) * F.lead("value", 1).over(wo)
+           + F.lit(-3.0) * F.lead("value", 2).over(wo)) / F.lit(35.0))
+    t1 = ev.select(
+        "event_id", "value", sg.alias("sg"),
+        F.row_number().over(wo).alias("rn"),
+        F.count("*").over(Window.partitionBy("user_id")).alias("n"))
+    return t1.select(
+        "event_id",
+        F.round(
+            F.when((F.col("rn") > 2) & (F.col("rn") <= F.col("n") - 2),
+                   F.col("sg")).otherwise(F.col("value")),
+            4).alias("smoothed"))
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join: for each click event, the user's latest purchase at
     or before it — nearest-in-time matching via the engine's asof_join
@@ -1175,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_scalars": q_composite_scalars,
         "knn": q_knn,
         "hampel": q_hampel,
+        "savgol": q_savgol,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "rollup": q_rollup,
@@ -1414,6 +1443,30 @@ def oracle_sql() -> dict[str, str]:
                                   > 3.0 * 1.4826 * mads.mad
                          then mads.x0 else t1.value end, 4) as filtered
             from t1 join mads on t1.event_id = mads.event_id
+        """,
+
+        "savgol": """
+            with t1 as (
+              select event_id, value,
+                     row_number() over (partition by user_id
+                                        order by ts, event_id) as rn,
+                     count(*) over (partition by user_id) as n,
+                     (-3.0 * lag(value, 2) over (partition by user_id
+                                                 order by ts, event_id)
+                      + 12.0 * lag(value, 1) over (partition by user_id
+                                                   order by ts, event_id)
+                      + 17.0 * value
+                      + 12.0 * lead(value, 1) over (partition by user_id
+                                                    order by ts, event_id)
+                      + -3.0 * lead(value, 2) over (partition by user_id
+                                                    order by ts, event_id)
+                     ) / 35.0 as sg
+              from events
+            )
+            select event_id,
+                   round(case when rn > 2 and rn <= n - 2
+                         then sg else value end, 4) as smoothed
+            from t1
         """,
 
         "asof_join": """

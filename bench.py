@@ -28,7 +28,7 @@ BENCH_QUERIES = [
     "pricing_summary", "shipping_priority", "local_supplier",
     "mosaic_latest", "moving_avg", "locf", "dedup_first",
     "cell_assign", "reproject_cells", "spatial_join", "coverage_filter",
-    "knn", "hampel",
+    "knn", "hampel", "savgol",
     "composite_scalars", "asof_join", "range_join", "rollup",
     "anti_join", "set_ops", "simhash", "dedup_exact_docs", "ngram_jaccard",
     "near_dup_clusters", "dedup_corpus", "minhash_docs", "minhash_lsh", "token_stats",

@@ -3,7 +3,7 @@ from __future__ import annotations
 import numpy as np
 
 import oracle
-from vrtility_spark import datagen, schema, timeseries, warp
+from vrtility_spark import codec, datagen, schema, timeseries, warp
 
 
 def test_hampel_basic_outlier():
@@ -85,3 +85,87 @@ def test_moving_mean_cumsum_matches_loop_oracle():
                     exp[i] = np.nanmean(X[lo:hi], axis=0)
         exp[np.isnan(X)] = np.nan
         np.testing.assert_allclose(got, exp, rtol=1e-12, equal_nan=True)
+
+
+# ----------------------------------------------------- Savitzky-Golay ----
+
+def test_savgol_coeffs_window5_order2_closed_form():
+    # the textbook center coefficients (-3, 12, 17, 12, -3)/35
+    c = timeseries.savgol_coeffs(5, 2)
+    np.testing.assert_allclose(
+        c, np.array([-3, 12, 17, 12, -3]) / 35.0, rtol=1e-12)
+    # order 0 degenerates to the moving mean
+    np.testing.assert_allclose(timeseries.savgol_coeffs(3, 0),
+                               np.full(3, 1 / 3), rtol=1e-12)
+
+
+def test_savgol_np_matches_polyfit_loop():
+    """Independent oracle: per-window np.polyfit evaluated at the
+    center must equal the convolution form."""
+    rng = np.random.default_rng(17)
+    X = rng.normal(size=(25, 7))
+    for window, order in ((5, 2), (7, 3), (5, 4)):
+        got = timeseries.savgol_np(X, window, order)
+        half = window // 2
+        T = X.shape[0]
+        exp = X.copy()
+        offs = np.arange(-half, half + 1, dtype=float)
+        for p in range(X.shape[1]):
+            for t in range(half, T - half):
+                co = np.polyfit(offs, X[t - half:t + half + 1, p], order)
+                exp[t, p] = np.polyval(co, 0.0)
+        np.testing.assert_allclose(got, exp, rtol=1e-9)
+
+
+def test_savgol_preserves_edges_nans_and_polynomials():
+    rng = np.random.default_rng(19)
+    X = rng.normal(size=(15, 3))
+    X[7, 1] = np.nan
+    out = timeseries.savgol_np(X, 5, 2)
+    # edge rows untouched
+    np.testing.assert_array_equal(out[:2], X[:2])
+    np.testing.assert_array_equal(out[-2:], X[-2:])
+    # windows touching the NaN keep their original values (rows 5..9
+    # of series 1), and the NaN itself survives
+    np.testing.assert_array_equal(out[5:10, 1], X[5:10, 1])
+    # other series smooth normally at those rows
+    assert not np.array_equal(out[5:10, 0], X[5:10, 0])
+    # a quadratic is reproduced EXACTLY by polyorder-2 smoothing
+    t = np.arange(15, dtype=float)
+    Q = (3.0 + 2.0 * t - 0.5 * t * t)[:, None]
+    np.testing.assert_allclose(timeseries.savgol_np(Q, 5, 2), Q,
+                               rtol=1e-10)
+    # T < window: unchanged
+    np.testing.assert_array_equal(timeseries.savgol_np(X[:3], 5, 2),
+                                  X[:3])
+    import pytest as _pt
+    with _pt.raises(ValueError, match="odd"):
+        timeseries.savgol_coeffs(4, 2)
+    with _pt.raises(ValueError, match="polyorder"):
+        timeseries.savgol_coeffs(5, 5)
+
+
+def test_spark_savgol_matches_driver(spark, tiny_images):
+    """Distributed per-pixel Savitzky-Golay == driver-side savgol_np on
+    every cell's stacked series (same m2m machinery as hampel)."""
+    df = warp.assign_cells(tiny_images, datagen.TILE_RES)
+    out = timeseries.savgol(df, window=5, polyorder=2).toPandas()
+    src = df.toPandas()
+    assert len(out) == len(src)
+    for cell_id, grp in src.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nodata = float(grp.nodata.iloc[0])
+        stack = np.stack([
+            codec.to_float_masked(
+                codec.decode(r.bytes, r.w, r.h, r.fmt), nodata)
+            for r in grp.itertuples(index=False)])
+        T, B, H, W = stack.shape
+        want = np.stack([
+            timeseries.savgol_np(stack[:, b].reshape(T, H * W), 5, 2)
+            .reshape(T, H, W) for b in range(B)], axis=1)
+        og = out[out.cell_id == cell_id].set_index("image_id")
+        for t, r in enumerate(grp.itertuples(index=False)):
+            exp = codec.encode(
+                codec.from_float(want[t], nodata,
+                                 codec.dtype_for(r.fmt)), r.fmt)
+            assert bytes(og.loc[r.image_id].bytes) == exp

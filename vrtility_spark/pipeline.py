@@ -55,8 +55,8 @@ class Pipeline:
         "cloud_filter", "orbit_filter", "drop_duplicates", "date_range",
         "set_maskfun", "create_mlmask", "subset_bands", "derived_band",
         "set_scale", "reproject", "warp", "regrid", "composite",
-        "hampel", "split_cells", "focal", "overview_level", "overviews",
-        "terrain"])
+        "hampel", "savgol", "split_cells", "focal", "overview_level",
+        "overviews", "terrain"])
 
     def __init__(self, df: DataFrame, mask_specs: tuple = (),
                  log: tuple = (), mask_dropped: bool = False):
@@ -339,6 +339,14 @@ class Pipeline:
         return self._next(_ts.hampel(self.df, k, t0, impute_na), (),
                           "hampel", {"k": int(k), "t0": float(t0),
                                      "impute_na": bool(impute_na)})
+
+    def savgol(self, window: int = 5, polyorder: int = 2) -> "Pipeline":
+        """Per-pixel Savitzky–Golay smoothing along the time axis
+        (timeseries.savgol): least-squares polynomial fit per centered
+        window, edge rows and NaN-touched windows preserved."""
+        return self._next(_ts.savgol(self.df, window, polyorder), (),
+                          "savgol", {"window": int(window),
+                                     "polyorder": int(polyorder)})
 
     def m2m(self, fun: Callable[[np.ndarray], np.ndarray]) -> "Pipeline":
         return self._next(_ts.singleband_m2m(self.df, fun), (),

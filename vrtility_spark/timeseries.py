@@ -100,6 +100,61 @@ def moving_mean_np(X: np.ndarray, half: int) -> np.ndarray:
     return out
 
 
+def savgol_coeffs(window: int, polyorder: int) -> np.ndarray:
+    """Savitzky–Golay smoothing coefficients for the window CENTER:
+    fit a degree-``polyorder`` polynomial to the ``window`` samples by
+    least squares and evaluate it at the center — closed form, the
+    pseudo-inverse row selecting the constant term.  Deterministic
+    (pure LAPACK on a tiny Vandermonde)."""
+    window, polyorder = int(window), int(polyorder)
+    if window % 2 == 0 or window < 3:
+        raise ValueError(f"window must be odd and >= 3, got {window}")
+    if polyorder < 0 or polyorder >= window:
+        raise ValueError(
+            f"polyorder must be in [0, window), got {polyorder}")
+    half = window // 2
+    offsets = np.arange(-half, half + 1, dtype=np.float64)
+    A = np.vander(offsets, polyorder + 1, increasing=True)  # (win, p+1)
+    return np.linalg.pinv(A)[0]  # constant-term row = value at center
+
+
+def savgol_np(X: np.ndarray, window: int = 5,
+              polyorder: int = 2) -> np.ndarray:
+    """Savitzky–Golay smoothing along axis 0 of the ``(T, P)`` series
+    matrix — the classic EO time-series smoother (NDVI profiles), the
+    least-squares twin of the reference's Hampel window
+    (src/hampel-filter-matrix.cpp).
+
+    Conservative semantics matching the Hampel edge rule: rows whose
+    centered window leaves the series, and windows containing ANY NaN,
+    keep their ORIGINAL value — smoothing never invents data at edges
+    or across gaps.  Vectorized: one sliding-window product, O(T·P·w).
+    """
+    c = savgol_coeffs(window, polyorder)
+    Xf = np.asarray(X, dtype=np.float64)
+    T, P = Xf.shape
+    out = Xf.copy()
+    if T < window:
+        return out
+    from numpy.lib.stride_tricks import sliding_window_view
+    W = sliding_window_view(Xf, window, axis=0)  # (T-w+1, P, w)
+    sm = np.einsum("tpw,w->tp", W, c)
+    ok = np.isfinite(W).all(axis=-1)
+    half = window // 2
+    mid = out[half:T - half]
+    out[half:T - half] = np.where(ok, sm, mid)
+    return out
+
+
+def savgol(df: DataFrame, window: int = 5, polyorder: int = 2,
+           key: str = "cell_id") -> DataFrame:
+    """Per-pixel Savitzky–Golay smoothing of an image time series via
+    :func:`singleband_m2m` (one cell-keyed shuffle, per-timestep
+    output rows)."""
+    return singleband_m2m(
+        df, lambda X: savgol_np(X, window, polyorder), key=key)
+
+
 M2M_SCHEMA = (
     "image_id string, cell_id long, datetime timestamp, bytes binary, "
     "w int, h int, fmt string, nodata double, caption string"
