@@ -1047,6 +1047,29 @@ def q_image_overview(spark, sf_dir):
         ps("bytes", "w", "h", "fmt").alias("pix_sum"))
 
 
+def q_zonal_histogram(spark, sf_dir):
+    """Per-(AOI, band, bin) pixel-value histogram
+    (zonal.zonal_histogram): the same broadcast cover join as
+    zonal_stats, but the Arrow map emits long-form (band, bin, count)
+    partial rows and the merge is a plain decomposable sum — at any
+    scale the shuffle carries at most AOIs x tiles x bands x nbins
+    tiny rows. gdalinfo -hist per polygon, distributed."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema, zonal
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    tiles = (Pipeline(images)
+             .set_maskfun("int", datagen.S2_MASK_VALUES)
+             .warp(cell_res=datagen.TILE_RES)
+             .composite("median").df)
+    aoi = schema.aoi_df(spark, datagen.aoi_pandas(nx=2, ny=2))
+    out = zonal.zonal_histogram(tiles, aoi, datagen.TILE_RES,
+                                0.0, 8192.0, 16)
+    return out.select("aoi_id", "band", "bin",
+                      F.col("count").alias("cnt"))
+
+
 def q_image_hillshade(spark, sf_dir):
     """Masked median composite → hillshade (terrain.terrain): Horn 3x3
     gradients with the focal halo exchange, so shading crosses tile
@@ -1230,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_focal_mean": q_image_focal_mean,
         "image_overview": q_image_overview,
         "zonal_stats": q_zonal_stats,
+        "zonal_histogram": q_zonal_histogram,
         "image_hillshade": q_image_hillshade,
         "rasterize_aoi": q_rasterize_aoi,
         "image_medoid_composite": q_image_medoid_composite,

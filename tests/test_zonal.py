@@ -230,3 +230,73 @@ def test_zonal_missing_column_raises(spark):
     tiles = spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
     with pytest.raises(ValueError, match="missing column"):
         zonal.zonal_stats(tiles.drop("nodata"), tiles, RES)
+
+
+# ----------------------------------------------------------- histogram ----
+
+def test_histogram_np_matches_loop_and_clamps():
+    A = _rand((2, 10, 10), nan_frac=0.2)
+    A[0, 0, 0] = -500.0   # below lo -> clamps into bin 0
+    A[0, 0, 1] = 9999.0   # above hi -> clamps into last bin
+    ring = parse_wkt_polygon(_rect_wkt(1.0, 1.0, 9.0, 9.0))
+    lo, hi, nb = 0.0, 4000.0, 8
+    got = zonal.histogram_np(A, ring, 0.0, 0.0, 10.0, 10.0, lo, hi, nb)
+    width = (hi - lo) / nb
+    want = np.zeros((2, nb), dtype=np.int64)
+    for b in range(2):
+        for i in range(10):
+            for j in range(10):
+                cx, cy = j + 0.5, i + 0.5
+                if not points_in_polygon_np(
+                        np.array([cx]), np.array([cy]), ring)[0]:
+                    continue
+                v = A[b, i, j]
+                if not np.isfinite(v):
+                    continue
+                want[b, int(np.clip((v - lo) // width, 0, nb - 1))] += 1
+    np.testing.assert_array_equal(got, want)
+
+
+def test_zonal_histogram_distributed_and_mass_invariant(spark):
+    size = cells.cell_size(RES)
+    rows, mosaics = _tiles(16, 16, [(ix, iy) for ix in range(2)
+                                    for iy in range(2)])
+    aoi_rows = [
+        {"aoi_id": "h1", "zone": ZONE,
+         "geom_wkt": _rect_wkt(0.2 * size, 0.3 * size,
+                               1.8 * size, 1.6 * size)},
+        {"aoi_id": "h2", "zone": ZONE,
+         "geom_wkt": _rect_wkt(0.0, 0.0, 0.7 * size, 0.7 * size)},
+    ]
+    for a in aoi_rows:
+        from vrtility_spark.datagen import _wkt_coords
+        xs, ys = _wkt_coords(a["geom_wkt"])
+        a.update(xmin=min(xs), ymin=min(ys), xmax=max(xs), ymax=max(ys))
+    tiles = spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+    aoi = spark.createDataFrame(pd.DataFrame(aoi_rows), AOI_SCHEMA)
+    lo, hi, nb = 0.0, 4096.0, 8
+    got = {(r.aoi_id, r.band, r.bin): r["count"] for r in
+           zonal.zonal_histogram(tiles, aoi, RES, lo, hi, nb).collect()}
+    # driver-side merge with the loop-gated kernel
+    want: dict = {}
+    for a in aoi_rows:
+        ring = parse_wkt_polygon(a["geom_wkt"])
+        for cid, (A, x0, y0, x1, y1) in mosaics.items():
+            if (x1 <= a["xmin"] or x0 >= a["xmax"]
+                    or y1 <= a["ymin"] or y0 >= a["ymax"]):
+                continue
+            hb = zonal.histogram_np(A, ring, x0, y0, x1, y1, lo, hi, nb)
+            for b in range(hb.shape[0]):
+                for k in range(nb):
+                    if hb[b, k]:
+                        key = (a["aoi_id"], b, k)
+                        want[key] = want.get(key, 0) + int(hb[b, k])
+    assert got == want
+    # mass invariant: bin counts sum to zonal_stats' valid_count
+    vc = {(r.aoi_id, r.band): r.valid_count for r in
+          zonal.zonal_stats(tiles, aoi, RES).collect()}
+    for (aid, b), n in vc.items():
+        assert sum(c for (a2, b2, _), c in got.items()
+                   if (a2, b2) == (aid, b)) == n
+    with pytest.raises(ValueError, match="nbins"):
+        zonal.zonal_histogram(tiles, aoi, RES, 0.0, 0.0, 4)

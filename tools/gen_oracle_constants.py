@@ -432,6 +432,50 @@ def zonal_rows():
     return rows
 
 
+def zonal_histogram_rows(lo=0.0, hi=8192.0, nbins=16):
+    """Long-form per-(AOI, band, bin) histogram over the composite
+    tiles, replicated Spark-free with zonal.histogram_np (loop-gated in
+    tests/test_zonal.py) — same tiles and AOI cover rule as
+    zonal_rows."""
+    from vrtility_spark import zonal
+    from vrtility_spark.join import parse_wkt_polygon
+
+    pdf = _grouped_fixture()
+    tiles: dict[int, np.ndarray] = {}
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        with np.errstate(all="ignore"):
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                out = composite.REDUCERS["median"](_masked_stack(grp, nd))
+        tiles[int(cell_id)] = codec.to_float_masked(
+            codec.from_float(out, nd, "uint16"), nd)
+    agg: dict[tuple, int] = {}
+    for a in datagen.aoi_pandas(nx=2, ny=2).itertuples(index=False):
+        zone_a = int(a.srs.split(":")[1])
+        ring = parse_wkt_polygon(a.geom_wkt)
+        for cid, A in tiles.items():
+            zone, res, ix, iy = (int(v) for v in cells.decode_np(cid))
+            if zone != zone_a:
+                continue
+            size = cells.cell_size(res)
+            x0, y0 = ix * size, iy * size
+            if (x0 + size <= a.xmin or x0 >= a.xmax
+                    or y0 + size <= a.ymin or y0 >= a.ymax):
+                continue
+            hb = zonal.histogram_np(A, ring, x0, y0, x0 + size,
+                                    y0 + size, lo, hi, nbins)
+            for b in range(hb.shape[0]):
+                for k in range(nbins):
+                    if hb[b, k]:
+                        key = (a.aoi_id, b, k)
+                        agg[key] = agg.get(key, 0) + int(hb[b, k])
+    return [{"aoi_id": aid, "band": b, "bin": k, "cnt": c}
+            for (aid, b, k), c in sorted(agg.items())]
+
+
 def image_hls_rows():
     """HLS profile: int16 storage, per-band sentinels -9999, bitmask
     Fmask plane — mean composite through the per-band metadata path."""
@@ -644,6 +688,10 @@ def main() -> None:
             zonal_rows(),
             ["aoi_id", "band", "px_count", "valid_count", "px_sum",
              "mean_r", "std_r", "px_min", "px_max"]),
+        # composite -> per-AOI long-form value histogram
+        "zonal_histogram": values_sql(
+            zonal_histogram_rows(),
+            ["aoi_id", "band", "bin", "cnt"]),
         "image_medoid_composite": values_sql(
             image_composite_rows("medoid"),
             ["cell_id", "n_scenes", "payload_len", "caption_md5",

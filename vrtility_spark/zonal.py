@@ -80,6 +80,101 @@ def zonal_partials_np(A: np.ndarray, ring: np.ndarray,
     return out
 
 
+def _aoi_tile_join(tiles: DataFrame, aoi: DataFrame, res: int,
+                   key: str, broadcast_aoi: bool) -> DataFrame:
+    """tiles ⋈ (AOI parts exploded to cover cells): the shared front
+    half of every zonal operator — broadcast by default so tile rows
+    never move."""
+    names = [f.name for f in tiles.schema.fields]
+    for req in (key, "bytes", "w", "h", "fmt", "nodata"):
+        if req not in names:
+            raise ValueError(f"zonal tiles are missing column {req!r}")
+    aoi_parts = aoi.select("aoi_id", "zone", "geom_wkt",
+                           "xmin", "ymin", "xmax", "ymax")
+    cover = (cells_cover(aoi_parts, int(res), out_col="_zcell")
+             .select("aoi_id", "geom_wkt", "_zcell"))
+    right = F.broadcast(cover) if broadcast_aoi else cover
+    return tiles.join(right, tiles[key] == cover["_zcell"])
+
+
+def histogram_np(A: np.ndarray, ring: np.ndarray,
+                 xmin: float, ymin: float, xmax: float, ymax: float,
+                 lo: float, hi: float, nbins: int):
+    """Per-band histogram of inside-pixel values over ``nbins`` equal
+    bins spanning ``[lo, hi)``; out-of-range values CLAMP into the edge
+    bins (gdalinfo -hist semantics).  Returns an ``(B, nbins)`` int64
+    array counting valid inside-pixels only."""
+    B, H, W = A.shape
+    xs = xmin + (np.arange(W) + 0.5) * (xmax - xmin) / W
+    ys = ymin + (np.arange(H) + 0.5) * (ymax - ymin) / H
+    gx, gy = np.meshgrid(xs, ys)
+    inside = points_in_polygon_np(gx, gy, ring)
+    width = (hi - lo) / nbins
+    out = np.zeros((B, nbins), dtype=np.int64)
+    for b in range(B):
+        v = A[b][inside]
+        v = v[np.isfinite(v)]
+        if len(v):
+            idx = np.clip(np.floor((v - lo) / width), 0,
+                          nbins - 1).astype(np.int64)
+            out[b] = np.bincount(idx, minlength=nbins)
+    return out
+
+
+def zonal_histogram(tiles: DataFrame, aoi: DataFrame, res: int,
+                    lo: float, hi: float, nbins: int,
+                    key: str = "cell_id",
+                    broadcast_aoi: bool = True) -> DataFrame:
+    """Per-(AOI, band, bin) pixel-value histogram over the tiles each
+    AOI touches: ``nbins`` equal bins on ``[lo, hi)``, out-of-range
+    values clamped into the edge bins, valid inside-pixels only.
+
+    Long-form output ``(aoi_id, band, bin, count)`` — empty bins are
+    omitted, so the shuffle carries at most ``AOIs × tiles-touched ×
+    bands × nbins`` tiny rows and the merge is a plain ``sum``
+    (decomposable; Catalyst adds the map-side partial combine).
+    """
+    if nbins < 1 or not (hi > lo):
+        raise ValueError("need nbins >= 1 and hi > lo")
+    joined = _aoi_tile_join(tiles, aoi, int(res), key, broadcast_aoi)
+    lo_f, hi_f, nb_bins = float(lo), float(hi), int(nbins)
+
+    def emit(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        ring_cache: dict[str, np.ndarray] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for row in pdf.itertuples(index=False):
+                cid = int(getattr(row, key))
+                zone, r, ix, iy = (int(v) for v in cells.decode_np(cid))
+                size = cells.cell_size(r)
+                x0, y0 = ix * size, iy * size
+                arr = codec.decode(row.bytes, int(row.w), int(row.h),
+                                   row.fmt)
+                nd = codec.row_band_meta(row, len(arr), "band_nodata",
+                                         float(row.nodata))
+                A = codec.to_float_masked(arr, nd)
+                ring = ring_cache.get(row.geom_wkt)
+                if ring is None:
+                    ring = parse_wkt_polygon(row.geom_wkt)
+                    ring_cache[row.geom_wkt] = ring
+                hb = histogram_np(A, ring, x0, y0, x0 + size, y0 + size,
+                                  lo_f, hi_f, nb_bins)
+                bs, ks = np.nonzero(hb)
+                for b, k in zip(bs, ks):
+                    rows.append((row.aoi_id, int(b), int(k),
+                                 int(hb[b, k])))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "aoi_id", "band", "bin", "count"])
+
+    partials = joined.mapInPandas(
+        emit, schema="aoi_id string, band int, bin int, count long")
+    return (partials.groupBy("aoi_id", "band", "bin")
+            .agg(F.sum("count").alias("count")))
+
+
 def zonal_stats(tiles: DataFrame, aoi: DataFrame, res: int,
                 key: str = "cell_id",
                 broadcast_aoi: bool = True) -> DataFrame:
@@ -96,16 +191,7 @@ def zonal_stats(tiles: DataFrame, aoi: DataFrame, res: int,
     hash join instead (both sides partition by cell; tiles are unique
     per cell so no salting is needed).
     """
-    names = [f.name for f in tiles.schema.fields]
-    for req in (key, "bytes", "w", "h", "fmt", "nodata"):
-        if req not in names:
-            raise ValueError(f"zonal_stats tiles are missing column {req!r}")
-    aoi_parts = aoi.select("aoi_id", "zone", "geom_wkt",
-                           "xmin", "ymin", "xmax", "ymax")
-    cover = (cells_cover(aoi_parts, int(res), out_col="_zcell")
-             .select("aoi_id", "geom_wkt", "_zcell"))
-    right = F.broadcast(cover) if broadcast_aoi else cover
-    joined = tiles.join(right, tiles[key] == cover["_zcell"])
+    joined = _aoi_tile_join(tiles, aoi, int(res), key, broadcast_aoi)
 
     def emit(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         ring_cache: dict[str, np.ndarray] = {}
