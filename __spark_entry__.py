@@ -1070,6 +1070,68 @@ def q_zonal_histogram(spark, sf_dir):
                       F.col("count").alias("cnt"))
 
 
+def _float_payload_udfs():
+    """Checksums for rawf32/-9999 payloads: (a) f64 sum of round(v, 3)
+    over valid pixels in payload order (bitwise deterministic — both
+    sides of the oracle perform the identical reduction), (b) the
+    sentinel-pixel count (pins the NaN geography)."""
+    @F.pandas_udf("double")
+    def fsum(b: pd.Series, w: pd.Series, h: pd.Series,
+             fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        out = []
+        for x, wi, hi, f in zip(b, w, h, fmt):
+            dec = codec.decode(x, int(wi), int(hi), f).astype(np.float64)
+            valid = dec[dec != -9999.0]
+            out.append(float(np.round(valid, 3).sum()))
+        return pd.Series(out)
+
+    @F.pandas_udf("long")
+    def nd_px(b: pd.Series, w: pd.Series, h: pd.Series,
+              fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        out = []
+        for x, wi, hi, f in zip(b, w, h, fmt):
+            dec = codec.decode(x, int(wi), int(hi), f).astype(np.float64)
+            out.append(int((dec == -9999.0).sum()))
+        return pd.Series(out)
+
+    return fsum, nd_px
+
+
+def q_image_change(spark, sf_dir):
+    """Change detection (algebra.tile_algebra): the fixture's early
+    epoch (Jan/Mar/May composites) against its late epoch (Jul/Sep) as
+    a normalized difference — ONE cell-keyed equi-join + a narrow
+    Arrow map, never a global stack (the reference would express this
+    as another nested-VRT pixel function over vrt_stack,
+    R/vrt-stack.R). Output rawf32/-9999; pinned against constants
+    diffed Spark-free from the same per-cell medians
+    (tools/gen_oracle_constants.py)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+
+    def comp(lo, hi):
+        return (Pipeline(images)
+                .set_maskfun("int", datagen.S2_MASK_VALUES)
+                .date_range(lo, hi)
+                .warp(cell_res=datagen.TILE_RES)
+                .composite("median"))
+
+    early = comp("2024-01-01", "2024-05-15")
+    late = comp("2024-05-15", "2024-12-31").df
+    out = early.algebra(late, "ndiff").df
+    fs, nd_px = _float_payload_udfs()
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        fs("bytes", "w", "h", "fmt").alias("ch_sum"),
+        nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
+
+
 def q_image_hillshade(spark, sf_dir):
     """Masked median composite → hillshade (terrain.terrain): Horn 3x3
     gradients with the focal halo exchange, so shading crosses tile
@@ -1089,33 +1151,12 @@ def q_image_hillshade(spark, sf_dir):
            .composite("median")
            .terrain("hillshade")
            .df)
-
-    @F.pandas_udf("double")
-    def hs_sum(b: pd.Series, w: pd.Series, h: pd.Series,
-               fmt: pd.Series) -> pd.Series:
-        from vrtility_spark import codec
-        out = []
-        for x, wi, hi, f in zip(b, w, h, fmt):
-            dec = codec.decode(x, int(wi), int(hi), f).astype(np.float64)
-            valid = dec[dec != -9999.0]
-            out.append(float(np.round(valid, 3).sum()))
-        return pd.Series(out)
-
-    @F.pandas_udf("long")
-    def nd_px(b: pd.Series, w: pd.Series, h: pd.Series,
-              fmt: pd.Series) -> pd.Series:
-        from vrtility_spark import codec
-        out = []
-        for x, wi, hi, f in zip(b, w, h, fmt):
-            dec = codec.decode(x, int(wi), int(hi), f).astype(np.float64)
-            out.append(int((dec == -9999.0).sum()))
-        return pd.Series(out)
-
+    fs, nd_px = _float_payload_udfs()
     return out.select(
         "cell_id", "n_scenes",
         F.length("bytes").alias("payload_len"),
         F.md5("caption_agg").alias("caption_md5"),
-        hs_sum("bytes", "w", "h", "fmt").alias("hs_sum"),
+        fs("bytes", "w", "h", "fmt").alias("hs_sum"),
         nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
 
 
@@ -1255,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "zonal_histogram": q_zonal_histogram,
         "image_hillshade": q_image_hillshade,
+        "image_change": q_image_change,
         "rasterize_aoi": q_rasterize_aoi,
         "image_medoid_composite": q_image_medoid_composite,
         "image_hls_composite": q_image_hls_composite,

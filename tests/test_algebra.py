@@ -1,0 +1,131 @@
+"""Raster algebra between tile collections: kernels vs loops/closed
+forms, NaN/sentinel propagation, and the join-shaped distributed path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from vrtility_spark import algebra, cells, codec
+
+RNG = np.random.default_rng(47)
+
+ZONE, RES = 70, 3
+FMT, NODATA = "raw16", 0.0
+TILE_SCHEMA = ("cell_id long, bytes binary, w int, h int, fmt string, "
+               "nodata double")
+
+
+def _rand(shape, nan_frac=0.15):
+    a = np.round(RNG.uniform(1, 4000, size=shape))
+    a[RNG.random(shape) < nan_frac] = np.nan
+    return a
+
+
+def test_algebra_np_ops():
+    A, B = _rand((2, 6, 6)), _rand((2, 6, 6))
+    np.testing.assert_allclose(algebra.algebra_np(A, B, "diff"), A - B,
+                               equal_nan=True)
+    np.testing.assert_allclose(algebra.algebra_np(A, B, "abs_diff"),
+                               np.abs(A - B), equal_nan=True)
+    r = algebra.algebra_np(A, B, "ratio")
+    nd = algebra.algebra_np(A, B, "ndiff")
+    for i in range(2):
+        for y in range(6):
+            for x in range(6):
+                a, b = A[i, y, x], B[i, y, x]
+                if np.isnan(a) or np.isnan(b):
+                    assert np.isnan(r[i, y, x]) and np.isnan(nd[i, y, x])
+                else:
+                    assert r[i, y, x] == a / b
+                    np.testing.assert_allclose(nd[i, y, x],
+                                               (a - b) / (a + b))
+    # zero denominators -> NaN
+    Z = np.zeros((1, 2, 2))
+    O = np.ones((1, 2, 2))
+    assert np.isnan(algebra.algebra_np(O, Z, "ratio")).all()
+    assert np.isnan(algebra.algebra_np(Z, Z, "ndiff")).all()
+    # callable + shape/op errors
+    got = algebra.algebra_np(A, B, lambda a, b: np.full_like(a, 7.0))
+    assert (got == 7.0).all()
+    with pytest.raises(ValueError, match="shapes disagree"):
+        algebra.algebra_np(A, B[:, :3], "diff")
+    with pytest.raises(KeyError, match="unknown algebra op"):
+        algebra.algebra_np(A, B, "xor")
+
+
+def _tiles(positions, seed, h=8, w=8, dtype=np.uint16):
+    rng = np.random.default_rng(seed)
+    rows, arrs = [], {}
+    for ix, iy in positions:
+        arr = np.round(rng.uniform(1, 4000, size=(2, h, w)))
+        arr[rng.random(arr.shape) < 0.1] = NODATA
+        cid = int(cells.encode_np(ZONE, RES, ix, iy))
+        rows.append({"cell_id": cid,
+                     "bytes": codec.encode(arr.astype(dtype), FMT),
+                     "w": w, "h": h, "fmt": FMT, "nodata": NODATA})
+        A = arr.astype(np.float64)
+        A[A == NODATA] = np.nan
+        arrs[cid] = A
+    return rows, arrs
+
+
+@pytest.mark.parametrize("broadcast_right", [False, True])
+def test_tile_algebra_distributed(spark, broadcast_right):
+    rowsL, L = _tiles([(0, 0), (1, 0), (0, 1)], seed=1)
+    rowsR, R = _tiles([(0, 0), (1, 0), (2, 2)], seed=2)
+    left = spark.createDataFrame(pd.DataFrame(rowsL), TILE_SCHEMA)
+    right = spark.createDataFrame(pd.DataFrame(rowsR), TILE_SCHEMA)
+    out = {r.cell_id: r for r in algebra.tile_algebra(
+        left, right, "ndiff", broadcast_right=broadcast_right).collect()}
+    # inner join: only the two shared cells survive
+    assert set(out) == set(L) & set(R)
+    for cid, r in out.items():
+        assert r.fmt == "rawf32" and r.nodata == -9999.0
+        got = codec.to_float_masked(
+            codec.decode(r.bytes, r.w, r.h, r.fmt), r.nodata)
+        want = algebra.algebra_np(L[cid], R[cid], "ndiff")
+        np.testing.assert_allclose(got, want.astype(np.float32),
+                                   rtol=1e-6, equal_nan=True)
+
+
+def test_tile_algebra_chains_and_errors(spark):
+    rowsL, L = _tiles([(0, 0)], seed=3)
+    left = spark.createDataFrame(pd.DataFrame(rowsL), TILE_SCHEMA)
+    # diff with itself is all-zero (valid pixels) / NaN (holes)
+    out = algebra.tile_algebra(left, left, "diff").collect()[0]
+    got = codec.to_float_masked(
+        codec.decode(out.bytes, out.w, out.h, out.fmt), out.nodata)
+    cid = rowsL[0]["cell_id"]
+    assert np.nanmax(np.abs(got)) == 0.0
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(L[cid]))
+    # the rawf32 output chains: abs_diff against the original
+    out_df = algebra.tile_algebra(left, left, "diff")
+    chained = algebra.tile_algebra(out_df, left, "abs_diff").collect()
+    assert chained[0].fmt == "rawf32"
+    with pytest.raises(KeyError, match="unknown algebra op"):
+        algebra.tile_algebra(left, left, "min")
+    with pytest.raises(ValueError, match="missing column"):
+        algebra.tile_algebra(left.drop("nodata"), left)
+
+
+def test_algebra_pipeline_verb(spark, tiny_images):
+    from vrtility_spark import datagen
+    from vrtility_spark.pipeline import Pipeline
+
+    def comp(lo, hi):
+        return (Pipeline(tiny_images)
+                .set_maskfun("int", datagen.S2_MASK_VALUES)
+                .date_range(lo, hi)
+                .warp(cell_res=datagen.TILE_RES)
+                .composite("median"))
+
+    early = comp("2024-01-01", "2024-04-15")
+    late = comp("2024-04-15", "2024-12-31").df
+    change = early.algebra(late, "diff")
+    rows = change.df.collect()
+    assert len(rows) == 12 and rows[0].fmt == "rawf32"
+    # unbundleable: to_bundle must refuse
+    with pytest.raises(ValueError):
+        change.to_bundle("/tmp/should_not_exist_bundle.json")

@@ -26,6 +26,7 @@ import sys
 from decimal import ROUND_HALF_UP, Decimal
 
 import numpy as np
+import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -373,6 +374,47 @@ def rasterize_rows():
     return rows
 
 
+def image_change_rows():
+    """Early-epoch vs late-epoch median composites combined as a
+    normalized difference, replicated Spark-free: per-cell medians over
+    the date subsets (the same masked-stack machinery the other image
+    oracles pin), uint16 round-trip, algebra.algebra_np('ndiff')
+    (kernel loop-gated in tests/test_algebra.py), float32/-9999
+    round-trip, then the shared rawf32 checksum."""
+    from vrtility_spark import algebra
+
+    pdf = _grouped_fixture()
+    cut = pd.Timestamp("2024-05-15")
+    rows = []
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        tiles = {}
+        for name, sub in (("early", grp[grp.datetime <= cut]),
+                          ("late", grp[grp.datetime > cut])):
+            with np.errstate(all="ignore"):
+                import warnings
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore", RuntimeWarning)
+                    out = composite.REDUCERS["median"](
+                        _masked_stack(sub, nd))
+            tiles[name] = codec.to_float_masked(
+                codec.from_float(out, nd, "uint16"), nd)
+        ch = algebra.algebra_np(tiles["early"], tiles["late"], "ndiff")
+        payload = codec.encode(
+            codec.from_float(ch, -9999.0, "float32"), "rawf32")
+        dec = codec.decode(payload, 16, 16, "rawf32").astype(np.float64)
+        valid = dec[dec != -9999.0]
+        rows.append({
+            "cell_id": int(cell_id),
+            "n_scenes": int((grp.datetime <= cut).sum()),
+            "payload_len": len(payload),
+            "ch_sum": float(np.round(valid, 3).sum()),
+            "nodata_px": int((dec == -9999.0).sum()),
+        })
+    return sorted(rows, key=lambda d: d["cell_id"])
+
+
 def zonal_rows():
     """Masked median composite → zonal statistics per AOI polygon,
     replicated without Spark: each fixture AOI part is reduced over
@@ -678,6 +720,11 @@ def main() -> None:
             image_hillshade_rows(),
             ["cell_id", "n_scenes", "payload_len", "caption_md5",
              "hs_sum", "nodata_px"]),
+        # two-epoch change detection (cell-keyed equi-join algebra)
+        "image_change": values_sql(
+            image_change_rows(),
+            ["cell_id", "n_scenes", "payload_len", "ch_sum",
+             "nodata_px"]),
         # vector->raster: AOI polygons burned into cover-cell tiles
         "rasterize_aoi": values_sql(
             rasterize_rows(),

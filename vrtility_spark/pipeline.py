@@ -277,6 +277,19 @@ class Pipeline:
                           "weights": w_list, "normalize": normalize,
                           "fill": bool(fill)})
 
+    def algebra(self, other: DataFrame, op="diff",
+                broadcast_right: bool = False) -> "Pipeline":
+        """Pixel-wise raster algebra against another tile table
+        (algebra.tile_algebra): diff/abs_diff/ratio/ndiff or a callable
+        — change detection as ONE cell-keyed equi-join + a narrow Arrow
+        map; output rawf32/-9999. Unbundleable (carries a live
+        DataFrame). Pending masks flush first."""
+        from vrtility_spark import algebra as _algebra
+        return self._next(
+            _algebra.tile_algebra(self.df, other, op=op,
+                                  broadcast_right=bool(broadcast_right)),
+            (), "algebra", self._UNBUNDLEABLE)
+
     def clip(self, aoi: DataFrame, res: int, invert: bool = False,
              aoi_id=None) -> "Pipeline":
         """Cutline clip (rasterize.clip_tiles): NaN out pixels whose
