@@ -1099,6 +1099,34 @@ def _float_payload_udfs():
     return fsum, nd_px
 
 
+def q_image_quarterly_composite(spark, sf_dir):
+    """Periodic composites (composite.composite_by_period): one masked
+    median per (cell, calendar quarter) in ONE scan and one shuffle —
+    the period folds into the group key, so the unchanged composite
+    router (RAM policy, incremental accumulators, caption semantics)
+    applies per (cell, period) group; a naive port re-scans the data
+    once per period. The reference emits per-timestep outputs
+    (R/singleband-many-to-many.R) but has no grouped calendar product.
+    Pinned against per-(cell, quarter) medians computed Spark-free
+    (tools/gen_oracle_constants.py)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    out = (Pipeline(images)
+           .set_maskfun("int", datagen.S2_MASK_VALUES)
+           .warp(cell_res=datagen.TILE_RES)
+           .composite_period("median", period="quarter")
+           .df)
+    ps = _pix_sum_udf()
+    return out.select(
+        "cell_id", "period", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        F.md5("caption_agg").alias("caption_md5"),
+        ps("bytes", "w", "h", "fmt").alias("pix_sum"))
+
+
 def q_image_change(spark, sf_dir):
     """Change detection (algebra.tile_algebra): the fixture's early
     epoch (Jan/Mar/May composites) against its late epoch (Jul/Sep) as
@@ -1297,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_histogram": q_zonal_histogram,
         "image_hillshade": q_image_hillshade,
         "image_change": q_image_change,
+        "image_quarterly_composite": q_image_quarterly_composite,
         "rasterize_aoi": q_rasterize_aoi,
         "image_medoid_composite": q_image_medoid_composite,
         "image_hls_composite": q_image_hls_composite,

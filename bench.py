@@ -40,7 +40,8 @@ BENCH_QUERIES = [
     # generation cached once, each shape best-of-reps like these keys)
     "image_focal_mean", "image_medoid_composite", "image_hls_composite",
     "image_regrid_composite", "image_hampel", "image_budget_composite",
-    "image_overview", "image_hillshade", "image_change", "zonal_stats",
+    "image_overview", "image_hillshade", "image_change",
+    "image_quarterly_composite", "zonal_stats",
     "zonal_histogram", "rasterize_aoi",
     "audio_features", "video_features",
 ]

@@ -215,3 +215,57 @@ def test_caption_agg_bounded(spark, tiny_images_pdf):
         assert s.endswith("|+14 more")
         assert s.count("|") == composite.CAPTION_CAP
         assert len(s) < 16 * 80
+
+
+# --------------------------------------------------- periodic composites ----
+
+def test_composite_by_period_quarterly_matches_subset_composites(spark, tiny_images):
+    """composite_by_period(quarter) == composite() run on each quarter's
+    scene subset independently — the synthetic-key route must change
+    grouping only, never pixel math, metadata, or captions."""
+    from vrtility_spark import warp as _warp
+    df = _warp.assign_cells(tiny_images, datagen.TILE_RES)
+    got = {(r.cell_id, r.period): r for r in
+           composite.composite_by_period(df, "median",
+                                         period="quarter").collect()}
+    # fixture dates: Jan/Mar (Q1), May (Q2), Jul/Sep (Q3)
+    # NOTE: between() is inclusive on both ends — stop the day before
+    subsets = {"Q1": ("2024-01-01", "2024-03-31"),
+               "Q2": ("2024-04-01", "2024-06-30"),
+               "Q3": ("2024-07-01", "2024-09-30")}
+    n_cells = df.select("cell_id").distinct().count()
+    assert len(got) == 3 * n_cells
+    import pyspark.sql.functions as F
+    for q, (lo, hi) in subsets.items():
+        sub = df.where(F.col("datetime").between(lo, hi))
+        want = {r.cell_id: r for r in
+                composite.composite(sub, "median").collect()}
+        for cid, wr in want.items():
+            gr = got[(cid, f"2024{q}")]
+            assert bytes(gr.bytes) == bytes(wr.bytes)
+            assert gr.n_scenes == wr.n_scenes
+            assert gr.caption_agg == wr.caption_agg
+            assert gr.datetime_median == wr.datetime_median
+
+
+def test_composite_by_period_incremental_parity_and_labels(spark, tiny_images):
+    from vrtility_spark import warp as _warp
+    df = _warp.assign_cells(tiny_images, datagen.TILE_RES)
+    a = {(r.cell_id, r.period): bytes(r.bytes) for r in
+         composite.composite_by_period(df, "mean", period="month",
+                                       mode="incremental").collect()}
+    b = {(r.cell_id, r.period): bytes(r.bytes) for r in
+         composite.composite_by_period(df, "mean", period="month",
+                                       mode="stack").collect()}
+    assert a == b
+    months = {p for _, p in a}
+    assert months == {"2024-01", "2024-03", "2024-05", "2024-07",
+                      "2024-09"}
+    y = {r.period for r in composite.composite_by_period(
+        df, "mosaic", period="year").collect()}
+    assert y == {"2024"}
+    import pytest as _pt
+    with _pt.raises(KeyError, match="unknown period"):
+        composite.composite_by_period(df, "median", period="week")
+    with _pt.raises(ValueError, match="budget"):
+        composite.composite_by_period(df, "median", mode="budget")

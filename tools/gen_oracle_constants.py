@@ -374,6 +374,39 @@ def rasterize_rows():
     return rows
 
 
+def image_periodic_rows():
+    """Quarterly masked median composites replicated Spark-free: the
+    fixture's scenes grouped by (cell, calendar quarter) through the
+    same masked-stack median machinery — pins the synthetic
+    (cell, period) group key route (grouping changes, pixel math and
+    captions must not)."""
+    pdf = _grouped_fixture()
+    pdf = pdf.assign(_q=pdf.datetime.dt.year * 4
+                     + pdf.datetime.dt.quarter - 1)
+    rows = []
+    for (cell_id, q), grp in pdf.groupby(["cell_id", "_q"]):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        with np.errstate(all="ignore"):
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                out = composite.REDUCERS["median"](_masked_stack(grp, nd))
+        payload = codec.encode(codec.from_float(out, nd, "uint16"),
+                               "raw16")
+        agg = _caption_agg(grp.caption.tolist())
+        rows.append({
+            "cell_id": int(cell_id),
+            "period": f"{q // 4:04d}Q{q % 4 + 1}",
+            "n_scenes": len(grp),
+            "payload_len": len(payload),
+            "caption_md5": hashlib.md5(agg.encode()).hexdigest(),
+            "pix_sum": int(np.frombuffer(payload, "<u2")
+                           .astype(np.int64).sum()),
+        })
+    return sorted(rows, key=lambda d: (d["cell_id"], d["period"]))
+
+
 def image_change_rows():
     """Early-epoch vs late-epoch median composites combined as a
     normalized difference, replicated Spark-free: per-cell medians over
@@ -720,6 +753,11 @@ def main() -> None:
             image_hillshade_rows(),
             ["cell_id", "n_scenes", "payload_len", "caption_md5",
              "hs_sum", "nodata_px"]),
+        # periodic composites (synthetic (cell, period) group key)
+        "image_quarterly_composite": values_sql(
+            image_periodic_rows(),
+            ["cell_id", "period", "n_scenes", "payload_len",
+             "caption_md5", "pix_sum"]),
         # two-epoch change detection (cell-keyed equi-join algebra)
         "image_change": values_sql(
             image_change_rows(),

@@ -1182,3 +1182,62 @@ def scalar_composite_cols(reducer: str, col: str):
         "mean_db": F.log10(F.avg(c)) * 10.0,
         "min": F.min(c), "max": F.max(c), "sum": F.sum(c),
     }[reducer]
+
+
+# ------------------------------------------------ periodic composites ----
+
+PERIOD_SHIFT = 32768  # 2**15: years*12 stays far below this
+
+_PERIOD_IDX = {
+    "month": lambda dt: F.year(dt) * 12 + F.month(dt) - 1,
+    "quarter": lambda dt: F.year(dt) * 4 + F.quarter(dt) - 1,
+    "year": lambda dt: F.year(dt),
+}
+
+_PERIOD_LABEL = {
+    "month": lambda p: F.format_string(
+        "%04d-%02d", F.floor(p / 12), p % 12 + 1),
+    "quarter": lambda p: F.format_string(
+        "%04dQ%d", F.floor(p / 4), p % 4 + 1),
+    "year": lambda p: F.format_string("%04d", p),
+}
+
+
+def composite_by_period(df: DataFrame, reducer,
+                        period: str = "month", key: str = "cell_id",
+                        **kw) -> DataFrame:
+    """Periodic composites — one composite per (cell, calendar period):
+    monthly/quarterly/annual mosaics, the standard EO product cadence.
+
+    Spark-first: the period folds INTO the group key (``cell_id *
+    2**15 + period_index`` — cell ids use < 2**44, period indices
+    < 2**15, the product fits a long exactly), so this is STILL one
+    shuffle through the unchanged composite router — the RAM policy,
+    incremental accumulators and caption semantics all apply per
+    (cell, period) group with no second aggregation pass.  A naive
+    port loops periods at the driver and re-scans the data once per
+    period; this scans once, total.
+
+    Output: COMPOSITE_SCHEMA plus a ``period`` string column
+    (``2024-05`` / ``2024Q2`` / ``2024``), ``cell_id`` restored.
+    ``mode="budget"`` (and manual ``split_to_child_cells``) decode the
+    cell-id radix and cannot see through the synthetic key — composite
+    raises on that mode here; split spatially before calling.
+    """
+    if period not in _PERIOD_IDX:
+        raise KeyError(
+            f"unknown period {period!r}; known: {sorted(_PERIOD_IDX)}")
+    if kw.get("mode") == "budget":
+        raise ValueError(
+            "composite_by_period cannot route mode='budget': the "
+            "split planner decodes the cell-id radix, which the "
+            "synthetic (cell, period) key hides — split spatially "
+            "with split_to_child_cells BEFORE the periodic composite")
+    pidx = _PERIOD_IDX[period](F.col("datetime")).cast("long")
+    synth = (df.withColumn(key, F.col(key) * F.lit(PERIOD_SHIFT) + pidx))
+    comp = composite(synth, reducer, key=key, **kw)
+    p = (F.col(key) % PERIOD_SHIFT).cast("long")
+    return comp.select(
+        F.floor(F.col(key) / PERIOD_SHIFT).cast("long").alias(key),
+        _PERIOD_LABEL[period](p).alias("period"),
+        *[c for c in comp.columns if c != key])

@@ -55,6 +55,7 @@ class Pipeline:
         "cloud_filter", "orbit_filter", "drop_duplicates", "date_range",
         "set_maskfun", "create_mlmask", "subset_bands", "derived_band",
         "set_scale", "reproject", "warp", "regrid", "composite",
+        "composite_period",
         "hampel", "savgol", "split_cells", "focal", "overview_level",
         "overviews", "terrain"])
 
@@ -250,6 +251,23 @@ class Pipeline:
                                                scene_fn=self._scene_fn(),
                                                mode=mode, **kw),
                           (), "composite", params)
+
+    def composite_period(self, reducer="median", period: str = "month",
+                         mode: str = "auto") -> "Pipeline":
+        """Periodic composites (composite.composite_by_period): one
+        composite per (cell, calendar period) — monthly/quarterly/
+        annual mosaics in ONE scan and one shuffle (the period folds
+        into the group key; no per-period re-scan loop). Output adds a
+        ``period`` string column. Masks fuse in exactly as for
+        :meth:`composite`."""
+        params = ({"reducer": reducer, "period": period, "mode": mode}
+                  if isinstance(reducer, str) else self._UNBUNDLEABLE)
+        return self._next(
+            _composite.composite_by_period(self._df, reducer,
+                                           period=period,
+                                           scene_fn=self._scene_fn(),
+                                           mode=mode),
+            (), "composite_period", params)
 
     def split_cells(self, k: int = 1) -> "Pipeline":
         """Spatial sub-tiling (composite.split_to_child_cells): scenes
