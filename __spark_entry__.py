@@ -1127,6 +1127,53 @@ def q_image_quarterly_composite(spark, sf_dir):
         ps("bytes", "w", "h", "fmt").alias("pix_sum"))
 
 
+def q_image_trend(spark, sf_dir):
+    """Per-pixel OLS temporal trend (trend.trend): slope/intercept/
+    n_obs planes per band over the masked scene stack — the EO
+    change-rate product. The reference stops at per-timestep filtering
+    (src/hampel-filter-matrix.cpp); the trend is its reduction twin,
+    and its sufficient statistics (n, Σt, Σt², Σy, Σt·y) are
+    decomposable, so the production path shuffles only fixed-size
+    partials (gated in tests/test_trend.py); this query pins the
+    bit-deterministic stack path against constants computed Spark-free
+    (tools/gen_oracle_constants.py). Checksums split by plane family
+    so slope, intercept and count geographies are pinned separately."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    out = (Pipeline(images)
+           .set_maskfun("int", datagen.S2_MASK_VALUES)
+           .warp(cell_res=datagen.TILE_RES)
+           .trend(mode="stack")
+           .df)
+
+    def third_sum(which: int):
+        @F.pandas_udf("double")
+        def fsum(b: pd.Series, w: pd.Series, h: pd.Series,
+                 fmt: pd.Series) -> pd.Series:
+            from vrtility_spark import codec
+            out = []
+            for x, wi, hi, f in zip(b, w, h, fmt):
+                dec = codec.decode(x, int(wi), int(hi), f)
+                nb3 = dec.shape[0] // 3
+                pl = dec[which * nb3:(which + 1) * nb3].astype(np.float64)
+                valid = pl[pl != -9999.0]
+                out.append(float(np.round(valid, 3).sum()))
+            return pd.Series(out)
+        return fsum
+
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        F.date_format("datetime_min", "yyyy-MM-dd HH:mm:ss").alias("dt_min"),
+        F.date_format("datetime_max", "yyyy-MM-dd HH:mm:ss").alias("dt_max"),
+        third_sum(0)("bytes", "w", "h", "fmt").alias("slope_sum"),
+        third_sum(1)("bytes", "w", "h", "fmt").alias("icept_sum"),
+        third_sum(2)("bytes", "w", "h", "fmt").alias("nobs_sum"))
+
+
 def q_image_change(spark, sf_dir):
     """Change detection (algebra.tile_algebra): the fixture's early
     epoch (Jan/Mar/May composites) against its late epoch (Jul/Sep) as
@@ -1326,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_hillshade": q_image_hillshade,
         "image_change": q_image_change,
         "image_quarterly_composite": q_image_quarterly_composite,
+        "image_trend": q_image_trend,
         "rasterize_aoi": q_rasterize_aoi,
         "image_medoid_composite": q_image_medoid_composite,
         "image_hls_composite": q_image_hls_composite,

@@ -407,6 +407,53 @@ def image_periodic_rows():
     return sorted(rows, key=lambda d: (d["cell_id"], d["period"]))
 
 
+def image_trend_rows():
+    """Per-pixel OLS trend replicated Spark-free: the masked fixture
+    stack in FLOAT64 (trend accumulates f64, unlike the composites'
+    f32 compute default), time in years since trend.TREND_EPOCH, the
+    same closed-form kernel (independently gated by the naive
+    per-pixel polyfit oracle in tests/test_trend.py), encoded through
+    the same rawf32/-9999 round trip, checksummed per plane family in
+    payload order."""
+    from vrtility_spark import trend
+    pdf = _grouped_fixture()
+    rows = []
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        stack = []
+        for r in grp.itertuples(index=False):
+            arr = codec.decode(r.bytes, r.w, r.h, r.fmt)
+            m01 = masks.build_intmask_np(arr[-1], datagen.S2_MASK_VALUES)
+            data = masks.apply_mask_np(arr[:-1], m01, nd[:-1])
+            full = np.concatenate([data, arr[-1:]])
+            stack.append(codec.to_float_masked(full, nd))  # f64, no cast
+        stack = np.stack(stack)
+        ts = trend.t_years(grp.datetime.values.astype("datetime64[ns]")
+                           .astype(np.int64))
+        planes = trend.trend_np(ts, stack)
+        payload = codec.encode(
+            codec.from_float(planes, trend.OUT_NODATA, "float32"),
+            "rawf32")
+        dec = codec.decode(payload, 16, 16, "rawf32")
+        nb3 = dec.shape[0] // 3
+        sums = []
+        for which in range(3):
+            pl = dec[which * nb3:(which + 1) * nb3].astype(np.float64)
+            valid = pl[pl != -9999.0]
+            sums.append(float(np.round(valid, 3).sum()))
+        rows.append({
+            "cell_id": int(cell_id),
+            "n_scenes": len(grp),
+            "payload_len": len(payload),
+            "dt_min": grp.datetime.min().strftime("%Y-%m-%d %H:%M:%S"),
+            "dt_max": grp.datetime.max().strftime("%Y-%m-%d %H:%M:%S"),
+            "slope_sum": sums[0], "icept_sum": sums[1],
+            "nobs_sum": sums[2],
+        })
+    return sorted(rows, key=lambda d: d["cell_id"])
+
+
 def image_change_rows():
     """Early-epoch vs late-epoch median composites combined as a
     normalized difference, replicated Spark-free: per-cell medians over
@@ -758,6 +805,11 @@ def main() -> None:
             image_periodic_rows(),
             ["cell_id", "period", "n_scenes", "payload_len",
              "caption_md5", "pix_sum"]),
+        # per-pixel OLS temporal trend (decomposable sufficient stats)
+        "image_trend": values_sql(
+            image_trend_rows(),
+            ["cell_id", "n_scenes", "payload_len", "dt_min", "dt_max",
+             "slope_sum", "icept_sum", "nobs_sum"]),
         # two-epoch change detection (cell-keyed equi-join algebra)
         "image_change": values_sql(
             image_change_rows(),

@@ -55,7 +55,7 @@ class Pipeline:
         "cloud_filter", "orbit_filter", "drop_duplicates", "date_range",
         "set_maskfun", "create_mlmask", "subset_bands", "derived_band",
         "set_scale", "reproject", "warp", "regrid", "composite",
-        "composite_period",
+        "composite_period", "trend",
         "hampel", "savgol", "split_cells", "focal", "overview_level",
         "overviews", "terrain"])
 
@@ -268,6 +268,19 @@ class Pipeline:
                                            scene_fn=self._scene_fn(),
                                            mode=mode),
             (), "composite_period", params)
+
+    def trend(self, mode: str = "auto") -> "Pipeline":
+        """Per-pixel OLS temporal trend (trend.trend): slope (units/
+        year), intercept (value at trend.TREND_EPOCH) and valid-
+        observation count per (pixel, band), as three planes per input
+        band in a ``rawf32`` tile. Masks fuse into the scene decode
+        exactly as for :meth:`composite`; the default mode streams
+        per-partition sufficient statistics and shuffles only
+        fixed-size partials (never a scene stack)."""
+        from vrtility_spark import trend as _trend
+        return self._next(
+            _trend.trend(self._df, scene_fn=self._scene_fn(), mode=mode),
+            (), "trend", {"mode": mode})
 
     def split_cells(self, k: int = 1) -> "Pipeline":
         """Spatial sub-tiling (composite.split_to_child_cells): scenes
