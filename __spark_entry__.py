@@ -1127,6 +1127,55 @@ def q_image_quarterly_composite(spark, sf_dir):
         ps("bytes", "w", "h", "fmt").alias("pix_sum"))
 
 
+def q_image_gapfill(spark, sf_dir):
+    """Cloud-gap-filled quarterly product (timeseries.gapfill_periods):
+    after the periodic composite's single scene shuffle, nodata pixels
+    borrow the nearest preceding quarter's value per pixel — one
+    grouped map whose group size is the PERIOD count (120 rows for a
+    decade of months), never the scene count. nodata_px before/after
+    pin the fill geography; pix_sum pins the filled payloads. Pinned
+    against a Spark-free replication of the same composite→fill→encode
+    round trips (tools/gen_oracle_constants.py); the LOCF kernel
+    itself is the loop-oracle-gated timeseries.locf_np."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema, timeseries
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    q = (Pipeline(images)
+         .set_maskfun("int", datagen.S2_MASK_VALUES)
+         .warp(cell_res=datagen.TILE_RES)
+         .composite_period("median", period="quarter")
+         .df)
+    filled = timeseries.gapfill_periods(q)
+
+    @F.pandas_udf("long")
+    def nd_px(b: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series,
+              bn: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        out = []
+        for x, wi, hi, f, nd in zip(b, w, h, fmt, bn):
+            dec = codec.to_float_masked(
+                codec.decode(x, int(wi), int(hi), f),
+                np.asarray(nd, dtype=np.float64))
+            out.append(int(np.isnan(dec).sum()))
+        return pd.Series(out)
+
+    ps = _pix_sum_udf()
+    before = q.select(
+        "cell_id", "period",
+        nd_px("bytes", "w", "h", "fmt", "band_nodata")
+        .alias("nodata_px_before"))
+    after = filled.select(
+        "cell_id", "period", "n_scenes",
+        nd_px("bytes", "w", "h", "fmt", "band_nodata")
+        .alias("nodata_px_after"),
+        ps("bytes", "w", "h", "fmt").alias("pix_sum"))
+    return after.join(before, ["cell_id", "period"]).select(
+        "cell_id", "period", "n_scenes", "nodata_px_before",
+        "nodata_px_after", "pix_sum")
+
+
 def q_image_trend(spark, sf_dir):
     """Per-pixel OLS temporal trend (trend.trend): slope/intercept/
     n_obs planes per band over the masked scene stack — the EO
@@ -1374,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_change": q_image_change,
         "image_quarterly_composite": q_image_quarterly_composite,
         "image_trend": q_image_trend,
+        "image_gapfill": q_image_gapfill,
         "rasterize_aoi": q_rasterize_aoi,
         "image_medoid_composite": q_image_medoid_composite,
         "image_hls_composite": q_image_hls_composite,

@@ -41,7 +41,8 @@ BENCH_QUERIES = [
     "image_focal_mean", "image_medoid_composite", "image_hls_composite",
     "image_regrid_composite", "image_hampel", "image_budget_composite",
     "image_overview", "image_hillshade", "image_change",
-    "image_quarterly_composite", "image_trend", "zonal_stats",
+    "image_quarterly_composite", "image_trend", "image_gapfill",
+    "zonal_stats",
     "zonal_histogram", "rasterize_aoi",
     "audio_features", "video_features",
 ]

@@ -407,6 +407,52 @@ def image_periodic_rows():
     return sorted(rows, key=lambda d: (d["cell_id"], d["period"]))
 
 
+def image_gapfill_rows():
+    """Quarterly composites → per-pixel LOCF across quarters,
+    replicated Spark-free through the same payload round trips the
+    engine performs (composite encode → gapfill decode/fill/encode);
+    nodata_px before/after pin the fill geography per (cell, period)."""
+    from vrtility_spark import timeseries
+    pdf = _grouped_fixture()
+    pdf = pdf.assign(_q=pdf.datetime.dt.year * 4
+                     + pdf.datetime.dt.quarter - 1)
+    rows = []
+    for cell_id, cgrp in pdf.groupby("cell_id"):
+        nd = np.asarray(cgrp.iloc[0].band_nodata, dtype=np.float64)
+        periods, payloads, metas = [], [], []
+        for q, grp in sorted(cgrp.groupby("_q"), key=lambda kv: kv[0]):
+            grp = grp.sort_values("datetime", kind="mergesort")
+            with np.errstate(all="ignore"):
+                import warnings
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore", RuntimeWarning)
+                    out = composite.REDUCERS["median"](
+                        _masked_stack(grp, nd))
+            payloads.append(codec.encode(
+                codec.from_float(out, nd, "uint16"), "raw16"))
+            periods.append(f"{q // 4:04d}Q{q % 4 + 1}")
+            metas.append(len(grp))
+        stack = np.stack([
+            codec.to_float_masked(codec.decode(b, 16, 16, "raw16"), nd)
+            for b in payloads])
+        P = stack.shape[0]
+        before_nan = [int(np.isnan(stack[i]).sum()) for i in range(P)]
+        filled = timeseries.locf_np(
+            stack.reshape(P, -1)).reshape(stack.shape)
+        for i in range(P):
+            payload = codec.encode(
+                codec.from_float(filled[i], nd, "uint16"), "raw16")
+            rows.append({
+                "cell_id": int(cell_id), "period": periods[i],
+                "n_scenes": metas[i],
+                "nodata_px_before": before_nan[i],
+                "nodata_px_after": int(np.isnan(filled[i]).sum()),
+                "pix_sum": int(np.frombuffer(payload, "<u2")
+                               .astype(np.int64).sum()),
+            })
+    return sorted(rows, key=lambda d: (d["cell_id"], d["period"]))
+
+
 def image_trend_rows():
     """Per-pixel OLS trend replicated Spark-free: the masked fixture
     stack in FLOAT64 (trend accumulates f64, unlike the composites'
@@ -805,6 +851,11 @@ def main() -> None:
             image_periodic_rows(),
             ["cell_id", "period", "n_scenes", "payload_len",
              "caption_md5", "pix_sum"]),
+        # periodic composites -> per-pixel LOCF gap fill
+        "image_gapfill": values_sql(
+            image_gapfill_rows(),
+            ["cell_id", "period", "n_scenes", "nodata_px_before",
+             "nodata_px_after", "pix_sum"]),
         # per-pixel OLS temporal trend (decomposable sufficient stats)
         "image_trend": values_sql(
             image_trend_rows(),

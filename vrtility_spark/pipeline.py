@@ -55,7 +55,7 @@ class Pipeline:
         "cloud_filter", "orbit_filter", "drop_duplicates", "date_range",
         "set_maskfun", "create_mlmask", "subset_bands", "derived_band",
         "set_scale", "reproject", "warp", "regrid", "composite",
-        "composite_period", "trend",
+        "composite_period", "trend", "gapfill",
         "hampel", "savgol", "split_cells", "focal", "overview_level",
         "overviews", "terrain"])
 
@@ -268,6 +268,18 @@ class Pipeline:
                                            scene_fn=self._scene_fn(),
                                            mode=mode),
             (), "composite_period", params)
+
+    def gapfill(self, backfill: bool = False) -> "Pipeline":
+        """Cloud-gap filling over periodic composites
+        (timeseries.gapfill_periods): nodata pixels borrow the nearest
+        preceding period's value per pixel (``backfill=True`` also
+        fills leading gaps from the following period). Call after
+        :meth:`composite_period`; group size is the period count,
+        never the scene count."""
+        from vrtility_spark import timeseries as _ts
+        return self._next(
+            _ts.gapfill_periods(self._df, backfill=backfill),
+            (), "gapfill", {"backfill": backfill})
 
     def trend(self, mode: str = "auto") -> "Pipeline":
         """Per-pixel OLS temporal trend (trend.trend): slope (units/

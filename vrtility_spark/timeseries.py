@@ -234,6 +234,75 @@ def hampel(df: DataFrame, k: int, t0: float = 3.0, impute_na: bool = False,
         df, lambda X: hampel_np(X, k, t0, impute_na), key=key)
 
 
+# ------------------------------------------- periodic gap-filling ----
+
+def gapfill_periods(df: DataFrame, key: str = "cell_id",
+                    order: str = "period", backfill: bool = False,
+                    max_stack_bytes: int | None = MAX_STACK_BYTES) -> DataFrame:
+    """Fill nodata pixels in a periodic-composite series from the
+    nearest PRECEDING period (per-pixel LOCF along the period axis;
+    ``backfill=True`` additionally fills leading gaps from the nearest
+    following period) — the standard cloud-gap-filled monthly/quarterly
+    product step after :func:`composite.composite_by_period`.
+
+    Spark-first shape: one ``groupBy(cell)`` over composites whose
+    group size is the PERIOD COUNT (a decade of months is 120 rows),
+    never the scene count — the heavy scene reduction already happened
+    in the periodic composite's single shuffle. All non-payload columns
+    (``period``, ``n_scenes``, captions, …) pass through untouched:
+    ``n_scenes`` keeps meaning *scenes observed in that period*, not
+    scenes-plus-borrowed-pixels. Period labels from
+    ``composite_by_period`` (``2024-05`` / ``2024Q2`` / ``2024``)
+    sort lexicographically in calendar order, so ``order="period"``
+    needs no parsing. Fills every plane, including a trailing
+    class/mask plane if the composite kept one.
+    """
+    out_schema = df.schema
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        bn_keys = {None if v is None or (np.isscalar(v) and codec.pd_isna(v))
+                   else np.asarray(v, dtype=np.float64).tobytes()
+                   for v in getattr(pdf, "band_nodata",
+                                    pd.Series([None] * len(pdf)))}
+        if (pdf.w.nunique() > 1 or pdf.h.nunique() > 1
+                or pdf.fmt.nunique() > 1
+                or pdf.nodata.nunique(dropna=False) > 1 or len(bn_keys) > 1):
+            raise ValueError(
+                f"cell {int(pdf[key].iloc[0])}: period composites "
+                "disagree on pixel grid/codec/nodata/band_nodata; "
+                "normalize them onto one profile first")
+        first = next(pdf.itertuples(index=False))
+        w, h, fmt = int(first.w), int(first.h), first.fmt
+        nb = codec.plane_count(pdf.bytes.iloc[0], w, h, fmt) or 1
+        est = len(pdf) * nb * h * w * 8
+        if max_stack_bytes is not None and est > max_stack_bytes:
+            raise ValueError(
+                f"cell {int(pdf[key].iloc[0])}: gap-fill stack needs "
+                f"~{est / 2**30:.2f} GiB, over max_stack_bytes "
+                f"({max_stack_bytes / 2**30:.2f} GiB); split spatially "
+                "with composite.split_to_child_cells before the "
+                "periodic composite, or raise the budget.")
+        nd = codec.row_band_meta(first, nb, "band_nodata", first.nodata)
+        stack = np.stack([
+            codec.to_float_masked(codec.decode(r.bytes, w, h, fmt), nd)
+            for r in pdf.itertuples(index=False)])  # (P,B,H,W)
+        P = stack.shape[0]
+        M = stack.reshape(P, -1)
+        M = locf_np(M)
+        if backfill:
+            M = locf_np(M[::-1])[::-1]
+        filled = M.reshape(stack.shape)
+        dtype = codec.dtype_for(fmt)
+        pdf = pdf.copy()
+        pdf["bytes"] = [
+            codec.encode(codec.from_float(filled[i], nd, dtype), fmt)
+            for i in range(P)]
+        return pdf
+
+    return df.groupBy(key).applyInPandas(run, schema=out_schema)
+
+
 # ---------------------------------------------- scalar window twins ----
 
 def locf_col(col, order_col, partition_cols):
