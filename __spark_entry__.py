@@ -1127,6 +1127,24 @@ def q_image_quarterly_composite(spark, sf_dir):
         ps("bytes", "w", "h", "fmt").alias("pix_sum"))
 
 
+def q_image_phash_dedup(spark, sf_dir):
+    """Image near-dup dedup on perceptual hashes (dedup.phash_clusters):
+    banded 64-bit Hamming LSH (4x16-bit bucket join, never all-pairs)
+    → exact bit_count refine (<= 2) → the shared connected-components
+    operator → (image_id, cluster_rep=min id, cluster_size). The image
+    twin of the text dedup family, over the schema's precomputed phash
+    column (no payload decode). Fixture: the tiny image grid plus
+    deterministically perturbed near-dup copies
+    (datagen.with_near_duplicates). Pinned against a Spark-free
+    union-find over the SAME banded candidate set
+    (tools/gen_oracle_constants.py)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, dedup, schema
+    images = schema.images_df(spark, datagen.with_near_duplicates(
+        datagen.images_pandas(nx=2, ny=2, w=16, h=16)))
+    return dedup.phash_clusters(images, max_hamming=2)
+
+
 def q_image_gapfill(spark, sf_dir):
     """Cloud-gap-filled quarterly product (timeseries.gapfill_periods):
     after the periodic composite's single scene shuffle, nodata pixels
@@ -1424,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_quarterly_composite": q_image_quarterly_composite,
         "image_trend": q_image_trend,
         "image_gapfill": q_image_gapfill,
+        "image_phash_dedup": q_image_phash_dedup,
         "rasterize_aoi": q_rasterize_aoi,
         "image_medoid_composite": q_image_medoid_composite,
         "image_hls_composite": q_image_hls_composite,

@@ -407,6 +407,48 @@ def image_periodic_rows():
     return sorted(rows, key=lambda d: (d["cell_id"], d["period"]))
 
 
+def image_phash_rows(max_hamming=2, n_bands=4):
+    """Perceptual-hash dedup clusters replicated Spark-free: the same
+    banded candidate set (band agreement, pigeonhole), the same exact
+    Hamming refine, union-find closure, min-id representative."""
+    import itertools
+    pdf = datagen.with_near_duplicates(
+        datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    ph = dict(zip(pdf.image_id, pdf.phash))
+    bits = 64 // n_bands
+    mask = (1 << bits) - 1
+    u64 = (1 << 64) - 1
+    pairs = []
+    for a, b in itertools.combinations(sorted(ph), 2):
+        ha, hb = ph[a] & u64, ph[b] & u64
+        if not any((ha >> (bits * i)) & mask == (hb >> (bits * i)) & mask
+                   for i in range(n_bands)):
+            continue
+        if bin(ha ^ hb).count("1") <= max_hamming:
+            pairs.append((a, b))
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            x = parent[x] = parent[parent[x]]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps = {}
+    for x in parent:
+        comps.setdefault(find(x), []).append(x)
+    rows = []
+    for members in comps.values():
+        rep = min(members)
+        for m in members:
+            rows.append({"image_id": m, "cluster_rep": rep,
+                         "cluster_size": len(members)})
+    return sorted(rows, key=lambda d: d["image_id"])
+
+
 def image_gapfill_rows():
     """Quarterly composites → per-pixel LOCF across quarters,
     replicated Spark-free through the same payload round trips the
@@ -851,6 +893,10 @@ def main() -> None:
             image_periodic_rows(),
             ["cell_id", "period", "n_scenes", "payload_len",
              "caption_md5", "pix_sum"]),
+        # perceptual-hash image dedup clusters
+        "image_phash_dedup": values_sql(
+            image_phash_rows(),
+            ["image_id", "cluster_rep", "cluster_size"]),
         # periodic composites -> per-pixel LOCF gap fill
         "image_gapfill": values_sql(
             image_gapfill_rows(),

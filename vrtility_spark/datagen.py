@@ -181,6 +181,32 @@ def images_pandas(profile: str = "s2", zones=DEFAULT_ZONES, nx: int = 4,
     return pd.DataFrame(rows)
 
 
+def with_near_duplicates(pdf: pd.DataFrame, every: int = 3,
+                         jitter: float = 80.0) -> pd.DataFrame:
+    """Append a deterministically perturbed copy of every ``every``-th
+    scene (sorted by image_id): the top-left ``h/4 × w/4`` corner of
+    each data band bumped by ``jitter`` DN — a re-processed/re-encoded
+    twin whose perceptual hash sits a few Hamming bits from the
+    original. Ids get an ``_d`` suffix; footprints/timestamps are kept
+    so the pair ``(x, x_d)`` is exactly the near-duplicate an image
+    dedup must catch (fixture for :func:`dedup.phash_clusters`)."""
+    src = pdf.sort_values("image_id", kind="mergesort").reset_index(drop=True)
+    dups = []
+    for i in range(0, len(src), every):
+        r = src.iloc[i].copy()
+        arr = codec.decode(r.bytes, r.w, r.h, r.fmt).astype(np.float64)
+        arr[:-1, : r.h // 4, : r.w // 4] += jitter
+        dtype = codec.dtype_for(r.fmt)
+        info = np.iinfo(dtype)
+        enc = np.clip(arr, info.min, info.max).astype(dtype)
+        r["image_id"] = r.image_id + "_d"
+        r["bytes"] = codec.encode(enc, r.fmt)
+        r["caption"] = r.caption + " (near-dup)"
+        r["phash"] = _phash(arr)
+        dups.append(r)
+    return pd.concat([pdf, pd.DataFrame(dups)], ignore_index=True)
+
+
 def images_spark(spark, profile: str = "s2", zones=DEFAULT_ZONES, nx: int = 4,
                  ny: int = 4, n_dates: int = 5, w: int = 32, h: int = 32,
                  fmt: str | None = None, seed: int = 42,

@@ -103,6 +103,97 @@ def connected_components(edges: DataFrame, src: str = "src",
     return labels
 
 
+def phash_pairs(df: DataFrame, id_col: str = "image_id",
+                hash_col: str = "phash", n_bands: int = 4,
+                max_hamming: int = 2) -> DataFrame:
+    """Near-duplicate IMAGE candidate pairs from 64-bit perceptual
+    hashes: banded Hamming LSH — the hash splits into ``n_bands``
+    equal bit bands; any pair agreeing on at least one band meets in a
+    bucket equi-join (by pigeonhole this catches EVERY pair with
+    Hamming < n_bands, and most up to a few times that), then the
+    exact ``bit_count(xor)`` refine keeps pairs ≤ ``max_hamming``.
+
+    Spark-first: candidate generation is a bucket join on the band
+    key (never an all-pairs product), the refine is whole-stage-codegen
+    bit arithmetic — the image twin of the SimHash text path, on the
+    schema's precomputed ``phash`` column so no payload is decoded.
+
+    Returns ``(a_id, b_id, hamming)`` with ``a_id < b_id``.
+    """
+    if 64 % n_bands:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    bits = 64 // n_bands
+    mask = (1 << bits) - 1
+    keyed = df.select(F.col(id_col).alias("pid"),
+                      F.col(hash_col).cast("long").alias("ph"))
+    banded = keyed.select("pid", "ph", F.explode(F.array(*[
+        # band index folded into the key (value*n_bands + b, injective
+        # since b < n_bands) so band b only ever meets band b
+        (F.shiftrightunsigned(F.col("ph"), bits * b)
+         .bitwiseAND(F.lit(mask)) * F.lit(n_bands) + F.lit(b)).alias(f"b{b}")
+        for b in range(n_bands)])).alias("band"))
+    a = banded.select(F.col("pid").alias("a_id"),
+                      F.col("ph").alias("a_ph"), "band")
+    b = banded.select(F.col("pid").alias("b_id"),
+                      F.col("ph").alias("b_ph"), "band")
+    return (a.join(b, "band").where(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id",
+                    F.bit_count(F.col("a_ph").bitwiseXOR(F.col("b_ph")))
+                    .alias("hamming"))
+            .distinct()
+            .where(F.col("hamming") <= int(max_hamming)))
+
+
+def phash_clusters(df: DataFrame, id_col: str = "image_id",
+                   hash_col: str = "phash", n_bands: int = 4,
+                   max_hamming: int = 2,
+                   numeric_id_col: str | None = None,
+                   reliable: bool = False,
+                   checkpoint_dir: str | None = None) -> DataFrame:
+    """Perceptual-hash image dedup end to end: LSH candidate pairs →
+    connected components → ``(image_id, cluster_rep, cluster_size)``
+    for every image in a duplicate cluster, ``cluster_rep`` = the
+    cluster's MINIMUM image id (keep-first semantics, matching the
+    text dedup family).
+
+    :func:`connected_components` labels over NUMERIC ids (its
+    convergence probe is an exact decimal sum), so string ids ride
+    through ``xxhash64`` — and the canonical representative is then
+    re-derived as ``min(image_id)`` per component, which makes the
+    OUTPUT independent of hash order. At full 10^12-image scale pass
+    ``numeric_id_col`` (a real unique numeric key) instead: only ids
+    that appear in candidate pairs become CC nodes, but birthday
+    collisions over a trillion hashed strings are no longer
+    negligible.
+    """
+    pairs = phash_pairs(df, id_col=id_col, hash_col=hash_col,
+                        n_bands=n_bands, max_hamming=max_hamming)
+    if numeric_id_col is not None:
+        m = df.select(F.col(id_col).alias("sid"),
+                      F.col(numeric_id_col).cast("long").alias("nid"))
+    else:
+        m = (pairs.select(F.col("a_id").alias("sid"))
+             .unionByName(pairs.select(F.col("b_id").alias("sid")))
+             .distinct()
+             .select("sid", F.xxhash64("sid").alias("nid")))
+    edges = (pairs
+             .join(m.toDF("sid", "a_nid"),
+                   pairs.a_id == F.col("sid")).drop("sid")
+             .join(m.toDF("sid", "b_nid"),
+                   pairs.b_id == F.col("sid")).drop("sid")
+             .select(F.col("a_nid").alias("src"),
+                     F.col("b_nid").alias("dst")))
+    comp = connected_components(edges, reliable=reliable,
+                                checkpoint_dir=checkpoint_dir)
+    labelled = comp.join(m, comp.id == m.nid).select("sid", "comp")
+    reps = labelled.groupBy("comp").agg(
+        F.min("sid").alias("cluster_rep"),
+        F.count("*").alias("cluster_size"))
+    return (labelled.join(reps, "comp")
+            .select(F.col("sid").alias(id_col), "cluster_rep",
+                    "cluster_size"))
+
+
 def dedup_clusters(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b",
                    max_iter: int = 50, reliable: bool = False,
                    checkpoint_dir: str | None = None) -> DataFrame:
