@@ -291,7 +291,9 @@ def q_composite_scalars(spark, sf_dir):
         F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("q25_qty"),
         F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
         F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("q75_qty"),
-        F.round(10.0 * F.log10(F.avg("l_quantity")), 6).alias("mean_db_qty"))
+        F.round(10.0 * F.log10(F.avg("l_quantity")), 6).alias("mean_db_qty"),
+        F.round(F.var_pop("l_quantity"), 6).alias("var_qty"),
+        F.round(F.stddev_pop("l_quantity"), 6).alias("std_qty"))
 
 
 def q_knn(spark, sf_dir):
@@ -841,6 +843,25 @@ def q_image_median_composite(spark, sf_dir):
         ps("bytes", "w", "h", "fmt").alias("pix_sum"))
 
 
+def q_image_std_composite(spark, sf_dir):
+    """Temporal standard-deviation composite (variability map) — the
+    newest DECOMPOSABLE reducer: (n, Σy, Σy²) sufficient statistics
+    fold scene-by-scene, so this auto-routes through the incremental
+    accumulators (scenes never stack, partials shuffle) and is
+    byte-identical to the one-pass stack twin for integer payloads.
+    Pinned against constants computed Spark-free through the same
+    f64-sums → f32-cast → uint16 round trip
+    (tools/gen_oracle_constants.py)."""
+    _ensure_shipped(spark)
+    out = _image_composite(spark, "std")
+    ps = _pix_sum_udf()
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        F.md5("caption_agg").alias("caption_md5"),
+        ps("bytes", "w", "h", "fmt").alias("pix_sum"))
+
+
 def q_image_split_composite(spark, sf_dir):
     """The bounded-memory SPATIAL escape hatch at the correctness gate:
     scenes split into their 4 child cells (composite.split_to_child_cells,
@@ -1125,6 +1146,30 @@ def q_image_quarterly_composite(spark, sf_dir):
         F.length("bytes").alias("payload_len"),
         F.md5("caption_agg").alias("caption_md5"),
         ps("bytes", "w", "h", "fmt").alias("pix_sum"))
+
+
+def q_image_anomaly(spark, sf_dir):
+    """Per-scene standardized anomaly (algebra.zscore_anomaly):
+    z = (scene − mean)/std per pixel against the collection's own
+    mean/std climatology — pure composition of scale-shaped pieces
+    (two DECOMPOSABLE incremental composites + two cell-keyed
+    tile_algebra equi-joins; std==0 → NaN). One output tile per scene
+    row. Pinned against a Spark-free replication of the identical
+    arithmetic including every quantization round trip
+    (tools/gen_oracle_constants.py)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import algebra, datagen, masks, schema, warp
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    celled = warp.assign_cells(images, datagen.TILE_RES)
+    masked = masks.vrt_set_maskfun(celled, "int", datagen.S2_MASK_VALUES)
+    z = algebra.zscore_anomaly(masked)
+    fs, nd_px = _float_payload_udfs()
+    return z.select(
+        "cell_id", "image_id",
+        F.length("bytes").alias("payload_len"),
+        fs("bytes", "w", "h", "fmt").alias("z_sum"),
+        nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
 
 
 def q_image_phash_dedup(spark, sf_dir):
@@ -1431,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_clusters": q_embedding_dup_clusters,
         "ann_ivf": q_ann_ivf,
         "image_median_composite": q_image_median_composite,
+        "image_std_composite": q_image_std_composite,
         "image_split_composite": q_image_split_composite,
         "image_budget_composite": q_image_budget_composite,
         "image_focal_mean": q_image_focal_mean,
@@ -1443,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_trend": q_image_trend,
         "image_gapfill": q_image_gapfill,
         "image_phash_dedup": q_image_phash_dedup,
+        "image_anomaly": q_image_anomaly,
         "rasterize_aoi": q_rasterize_aoi,
         "image_medoid_composite": q_image_medoid_composite,
         "image_hls_composite": q_image_hls_composite,
@@ -1607,7 +1654,9 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(l_quantity, 0.25), 4) as q25_qty,
                    round(quantile_cont(l_quantity, 0.5), 4) as median_qty,
                    round(quantile_cont(l_quantity, 0.75), 4) as q75_qty,
-                   round(10.0 * log10(avg(l_quantity)), 6) as mean_db_qty
+                   round(10.0 * log10(avg(l_quantity)), 6) as mean_db_qty,
+                   round(var_pop(l_quantity), 6) as var_qty,
+                   round(stddev_pop(l_quantity), 6) as std_qty
             from lineitem
             group by l_returnflag
         """,

@@ -42,7 +42,8 @@ BENCH_QUERIES = [
     "image_regrid_composite", "image_hampel", "image_budget_composite",
     "image_overview", "image_hillshade", "image_change",
     "image_quarterly_composite", "image_trend", "image_gapfill",
-    "image_phash_dedup", "zonal_stats",
+    "image_phash_dedup", "image_std_composite", "image_anomaly",
+    "zonal_stats",
     "zonal_histogram", "rasterize_aoi",
     "audio_features", "video_features",
 ]

@@ -129,3 +129,75 @@ def test_algebra_pipeline_verb(spark, tiny_images):
     # unbundleable: to_bundle must refuse
     with pytest.raises(ValueError):
         change.to_bundle("/tmp/should_not_exist_bundle.json")
+
+
+# --------------------------------------------------- z-score anomaly ----
+
+def _anomaly_fixture(spark, tiny_images):
+    from vrtility_spark import datagen, masks, warp
+    celled = warp.assign_cells(tiny_images, datagen.TILE_RES)
+    return masks.vrt_set_maskfun(celled, "int", datagen.S2_MASK_VALUES)
+
+
+def test_zscore_anomaly_matches_naive_replication(spark, tiny_images):
+    """Distributed chain == a Spark-free replication of the exact same
+    arithmetic (masked scenes → u16-quantized mean/std climatology →
+    diff → ratio through the rawf32 round trips)."""
+    from vrtility_spark import composite, datagen
+    masked = _anomaly_fixture(spark, tiny_images)
+    got = {(r.cell_id, r.image_id): bytes(r.bytes)
+           for r in algebra.zscore_anomaly(masked).collect()}
+    pdf = masked.toPandas()
+    for cell_id, grp in pdf.groupby("cell_id"):
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        scenes = {r.image_id: codec.to_float_masked(
+            codec.decode(r.bytes, r.w, r.h, r.fmt), nd)
+            for r in grp.itertuples(index=False)}
+        stack = np.stack(list(scenes.values()))
+        mean_u16 = codec.from_float(
+            composite.REDUCERS["mean"](stack).astype(np.float32),
+            nd, "uint16")
+        std_u16 = codec.from_float(
+            composite.REDUCERS["std"](stack).astype(np.float32),
+            nd, "uint16")
+        Bm = codec.to_float_masked(mean_u16, nd)
+        Bs = codec.to_float_masked(std_u16, nd)
+        for iid, A in scenes.items():
+            d32 = codec.from_float(A - Bm, -9999.0, "float32")
+            A2 = codec.to_float_masked(
+                d32.astype(np.float64), -9999.0)
+            z = A2 / Bs
+            z[Bs == 0] = np.nan
+            want = codec.encode(
+                codec.from_float(z, -9999.0, "float32"), "rawf32")
+            assert got[(int(cell_id), iid)] == want
+
+
+def test_zscore_anomaly_stats_shape_and_reuse(spark, tiny_images):
+    """Precomputed climatology path == self-computed; z is finite
+    exactly where scene, mean and std are valid and std > 0."""
+    from vrtility_spark import composite
+    masked = _anomaly_fixture(spark, tiny_images)
+    mean_df = composite.composite(masked, "mean")
+    std_df = composite.composite(masked, "std")
+    a = {(r.cell_id, r.image_id): bytes(r.bytes)
+         for r in algebra.zscore_anomaly(masked).collect()}
+    b = {(r.cell_id, r.image_id): bytes(r.bytes)
+         for r in algebra.zscore_anomaly(
+             masked, mean_df=mean_df, std_df=std_df,
+             broadcast_stats=True).collect()}
+    assert a == b
+    rows = algebra.zscore_anomaly(masked).collect()
+    r0 = rows[0]
+    z = codec.to_float_masked(
+        codec.decode(r0.bytes, r0.w, r0.h, r0.fmt), -9999.0)
+    assert np.isfinite(z).any()  # some anomaly signal exists
+    assert r0.fmt == "rawf32" and r0.nodata == -9999.0
+
+
+def test_zscore_anomaly_requires_both_stats(spark, tiny_images):
+    from vrtility_spark import composite
+    masked = _anomaly_fixture(spark, tiny_images)
+    with pytest.raises(ValueError, match="both mean_df and std_df"):
+        algebra.zscore_anomaly(
+            masked, mean_df=composite.composite(masked, "mean"))

@@ -217,6 +217,32 @@ def test_caption_agg_bounded(spark, tiny_images_pdf):
         assert len(s) < 16 * 80
 
 
+# ------------------------------------------------------- var / std ----
+
+def test_var_std_match_nanvar_oracle():
+    """One-pass (n, Σy, Σy²) var/std == NumPy's two-pass nanvar/nanstd
+    (population, ddof=0) to fp tolerance, NaN where no valid obs."""
+    rng = np.random.default_rng(11)
+    stack = rng.uniform(0, 5000, (7, 3, 4, 4))
+    stack[rng.random(stack.shape) < 0.35] = np.nan
+    stack[:, 0, 0, 0] = np.nan  # an all-nodata pixel
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        want_v = np.nanvar(stack, axis=0)
+        want_s = np.nanstd(stack, axis=0)
+    got_v = composite.REDUCERS["var"](stack)
+    got_s = composite.REDUCERS["std"](stack)
+    np.testing.assert_allclose(got_v, want_v, rtol=1e-9, atol=1e-9,
+                               equal_nan=True)
+    np.testing.assert_allclose(got_s, want_s, rtol=1e-9, atol=1e-9,
+                               equal_nan=True)
+    assert np.isnan(got_v[0, 0, 0]) and np.isnan(got_s[0, 0, 0])
+    # single observation → population variance 0, not NaN
+    one = np.full((1, 1, 2, 2), 7.0)
+    assert (composite.REDUCERS["var"](one) == 0).all()
+
+
 # --------------------------------------------------- periodic composites ----
 
 def test_composite_by_period_quarterly_matches_subset_composites(spark, tiny_images):

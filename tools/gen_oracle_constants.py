@@ -102,6 +102,34 @@ def image_composite_rows(reducer: str):
     return rows
 
 
+def image_std_rows():
+    """Temporal std composite replicated Spark-free through the
+    incremental path's exact arithmetic: f64 stack (u16 values are
+    exact in f32, so the cast back is lossless) → one-pass
+    (n, Σy, Σy²) std — order-independent exact sums — → f32 cast
+    (compute_dtype honored at the incremental output) → uint16."""
+    pdf = _grouped_fixture()
+    rows = []
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        with np.errstate(all="ignore"):
+            out = composite.REDUCERS["std"](
+                _masked_stack(grp, nd).astype(np.float64))
+        payload = codec.encode(
+            codec.from_float(out.astype(np.float32), nd, "uint16"),
+            "raw16")
+        agg = _caption_agg(grp.caption.tolist())
+        rows.append({
+            "cell_id": int(cell_id), "n_scenes": len(grp),
+            "payload_len": len(payload),
+            "caption_md5": hashlib.md5(agg.encode()).hexdigest(),
+            "pix_sum": int(np.frombuffer(payload, "<u2")
+                           .astype(np.int64).sum()),
+        })
+    return rows
+
+
 def image_budget_rows():
     """Hot-cell fixture for the per-cell budget router: the scenes of
     the MINIMUM cell are duplicated (10 scenes vs 5 elsewhere), so
@@ -405,6 +433,51 @@ def image_periodic_rows():
                            .astype(np.int64).sum()),
         })
     return sorted(rows, key=lambda d: (d["cell_id"], d["period"]))
+
+
+def image_anomaly_rows():
+    """Per-scene z-score anomaly replicated Spark-free with every
+    quantization round trip the chain performs: masked u16 scenes →
+    f64 one-pass mean/std → f32 cast → u16 climatology → f32 diff
+    payload → ratio (std==0 → NaN) → f32 payload; checksummed with
+    the same round-3 valid-pixel sum as the query UDF."""
+    pdf = _grouped_fixture()
+    rows = []
+    for cell_id, grp in pdf.groupby("cell_id"):
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        scenes = {}
+        for r in grp.itertuples(index=False):
+            arr = codec.decode(r.bytes, r.w, r.h, r.fmt)
+            m01 = masks.build_intmask_np(arr[-1], datagen.S2_MASK_VALUES)
+            data = masks.apply_mask_np(arr[:-1], m01, nd[:-1])
+            full = np.concatenate([data, arr[-1:]])
+            scenes[r.image_id] = codec.to_float_masked(full, nd)
+        stack = np.stack(list(scenes.values()))
+        with np.errstate(all="ignore"):
+            Bm = codec.to_float_masked(codec.from_float(
+                composite.REDUCERS["mean"](stack).astype(np.float32),
+                nd, "uint16"), nd)
+            Bs = codec.to_float_masked(codec.from_float(
+                composite.REDUCERS["std"](stack).astype(np.float32),
+                nd, "uint16"), nd)
+        for iid, A in scenes.items():
+            with np.errstate(invalid="ignore", divide="ignore"):
+                d32 = codec.from_float(A - Bm, -9999.0, "float32")
+                A2 = codec.to_float_masked(d32.astype(np.float64),
+                                           -9999.0)
+                z = A2 / Bs
+                z[Bs == 0] = np.nan
+            payload = codec.encode(
+                codec.from_float(z, -9999.0, "float32"), "rawf32")
+            dec = codec.decode(payload, 16, 16, "rawf32").astype(np.float64)
+            valid = dec[dec != -9999.0]
+            rows.append({
+                "cell_id": int(cell_id), "image_id": iid,
+                "payload_len": len(payload),
+                "z_sum": float(np.round(valid, 3).sum()),
+                "nodata_px": int((dec == -9999.0).sum()),
+            })
+    return sorted(rows, key=lambda d: (d["cell_id"], d["image_id"]))
 
 
 def image_phash_rows(max_hamming=2, n_bands=4):
@@ -893,6 +966,16 @@ def main() -> None:
             image_periodic_rows(),
             ["cell_id", "period", "n_scenes", "payload_len",
              "caption_md5", "pix_sum"]),
+        # temporal std composite (newest decomposable reducer)
+        "image_std_composite": values_sql(
+            image_std_rows(),
+            ["cell_id", "n_scenes", "payload_len", "caption_md5",
+             "pix_sum"]),
+        # per-scene z-score anomaly vs self climatology
+        "image_anomaly": values_sql(
+            image_anomaly_rows(),
+            ["cell_id", "image_id", "payload_len", "z_sum",
+             "nodata_px"]),
         # perceptual-hash image dedup clusters
         "image_phash_dedup": values_sql(
             image_phash_rows(),

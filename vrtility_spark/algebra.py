@@ -133,3 +133,44 @@ def tile_algebra(left: DataFrame, right: DataFrame, op="diff",
             yield pd.DataFrame(out_rows, columns=lnames)
 
     return joined.mapInPandas(combine, schema=out_schema)
+
+
+def zscore_anomaly(scenes: DataFrame, mean_df: DataFrame | None = None,
+                   std_df: DataFrame | None = None, key: str = "cell_id",
+                   scene_fn=None,
+                   broadcast_stats: bool = False) -> DataFrame:
+    """Per-scene standardized anomaly against the collection's own
+    temporal climatology: ``z = (scene − mean) / std`` per pixel per
+    band — the EO anomaly product (drought/flood/burn detection is a
+    threshold on exactly this surface).
+
+    Pure composition of existing operators, each already scale-shaped:
+    the ``mean`` and ``std`` climatologies are DECOMPOSABLE composites
+    (incremental accumulators, scenes never stack), and the two
+    pixel-wise combines are :func:`tile_algebra` cell-keyed equi-joins
+    (``diff`` then ``ratio`` — ``std == 0`` pixels yield NaN, as do
+    pixels invalid on either side). Pass precomputed ``mean_df`` /
+    ``std_df`` to reuse a stored climatology (the common production
+    shape: this month's scenes vs a 10-year baseline);
+    ``broadcast_stats=True`` skips both join shuffles when the
+    climatology table is small.
+
+    ``scenes`` should already carry the mask you want (e.g.
+    ``masks.vrt_set_maskfun``); ``scene_fn`` is forwarded to the
+    climatology composites so their statistics mask identically.
+    Output: one rawf32/-9999 tile per input scene row, LEFT schema.
+    """
+    from vrtility_spark import composite as _composite
+    if (mean_df is None) != (std_df is None):
+        raise ValueError(
+            "pass both mean_df and std_df (a stored climatology) or "
+            "neither (computed from the scenes themselves)")
+    if mean_df is None:
+        mean_df = _composite.composite(scenes, "mean", key=key,
+                                       scene_fn=scene_fn)
+        std_df = _composite.composite(scenes, "std", key=key,
+                                      scene_fn=scene_fn)
+    dev = tile_algebra(scenes, mean_df, "diff", key=key,
+                       broadcast_right=broadcast_stats)
+    return tile_algebra(dev, std_df, "ratio", key=key,
+                        broadcast_right=broadcast_stats)

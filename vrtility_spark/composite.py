@@ -86,6 +86,31 @@ def sum_t(stack):
     return out
 
 
+def var_t(stack):
+    """Temporal variance per pixel (population, ddof=0) — the
+    variability map (e.g. radar speckle / seasonal amplitude).
+    Computed from the one-pass sufficient statistics (n, Σy, Σy²) —
+    the SAME arithmetic as the incremental accumulator, so for integer
+    payloads (exact f64 sums, order-independent) the two paths are
+    byte-identical, matching the DECOMPOSABLE parity contract.
+    Prefer ``std`` when re-encoding into the input's integer profile:
+    std keeps the data's units and range, var squares them."""
+    ok = ~np.isnan(stack)
+    n = ok.sum(axis=0)
+    y = np.where(ok, stack, 0.0)
+    s1 = y.sum(axis=0)
+    s2 = (y * y).sum(axis=0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        m = s1 / n
+        v = np.maximum(s2 / n - m * m, 0.0)
+    v[n == 0] = np.nan
+    return v
+
+
+def std_t(stack):
+    return np.sqrt(var_t(stack))
+
+
 def mosaic_t(stack: np.ndarray) -> np.ndarray:
     """Last valid observation wins (time ascending), per pixel per band."""
     out = np.full(stack.shape[1:], np.nan)
@@ -414,7 +439,8 @@ def _mb_as_stack(f):
 
 REDUCERS.update(
     median=median_t, mean=mean_t, geomean=geomean_t, mean_db=mean_db_t,
-    min=min_t, max=max_t, sum=sum_t, mosaic=mosaic_t, first=first_t,
+    min=min_t, max=max_t, sum=sum_t, var=var_t, std=std_t,
+    mosaic=mosaic_t, first=first_t,
     q25=quantile_t(0.25), q75=quantile_t(0.75),
     medoid=_mb_as_stack(medoid_mb),
     quantoid=_mb_as_stack(quantoid_mb),
@@ -478,7 +504,8 @@ MAX_STACK_BYTES = 2 << 30
 
 #: reducers with an O(1)-per-scene accumulator (never stack T)
 DECOMPOSABLE = frozenset(
-    ["mean", "sum", "min", "max", "mosaic", "first", "geomean", "mean_db"])
+    ["mean", "sum", "min", "max", "mosaic", "first", "geomean", "mean_db",
+     "var", "std"])
 
 _PARTIAL_SCHEMA = (
     "cell_id long, w int, h int, fmt string, nodata double, "
@@ -506,8 +533,8 @@ def _profile_key(row):
 class _CellAcc:
     """Running accumulator for one cell under a decomposable reducer."""
 
-    __slots__ = ("reducer", "profile", "nd", "nb", "n", "acc1", "acc2",
-                 "dts", "caps", "n_caps", "cap")
+    __slots__ = ("reducer", "profile", "nd", "nb", "shape", "n", "acc1",
+                 "acc2", "dts", "caps", "n_caps", "cap")
 
     def __init__(self, reducer, row, cap):
         self.reducer = reducer
@@ -525,8 +552,12 @@ class _CellAcc:
         r = self.reducer
         if self.acc1 is None:
             self.nb = data.shape[0]
+            self.shape = data.shape
             if r in ("min", "max", "mosaic", "first"):
                 self.acc1 = np.full(data.shape, np.nan)
+            elif r in ("var", "std"):
+                # two planes of sufficient statistics: Σy and Σy²
+                self.acc1 = np.zeros((2,) + data.shape)
             else:
                 self.acc1 = np.zeros(data.shape)
             if r in ("mosaic", "first"):
@@ -535,14 +566,19 @@ class _CellAcc:
                 self.acc2 = None
             else:
                 self.acc2 = np.zeros(data.shape, dtype=np.int64)
-        if data.shape != self.acc1.shape:
+        if data.shape != self.shape:
             raise ValueError(
                 f"scene plane shape {data.shape} disagrees with the "
-                f"cell's accumulator {self.acc1.shape} (mixed band "
+                f"cell's accumulator {self.shape} (mixed band "
                 "counts in one cell); normalize the profile first")
         ok = ~np.isnan(data)
         if r in ("mean", "sum", "mean_db"):
             self.acc1 += np.where(ok, data, 0.0)
+            self.acc2 += ok
+        elif r in ("var", "std"):
+            y = np.where(ok, data, 0.0)
+            self.acc1[0] += y
+            self.acc1[1] += y * y
             self.acc2 += ok
         elif r == "geomean":
             with np.errstate(divide="ignore", invalid="ignore"):
@@ -598,7 +634,7 @@ class _CellAcc:
 
 def _merge_accs(reducer, a1_list, a2_list):
     """Combine per-partition partial accumulators (same shapes)."""
-    if reducer in ("mean", "sum", "mean_db", "geomean"):
+    if reducer in ("mean", "sum", "mean_db", "geomean", "var", "std"):
         return sum(a1_list), sum(a2_list)
     if reducer == "min":
         out = a1_list[0]
@@ -634,6 +670,11 @@ def _finalize(reducer, a1, a2):
             out = np.exp(a1 / a2)
         elif reducer == "mean_db":
             out = 10.0 * np.log10(a1 / a2)
+        elif reducer in ("var", "std"):
+            m = a1[0] / a2
+            # one-pass E[y²]−E[y]² can round a hair below zero
+            v = np.maximum(a1[1] / a2 - m * m, 0.0)
+            out = v if reducer == "var" else np.sqrt(v)
         elif reducer in ("min", "max"):
             return a1
         else:  # mosaic / first
@@ -781,7 +822,8 @@ def composite_incremental(
         first = pdf.iloc[0]
         nb, h, w = int(first.nb), int(first.h), int(first.w)
         shape = (nb, h, w)
-        a1 = [np.frombuffer(b, "<f8").reshape(shape) for b in pdf.acc1]
+        a1_shape = ((2,) + shape) if reducer in ("var", "std") else shape
+        a1 = [np.frombuffer(b, "<f8").reshape(a1_shape) for b in pdf.acc1]
         a2 = None
         if reducer not in ("min", "max"):
             a2 = [np.frombuffer(b, "<i8").reshape(shape) for b in pdf.acc2]
@@ -1181,6 +1223,7 @@ def scalar_composite_cols(reducer: str, col: str):
         "geomean": F.exp(F.avg(F.log(c))),
         "mean_db": F.log10(F.avg(c)) * 10.0,
         "min": F.min(c), "max": F.max(c), "sum": F.sum(c),
+        "var": F.var_pop(c), "std": F.stddev_pop(c),
     }[reducer]
 
 
