@@ -843,6 +843,33 @@ def q_image_median_composite(spark, sf_dir):
         ps("bytes", "w", "h", "fmt").alias("pix_sum"))
 
 
+def q_image_remedian_composite(spark, sf_dir):
+    """Streaming approximate median (composite.composite_remedian):
+    the remedian cascade — scenes repartition by cell in deterministic
+    (datetime, image_id) order and fold into O(log_b T · b) median
+    buffers, so the HOLISTIC median runs in bounded memory at any T
+    (scenes shuffle, never stack). batch=3 on the 5-scene fixture
+    forces a real cascade level (weights {3,1,1} at the weighted
+    finalize). Exact for T <= batch (byte parity with the stack median
+    pinned in tests/test_remedian.py); deterministic here, so pinned
+    against constants driving the same cascade Spark-free
+    (tools/gen_oracle_constants.py)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import composite as C
+    from vrtility_spark import datagen, masks, schema, warp
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    celled = warp.assign_cells(images, datagen.TILE_RES)
+    fn = masks.make_scene_maskfun("int", datagen.S2_MASK_VALUES)
+    out = C.composite_remedian(celled, batch=3, scene_fn=fn)
+    ps = _pix_sum_udf()
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        F.md5("caption_agg").alias("caption_md5"),
+        ps("bytes", "w", "h", "fmt").alias("pix_sum"))
+
+
 def q_image_std_composite(spark, sf_dir):
     """Temporal standard-deviation composite (variability map) — the
     newest DECOMPOSABLE reducer: (n, Σy, Σy²) sufficient statistics
@@ -1477,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "image_median_composite": q_image_median_composite,
         "image_std_composite": q_image_std_composite,
+        "image_remedian_composite": q_image_remedian_composite,
         "image_split_composite": q_image_split_composite,
         "image_budget_composite": q_image_budget_composite,
         "image_focal_mean": q_image_focal_mean,

@@ -43,7 +43,7 @@ BENCH_QUERIES = [
     "image_overview", "image_hillshade", "image_change",
     "image_quarterly_composite", "image_trend", "image_gapfill",
     "image_phash_dedup", "image_std_composite", "image_anomaly",
-    "zonal_stats",
+    "image_remedian_composite", "zonal_stats",
     "zonal_histogram", "rasterize_aoi",
     "audio_features", "video_features",
 ]

@@ -102,6 +102,41 @@ def image_composite_rows(reducer: str):
     return rows
 
 
+def image_remedian_rows(batch=3):
+    """Remedian cascade replicated Spark-free: scenes per cell in the
+    SAME deterministic (datetime, image_id) order the engine sorts,
+    masked f64, driven through the same cascade accumulator (whose
+    kernel math is independently gated by the expansion-oracle and
+    exact-regime tests in tests/test_remedian.py), f32 cast, uint16
+    round trip."""
+    pdf = _grouped_fixture()
+    rows = []
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values(["datetime", "image_id"], kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        first = next(grp.itertuples(index=False))
+        acc = composite._RemedianAcc(batch, first, composite.CAPTION_CAP)
+        for r in grp.itertuples(index=False):
+            arr = codec.decode(r.bytes, r.w, r.h, r.fmt)
+            m01 = masks.build_intmask_np(arr[-1], datagen.S2_MASK_VALUES)
+            data = masks.apply_mask_np(arr[:-1], m01, nd[:-1])
+            full = np.concatenate([data, arr[-1:]])
+            acc.add(codec.to_float_masked(full, nd), r.datetime, r.caption)
+        with np.errstate(all="ignore"):
+            out = acc.result().astype(np.float32)
+        payload = codec.encode(codec.from_float(out, nd, "uint16"),
+                               "raw16")
+        agg = _caption_agg(grp.caption.tolist())
+        rows.append({
+            "cell_id": int(cell_id), "n_scenes": len(grp),
+            "payload_len": len(payload),
+            "caption_md5": hashlib.md5(agg.encode()).hexdigest(),
+            "pix_sum": int(np.frombuffer(payload, "<u2")
+                           .astype(np.int64).sum()),
+        })
+    return rows
+
+
 def image_std_rows():
     """Temporal std composite replicated Spark-free through the
     incremental path's exact arithmetic: f64 stack (u16 values are
@@ -966,6 +1001,11 @@ def main() -> None:
             image_periodic_rows(),
             ["cell_id", "period", "n_scenes", "payload_len",
              "caption_md5", "pix_sum"]),
+        # streaming remedian cascade (bounded-memory holistic median)
+        "image_remedian_composite": values_sql(
+            image_remedian_rows(),
+            ["cell_id", "n_scenes", "payload_len", "caption_md5",
+             "pix_sum"]),
         # temporal std composite (newest decomposable reducer)
         "image_std_composite": values_sql(
             image_std_rows(),

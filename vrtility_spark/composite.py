@@ -889,8 +889,18 @@ def composite(df: DataFrame, reducer: str | Callable[[np.ndarray], np.ndarray],
     VRT evaluating mask ∘ composite per block in one pass
     (R/gdalraster-async.r:99-112), skipping a full payload rewrite.
     """
-    if mode not in ("auto", "stack", "incremental", "budget"):
+    if mode not in ("auto", "stack", "incremental", "budget", "remedian"):
         raise ValueError(f"unknown composite mode {mode!r}")
+    if mode == "remedian":
+        # streaming approximate median: scenes shuffle but never stack
+        if reducer != "median":
+            raise ValueError(
+                "mode='remedian' is the streaming MEDIAN cascade; "
+                f"got reducer {reducer!r} (decomposable reducers "
+                "already stream via mode='incremental')")
+        return composite_remedian(df, key=key, scene_fn=scene_fn,
+                                  caption_cap=caption_cap,
+                                  compute_dtype=compute_dtype)
     if mode == "budget":
         # measured per-cell split planner: decomposable reducers still
         # route incremental inside; holistic ones split only their
@@ -1212,6 +1222,187 @@ def composite_auto(df: DataFrame,
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ------------------------------------- streaming approximate median ----
+#
+# The median is HOLISTIC: the exact stack path must hold all T scenes
+# of a cell in RAM (max_stack_bytes guard; split_to_child_cells is the
+# spatial escape hatch). The REMEDIAN (Rousseeuw & Bassett 1990) is
+# the third option for extreme T: a cascade of small median buffers —
+# fill a batch of b observations, collapse it to its median, push that
+# one plane into the next level's batch, and so on. Memory is
+# O(log_b(T) · b) planes per cell instead of O(T); the estimate is the
+# exact median for T ≤ b and a consistent median estimator beyond.
+# Scenes still SHUFFLE (one repartition by cell) — they just never
+# STACK: the task streams rows and keeps only the cascade buffers, so
+# a 10^5-scene cell runs in the same memory as a 10-scene one.
+
+def _weighted_median_planes(E: np.ndarray, wts: np.ndarray) -> np.ndarray:
+    """Per-pixel weighted median of ``E (K, ...)`` with integer plane
+    weights ``wts (K,)``; NaN entries drop per pixel. Matches
+    ``np.nanmedian`` exactly when all weights are 1 (midpoint of the
+    two middles at even valid counts). Deterministic: integer weight
+    sums are exact in f64, so the half-total comparisons are exact."""
+    K = E.shape[0]
+    flat = E.reshape(K, -1)
+    order = np.argsort(flat, axis=0, kind="stable")  # NaNs sort last
+    vs = np.take_along_axis(flat, order, axis=0)
+    ws = np.take_along_axis(
+        np.broadcast_to(wts.astype(np.float64)[:, None], flat.shape),
+        order, axis=0).copy()
+    ws[np.isnan(vs)] = 0.0
+    cum = np.cumsum(ws, axis=0)
+    tot = cum[-1]
+    half = tot / 2.0
+    idx = (cum >= half[None, :]).argmax(axis=0)
+    v1 = np.take_along_axis(vs, idx[None, :], axis=0)[0]
+    cum_at = np.take_along_axis(cum, idx[None, :], axis=0)[0]
+    nxt_i = np.minimum(idx + 1, K - 1)
+    v2 = np.take_along_axis(vs, nxt_i[None, :], axis=0)[0]
+    exact = (cum_at == half) & (nxt_i > idx) & ~np.isnan(v2)
+    out = np.where(exact, (v1 + v2) / 2.0, v1)
+    out[tot == 0] = np.nan
+    return out.reshape(E.shape[1:])
+
+
+class _RemedianAcc:
+    """Streaming remedian cascade for one cell (float64 planes)."""
+
+    __slots__ = ("batch", "levels", "n", "dts", "caps", "n_caps", "cap",
+                 "profile", "nb")
+
+    def __init__(self, batch, row, cap):
+        self.batch = batch
+        self.levels: list[list[np.ndarray]] = [[]]
+        self.n = 0
+        self.dts = []
+        self.caps = []
+        self.n_caps = 0
+        self.cap = cap
+        self.profile = _profile_key(row)
+        self.nb = None
+
+    def _push(self, plane: np.ndarray, lvl: int) -> None:
+        if lvl == len(self.levels):
+            self.levels.append([])
+        buf = self.levels[lvl]
+        buf.append(plane)
+        if len(buf) == self.batch:
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                med = np.nanmedian(np.stack(buf), axis=0)
+            buf.clear()
+            self._push(med, lvl + 1)
+
+    def add(self, data: np.ndarray, dt, caption) -> None:
+        if self.nb is None:
+            self.nb = data.shape[0]
+        self._push(data, 0)
+        self.n += 1
+        self.dts.append(dt)
+        self.caps.append(caption)
+        self.n_caps += 1
+        if len(self.caps) > 4 * self.cap:
+            self.caps = sorted(self.caps)[: self.cap]
+
+    def result(self) -> np.ndarray:
+        entries, wts = [], []
+        for lvl, buf in enumerate(self.levels):
+            for plane in buf:
+                entries.append(plane)
+                wts.append(self.batch ** lvl)
+        if len(entries) == 1:
+            return entries[0]
+        if len(set(wts)) == 1:
+            # single level (T <= batch, or evenly collapsed): EXACT
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                return np.nanmedian(np.stack(entries), axis=0)
+        return _weighted_median_planes(
+            np.stack(entries), np.asarray(wts, dtype=np.int64))
+
+
+def composite_remedian(
+        df: DataFrame, key: str = "cell_id", batch: int = 16,
+        scene_fn: Callable[[np.ndarray, float], np.ndarray] | None = None,
+        caption_cap: int = CAPTION_CAP,
+        compute_dtype: str = "float32") -> DataFrame:
+    """Bounded-memory MEDIAN composite via the streaming remedian
+    cascade — the answer when a cell's time stack can neither fit RAM
+    (`max_stack_bytes`) nor be split finer spatially.
+
+    Plan shape: ``repartition(key)`` + ``sortWithinPartitions(key,
+    datetime, image_id)`` (one shuffle — scenes move but the order is
+    deterministic, so the estimate is reproducible run to run), then a
+    streaming ``mapInPandas`` that folds rows into per-cell cascade
+    buffers and emits each finished cell. Task memory is
+    O(log_b(T)·b) planes regardless of T. EXACT ``nanmedian`` for
+    cells with ≤ ``batch`` scenes; a consistent estimator beyond
+    (Rousseeuw & Bassett's remedian), finalized as the weighted median
+    of the remaining buffers (weight = ``batch**level``).
+
+    Output: COMPOSITE_SCHEMA, byte-compatible with every downstream
+    cell-keyed operator.
+    """
+    if batch < 3:
+        raise ValueError(f"batch must be >= 3, got {batch}")
+    cap = int(caption_cap)
+    b = int(batch)
+
+    def stream(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        cur_cell, acc = None, None
+
+        def finalize():
+            out = acc.result().astype(compute_dtype)
+            w, h, fmt = acc.profile[0], acc.profile[1], acc.profile[2]
+            nd_s = acc.profile[3]
+            nd_s = float("nan") if isinstance(nd_s, str) else nd_s
+            bn = acc.profile[4]
+            nd = (np.frombuffer(bn, "<f8") if bn is not None else nd_s)
+            payload = codec.from_float(out, nd, codec.dtype_for(fmt))
+            dts = pd.Series(acc.dts)
+            return {
+                "cell_id": int(cur_cell),
+                "bytes": codec.encode(payload, fmt),
+                "w": w, "h": h, "fmt": fmt, "n_scenes": int(acc.n),
+                "datetime_median": _median_datetime(dts),
+                "nodata": nd_s,
+                "band_nodata": (None if bn is None
+                                else list(np.frombuffer(bn, "<f8"))),
+                "caption_agg": _caption_agg(acc.caps, acc.n_caps, cap),
+            }
+
+        for pdf in batches:
+            done = []
+            for row in pdf.itertuples(index=False):
+                cell = int(getattr(row, key))
+                if cell != cur_cell:
+                    if acc is not None:
+                        done.append(finalize())
+                    cur_cell, acc = cell, _RemedianAcc(b, row, cap)
+                elif acc.profile != _profile_key(row):
+                    raise ValueError(
+                        f"cell {cell}: scenes disagree on pixel grid/"
+                        "codec/nodata/band_nodata; normalize them onto "
+                        "one target grid/profile first")
+                arr = codec.decode(row.bytes, row.w, row.h, row.fmt)
+                nd = codec.row_band_meta(row, len(arr), "band_nodata",
+                                         row.nodata)
+                if scene_fn is not None:
+                    arr = scene_fn(arr, nd)
+                acc.add(codec.to_float_masked(arr, nd), row.datetime,
+                        row.caption)
+            if done:
+                yield pd.DataFrame(done)
+        if acc is not None:
+            yield pd.DataFrame([finalize()])
+
+    ordered = (df.repartition(F.col(key))
+               .sortWithinPartitions(key, "datetime", "image_id"))
+    return ordered.mapInPandas(stream, schema=COMPOSITE_SCHEMA)
 
 
 def scalar_composite_cols(reducer: str, col: str):
