@@ -113,3 +113,52 @@ def test_regrid_pipeline_single_shuffle_one_arrow_map(spark):
     assert plan.count(") Exchange") == 1, plan
     assert plan.count(") MapInPandas") == 1, plan
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_remedian_single_exchange_streaming_map(spark):
+    """The remedian composite is Exchange(cell) → Sort-within →
+    streaming MapInPandas — scenes shuffle once and are NEVER grouped
+    into a stacked pdf (no FlatMapGroupsInPandas anywhere)."""
+    from vrtility_spark import composite, datagen, schema, warp
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    celled = warp.assign_cells(images, datagen.TILE_RES)
+    plan = explain_str(composite.composite_remedian(celled))
+    assert plan.count(") Exchange") == 1
+    assert plan.count(") MapInPandas") == 1
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_trend_partials_shuffle_not_scenes(spark):
+    """Incremental trend pins the map-before-exchange shape: the
+    narrow accumulator MapInPandas runs BELOW the single Exchange —
+    formatted plans number nodes leaf-up, so the map's node number is
+    SMALLER — meaning only fixed-size partial rows shuffle."""
+    from vrtility_spark import datagen, schema, trend, warp
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    celled = warp.assign_cells(images, datagen.TILE_RES)
+    import re
+    plan = explain_str(trend.trend(celled))
+    assert plan.count(") Exchange") == 1
+    map_n = int(re.search(r"MapInPandas \((\d+)\)", plan).group(1))
+    ex_n = int(re.search(r"Exchange \((\d+)\)", plan).group(1))
+    assert map_n < ex_n  # map is deeper: it runs before the shuffle
+
+
+def test_phash_pairs_bucket_join_prunes_payload(spark):
+    """Candidate generation is ONE band-bucket join over (id, phash)
+    rows — no cartesian product, and the image payload bytes never
+    enter the plan."""
+    from vrtility_spark import datagen, dedup, schema
+    images = schema.images_df(spark, datagen.with_near_duplicates(
+        datagen.images_pandas(nx=2, ny=2, w=16, h=16)))
+    plan = explain_str(dedup.phash_pairs(images))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    import re
+    assert len(re.findall(
+        r"^\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)",
+        plan, re.M)) == 1
+    for line in plan.splitlines():
+        if "LocalTableScan" in line:
+            assert "bytes" not in line  # payload pruned at the scan
