@@ -295,3 +295,29 @@ def test_composite_by_period_incremental_parity_and_labels(spark, tiny_images):
         composite.composite_by_period(df, "median", period="week")
     with _pt.raises(ValueError, match="budget"):
         composite.composite_by_period(df, "median", mode="budget")
+
+
+# ------------------------------- plane-dropping scene_fn regression ----
+
+def test_drop_mask_band_scene_fn_all_paths(spark, tiny_images):
+    """drop_mask_band=True leaves fewer planes than the payload's
+    band_nodata metadata: every composite path must trim the sentinel
+    array alongside the dropped trailing plane (regression: stale
+    5-entry nodata vs 4-plane array broke broadcasting)."""
+    from vrtility_spark import masks, warp
+    celled = warp.assign_cells(tiny_images, datagen.TILE_RES)
+    fn = masks.make_scene_maskfun("int", datagen.S2_MASK_VALUES,
+                                  drop_mask_band=True)
+    outs = {
+        "stack": composite.composite(celled, "median", scene_fn=fn,
+                                     mode="stack"),
+        "incremental": composite.composite(celled, "mean", scene_fn=fn),
+        "remedian": composite.composite_remedian(celled, scene_fn=fn),
+    }
+    for name, df in outs.items():
+        rows = df.collect()
+        assert len(rows) > 0, name
+        r = rows[0]
+        arr = codec.decode(r.bytes, r.w, r.h, r.fmt)
+        assert arr.shape[0] == 4, name  # SCL plane dropped
+        assert len(r.band_nodata) == 4, name  # metadata trimmed with it

@@ -266,3 +266,42 @@ def test_stream_regrid_semi_join_past_isin_cap(spark, tmp_path):
         .select("cell_id", "n_scenes", "caption_agg").toPandas()
     assert len(got) == len(batch)
     assert sorted(map(tuple, got.values)) == sorted(map(tuple, batch.values))
+
+
+def test_stateful_running_trend_equals_batch(spark, tiny_images, tmp_path):
+    """Streaming trend state survives across two stream runs; the final
+    emitted tile equals the batch incremental trend over the same
+    masked scenes (f32-cast parity — both sides are the identical
+    sufficient-statistics algebra, folded in different order)."""
+    import numpy as np
+
+    from vrtility_spark import codec, masks, trend
+    land = str(tmp_path / "land_trend")
+    out = str(tmp_path / "running_trend")
+    sub = tiny_images.where("zone = 30")
+    sub.where("datetime < '2024-06-01'").write.parquet(land)
+    q = streaming.stateful_running_trend(spark, land, out_path=out)
+    q.awaitTermination(240)
+    sub.where("datetime >= '2024-06-01'").write.mode("append").parquet(land)
+    q2 = streaming.stateful_running_trend(spark, land, out_path=out)
+    q2.awaitTermination(240)
+
+    res = spark.read.parquet(out).toPandas()
+    latest = res.sort_values("n_scenes").groupby("cell_id").last() \
+        .reset_index()
+    assert (latest.n_scenes == 5).all() and len(latest) == 4
+
+    fn = masks.make_scene_maskfun("int", datagen.S2_MASK_VALUES,
+                                  drop_mask_band=True)
+    batch = trend.trend(
+        warp.assign_cells(sub, datagen.TILE_RES), scene_fn=fn).toPandas()
+    assert set(batch.cell_id) == set(latest.cell_id)
+    for _, b in batch.iterrows():
+        s = latest[latest.cell_id == b.cell_id].iloc[0]
+        a1 = codec.decode(b.bytes, b.w, b.h, b.fmt).astype(np.float64)
+        a2 = codec.decode(s.bytes, s.w, s.h, s.fmt).astype(np.float64)
+        assert a1.shape == a2.shape  # 3 planes per data band, no SCL
+        np.testing.assert_allclose(
+            np.where(a1 == -9999.0, np.nan, a1),
+            np.where(a2 == -9999.0, np.nan, a2),
+            rtol=1e-5, atol=1e-5, equal_nan=True)

@@ -622,8 +622,11 @@ class _CellAcc:
             "w": self.profile[0], "h": self.profile[1],
             "fmt": self.profile[2],
             "nodata": float("nan") if isinstance(nd, str) else nd,
+            # trimmed to the ACCUMULATED plane count: a plane-dropping
+            # scene_fn leaves fewer planes than the payload metadata
             "band_nodata": (None if self.profile[4] is None else
-                            list(np.frombuffer(self.profile[4], "<f8"))),
+                            list(np.frombuffer(self.profile[4], "<f8"))
+                            [: self.nb]),
             "nb": int(self.nb), "n_scenes": int(self.n),
             "acc1": self.acc1.astype("<f8").tobytes(),
             "acc2": (b"" if self.acc2 is None
@@ -749,6 +752,10 @@ def incremental_partials(
                 nd = codec.row_band_meta(row, nb, "band_nodata", row.nodata)
                 if scene_fn is not None:
                     arr = scene_fn(arr, nd)
+                    # plane-dropping scene_fns (drop_mask_band=True)
+                    # drop TRAILING planes; trim the sentinels with them
+                    if isinstance(nd, np.ndarray) and len(arr) != nb:
+                        nd = nd[: len(arr)]
                 data = codec.to_float_masked(arr, nd)
                 dt = row.datetime
                 st.add(data, np.int64(pd.Timestamp(dt).value), dt,
@@ -981,14 +988,22 @@ def composite(df: DataFrame, reducer: str | Callable[[np.ndarray], np.ndarray],
         def dec(r, pre=None):
             arr = codec.decode(r.bytes, r.w, r.h, r.fmt) if pre is None \
                 else pre
+            ndl = nd
             if scene_fn is not None:
+                n0 = len(arr)
                 arr = scene_fn(arr, nd)
-            return codec.to_float_masked(arr, nd).astype(compute_dtype)
+                # plane-dropping scene_fns (drop_mask_band=True) drop
+                # TRAILING planes; trim the sentinels with them
+                if isinstance(nd, np.ndarray) and len(arr) != n0:
+                    ndl = nd[: len(arr)]
+            return codec.to_float_masked(arr, ndl).astype(compute_dtype)
 
         stack = np.stack([dec(r, first_arr if i == 0 else None)
                           for i, r in enumerate(rows)])
         # (T, B, H, W)
         out = fn(stack)
+        if isinstance(nd, np.ndarray) and len(nd) != out.shape[0]:
+            nd = nd[: out.shape[0]]
         payload = codec.from_float(out, nd, dtype)
         dt = pdf["datetime"].sort_values().reset_index(drop=True)
         n_dt = len(dt)
@@ -1361,7 +1376,10 @@ def composite_remedian(
             nd_s = acc.profile[3]
             nd_s = float("nan") if isinstance(nd_s, str) else nd_s
             bn = acc.profile[4]
-            nd = (np.frombuffer(bn, "<f8") if bn is not None else nd_s)
+            # trimmed to the accumulated plane count (plane-dropping
+            # scene_fns), same contract as _CellAcc.to_row
+            nd = (np.frombuffer(bn, "<f8")[: acc.nb] if bn is not None
+                  else nd_s)
             payload = codec.from_float(out, nd, codec.dtype_for(fmt))
             dts = pd.Series(acc.dts)
             return {
@@ -1371,7 +1389,8 @@ def composite_remedian(
                 "datetime_median": _median_datetime(dts),
                 "nodata": nd_s,
                 "band_nodata": (None if bn is None
-                                else list(np.frombuffer(bn, "<f8"))),
+                                else list(np.frombuffer(bn, "<f8")
+                                          [: acc.nb])),
                 "caption_agg": _caption_agg(acc.caps, acc.n_caps, cap),
             }
 
@@ -1392,7 +1411,10 @@ def composite_remedian(
                 nd = codec.row_band_meta(row, len(arr), "band_nodata",
                                          row.nodata)
                 if scene_fn is not None:
+                    n0 = len(arr)
                     arr = scene_fn(arr, nd)
+                    if isinstance(nd, np.ndarray) and len(arr) != n0:
+                        nd = nd[: len(arr)]  # trailing planes dropped
                 acc.add(codec.to_float_masked(arr, nd), row.datetime,
                         row.caption)
             if done:

@@ -148,6 +148,90 @@ def stateful_running_mean(spark: SparkSession, input_dir: str,
             .trigger(availableNow=True).start())
 
 
+TREND_STREAM_SCHEMA = ("cell_id long, n_scenes int, bytes binary, w int, "
+                       "h int, fmt string, nodata double")
+_TREND_STATE_SCHEMA = "count int, acc binary, nb int, w int, h int"
+
+
+def stateful_running_trend(spark: SparkSession, input_dir: str,
+                           cell_res: int = datagen.TILE_RES,
+                           mask_values=None,
+                           checkpoint_dir: str | None = None,
+                           out_path: str | None = None):
+    """Streaming twin of :func:`vrtility_spark.trend.trend`: per-cell
+    per-pixel OLS trend over an unbounded scene stream via
+    ``applyInPandasWithState`` — state per cell is the same (5, B, H,
+    W) sufficient-statistics block the batch incremental path shuffles
+    (n, Σt, Σt², Σy, Σt·y), so every arriving scene folds in O(1) and
+    the emitted tile is always the trend over the full history. No
+    recompute, no history read: the decomposable algebra IS the
+    streaming state. Output planes per data band: slope / intercept /
+    n_obs (rawf32, -9999 sentinel), mask plane dropped (matching
+    :func:`stateful_running_mean`)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    vals = datagen.S2_MASK_VALUES if mask_values is None else mask_values
+
+    def update(key, pdfs, state):
+        import numpy as np
+
+        from vrtility_spark import codec as C
+        from vrtility_spark import masks as M
+        from vrtility_spark import trend as TR
+        if state.exists:
+            count, acc_b, nb, w, h = state.get
+            acc = np.frombuffer(acc_b, dtype="<f8") \
+                .reshape(5, nb, h, w).copy()
+        else:
+            count, acc, nb, w, h = 0, None, None, None, None
+        nodata = TR.OUT_NODATA
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                arr = C.decode(row.bytes, row.w, row.h, row.fmt)
+                m01 = M.build_intmask_np(arr[-1], vals)
+                data = C.to_float_masked(
+                    M.apply_mask_np(arr[:-1], m01, row.nodata), row.nodata)
+                if acc is None:
+                    nb, h, w = data.shape
+                    acc = np.zeros((5, nb, h, w))
+                t = float(TR.t_years(
+                    np.int64(pd.Timestamp(row.datetime).value)))
+                ok = ~np.isnan(data)
+                y = np.where(ok, data, 0.0)
+                acc[0] += ok
+                acc[1] += t * ok
+                acc[2] += (t * t) * ok
+                acc[3] += y
+                acc[4] += t * y
+                count += 1
+        state.update((count, acc.astype("<f8").tobytes(), nb, w, h))
+        planes = TR.trend_finalize(acc)
+        payload = C.encode(
+            C.from_float(planes, nodata, "float32"), "rawf32")
+        yield pd.DataFrame([{
+            "cell_id": int(key[0]), "n_scenes": int(count),
+            "bytes": payload, "w": w, "h": h, "fmt": "rawf32",
+            "nodata": nodata}])
+
+    stream = read_scene_stream(spark, input_dir)
+    celled = assign_cells(stream, cell_res)
+    updated = celled.groupBy("cell_id").applyInPandasWithState(
+        update, TREND_STREAM_SCHEMA, _TREND_STATE_SCHEMA, "update",
+        GroupStateTimeout.NoTimeout)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if out_path:
+            batch_df.write.mode("append").parquet(out_path)
+
+    return (updated.writeStream.foreachBatch(sink)
+            .option("checkpointLocation",
+                    checkpoint_dir or (out_path or "/tmp/vrt_trend")
+                    + "/_ckpt")
+            .outputMode("update")
+            .trigger(availableNow=True).start())
+
+
 def composite_stream(spark: SparkSession, input_dir: str, table_dir: str,
                      reducer: str = "median", cell_res: int = datagen.TILE_RES,
                      mask_values=None, checkpoint_dir: str | None = None,

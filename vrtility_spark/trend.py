@@ -115,7 +115,12 @@ def _decoded(row, scene_fn):
     arr = codec.decode(row.bytes, row.w, row.h, row.fmt)
     nd = codec.row_band_meta(row, len(arr), "band_nodata", row.nodata)
     if scene_fn is not None:
+        n0 = len(arr)
         arr = scene_fn(arr, nd)
+        # plane-dropping scene_fns (drop_mask_band=True) drop TRAILING
+        # planes; trim the per-band sentinel array alongside
+        if isinstance(nd, np.ndarray) and len(arr) != n0:
+            nd = nd[: len(arr)]
     return codec.to_float_masked(arr, nd)
 
 
