@@ -1063,6 +1063,30 @@ def q_image_focal_mean(spark, sf_dir):
         ps("bytes", "w", "h", "fmt").alias("pix_sum"))
 
 
+def q_polygonize(spark, sf_dir):
+    """First-valid composite → regions.polygonize on the SCL class
+    plane: per-tile runs-union-find labeling (loop-oracle-gated against
+    a naive BFS in tests/test_regions.py), seam records matched by pure
+    cell arithmetic, and hash-min connected components collapsing
+    cross-tile labels into one region row each (global min-pixel-id,
+    pixel count, world bbox) — gdal_polygonize's raster→vector
+    direction, the exact inverse of rasterize_aoi; the reference
+    leaves this to GDAL utilities outside its pipeline
+    (R/call-gdalraster-mirai.R). Shuffle volume is region partials +
+    seam pixels, never tile bytes. Pinned against a constants oracle
+    computed Spark-free on assembled per-zone mosaics
+    (tools/gen_oracle_constants.py)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    return (Pipeline(images)
+            .warp(cell_res=datagen.TILE_RES)
+            .composite("first")
+            .polygonize(band=-1))
+
+
 def q_image_overview(spark, sf_dir):
     """Masked median composite → 1-level overview pyramid
     (overviews.build_pyramid): every 2x2 block of sibling tiles
@@ -1508,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_split_composite": q_image_split_composite,
         "image_budget_composite": q_image_budget_composite,
         "image_focal_mean": q_image_focal_mean,
+        "polygonize": q_polygonize,
         "image_overview": q_image_overview,
         "zonal_stats": q_zonal_stats,
         "zonal_histogram": q_zonal_histogram,

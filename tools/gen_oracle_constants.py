@@ -941,6 +941,76 @@ def video_rows():
     return rows
 
 
+def image_polygonize_rows():
+    """First-valid composite per cell (incremental ≡ stack parity is
+    pytest-gated in test_bounded), then region extraction on the SCL
+    plane replicated Spark-free: per-zone mosaics are assembled and
+    labeled with regions.label_np (loop-oracle-gated against a naive
+    BFS in tests/test_regions.py), and the operator's output rows are
+    rebuilt in GLOBAL pixel-id space with per-tile partial bboxes —
+    pinning the seam matching and the distributed component merge
+    exactly."""
+    from vrtility_spark import regions as regions_mod
+
+    pdf = _grouped_fixture()
+    tiles: dict[int, np.ndarray] = {}
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        stack = np.stack([
+            codec.to_float_masked(
+                codec.decode(r.bytes, r.w, r.h, r.fmt), nd)
+            for r in grp.itertuples(index=False)])
+        out = composite.REDUCERS["first"](stack)
+        pay = codec.from_float(out, nd, "uint16")
+        tiles[int(cell_id)] = codec.to_float_masked(pay, nd)[-1]
+    by_zone: dict[int, list] = {}
+    for cid in tiles:
+        zone, _res, ix, iy = (int(v) for v in cells.decode_np(cid))
+        by_zone.setdefault(zone, []).append((cid, ix, iy))
+    h = w = 16
+    rows = []
+    for zone, lst in sorted(by_zone.items()):
+        x0g = min(ix for _, ix, _ in lst)
+        y0g = min(iy for _, _, iy in lst)
+        gx = max(ix for _, ix, _ in lst) - x0g + 1
+        gy = max(iy for _, _, iy in lst) - y0g + 1
+        G = np.full((gy * h, gx * w), np.nan)
+        pos: dict[tuple, int] = {}
+        for cid, ix, iy in lst:
+            G[(iy - y0g) * h:(iy - y0g + 1) * h,
+              (ix - x0g) * w:(ix - x0g + 1) * w] = tiles[cid]
+            pos[(ix - x0g, iy - y0g)] = cid
+        L = regions_mod.label_np(G, np.isfinite(G))
+        for lb in np.unique(L[L >= 0]):
+            ys, xs = np.nonzero(L == lb)
+            per_tile: dict[tuple, list] = {}
+            for y, x in zip(ys, xs):
+                per_tile.setdefault((x // w, y // h), []).append(
+                    (y % h, x % w))
+            pids, bx0, by0, bx1, by1 = [], [], [], [], []
+            for (tx, ty), pix in per_tile.items():
+                cid = pos[(tx, ty)]
+                pids.append(min(cid * regions_mod.PID_RADIX + py * w + px
+                                for py, px in pix))
+                cx0, cy0, size = (float(v)
+                                  for v in cells.cell_frame_np(cid))
+                lx = [px for _, px in pix]
+                ly = [py for py, _ in pix]
+                bx0.append(cx0 + min(lx) * (size / w))
+                bx1.append(cx0 + (max(lx) + 1) * (size / w))
+                by0.append(cy0 + min(ly) * (size / h))
+                by1.append(cy0 + (max(ly) + 1) * (size / h))
+            rows.append({
+                "region_id": int(min(pids)),
+                "value": float(G[ys[0], xs[0]]),
+                "pixel_count": int(len(ys)),
+                "n_tiles": int(len(per_tile)),
+                "xmin": min(bx0), "ymin": min(by0),
+                "xmax": max(bx1), "ymax": max(by1)})
+    return sorted(rows, key=lambda r: r["region_id"])
+
+
 def _sql_lit(v) -> str:
     if v is None:
         return "NULL"
@@ -984,6 +1054,12 @@ def main() -> None:
             image_focal_rows(),
             ["cell_id", "n_scenes", "payload_len", "caption_md5",
              "pix_sum"]),
+        # first-composite -> region extraction: pins the seam matching
+        # and the distributed component merge in global pixel-id space
+        "polygonize": values_sql(
+            image_polygonize_rows(),
+            ["region_id", "value", "pixel_count", "n_tiles",
+             "xmin", "ymin", "xmax", "ymax"]),
         # composite -> overview level: pins the parent-keyed pyramid
         # shuffle (average data bands, mode class plane)
         "image_overview": values_sql(

@@ -226,3 +226,28 @@ def cell_center_np(cell_id):
     _, res, ix, iy = decode_np(cell_id)
     size = ZONE_SPAN / np.power(2.0, res.astype(np.float64))
     return (ix.astype(np.float64) + 0.5) * size, (iy.astype(np.float64) + 0.5) * size
+
+
+def cell_frame_np(cell_id):
+    """World-frame ``(x0, y0, size)`` of each cell: the zone origin plus
+    the cell's offset inside its zone (all exact binary floats)."""
+    zone, res, ix, iy = decode_np(cell_id)
+    size = ZONE_SPAN / np.power(2.0, res.astype(np.float64))
+    ox = (zone % 5).astype(np.float64) * ZONE_ORIGIN_STEP
+    oy = ((3 * zone) % 5).astype(np.float64) * ZONE_ORIGIN_STEP
+    return ox + ix.astype(np.float64) * size, oy + iy.astype(np.float64) * size, size
+
+
+def cell_frame_cols(cell_id: Column) -> tuple[Column, Column, Column]:
+    """:func:`cell_frame_np` as Column expressions (whole-stage codegen;
+    keeps the radix layout out of operator code, like :func:`res_col`)."""
+    ix = cell_id % _B
+    t = F.floor(cell_id / _B)
+    iy = t % _B
+    res = res_col(cell_id)
+    zone = zone_col(cell_id)
+    size = F.lit(ZONE_SPAN) / F.pow(F.lit(2.0), res.cast("double"))
+    ox = (zone % 5).cast("double") * F.lit(ZONE_ORIGIN_STEP)
+    oy = ((zone * 3) % 5).cast("double") * F.lit(ZONE_ORIGIN_STEP)
+    return (ox + ix.cast("double") * size,
+            oy + iy.cast("double") * size, size)

@@ -320,6 +320,18 @@ class Pipeline:
                           "weights": w_list, "normalize": normalize,
                           "fill": bool(fill)})
 
+    def polygonize(self, band: int = 0, values=None,
+                   reliable: bool = False) -> DataFrame:
+        """Terminal raster→vector step: extract equal-valued 4-connected
+        regions across tile boundaries (regions.polygonize — per-tile
+        labeling, seam matching, distributed component merge). Returns
+        the region TABLE (regions.REGION_SCHEMA), not a Pipeline: the
+        output is vector rows, no longer tiles. Pending masks flush
+        first so nodata pixels never join a region."""
+        from vrtility_spark import regions as _regions
+        return _regions.polygonize(self._flushed().df, band=band,
+                                   values=values, reliable=reliable)
+
     def algebra(self, other: DataFrame, op="diff",
                 broadcast_right: bool = False) -> "Pipeline":
         """Pixel-wise raster algebra against another tile table
