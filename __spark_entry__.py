@@ -1337,6 +1337,57 @@ def q_image_trend(spark, sf_dir):
         third_sum(2)("bytes", "w", "h", "fmt").alias("nobs_sum"))
 
 
+def q_image_harmonic(spark, sf_dir):
+    """Per-pixel harmonic (seasonal) regression (harmonic.harmonic):
+    intercept/slope + first-harmonic sin/cos/amplitude/phase + rmse +
+    n_obs planes per band — the phenology model CCDC-style change
+    detection regresses against, and the generalized-basis twin of
+    image_trend (trend is its K=0 case). The normal-equation
+    sufficient statistics are decomposable, so the production path
+    shuffles only fixed-size partial blocks (gated in
+    tests/test_harmonic.py); this query pins the bit-deterministic
+    stack path — the solve is a hand-rolled Jacobi-scaled elimination,
+    LAPACK-free, so the constants replay bit-identically — against
+    rows computed Spark-free (tools/gen_oracle_constants.py),
+    checksummed per plane family."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema
+    from vrtility_spark.harmonic import n_params
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    out = (Pipeline(images)
+           .set_maskfun("int", datagen.S2_MASK_VALUES)
+           .warp(cell_res=datagen.TILE_RES)
+           .harmonic(n_harmonics=1, mode="stack")
+           .df)
+    F_ = n_params(1) + 2 * 1 + 2
+
+    def family_sum(which: int):
+        @F.pandas_udf("double")
+        def fsum(b: pd.Series, w: pd.Series, h: pd.Series,
+                 fmt: pd.Series) -> pd.Series:
+            from vrtility_spark import codec
+            res = []
+            for x, wi, hi, f in zip(b, w, h, fmt):
+                dec = codec.decode(x, int(wi), int(hi), f)
+                nbF = dec.shape[0] // F_
+                fam = dec.reshape(nbF, F_, int(hi), int(wi))[:, which]
+                pl = fam.astype(np.float64)
+                valid = pl[pl != -9999.0]
+                res.append(float(np.round(valid, 3).sum()))
+            return pd.Series(res)
+        return fsum
+
+    names = ["icept_sum", "slope_sum", "sin_sum", "cos_sum",
+             "amp_sum", "phase_sum", "rmse_sum", "nobs_sum"]
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        *[family_sum(i)("bytes", "w", "h", "fmt").alias(n)
+          for i, n in enumerate(names)])
+
+
 def q_image_change(spark, sf_dir):
     """Change detection (algebra.tile_algebra): the fixture's early
     epoch (Jan/Mar/May composites) against its late epoch (Jul/Sep) as
@@ -1540,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_change": q_image_change,
         "image_quarterly_composite": q_image_quarterly_composite,
         "image_trend": q_image_trend,
+        "image_harmonic": q_image_harmonic,
         "image_gapfill": q_image_gapfill,
         "image_phash_dedup": q_image_phash_dedup,
         "image_anomaly": q_image_anomaly,

@@ -941,6 +941,54 @@ def video_rows():
     return rows
 
 
+def image_harmonic_rows():
+    """Per-pixel harmonic regression replicated Spark-free: the masked
+    fixture stack in FLOAT64, time in years since trend.TREND_EPOCH,
+    the same LAPACK-free normal-equation kernel (gated against a naive
+    per-pixel lstsq oracle in tests/test_harmonic.py), encoded through
+    the same rawf32/-9999 round trip, checksummed per plane family
+    (intercept, slope, sin, cos, amplitude, phase, rmse, n_obs)."""
+    from vrtility_spark import harmonic, trend
+    pdf = _grouped_fixture()
+    rows = []
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        stack = []
+        for r in grp.itertuples(index=False):
+            arr = codec.decode(r.bytes, r.w, r.h, r.fmt)
+            m01 = masks.build_intmask_np(arr[-1], datagen.S2_MASK_VALUES)
+            data = masks.apply_mask_np(arr[:-1], m01, nd[:-1])
+            full = np.concatenate([data, arr[-1:]])
+            stack.append(codec.to_float_masked(full, nd))
+        stack = np.stack(stack)
+        ts = trend.t_years(grp.datetime.values.astype("datetime64[ns]")
+                           .astype(np.int64))
+        planes = harmonic.harmonic_np(ts, stack, n_harmonics=1)
+        payload = codec.encode(
+            codec.from_float(planes, trend.OUT_NODATA, "float32"),
+            "rawf32")
+        dec = codec.decode(payload, 16, 16, "rawf32")
+        F = harmonic.n_params(1) + 2 * 1 + 2
+        nbF = dec.shape[0] // F
+        # plane layout is per-BAND blocks of F family planes
+        fam = dec.reshape(nbF, F, 16, 16).transpose(1, 0, 2, 3)
+        sums = []
+        for which in range(F):
+            pl = fam[which].astype(np.float64)
+            valid = pl[pl != -9999.0]
+            sums.append(float(np.round(valid, 3).sum()))
+        rows.append({
+            "cell_id": int(cell_id),
+            "n_scenes": len(grp),
+            "payload_len": len(payload),
+            "icept_sum": sums[0], "slope_sum": sums[1],
+            "sin_sum": sums[2], "cos_sum": sums[3],
+            "amp_sum": sums[4], "phase_sum": sums[5],
+            "rmse_sum": sums[6], "nobs_sum": sums[7]})
+    return sorted(rows, key=lambda r: r["cell_id"])
+
+
 def image_polygonize_rows():
     """First-valid composite per cell (incremental ≡ stack parity is
     pytest-gated in test_bounded), then region extraction on the SCL
@@ -1054,6 +1102,13 @@ def main() -> None:
             image_focal_rows(),
             ["cell_id", "n_scenes", "payload_len", "caption_md5",
              "pix_sum"]),
+        # per-pixel seasonal fit: pins the normal-equation accumulators
+        # and the deterministic elimination per plane family
+        "image_harmonic": values_sql(
+            image_harmonic_rows(),
+            ["cell_id", "n_scenes", "payload_len", "icept_sum",
+             "slope_sum", "sin_sum", "cos_sum", "amp_sum", "phase_sum",
+             "rmse_sum", "nobs_sum"]),
         # first-composite -> region extraction: pins the seam matching
         # and the distributed component merge in global pixel-id space
         "polygonize": values_sql(

@@ -55,7 +55,7 @@ class Pipeline:
         "cloud_filter", "orbit_filter", "drop_duplicates", "date_range",
         "set_maskfun", "create_mlmask", "subset_bands", "derived_band",
         "set_scale", "reproject", "warp", "regrid", "composite",
-        "composite_period", "trend", "gapfill",
+        "composite_period", "trend", "harmonic", "gapfill",
         "hampel", "savgol", "split_cells", "focal", "overview_level",
         "overviews", "terrain"])
 
@@ -293,6 +293,24 @@ class Pipeline:
         return self._next(
             _trend.trend(self._df, scene_fn=self._scene_fn(), mode=mode),
             (), "trend", {"mode": mode})
+
+    def harmonic(self, n_harmonics: int = 1, period_years: float = 1.0,
+                 mode: str = "auto") -> "Pipeline":
+        """Per-pixel harmonic (seasonal) regression
+        (harmonic.harmonic): intercept/slope, per-harmonic sin/cos
+        coefficients plus amplitude & phase, RMSE and n_obs planes per
+        input band in a ``rawf32`` tile. The generalized-basis twin of
+        :meth:`trend` (its K=0 case); the default mode streams
+        fixed-size normal-equation partials — scenes never stack or
+        shuffle."""
+        from vrtility_spark import harmonic as _harmonic
+        return self._next(
+            _harmonic.harmonic(self._df, n_harmonics=int(n_harmonics),
+                               period_years=float(period_years),
+                               scene_fn=self._scene_fn(), mode=mode),
+            (), "harmonic", {"n_harmonics": int(n_harmonics),
+                             "period_years": float(period_years),
+                             "mode": mode})
 
     def split_cells(self, k: int = 1) -> "Pipeline":
         """Spatial sub-tiling (composite.split_to_child_cells): scenes
