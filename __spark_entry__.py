@@ -647,6 +647,36 @@ def q_minhash_lsh(spark, sf_dir):
 _BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"  # BPE-ish piece splitter
 
 
+def q_train_test_split(spark, sf_dir):
+    """Deterministic hash-range train/val/test assignment over the
+    corpus (sampling.assign_splits): membership is a pure function of
+    md5(seed|doc_id) — reshard-proof, retry-proof, auditable from the
+    key alone (rand() sampling survives none of those at 100 TB).
+    Split sizes and char budgets per (lang, split); the DuckDB oracle
+    runs the byte-identical hash expression."""
+    from vrtility_spark import sampling
+    d = _t(spark, sf_dir, "documents")
+    sp = sampling.assign_splits(
+        d, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42)
+    return (sp.groupBy("lang", "split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("chars")))
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Exactly-5-per-language deterministic sample
+    (sampling.stratified_sample_n): rows chosen by md5 hash order with
+    doc_id tiebreak — 'random' without RNG state, identical on any
+    cluster size. One window shuffle keyed by the stratum; the DuckDB
+    oracle runs the same row_number window."""
+    from vrtility_spark import sampling
+    d = _t(spark, sf_dir, "documents")
+    got = sampling.stratified_sample_n(d, ["lang"], 5, ["doc_id"],
+                                       seed=7)
+    return got.select("lang", "doc_id",
+                      F.col("rk").cast("int").alias("rk"))
+
+
 def q_token_stats(spark, sf_dir):
     """Per-language token statistics: whitespace tokens AND a BPE-ish
     regex piece count (letters-run | digits-run | single symbol) — the
@@ -1569,6 +1599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus": q_dedup_corpus,
         "minhash_docs": q_minhash_docs,
         "minhash_lsh": q_minhash_lsh,
+        "train_test_split": q_train_test_split,
+        "stratified_sample": q_stratified_sample,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -1607,6 +1639,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _cell_sql(zone, x, y, res):
     return cells.xy_to_cell_sql(zone, x, y, res)
+
+
+def _sampling_mod():
+    """The sampling SQL twins live beside the operators so the oracle
+    strings are derived from the SAME thresholds/hash expression."""
+    from vrtility_spark import sampling
+    return sampling
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2029,6 +2068,23 @@ def oracle_sql() -> dict[str, str]:
                      as est_jaccard
             from banded a join banded b
               on a.band = b.band and a.doc_id < b.doc_id
+        """,
+        "train_test_split": f"""
+            select lang, {_sampling_mod().assign_splits_sql(
+                ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1},
+                seed=42)} as split,
+                   count(*) as n_docs,
+                   cast(sum(n_chars) as bigint) as chars
+            from documents
+            group by lang, split
+        """,
+        "stratified_sample": f"""
+            select lang, doc_id, cast(rk as int) as rk
+            from (select lang, doc_id,
+                         {_sampling_mod().stratified_sample_n_sql(
+                             ["lang"], 5, ["doc_id"], seed=7)}
+                  from documents)
+            where rk <= 5
         """,
         "token_stats": """
             select lang, count(*) as n_docs,
