@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "near_dup_clusters", "dedup_corpus", "minhash_docs", "minhash_lsh", "token_stats",
     "quality_score", "lang_id", "fingerprint", "embedding_topk",
     "embedding_lsh", "embedding_dup_clusters", "ann_ivf",
+    "train_test_split", "stratified_sample",
     # fixture-scale payload queries: constant-size inputs, benched so
     # round-over-round regressions on these operators stay visible
     # (the sf-scaled image pipeline is timed in image_pipeline_bench —
@@ -43,8 +44,8 @@ BENCH_QUERIES = [
     "image_overview", "image_hillshade", "image_change",
     "image_quarterly_composite", "image_trend", "image_gapfill",
     "image_phash_dedup", "image_std_composite", "image_anomaly",
-    "image_remedian_composite", "zonal_stats",
-    "zonal_histogram", "rasterize_aoi",
+    "image_remedian_composite", "image_harmonic", "polygonize",
+    "zonal_stats", "zonal_histogram", "rasterize_aoi",
     "audio_features", "video_features",
 ]
 
