@@ -831,6 +831,33 @@ def q_ann_ivf(spark, sf_dir):
         .select("q_id", "id", F.round("sim", 6).alias("sim_r"), "rank")
 
 
+def q_ann_pq(spark, sf_dir):
+    """IVF-PQ (pq.train_pq/pq_encode/pq_search): the memory-compressed
+    ANN path — 64-dim float vectors become 8-byte codes (64×), queries
+    score candidates by table-lookup asymmetric distance, and an exact
+    refine re-ranks the shortlist against the original vectors (the
+    FAISS IVFPQ+refine layout: codes hot, vectors cold). Driven at
+    nprobe = n_clusters with a corpus-wide shortlist, where
+    ADC-shortlist + exact rerank IS brute force by construction —
+    closed-form SQL oracle (the embedding_topk shape); realistic
+    shortlist recall and the compression ratio are pytest-gated
+    (tests/test_pq.py)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import ann, pq
+    e = _t(spark, sf_dir, "embeddings")
+    cents = ann.train_ivf(e, "embedding", "vec_id", n_clusters=8, iters=2)
+    books = pq.train_pq(e, "embedding", "vec_id", m=8, ksub=16, iters=2)
+    enc = pq.pq_encode(ann.ivf_assign(e, "embedding", cents),
+                       "embedding", books)
+    n = e.count()
+    q = e.where(F.col("vec_id") < 10)
+    return (pq.pq_search(enc, q, books, "embedding", "vec_id", "vec_id",
+                         k=5, centroids=cents, nprobe=8, shortlist=n,
+                         rerank=True, rank_round=6)
+            .select("q_id", "id", F.round("sim", 6).alias("sim_r"),
+                    "rank"))
+
+
 def _pix_sum_udf():
     """Deterministic payload checksum: int64 sum of every decoded pixel
     — pins pixel CONTENT (not just length) against the constants-table
@@ -1609,6 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh": q_embedding_lsh,
         "embedding_dup_clusters": q_embedding_dup_clusters,
         "ann_ivf": q_ann_ivf,
+        "ann_pq": q_ann_pq,
         "image_median_composite": q_image_median_composite,
         "image_std_composite": q_image_std_composite,
         "image_remedian_composite": q_image_remedian_composite,
@@ -2232,6 +2260,29 @@ def oracle_sql() -> dict[str, str]:
             from comp join sz using (cluster_rep)
         """,
         "ann_ivf": """
+            with pairs as (
+              select q.vec_id as q_id, c.vec_id as id,
+                     round(
+                       list_sum(list_transform(
+                         list_zip(q.embedding, c.embedding),
+                         z -> cast(z[1] as double) * cast(z[2] as double)))
+                       / (sqrt(list_sum(list_transform(q.embedding,
+                              x -> cast(x as double) * cast(x as double))))
+                          * sqrt(list_sum(list_transform(c.embedding,
+                              x -> cast(x as double) * cast(x as double))))),
+                       6) as sim_r
+              from embeddings q, embeddings c
+              where q.vec_id < 10 and q.vec_id <> c.vec_id
+            )
+            select q_id, id, sim_r, cast(rank as int) as rank
+            from (select *, row_number() over (partition by q_id
+                       order by sim_r desc, id) as rank from pairs)
+            where rank <= 5
+        """,
+        # IVF-PQ at nprobe=n_clusters + corpus-wide shortlist + exact
+        # refine degrades to brute force by construction — same oracle
+        # shape as ann_ivf
+        "ann_pq": """
             with pairs as (
               select q.vec_id as q_id, c.vec_id as id,
                      round(

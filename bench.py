@@ -33,7 +33,7 @@ BENCH_QUERIES = [
     "anti_join", "set_ops", "simhash", "dedup_exact_docs", "ngram_jaccard",
     "near_dup_clusters", "dedup_corpus", "minhash_docs", "minhash_lsh", "token_stats",
     "quality_score", "lang_id", "fingerprint", "embedding_topk",
-    "embedding_lsh", "embedding_dup_clusters", "ann_ivf",
+    "embedding_lsh", "embedding_dup_clusters", "ann_ivf", "ann_pq",
     "train_test_split", "stratified_sample",
     # fixture-scale payload queries: constant-size inputs, benched so
     # round-over-round regressions on these operators stay visible
