@@ -1144,6 +1144,56 @@ def q_polygonize(spark, sf_dir):
             .polygonize(band=-1))
 
 
+def q_image_proximity(spark, sf_dir):
+    """Proximity raster (proximity.proximity): exact Euclidean
+    distance to the nearest SCL-class-9 pixel, capped at 5 px —
+    gdal_proximity's MAXDIST semantics made tile-local: the cap bounds
+    the halo radius, neighbor tiles ship 5-px edge strips through the
+    focal exchange, and the capped separable EDT inside each padded
+    window equals the global mosaic transform (proven distributed ≡
+    mosaic in tests/test_proximity.py). Pinned against constants
+    computed Spark-free on assembled per-zone mosaics with the same
+    loop-oracle-gated kernel (tools/gen_oracle_constants.py)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, proximity, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    tiles = (Pipeline(images)
+             .warp(cell_res=datagen.TILE_RES)
+             .composite("first").df)
+    out = proximity.proximity(tiles, band=-1, values=[9.0],
+                              max_dist=5.0)
+
+    @F.pandas_udf("double")
+    def dist_sum(b: pd.Series, w: pd.Series, h: pd.Series,
+                 fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f in zip(b, w, h, fmt):
+            dec = codec.decode(x, int(wi), int(hi), f)
+            valid = dec[dec != -9999.0]
+            res.append(float(np.round(valid.astype(np.float64), 3).sum()))
+        return pd.Series(res)
+
+    @F.pandas_udf("long")
+    def px_eq(b: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series,
+              target: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f, t in zip(b, w, h, fmt, target):
+            dec = codec.decode(x, int(wi), int(hi), f)
+            res.append(int((dec == np.float32(t)).sum()))
+        return pd.Series(res)
+
+    return out.select(
+        "cell_id",
+        F.length("bytes").alias("payload_len"),
+        dist_sum("bytes", "w", "h", "fmt").alias("dist_sum"),
+        px_eq("bytes", "w", "h", "fmt", F.lit(0.0)).alias("zero_px"),
+        px_eq("bytes", "w", "h", "fmt", F.lit(5.0)).alias("cap_px"))
+
+
 def q_image_overview(spark, sf_dir):
     """Masked median composite → 1-level overview pyramid
     (overviews.build_pyramid): every 2x2 block of sibling tiles
@@ -1644,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_budget_composite": q_image_budget_composite,
         "image_focal_mean": q_image_focal_mean,
         "polygonize": q_polygonize,
+        "image_proximity": q_image_proximity,
         "image_overview": q_image_overview,
         "zonal_stats": q_zonal_stats,
         "zonal_histogram": q_zonal_histogram,

@@ -1,0 +1,157 @@
+"""Proximity (capped exact EDT): separable kernel vs a brute-force
+min-over-targets loop, and the distributed halo path vs the assembled
+mosaic — distances must cross tile seams exactly up to the cap."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from vrtility_spark import cells, codec, proximity
+from vrtility_spark.proximity import OUT_NODATA, proximity_np
+
+RNG = np.random.default_rng(17)
+
+ZONE, RES = 30, 3
+FMT = "raw16"
+TILE_SCHEMA = ("cell_id long, bytes binary, w int, h int, fmt string, "
+               "nodata double")
+
+
+def brute_edt(P: np.ndarray, values, max_dist: float) -> np.ndarray:
+    """min over every target pixel (the deliberately-naive oracle)."""
+    B, H, W = P.shape
+    out = np.full((B, H, W), np.inf)
+    for b in range(B):
+        tys, txs = np.nonzero(np.isin(P[b], list(values)))
+        if len(tys) == 0:
+            continue
+        for y in range(H):
+            for x in range(W):
+                d = np.sqrt((tys - y) ** 2.0 + (txs - x) ** 2.0).min()
+                if d <= max_dist:
+                    out[b, y, x] = d
+    return out
+
+
+@pytest.mark.parametrize("md", [2.0, 4.5, 7.0])
+def test_proximity_np_matches_brute(md):
+    P = RNG.integers(0, 4, (2, 13, 17)).astype(float)
+    P[RNG.random(P.shape) < 0.1] = np.nan
+    got = proximity_np(P, [2.0], md)
+    want = brute_edt(P, [2.0], md)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_proximity_np_single_target_field():
+    P = np.zeros((1, 9, 9))
+    P[0, 4, 4] = 1.0
+    got = proximity_np(P, [1.0], 4.0)
+    yy, xx = np.mgrid[0:9, 0:9]
+    want = np.hypot(yy - 4.0, xx - 4.0)
+    want[want > 4.0] = np.inf
+    np.testing.assert_allclose(got[0], want, rtol=1e-12)
+    assert got[0, 4, 4] == 0.0
+
+
+def test_proximity_np_no_targets_and_guard():
+    assert np.isinf(proximity_np(np.zeros((1, 5, 5)), [9.0], 3.0)).all()
+    with pytest.raises(ValueError, match="max_dist"):
+        proximity_np(np.zeros((1, 5, 5)), [1.0], 0.4)
+
+
+# ------------------------------------------------- distributed paths ----
+
+def _tiles(h, w, positions, seed=3):
+    rng = np.random.default_rng(seed)
+    nx = max(p[0] for p in positions) + 1
+    ny = max(p[1] for p in positions) + 1
+    G = np.full((ny * h, nx * w), np.nan)
+    rows = []
+    for ix, iy in positions:
+        # sparse targets (class 7) so distances genuinely cross seams
+        arr = rng.integers(0, 2, (1, h, w)).astype(float) * 3.0
+        hits = rng.random((h, w)) < 0.02
+        arr[0][hits] = 7.0
+        cid = int(cells.encode_np(ZONE, RES, ix, iy))
+        rows.append({"cell_id": cid,
+                     "bytes": codec.encode(arr.astype(np.uint16), FMT),
+                     "w": w, "h": h, "fmt": FMT, "nodata": 999.0})
+        G[iy * h:(iy + 1) * h, ix * w:(ix + 1) * w] = arr[0]
+    return rows, G
+
+
+def _collect(df):
+    return {r["cell_id"]:
+            (codec.decode(r["bytes"], r["w"], r["h"], r["fmt"]), r)
+            for r in df.collect()}
+
+
+@pytest.mark.parametrize("positions", [
+    [(ix, iy) for ix in range(3) for iy in range(3)],   # full grid
+    [(0, 0), (1, 0), (0, 1)],                           # hole at (1,1)
+])
+def test_distributed_matches_mosaic(spark, positions):
+    h = w = 12
+    md = 5.0
+    rows, G = _tiles(h, w, positions)
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=TILE_SCHEMA)
+    got = _collect(proximity.proximity(df, band=0, values=[7.0],
+                                       max_dist=md))
+    # mosaic oracle: the missing tile is NaN in G → no targets there,
+    # exactly what the absent halo strips mean distributedly
+    D = brute_edt(G[None], [7.0], md)[0]
+    D = np.where(np.isinf(D), md, D)  # beyond="clip"
+    for ix, iy in positions:
+        cid = int(cells.encode_np(ZONE, RES, ix, iy))
+        arr, row = got[cid]
+        assert row["fmt"] == "rawf32" and row["nodata"] == OUT_NODATA
+        want = D[iy * h:(iy + 1) * h, ix * w:(ix + 1) * w]
+        enc = codec.from_float(want[None].astype(np.float64), OUT_NODATA,
+                               "float32")
+        np.testing.assert_array_equal(arr, enc)
+    assert any((got[int(cells.encode_np(ZONE, RES, ix, iy))][0] > 0).any()
+               for ix, iy in positions)
+
+
+def test_geo_units_and_nodata_beyond(spark):
+    h = w = 10
+    rows, G = _tiles(h, w, [(0, 0)], seed=9)
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=TILE_SCHEMA)
+    px = _collect(proximity.proximity(df, values=[7.0], max_dist=4.0))
+    geo = _collect(proximity.proximity(df, values=[7.0], max_dist=4.0,
+                                       units="geo"))
+    cid = next(iter(px))
+    _, _, size = cells.cell_frame_np(cid)
+    scale = float(size) / w
+    a = px[cid][0].astype(np.float64)
+    g = geo[cid][0].astype(np.float64)
+    m = a != OUT_NODATA
+    np.testing.assert_allclose(g[m], (a[m] * scale).astype(np.float32),
+                               rtol=1e-6)
+    nd = _collect(proximity.proximity(df, values=[7.0], max_dist=4.0,
+                                      beyond="nodata"))[cid][0]
+    clip = px[cid][0]
+    # beyond-cap pixels (true distance > 4) are sentinel under
+    # "nodata" and exactly 4.0 under "clip"; a REAL distance of 4.0
+    # stays a value under both, so compare against the brute mask
+    rows, G = _tiles(h, w, [(0, 0)], seed=9)
+    over = np.isinf(brute_edt(G[None], [7.0], 4.0))
+    assert ((nd == OUT_NODATA) == over).all()
+    assert (clip[over] == np.float32(4.0)).all()
+    both = ~over
+    np.testing.assert_array_equal(nd[both], clip[both])
+
+
+def test_proximity_validation(spark):
+    h = w = 8
+    rows, _ = _tiles(h, w, [(0, 0)])
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=TILE_SCHEMA)
+    with pytest.raises(KeyError, match="beyond"):
+        proximity.proximity(df, beyond="wat")
+    with pytest.raises(KeyError, match="units"):
+        proximity.proximity(df, units="furlongs")
+    with pytest.raises(Exception, match="out of range"):
+        proximity.proximity(df, band=5, values=[7.0],
+                            max_dist=3.0).collect()

@@ -1059,6 +1059,67 @@ def image_polygonize_rows():
     return sorted(rows, key=lambda r: r["region_id"])
 
 
+def image_proximity_rows():
+    """Proximity raster replicated Spark-free: per-zone mosaics of the
+    first-valid composite's SCL plane, the same capped-EDT kernel
+    (loop-oracle-gated against brute min-over-targets in
+    tests/test_proximity.py) on the NaN-padded mosaic, cropped back to
+    tiles through the identical rawf32/-9999 round trip — pinning the
+    halo exchange (distances crossing tile seams) exactly."""
+    from vrtility_spark import proximity as prox
+
+    MD = 5.0
+    r = int(np.ceil(MD))
+    pdf = _grouped_fixture()
+    tiles: dict[int, np.ndarray] = {}
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        stack = np.stack([
+            codec.to_float_masked(
+                codec.decode(rr.bytes, rr.w, rr.h, rr.fmt), nd)
+            for rr in grp.itertuples(index=False)])
+        out = composite.REDUCERS["first"](stack)
+        pay = codec.from_float(out, nd, "uint16")
+        tiles[int(cell_id)] = codec.to_float_masked(pay, nd)[-1]
+    by_zone: dict[int, list] = {}
+    for cid in tiles:
+        zone, _res, ix, iy = (int(v) for v in cells.decode_np(cid))
+        by_zone.setdefault(zone, []).append((cid, ix, iy))
+    h = w = 16
+    rows = []
+    for zone, lst in sorted(by_zone.items()):
+        x0 = min(ix for _, ix, _ in lst)
+        y0 = min(iy for _, _, iy in lst)
+        gx = max(ix for _, ix, _ in lst) - x0 + 1
+        gy = max(iy for _, _, iy in lst) - y0 + 1
+        G = np.full((gy * h, gx * w), np.nan)
+        for cid, ix, iy in lst:
+            G[(iy - y0) * h:(iy - y0 + 1) * h,
+              (ix - x0) * w:(ix - x0 + 1) * w] = tiles[cid]
+        P = np.full((1, gy * h + 2 * r, gx * w + 2 * r), np.nan)
+        P[:, r:-r, r:-r] = G
+        D = prox.proximity_np(P, [9.0], MD)[0][r:r + gy * h,
+                                               r:r + gx * w]
+        D = np.where(np.isinf(D), MD, D)  # beyond="clip"
+        for cid, ix, iy in lst:
+            tile = D[(iy - y0) * h:(iy - y0 + 1) * h,
+                     (ix - x0) * w:(ix - x0 + 1) * w]
+            payload = codec.encode(
+                codec.from_float(tile[None], prox.OUT_NODATA, "float32"),
+                "rawf32")
+            dec = codec.decode(payload, w, h, "rawf32")
+            valid = dec[dec != prox.OUT_NODATA]
+            rows.append({
+                "cell_id": int(cid),
+                "payload_len": len(payload),
+                "dist_sum": float(np.round(valid.astype(np.float64),
+                                           3).sum()),
+                "zero_px": int((dec == 0.0).sum()),
+                "cap_px": int((dec == np.float32(MD)).sum())})
+    return sorted(rows, key=lambda rr: rr["cell_id"])
+
+
 def _sql_lit(v) -> str:
     if v is None:
         return "NULL"
@@ -1109,6 +1170,10 @@ def main() -> None:
             ["cell_id", "n_scenes", "payload_len", "icept_sum",
              "slope_sum", "sin_sum", "cos_sum", "amp_sum", "phase_sum",
              "rmse_sum", "nobs_sum"]),
+        # first-composite -> capped EDT: pins the distance halo exchange
+        "image_proximity": values_sql(
+            image_proximity_rows(),
+            ["cell_id", "payload_len", "dist_sum", "zero_px", "cap_px"]),
         # first-composite -> region extraction: pins the seam matching
         # and the distributed component merge in global pixel-id space
         "polygonize": values_sql(

@@ -101,6 +101,23 @@ def subset_bands(df: DataFrame, keep: Sequence[str]) -> DataFrame:
     return _payload_map(df, fn)
 
 
+def subset_band_index(df: DataFrame, index: int) -> DataFrame:
+    """Keep ONE plane by positional index (negative ok) — for tables
+    without a ``bands`` name column (composite outputs); name metadata
+    follows when present."""
+    def fn(arr, row):
+        i = index if index >= 0 else len(arr) + index
+        if not 0 <= i < len(arr):
+            raise ValueError(
+                f"band index {index} out of range for {len(arr)}-plane "
+                "tile")
+        names = (list(row.bands)[i:i + 1]
+                 if getattr(row, "bands", None) is not None else None)
+        return arr[i:i + 1], names, [i]
+
+    return _payload_map(df, fn)
+
+
 def move_band(df: DataFrame, band: str, position: int) -> DataFrame:
     """vrt_move_band: move one plane to a 1-based position."""
     def fn(arr, row):
