@@ -1144,6 +1144,85 @@ def q_polygonize(spark, sf_dir):
             .polygonize(band=-1))
 
 
+def q_image_pansharpen(spark, sf_dir):
+    """Pan-sharpening (pansharpen.pansharpen): the median composite's
+    three data bands fused with a 2x-resolution pan tile (synthesized
+    deterministically in an Arrow map: nearest-replicated intensity +
+    a ±40 checkerboard ripple) via Brovey ratio injection — the
+    two-resolution fusion is ONE cell-keyed equi-join + a narrow map
+    with the NaN-aware upsample inside it, never an intermediate
+    rewrite. The reference warps to one grid before stacking
+    (R/vrt-warp.R); cross-resolution fusion is the step beyond it.
+    Pinned against constants computed Spark-free with the same
+    fidelity-gated kernel (tools/gen_oracle_constants.py)."""
+    _ensure_shipped(spark)
+    from pyspark.sql import types as T
+    from vrtility_spark import datagen, pansharpen, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    comp = (Pipeline(images)
+            .warp(cell_res=datagen.TILE_RES)
+            .composite("median").df)
+
+    pan_schema = ("cell_id long, bytes binary, w int, h int, "
+                  "fmt string, nodata double")
+
+    def build_pan(batches):
+        from vrtility_spark import codec
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                arr = codec.decode(row.bytes, row.w, row.h, row.fmt)
+                nd = codec.row_band_meta(row, len(arr), "band_nodata",
+                                         row.nodata)
+                A = codec.to_float_masked(arr, nd)
+                M = A[:3].mean(axis=0)
+                P = np.repeat(np.repeat(M, 2, axis=0), 2, axis=1)
+                yy, xx = np.mgrid[0:32, 0:32]
+                P = np.round(P) + ((yy + xx) % 2) * 40.0
+                rows.append({
+                    "cell_id": int(row.cell_id),
+                    "bytes": codec.encode(
+                        codec.from_float(P[None], 0.0, "uint16"),
+                        "raw16"),
+                    "w": 32, "h": 32, "fmt": "raw16", "nodata": 0.0})
+            yield pd.DataFrame(rows)
+
+    pan = comp.mapInPandas(build_pan, schema=pan_schema)
+    out = pansharpen.pansharpen(comp, pan, method="brovey",
+                                ms_bands=[0, 1, 2])
+
+    def plane_sum(which: int):
+        @F.pandas_udf("double")
+        def fsum(b: pd.Series, w: pd.Series, h: pd.Series,
+                 fmt: pd.Series) -> pd.Series:
+            from vrtility_spark import codec
+            res = []
+            for x, wi, hi, f in zip(b, w, h, fmt):
+                dec = codec.decode(x, int(wi), int(hi), f)
+                valid = dec[which][dec[which] != -9999.0]
+                res.append(float(np.round(valid.astype(np.float64),
+                                          3).sum()))
+            return pd.Series(res)
+        return fsum
+
+    @F.pandas_udf("long")
+    def nd_px(b: pd.Series, w: pd.Series, h: pd.Series,
+              fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        return pd.Series([
+            int((codec.decode(x, int(wi), int(hi), f) == -9999.0).sum())
+            for x, wi, hi, f in zip(b, w, h, fmt)])
+
+    return out.select(
+        "cell_id", F.length("bytes").alias("payload_len"),
+        plane_sum(0)("bytes", "w", "h", "fmt").alias("b0_sum"),
+        plane_sum(1)("bytes", "w", "h", "fmt").alias("b1_sum"),
+        plane_sum(2)("bytes", "w", "h", "fmt").alias("b2_sum"),
+        nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
+
+
 def q_image_proximity(spark, sf_dir):
     """Proximity raster (proximity.proximity): exact Euclidean
     distance to the nearest SCL-class-9 pixel, capped at 5 px —
@@ -1695,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_focal_mean": q_image_focal_mean,
         "polygonize": q_polygonize,
         "image_proximity": q_image_proximity,
+        "image_pansharpen": q_image_pansharpen,
         "image_overview": q_image_overview,
         "zonal_stats": q_zonal_stats,
         "zonal_histogram": q_zonal_histogram,

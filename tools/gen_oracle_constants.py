@@ -1059,6 +1059,54 @@ def image_polygonize_rows():
     return sorted(rows, key=lambda r: r["region_id"])
 
 
+def image_pansharpen_rows():
+    """Pan-sharpening replicated Spark-free: the median composite per
+    cell, a deterministic synthetic pan tile (2x nearest replication
+    of the 3-band intensity + a ±40 checkerboard ripple — the same
+    recipe the driver query builds in its Arrow map), fused with
+    pansharpen_np (closed-form/fidelity-gated in
+    tests/test_pansharpen.py), per-plane rounded sums + sentinel
+    counts through the rawf32 round trip."""
+    from vrtility_spark import pansharpen as ps
+
+    pdf = _grouped_fixture()
+    rows = []
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        stack = np.stack([
+            codec.to_float_masked(
+                codec.decode(r.bytes, r.w, r.h, r.fmt), nd)
+            for r in grp.itertuples(index=False)])
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            med = composite.REDUCERS["median"](stack)
+        pay = codec.from_float(med, nd, "uint16")
+        A = codec.to_float_masked(pay, nd)
+        M = A[:3].mean(axis=0)
+        P = np.repeat(np.repeat(M, 2, axis=0), 2, axis=1)
+        yy, xx = np.mgrid[0:32, 0:32]
+        P = np.round(P) + ((yy + xx) % 2) * 40.0
+        pan_pay = codec.from_float(P[None], 0.0, "uint16")
+        Pm = codec.to_float_masked(pan_pay, 0.0)[0]
+        out = ps.pansharpen_np(A[:3], Pm, "brovey")
+        payload = codec.encode(
+            codec.from_float(out, ps.OUT_NODATA, "float32"), "rawf32")
+        dec = codec.decode(payload, 32, 32, "rawf32")
+        sums = []
+        for b in range(3):
+            valid = dec[b][dec[b] != -9999.0]
+            sums.append(float(np.round(valid.astype(np.float64),
+                                       3).sum()))
+        rows.append({
+            "cell_id": int(cell_id),
+            "payload_len": len(payload),
+            "b0_sum": sums[0], "b1_sum": sums[1], "b2_sum": sums[2],
+            "nodata_px": int((dec == -9999.0).sum())})
+    return sorted(rows, key=lambda r: r["cell_id"])
+
+
 def image_proximity_rows():
     """Proximity raster replicated Spark-free: per-zone mosaics of the
     first-valid composite's SCL plane, the same capped-EDT kernel
@@ -1170,6 +1218,12 @@ def main() -> None:
             ["cell_id", "n_scenes", "payload_len", "icept_sum",
              "slope_sum", "sin_sum", "cos_sum", "amp_sum", "phase_sum",
              "rmse_sum", "nobs_sum"]),
+        # median composite + synthetic pan -> Brovey fusion: pins the
+        # two-resolution cell join and the in-map upsample
+        "image_pansharpen": values_sql(
+            image_pansharpen_rows(),
+            ["cell_id", "payload_len", "b0_sum", "b1_sum", "b2_sum",
+             "nodata_px"]),
         # first-composite -> capped EDT: pins the distance halo exchange
         "image_proximity": values_sql(
             image_proximity_rows(),
