@@ -162,3 +162,84 @@ def test_phash_pairs_bucket_join_prunes_payload(spark):
     for line in plan.splitlines():
         if "LocalTableScan" in line:
             assert "bytes" not in line  # payload pruned at the scan
+
+
+def test_harmonic_partials_shuffle_not_scenes(spark):
+    """Incremental harmonic inherits trend's map-before-exchange
+    contract: one Exchange, and the accumulator MapInPandas runs below
+    it (fixed-size normal-equation blocks shuffle, scenes don't)."""
+    from vrtility_spark import datagen, harmonic, schema, warp
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    celled = warp.assign_cells(images, datagen.TILE_RES)
+    import re
+    plan = explain_str(harmonic.harmonic(celled))
+    assert plan.count(") Exchange") == 1
+    map_n = int(re.search(r"MapInPandas \((\d+)\)", plan).group(1))
+    ex_n = int(re.search(r"Exchange \((\d+)\)", plan).group(1))
+    assert map_n < ex_n
+
+
+def test_pansharpen_one_join_one_fused_map(spark):
+    """Two-resolution fusion is ONE cell join + ONE Arrow map (the
+    upsample lives inside it): a second map would mean an
+    intermediate-resolution rewrite, a second join a replan."""
+    import re
+    import numpy as np
+    import pandas as pd
+    from vrtility_spark import cells, codec, pansharpen
+    rows_ms, rows_pan = [], []
+    for ix in (1, 2):
+        cid = int(cells.encode_np(30, 3, ix, 1))
+        rows_ms.append({"cell_id": cid, "bytes": codec.encode(
+            np.ones((2, 4, 4), np.uint16), "raw16"),
+            "w": 4, "h": 4, "fmt": "raw16", "nodata": 0.0})
+        rows_pan.append({"cell_id": cid, "bytes": codec.encode(
+            np.ones((1, 8, 8), np.uint16), "raw16"),
+            "w": 8, "h": 8, "fmt": "raw16", "nodata": 0.0})
+    sch = ("cell_id long, bytes binary, w int, h int, fmt string, "
+           "nodata double")
+    out = pansharpen.pansharpen(
+        spark.createDataFrame(pd.DataFrame(rows_ms), sch),
+        spark.createDataFrame(pd.DataFrame(rows_pan), sch))
+    plan = explain_str(out)
+    assert plan.count(") MapInPandas") == 1, plan
+    assert len(re.findall(
+        r"^\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)",
+        plan, re.M)) == 1, plan
+
+
+def test_proximity_rides_focal_exchange(spark):
+    """Proximity = band subset (narrow map) + the focal halo exchange:
+    exactly ONE Exchange total — the distance transform adds no
+    shuffle of its own — and the grouped assemble is the only stacked
+    stage."""
+    import numpy as np
+    import pandas as pd
+    from vrtility_spark import cells, codec, proximity
+    rows = [{"cell_id": int(cells.encode_np(30, 3, 1, 1)),
+             "bytes": codec.encode(np.ones((2, 8, 8), np.uint16),
+                                   "raw16"),
+             "w": 8, "h": 8, "fmt": "raw16", "nodata": 0.0}]
+    df = spark.createDataFrame(pd.DataFrame(rows),
+                               "cell_id long, bytes binary, w int, "
+                               "h int, fmt string, nodata double")
+    plan = explain_str(proximity.proximity(df, values=[1.0],
+                                           max_dist=3.0))
+    assert plan.count(") Exchange") == 1, plan
+    assert plan.count(") FlatMapGroupsInPandas") == 1, plan
+
+
+def test_sampling_is_pure_expression_no_shuffle(spark):
+    """Hash sampling compiles to Column expressions: no Exchange, no
+    Python eval node anywhere — Catalyst keeps the filter in the scan
+    stage, the property that makes a 1% sample of 100 TB one pruned
+    pass."""
+    from vrtility_spark import sampling
+    df = spark.range(0, 1000)
+    for plan in (
+            explain_str(sampling.sample_fraction(df, ["id"], 0.25)),
+            explain_str(sampling.assign_splits(
+                df, ["id"], {"train": 0.9, "test": 0.1}))):
+        assert ") Exchange" not in plan, plan
+        assert "EvalPython" not in plan and "MapInPandas" not in plan
