@@ -1144,6 +1144,32 @@ def q_polygonize(spark, sf_dir):
             .polygonize(band=-1))
 
 
+def q_image_sieve(spark, sf_dir):
+    """Small-region removal (regions.sieve — gdal_sieve's semantics):
+    every SCL region under 8 pixels is rewritten to its largest
+    neighbour's value, decided against GLOBAL region sizes and a
+    distributed region-adjacency graph (in-tile contact pairs +
+    cross-tile seam pairs → the same hash-min component machinery),
+    with per-cell patch lists traveling back to the tiles — tile bytes
+    never shuffle. Pinned against constants computed Spark-free on
+    assembled per-zone mosaics with the operator's exact tie-breaks
+    (tools/gen_oracle_constants.py)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    out = (Pipeline(images)
+           .warp(cell_res=datagen.TILE_RES)
+           .composite("first")
+           .sieve(min_pixels=8, band=-1).df)
+    ps = _pix_sum_udf()
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        ps("bytes", "w", "h", "fmt").alias("pix_sum"))
+
+
 def q_image_pansharpen(spark, sf_dir):
     """Pan-sharpening (pansharpen.pansharpen): the median composite's
     three data bands fused with a 2x-resolution pan tile (synthesized
@@ -1775,6 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygonize": q_polygonize,
         "image_proximity": q_image_proximity,
         "image_pansharpen": q_image_pansharpen,
+        "image_sieve": q_image_sieve,
         "image_overview": q_image_overview,
         "zonal_stats": q_zonal_stats,
         "zonal_histogram": q_zonal_histogram,

@@ -45,7 +45,7 @@ BENCH_QUERIES = [
     "image_quarterly_composite", "image_trend", "image_gapfill",
     "image_phash_dedup", "image_std_composite", "image_anomaly",
     "image_remedian_composite", "image_harmonic", "polygonize",
-    "image_proximity", "image_pansharpen",
+    "image_proximity", "image_pansharpen", "image_sieve",
     "zonal_stats", "zonal_histogram", "rasterize_aoi",
     "audio_features", "video_features",
 ]

@@ -1107,6 +1107,105 @@ def image_pansharpen_rows():
     return sorted(rows, key=lambda r: r["cell_id"])
 
 
+def image_sieve_rows():
+    """Sieve replicated Spark-free: per-zone mosaics of the first-valid
+    composite's SCL plane are labeled with regions.label_np
+    (loop-oracle-gated), region ids/sizes mapped into GLOBAL pixel-id
+    space, the adjacency graph scanned directly, and every
+    sub-threshold region rewritten to its largest neighbour's value
+    with the operator's exact tie-break (max size, then min region
+    id) — pinning global sizes, the RAG, and the patch-by-relabeling
+    write-back."""
+    from collections import defaultdict
+
+    from vrtility_spark import regions as regions_mod
+
+    MIN_PX = 8
+    pdf = _grouped_fixture()
+    tiles: dict[int, np.ndarray] = {}
+    metas: dict[int, tuple] = {}
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        stack = np.stack([
+            codec.to_float_masked(
+                codec.decode(r.bytes, r.w, r.h, r.fmt), nd)
+            for r in grp.itertuples(index=False)])
+        out = composite.REDUCERS["first"](stack)
+        pay = codec.from_float(out, nd, "uint16")
+        tiles[int(cell_id)] = pay
+        metas[int(cell_id)] = (nd, len(grp))
+    by_zone: dict[int, list] = {}
+    for cid in tiles:
+        zone, _res, ix, iy = (int(v) for v in cells.decode_np(cid))
+        by_zone.setdefault(zone, []).append((cid, ix, iy))
+    h = w = 16
+    rows = []
+    for zone, lst in sorted(by_zone.items()):
+        x0 = min(ix for _, ix, _ in lst)
+        y0 = min(iy for _, _, iy in lst)
+        gx = max(ix for _, ix, _ in lst) - x0 + 1
+        gy = max(iy for _, _, iy in lst) - y0 + 1
+        G = np.full((gy * h, gx * w), np.nan)
+        pos: dict[tuple, int] = {}
+        for cid, ix, iy in lst:
+            nd = metas[cid][0]
+            G[(iy - y0) * h:(iy - y0 + 1) * h,
+              (ix - x0) * w:(ix - x0 + 1) * w] = \
+                codec.to_float_masked(tiles[cid], nd)[-1]
+            pos[(ix - x0, iy - y0)] = cid
+        L = regions_mod.label_np(G, np.isfinite(G))
+        comp_of, size_c, val_c = {}, {}, {}
+        for lb in np.unique(L[L >= 0]):
+            ys, xs = np.nonzero(L == lb)
+            pids = [pos[(x // w, y // h)] * regions_mod.PID_RADIX
+                    + (y % h) * w + (x % w)
+                    for y, x in zip(ys, xs)]
+            c = min(pids)
+            comp_of[lb] = c
+            size_c[c] = len(ys)
+            val_c[c] = float(G[ys[0], xs[0]])
+        nbrs = defaultdict(set)
+        Hm, Wm = G.shape
+        for y in range(Hm):
+            for x in range(Wm):
+                if L[y, x] < 0:
+                    continue
+                for dy, dx in ((0, 1), (1, 0)):
+                    ny, nx = y + dy, x + dx
+                    if (ny < Hm and nx < Wm and L[ny, nx] >= 0
+                            and L[ny, nx] != L[y, x]):
+                        a, b = comp_of[L[y, x]], comp_of[L[ny, nx]]
+                        nbrs[a].add(b)
+                        nbrs[b].add(a)
+        G2 = G.copy()
+        for lb, c in comp_of.items():
+            if size_c[c] >= MIN_PX:
+                continue
+            cands = sorted(nbrs[c], key=lambda n: (-size_c[n], n))
+            if not cands:
+                continue
+            G2[L == lb] = val_c[cands[0]]
+        for cid, ix, iy in lst:
+            nd, n_sc = metas[cid]
+            arr = tiles[cid].copy()
+            scl = G2[(iy - y0) * h:(iy - y0 + 1) * h,
+                     (ix - x0) * w:(ix - x0 + 1) * w]
+            plane = arr[-1].copy()
+            m = np.isfinite(scl)
+            plane[m] = np.round(scl[m]).astype(plane.dtype)
+            arr[-1] = plane
+            payload = codec.encode(arr, "raw16")
+            rows.append({
+                "cell_id": int(cid),
+                "n_scenes": int(n_sc),
+                "payload_len": len(payload),
+                "pix_sum": int(np.asarray(
+                    codec.decode(payload, w, h, "raw16"),
+                    dtype=np.int64).sum())})
+    return sorted(rows, key=lambda r: r["cell_id"])
+
+
 def image_proximity_rows():
     """Proximity raster replicated Spark-free: per-zone mosaics of the
     first-valid composite's SCL plane, the same capped-EDT kernel
@@ -1218,6 +1317,11 @@ def main() -> None:
             ["cell_id", "n_scenes", "payload_len", "icept_sum",
              "slope_sum", "sin_sum", "cos_sum", "amp_sum", "phase_sum",
              "rmse_sum", "nobs_sum"]),
+        # first-composite -> sieve: pins global region sizes, the
+        # adjacency graph, and the patch-by-relabeling write-back
+        "image_sieve": values_sql(
+            image_sieve_rows(),
+            ["cell_id", "n_scenes", "payload_len", "pix_sum"]),
         # median composite + synthetic pan -> Brovey fusion: pins the
         # two-resolution cell join and the in-map upsample
         "image_pansharpen": values_sql(

@@ -56,7 +56,8 @@ class Pipeline:
         "set_maskfun", "create_mlmask", "subset_bands", "derived_band",
         "set_scale", "reproject", "warp", "regrid", "composite",
         "composite_period", "trend", "harmonic", "gapfill",
-        "hampel", "savgol", "split_cells", "focal", "overview_level",
+        "hampel", "savgol", "split_cells", "focal", "sieve",
+        "overview_level",
         "overviews", "terrain"])
 
     def __init__(self, df: DataFrame, mask_specs: tuple = (),
@@ -337,6 +338,25 @@ class Pipeline:
             (), "focal", {"op": op, "radius": int(radius),
                           "weights": w_list, "normalize": normalize,
                           "fill": bool(fill)})
+
+    def sieve(self, min_pixels: int, band: int = 0, values=None,
+              fill: str = "largest_neighbor", rounds: int = 1) -> "Pipeline":
+        """Remove regions smaller than ``min_pixels`` (regions.sieve —
+        gdal_sieve's cleanup): each small region is rewritten to its
+        largest neighbour's value (or nodata), using global region
+        sizes and a distributed adjacency graph; per-cell patch lists
+        travel back to the tiles, tile bytes never shuffle. Pending
+        masks flush first."""
+        from vrtility_spark import regions as _regions
+        return self._next(
+            _regions.sieve(self._flushed().df, band=band,
+                           min_pixels=int(min_pixels), values=values,
+                           fill=fill, rounds=int(rounds)),
+            (), "sieve", {"min_pixels": int(min_pixels),
+                          "band": int(band),
+                          "values": (None if values is None
+                                     else [float(v) for v in values]),
+                          "fill": fill, "rounds": int(rounds)})
 
     def polygonize(self, band: int = 0, values=None,
                    reliable: bool = False) -> DataFrame:

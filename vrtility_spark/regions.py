@@ -64,10 +64,12 @@ REGION_SCHEMA = (
     "region_id long, value double, pixel_count long, n_tiles long, "
     "xmin double, ymin double, xmax double, ymax double")
 
+#: emit-stage record kinds: 0 = per-tile region partial, 1 = seam
+#: boundary pixel, 2 = in-tile adjacency pair (label, label_b)
 _MID_SCHEMA = (
     "kind int, cell_id long, w int, h int, label long, value double, "
     "px long, pxmin int, pymin int, pxmax int, pymax int, "
-    "seam long, axis int, pos int")
+    "seam long, axis int, pos int, label_b long")
 
 
 # ------------------------------------------------------ NumPy kernels ----
@@ -182,33 +184,17 @@ def _neighbor(zone: int, res: int, ix: int, iy: int,
     return int(cells.encode_np(zone, res, jx, jy))
 
 
-def polygonize(df: DataFrame, band: int = 0, key: str = "cell_id",
-               values: Sequence[float] | None = None,
-               max_iter: int = 50, reliable: bool = False,
-               checkpoint_dir: str | None = None) -> DataFrame:
-    """Extract equal-valued 4-connected regions from a one-row-per-cell
-    tile table (composite outputs, regridded scenes, overview levels,
-    :func:`rasterize.rasterize_aoi` burns).
-
-    ``band`` picks the class plane (e.g. the SCL index); ``values``
-    optionally restricts to a class subset (everything else becomes
-    background). Nodata pixels (scalar or per-band ``band_nodata``)
-    never join a region.
-
-    Returns ``REGION_SCHEMA``: one row per region —
-    ``region_id`` (min global pixel id, deterministic), ``value``,
-    ``pixel_count``, ``n_tiles`` (tiles the region touches), and the
-    region's world-frame bbox (pixel edges, row 0 = ymin — the zonal /
-    rasterize pixel-center convention).
-
-    ``reliable=True`` routes the iterative merge's checkpoints to
-    durable storage (:mod:`checkpointing`), surviving executor loss on
-    long jobs.
-    """
+def _emit_stage(df: DataFrame, band: int, values, key: str,
+                adjacency: bool = False) -> DataFrame:
+    """Shared per-tile pass: decode once, label locally, emit region
+    partials (kind 0), seam boundary pixels (kind 1) and — when
+    ``adjacency`` — in-tile different-region contact pairs (kind 2,
+    for the region-adjacency graph :func:`sieve` merges along)."""
     names = [f.name for f in df.schema.fields]
     for req in (key, "bytes", "w", "h", "fmt", "nodata"):
         if req not in names:
-            raise ValueError(f"polygonize input is missing column {req!r}")
+            raise ValueError(
+                f"region emit input is missing column {req!r}")
     keep = None if values is None else {float(v) for v in values}
     band_i = int(band)
 
@@ -253,7 +239,21 @@ def polygonize(df: DataFrame, band: int = 0, key: str = "cell_id",
                         0, cid, w, h, base + int(lab[i]), float(val[i]),
                         int(cnt[i]), int(pxmin[i]), int(pymin[i]),
                         int(pxmax[i]), int(pymax[i]),
-                        None, None, None))
+                        None, None, None, None))
+                if adjacency:
+                    pairs = set()
+                    for a, b in ((L[:, :-1], L[:, 1:]),
+                                 (L[:-1, :], L[1:, :])):
+                        m = (a >= 0) & (b >= 0) & (a != b)
+                        if m.any():
+                            lo = np.minimum(a[m], b[m])
+                            hi = np.maximum(a[m], b[m])
+                            pairs.update(zip(lo.tolist(), hi.tolist()))
+                    for la, lb in pairs:
+                        out.append((
+                            2, cid, None, None, base + int(la), None,
+                            None, None, None, None, None,
+                            None, None, None, base + int(lb)))
                 # seam records: E/W use pixel column edges, N/S rows.
                 # axis 0 = vertical seam (horizontal adjacency), pos=y;
                 # axis 1 = horizontal seam, pos=x. Row 0 = ymin, so the
@@ -277,29 +277,100 @@ def polygonize(df: DataFrame, band: int = 0, key: str = "cell_id",
                         out.append((
                             1, cid, None, None, base + int(edge_lab[p]),
                             float(edge_val[p]), None, None, None, None,
-                            None, seam, axis, int(p)))
+                            None, seam, axis, int(p), None))
             if out:
-                yield pd.DataFrame(out, columns=[
-                    "kind", "cell_id", "w", "h", "label", "value", "px",
-                    "pxmin", "pymin", "pxmax", "pymax",
-                    "seam", "axis", "pos"])
+                cols = ["kind", "cell_id", "w", "h", "label", "value",
+                        "px", "pxmin", "pymin", "pxmax", "pymax",
+                        "seam", "axis", "pos", "label_b"]
+                pdf = pd.DataFrame(out, columns=cols, dtype=object)
+                # pixel-id columns hold ~2^59 values with NULLs mixed
+                # in; default inference would coerce them to float64
+                # and silently destroy the low bits — force nullable
+                # integer dtypes instead
+                for c in ("kind", "cell_id", "w", "h", "label", "px",
+                          "pxmin", "pymin", "pxmax", "pymax", "seam",
+                          "axis", "pos", "label_b"):
+                    pdf[c] = pd.array(
+                        [None if v is None else int(v) for v in pdf[c]],
+                        dtype="Int64")
+                pdf["value"] = pd.array(
+                    [None if v is None else float(v)
+                     for v in pdf["value"]], dtype="Float64")
+                yield pdf
 
-    mid = df.mapInPandas(emit, schema=_MID_SCHEMA)
+    return df.mapInPandas(emit, schema=_MID_SCHEMA)
+
+
+def _seam_pairs(mid: DataFrame) -> DataFrame:
+    """One grouping serves both graphs: the two sides of each seam
+    pixel pair up by position; equal values ⟺ the region CONTINUES
+    (a component-merge edge), different values ⟺ the regions TOUCH
+    (an adjacency edge). Returns (src, dst, same) with src < dst."""
+    return (mid.filter(F.col("kind") == 1)
+            .groupBy("seam", "axis", "pos")
+            .agg(F.min("label").alias("src"),
+                 F.max("label").alias("dst"),
+                 F.min("value").alias("vmin"),
+                 F.max("value").alias("vmax"),
+                 F.count(F.lit(1)).alias("cnt"))
+            .filter((F.col("cnt") == 2) & (F.col("src") < F.col("dst")))
+            .select("src", "dst",
+                    (F.col("vmin") == F.col("vmax")).alias("same"))
+            .distinct())
+
+
+def _component_labels(mid: DataFrame, max_iter: int, reliable: bool,
+                      checkpoint_dir):
+    """(pairs, labels) — seam pairs plus the hash-min component labels
+    over the equal-value edges."""
+    pairs = _seam_pairs(mid)
+    edges = pairs.filter("same").select("src", "dst")
+    labels = connected_components(edges, "src", "dst",
+                                  max_iter=max_iter, reliable=reliable,
+                                  checkpoint_dir=checkpoint_dir)
+    return pairs, labels
+
+
+def _with_comp(df: DataFrame, labels: DataFrame, col: str) -> DataFrame:
+    """Map a label column to its component id (itself when unmerged)."""
+    lab = labels.withColumnRenamed("id", col).withColumnRenamed(
+        "comp", f"_{col}_comp")
+    return (df.join(lab, col, "left")
+            .withColumn(f"_{col}_comp",
+                        F.coalesce(f"_{col}_comp", col)))
+
+
+def polygonize(df: DataFrame, band: int = 0, key: str = "cell_id",
+               values: Sequence[float] | None = None,
+               max_iter: int = 50, reliable: bool = False,
+               checkpoint_dir: str | None = None) -> DataFrame:
+    """Extract equal-valued 4-connected regions from a one-row-per-cell
+    tile table (composite outputs, regridded scenes, overview levels,
+    :func:`rasterize.rasterize_aoi` burns).
+
+    ``band`` picks the class plane (e.g. the SCL index); ``values``
+    optionally restricts to a class subset (everything else becomes
+    background). Nodata pixels (scalar or per-band ``band_nodata``)
+    never join a region.
+
+    Returns ``REGION_SCHEMA``: one row per region —
+    ``region_id`` (min global pixel id, deterministic), ``value``,
+    ``pixel_count``, ``n_tiles`` (tiles the region touches), and the
+    region's world-frame bbox (pixel edges, row 0 = ymin — the zonal /
+    rasterize pixel-center convention).
+
+    ``reliable=True`` routes the iterative merge's checkpoints to
+    durable storage (:mod:`checkpointing`), surviving executor loss on
+    long jobs.
+    """
+    mid = _emit_stage(df, band, values, key)
     # one shared materialization: the CC iterations and the final
     # aggregation both read this, and neither should re-decode tiles
     mid = truncate_lineage(mid, eager=False, reliable=reliable,
                            checkpoint_dir=checkpoint_dir)
     parts = mid.filter(F.col("kind") == 0)
-    seams = mid.filter(F.col("kind") == 1)
-    edges = (seams.groupBy("seam", "axis", "pos", "value")
-             .agg(F.min("label").alias("src"),
-                  F.max("label").alias("dst"),
-                  F.count(F.lit(1)).alias("cnt"))
-             .filter((F.col("cnt") == 2) & (F.col("src") < F.col("dst")))
-             .select("src", "dst").distinct())
-    labels = connected_components(edges, "src", "dst", max_iter=max_iter,
-                                  reliable=reliable,
-                                  checkpoint_dir=checkpoint_dir)
+    _, labels = _component_labels(mid, max_iter, reliable,
+                                  checkpoint_dir)
     joined = (parts.join(labels.withColumnRenamed("id", "label"),
                          "label", "left")
               .withColumn("comp", F.coalesce("comp", "label")))
@@ -323,3 +394,154 @@ def polygonize(df: DataFrame, band: int = 0, key: str = "cell_id",
             .select(F.col("comp").alias("region_id"), "value",
                     "pixel_count", "n_tiles",
                     "xmin", "ymin", "xmax", "ymax"))
+
+
+def sieve(df: DataFrame, band: int = 0, min_pixels: int = 9,
+          values: Sequence[float] | None = None,
+          fill: str = "largest_neighbor", rounds: int = 1,
+          key: str = "cell_id", max_iter: int = 50,
+          reliable: bool = False,
+          checkpoint_dir: str | None = None) -> DataFrame:
+    """Remove salt-and-pepper regions — gdal_sieve's semantics on the
+    distributed grid: every region smaller than ``min_pixels`` is
+    rewritten to its largest neighbour region's value
+    (``fill="largest_neighbor"``, ties broken by the smaller region
+    id) or to nodata (``fill="nodata"``). Classifier outputs are full
+    of 1-3-pixel speckle; sieving them is the standard cleanup before
+    polygonize/zonal.
+
+    Built from the same three distributed pieces as :func:`polygonize`
+    plus the region-adjacency graph: the emit pass also records which
+    DIFFERENT-valued regions touch (in-tile contact pairs + unequal
+    seam pairs), global region sizes come from the component merge,
+    and the chosen rewrites travel BACK to the tiles as a per-cell
+    patch list — each tile then re-derives its local labels (the
+    labeling is deterministic) and rewrites only the patched pixels.
+    Tile bytes still never shuffle; the patch join moves one tiny list
+    per affected cell.
+
+    One round is one global sieve (every small region judged against
+    ORIGINAL sizes — a deterministic variant of GDAL's cascade, which
+    merges serially in scan order). ``rounds > 1`` re-runs on the
+    rewritten tiles: merged speckle that is still under the threshold
+    joins its (now larger) surroundings, converging like iterated
+    gdal_sieve. Small regions with NO neighbour (speckle surrounded by
+    nodata) keep their value under ``largest_neighbor`` and drop under
+    ``"nodata"``.
+
+    Returns the input schema with payloads rewritten (same format);
+    ``band``/``values`` follow :func:`polygonize`.
+    """
+    if fill not in ("largest_neighbor", "nodata"):
+        raise KeyError(f"unknown fill {fill!r}; largest_neighbor | nodata")
+    if int(min_pixels) < 1:
+        raise ValueError("min_pixels must be >= 1")
+    out = df
+    for _ in range(int(rounds)):
+        out = _sieve_once(out, band, int(min_pixels), values, fill, key,
+                          max_iter, reliable, checkpoint_dir)
+    return out
+
+
+def _sieve_once(df: DataFrame, band: int, min_pixels: int, values,
+                fill: str, key: str, max_iter: int, reliable: bool,
+                checkpoint_dir) -> DataFrame:
+    from pyspark.sql import Window
+
+    names = [f.name for f in df.schema.fields]
+    mid = truncate_lineage(
+        _emit_stage(df, band, values, key, adjacency=True),
+        eager=False, reliable=reliable, checkpoint_dir=checkpoint_dir)
+    parts = mid.filter(F.col("kind") == 0)
+    pairs, labels = _component_labels(mid, max_iter, reliable,
+                                      checkpoint_dir)
+    parts_c = (parts.join(labels.withColumnRenamed("id", "label"),
+                          "label", "left")
+               .withColumn("comp", F.coalesce("comp", "label")))
+    regions = (parts_c.groupBy("comp")
+               .agg(F.min("value").alias("value"),
+                    F.sum("px").alias("px")))
+    small = regions.filter(F.col("px") < min_pixels)
+    if fill == "largest_neighbor":
+        adj = (mid.filter(F.col("kind") == 2)
+               .select(F.col("label").alias("a"),
+                       F.col("label_b").alias("b")))
+        cross = (pairs.filter(~F.col("same"))
+                 .select(F.col("src").alias("a"),
+                         F.col("dst").alias("b")))
+        rag_l = adj.unionByName(cross)
+        rag = (_with_comp(_with_comp(rag_l, labels, "a"), labels, "b")
+               .select(F.col("_a_comp").alias("ca"),
+                       F.col("_b_comp").alias("cb"))
+               .filter(F.col("ca") != F.col("cb")).distinct())
+        both = rag.unionByName(
+            rag.select(F.col("cb").alias("ca"), F.col("ca").alias("cb")))
+        cand = (small.select("comp")
+                .join(both, F.col("comp") == F.col("ca"))
+                .join(regions.select(F.col("comp").alias("cb"),
+                                     F.col("px").alias("nb_px"),
+                                     F.col("value").alias("nb_value")),
+                      "cb"))
+        w = Window.partitionBy("comp").orderBy(F.desc("nb_px"), "cb")
+        pick = (cand.withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") == 1)
+                .select("comp", F.col("nb_value").alias("new_value")))
+    else:
+        pick = small.select(
+            "comp", F.lit(None).cast("double").alias("new_value"))
+    patch = (parts_c.join(pick, "comp")
+             .select(F.col("cell_id").alias(key),
+                     (F.col("label") % PID_RADIX).alias("llabel"),
+                     "new_value"))
+    patches = patch.groupBy(key).agg(
+        F.collect_list(F.struct("llabel", "new_value")).alias("_patches"))
+    joined = df.join(patches, key, "left")
+    keep = None if values is None else {float(v) for v in values}
+    band_i = int(band)
+
+    def apply_patches(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for row in pdf.itertuples(index=False):
+                d = dict(zip(pdf.columns, row))
+                plist = d.pop("_patches", None)
+                res = {n: d[n] for n in names}
+                if plist is not None and len(plist):
+                    # decode returns a read-only buffer view; the patch
+                    # mutates pixels in place
+                    arr = codec.decode(d["bytes"], int(d["w"]),
+                                       int(d["h"]), d["fmt"]).copy()
+                    nd = codec.row_band_meta(row, len(arr),
+                                             "band_nodata", d["nodata"])
+                    A = codec.to_float_masked(arr, nd)[band_i]
+                    valid = np.isfinite(A)
+                    if keep is not None:
+                        valid &= np.isin(A, list(keep))
+                    # the labeling is deterministic, so re-deriving it
+                    # here is cheaper than shuffling a label plane
+                    L = label_np(A, valid)
+                    plane = arr[band_i]
+                    nd_b = (nd[band_i] if isinstance(nd, np.ndarray)
+                            else nd)
+                    for p in plist:
+                        ll, nv = int(p["llabel"]), p["new_value"]
+                        fillv = nd_b if nv is None else nv
+                        if fillv is None or (isinstance(fillv, float)
+                                             and np.isnan(fillv)):
+                            fillv = np.nan
+                        m = L == ll
+                        if np.issubdtype(plane.dtype, np.floating):
+                            plane[m] = fillv
+                        else:
+                            plane[m] = int(round(float(fillv)))
+                    res["bytes"] = codec.encode(arr, d["fmt"])
+                rows.append(res)
+            yield pd.DataFrame(rows, columns=names)
+
+    from pyspark.sql import types as T
+    out_schema = T.StructType(
+        [T.StructField(f.name, f.dataType, True)
+         for f in df.schema.fields])
+    return joined.mapInPandas(apply_patches, schema=out_schema)
