@@ -138,3 +138,18 @@ def test_distributed_ms_band_subset(spark):
     np.testing.assert_array_equal(
         dec, codec.from_float(pansharpen_np(A, P, "additive"),
                               OUT_NODATA, "float32"))
+
+
+def test_pipeline_pansharpen_verb_unbundleable(spark, tiny_images, tmp_path):
+    import pytest as _pytest
+    from vrtility_spark import datagen
+    from vrtility_spark.pipeline import Pipeline
+    comp = (Pipeline(tiny_images)
+            .warp(cell_res=datagen.TILE_RES).composite("median"))
+    pan = comp.df.selectExpr(
+        "cell_id", "bytes", "w", "h", "fmt", "nodata")
+    p = comp.pansharpen(pan, method="additive", ms_bands=[0, 1, 2])
+    rows = p.df.collect()
+    assert len(rows) == 12 and rows[0].fmt == "rawf32"
+    with _pytest.raises(ValueError):
+        p.to_bundle(str(tmp_path / "b.json"))

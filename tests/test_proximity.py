@@ -155,3 +155,20 @@ def test_proximity_validation(spark):
     with pytest.raises(Exception, match="out of range"):
         proximity.proximity(df, band=5, values=[7.0],
                             max_dist=3.0).collect()
+
+
+def test_pipeline_proximity_verb_and_bundle(spark, tiny_images, tmp_path):
+    from vrtility_spark import datagen
+    from vrtility_spark.pipeline import Pipeline
+    p = (Pipeline(tiny_images)
+         .warp(cell_res=datagen.TILE_RES)
+         .composite("first")
+         .proximity(band=-1, values=[9.0], max_dist=4.0))
+    rows = p.df.collect()
+    assert len(rows) == 12 and rows[0].fmt == "rawf32"
+    bundle = p.to_bundle(str(tmp_path / "b.json"))
+    assert any(v["verb"] == "proximity" for v in bundle["verbs"])
+    from vrtility_spark.pipeline import Pipeline as P2
+    replay = P2.from_bundle(str(tmp_path / "b.json"), tiny_images)
+    got = {r.cell_id: r.bytes for r in replay.df.collect()}
+    assert got == {r.cell_id: r.bytes for r in rows}

@@ -57,7 +57,7 @@ class Pipeline:
         "set_scale", "reproject", "warp", "regrid", "composite",
         "composite_period", "trend", "harmonic", "gapfill",
         "hampel", "savgol", "split_cells", "focal", "sieve",
-        "overview_level",
+        "proximity", "overview_level",
         "overviews", "terrain"])
 
     def __init__(self, df: DataFrame, mask_specs: tuple = (),
@@ -369,6 +369,41 @@ class Pipeline:
         from vrtility_spark import regions as _regions
         return _regions.polygonize(self._flushed().df, band=band,
                                    values=values, reliable=reliable)
+
+    def proximity(self, band: int = 0, values=(1.0,),
+                  max_dist: float = 8.0, units: str = "pixels",
+                  beyond: str = "clip") -> "Pipeline":
+        """Distance-to-class raster (proximity.proximity): exact
+        Euclidean distance to the nearest target-class pixel, capped
+        at ``max_dist`` — the cap bounds the focal halo radius, which
+        is what makes a global transform tile-local. Single-plane
+        rawf32 output, chainable (e.g. into :meth:`intersecting` +
+        zonal). Pending masks flush first."""
+        from vrtility_spark import proximity as _proximity
+        vals = [float(v) for v in values]
+        return self._next(
+            _proximity.proximity(self._flushed().df, band=int(band),
+                                 values=vals, max_dist=float(max_dist),
+                                 units=units, beyond=beyond),
+            (), "proximity", {"band": int(band), "values": vals,
+                              "max_dist": float(max_dist),
+                              "units": units, "beyond": beyond})
+
+    def pansharpen(self, pan: DataFrame, method: str = "brovey",
+                   ms_bands=None, weights=None,
+                   resampling: str = "bilinear") -> "Pipeline":
+        """Fuse with a higher-resolution pan tile table
+        (pansharpen.pansharpen): one cell-keyed equi-join + a narrow
+        Arrow map with the upsample inside it. Unbundleable (carries a
+        live DataFrame, like :meth:`algebra`). Pending masks flush
+        first."""
+        from vrtility_spark import pansharpen as _pansharpen
+        return self._next(
+            _pansharpen.pansharpen(self._flushed().df, pan,
+                                   method=method, ms_bands=ms_bands,
+                                   weights=weights,
+                                   resampling=resampling),
+            (), "pansharpen", self._UNBUNDLEABLE)
 
     def algebra(self, other: DataFrame, op="diff",
                 broadcast_right: bool = False) -> "Pipeline":
