@@ -107,3 +107,30 @@ def test_stratified_sample_exact_n(spark, corpus):
         tiny, ["stratum"], 99, ["id"], seed=5).count() == 12
     with pytest.raises(ValueError, match="n must be"):
         sampling.stratified_sample_n(corpus, ["stratum"], 0, ["id"])
+
+
+def test_splits_are_stateless_streaming_ops(spark, corpus, tmp_path):
+    """Hash-range membership is a pure expression, so the SAME
+    operators run unchanged in Structured Streaming — and because
+    membership depends only on the key, streamed assignment equals
+    the batch assignment row for row (no RNG, no state store)."""
+    land = str(tmp_path / "landing")
+    corpus.where("id < 1500").select("id", "stratum") \
+        .write.parquet(land)
+    corpus.where("id >= 1500").select("id", "stratum") \
+        .write.mode("append").parquet(land)
+    stream = (spark.readStream.schema("id long, stratum int")
+              .parquet(land))
+    assigned = sampling.assign_splits(
+        sampling.sample_fraction(stream, ["id"], 0.5, seed=11),
+        ["id"], {"train": 0.8, "test": 0.2}, seed=12)
+    q = (assigned.writeStream.format("memory")
+         .queryName("split_stream").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(240)
+    got = {(r["id"], r["split"]) for r in
+           spark.table("split_stream").collect()}
+    want = {(r["id"], r["split"]) for r in sampling.assign_splits(
+        sampling.sample_fraction(corpus, ["id"], 0.5, seed=11),
+        ["id"], {"train": 0.8, "test": 0.2}, seed=12).collect()}
+    assert got == want and len(got) > 0
