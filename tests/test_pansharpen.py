@@ -153,3 +153,33 @@ def test_pipeline_pansharpen_verb_unbundleable(spark, tiny_images, tmp_path):
     assert len(rows) == 12 and rows[0].fmt == "rawf32"
     with _pytest.raises(ValueError):
         p.to_bundle(str(tmp_path / "b.json"))
+
+
+def test_band_metadata_subset_and_pan_fallback(spark):
+    h, H = 4, 8
+    cid = int(cells.encode_np(ZONE, RES, 2, 2))
+    ms = np.round(RNG.uniform(100, 4000, (4, h, h)))
+    panp = np.round(RNG.uniform(100, 4000, (1, H, H)))
+    sch = (TILE_SCHEMA + ", bands array<string>, "
+           "band_scale array<double>, band_nodata array<double>")
+    ms_df = spark.createDataFrame(pd.DataFrame([{
+        "cell_id": cid, "bytes": codec.encode(ms.astype(np.uint16),
+                                              "raw16"),
+        "w": h, "h": h, "fmt": "raw16", "nodata": 0.0,
+        "bands": ["B02", "B03", "B04", "B08"],
+        "band_scale": [1e-4] * 4, "band_nodata": [0.0] * 4}]), sch)
+    # pan band_nodata array MISALIGNED with its plane count → the
+    # scalar fallback applies instead of a broadcast crash
+    pan_df = spark.createDataFrame(pd.DataFrame([{
+        "cell_id": cid, "bytes": codec.encode(panp.astype(np.uint16),
+                                              "raw16"),
+        "w": H, "h": H, "fmt": "raw16", "nodata": 0.0,
+        "bands": None, "band_scale": None,
+        "band_nodata": [0.0, 0.0, 0.0]}]), sch)
+    out = pansharpen.pansharpen(ms_df, pan_df, ms_bands=[0, 2],
+                                method="additive").collect()[0]
+    assert out["bands"] == ["B02", "B04"]   # names follow the subset
+    assert out["band_scale"] is None        # stale scales nulled
+    assert out["band_nodata"] is None
+    dec = codec.decode(out["bytes"], out["w"], out["h"], out["fmt"])
+    assert dec.shape == (2, 8, 8)

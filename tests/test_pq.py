@@ -151,3 +151,22 @@ def test_ivf_pruning_restricts_candidates(spark, vecs):
 def test_dim_guard():
     with pytest.raises(ValueError, match="not divisible"):
         pq._check_dims(30, 7)
+
+
+def test_guards_ksub_and_shortlist(spark, vecs):
+    df, X = vecs
+    with pytest.raises(ValueError, match="uint8"):
+        pq.train_pq(df, "embedding", "vec_id", m=4, ksub=512)
+    books = pq.train_pq(df, "embedding", "vec_id", m=4, ksub=8, iters=1)
+    enc = pq.pq_encode(df, "embedding", books)
+    # k wider than the shortlist: S is raised to k, so every query
+    # still gets k rows (used to silently truncate)
+    res = pq.pq_search(enc, df.where("vec_id < 3"), books, "embedding",
+                       "vec_id", "vec_id", k=12, shortlist=4)
+    per = {}
+    for r in res.collect():
+        per[r["q_id"]] = per.get(r["q_id"], 0) + 1
+    assert per == {0: 12, 1: 12, 2: 12}
+    with pytest.raises(ValueError, match="shortlist"):
+        pq.pq_search(enc, df, books, "embedding", "vec_id", "vec_id",
+                     k=5, shortlist=0)

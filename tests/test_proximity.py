@@ -172,3 +172,28 @@ def test_pipeline_proximity_verb_and_bundle(spark, tiny_images, tmp_path):
     replay = P2.from_bundle(str(tmp_path / "b.json"), tiny_images)
     got = {r.cell_id: r.bytes for r in replay.df.collect()}
     assert got == {r.cell_id: r.bytes for r in rows}
+
+
+def test_positive_band_index_and_nonsquare_guard(spark):
+    # regression: band > 0 used to double-apply the subset and raise
+    h = w = 10
+    rng = np.random.default_rng(31)
+    arr = np.zeros((3, h, w))
+    arr[2] = rng.integers(0, 2, (h, w)) * 7.0  # targets live in plane 2
+    cid = int(cells.encode_np(ZONE, RES, 1, 1))
+    df = spark.createDataFrame(pd.DataFrame([{
+        "cell_id": cid, "bytes": codec.encode(arr.astype(np.uint16), FMT),
+        "w": w, "h": h, "fmt": FMT, "nodata": 999.0}]), TILE_SCHEMA)
+    got = _collect(proximity.proximity(df, band=2, values=[7.0],
+                                       max_dist=3.0))[cid][0]
+    D = brute_edt(arr[2][None], [7.0], 3.0)[0]
+    want = codec.from_float(np.where(np.isinf(D), 3.0, D)[None],
+                            OUT_NODATA, "float32")
+    np.testing.assert_array_equal(got, want)
+    # non-square pixels → loud error, not silently non-Euclidean output
+    df2 = spark.createDataFrame(pd.DataFrame([{
+        "cell_id": cid,
+        "bytes": codec.encode(np.zeros((1, 4, 8), np.uint16), FMT),
+        "w": 8, "h": 4, "fmt": FMT, "nodata": 999.0}]), TILE_SCHEMA)
+    with pytest.raises(Exception, match="non-square"):
+        proximity.proximity(df2, values=[7.0], max_dist=2.0).collect()

@@ -177,3 +177,45 @@ def test_pipeline_sieve_verb_and_bundle(spark, tiny_images, tmp_path):
     small_b = sum(1 for r in before if r["pixel_count"] < 4)
     small_a = sum(1 for r in after if r["pixel_count"] < 4)
     assert small_a < small_b
+
+
+def test_nodata_fill_requires_finite_sentinel(spark):
+    # integer payload + NULL nodata → loud error, not a NaN-cast crash
+    h = w = 8
+    arr = np.ones((1, h, w)); arr[0, 3, 3:5] = 0.0
+    cid = int(cells.encode_np(ZONE, RES, 1, 1))
+    df = spark.createDataFrame(
+        pd.DataFrame([{"cell_id": cid,
+                       "bytes": codec.encode(arr.astype(np.uint16),
+                                             "raw16"),
+                       "w": w, "h": h, "fmt": "raw16", "nodata": None}]),
+        TILE_SCHEMA)
+    with pytest.raises(Exception, match="finite nodata"):
+        sieve(df, band=0, min_pixels=3, fill="nodata").collect()
+
+
+def test_duplicate_tile_rows_fail_loudly(spark):
+    h = w = 8
+    rows, _ = _class_tiles(h, w, [(0, 0), (1, 0)], n_classes=1,
+                           nodata_frac=0.0)
+    dup = rows + [rows[0]]  # cell (0,0) twice
+    df = spark.createDataFrame(pd.DataFrame(dup), schema=TILE_SCHEMA)
+    with pytest.raises(Exception, match="one row per cell"):
+        regions.polygonize(df, band=0).collect()
+
+
+def test_mismatched_tile_dims_never_pair(spark):
+    # a 16px tile next to an 8px tile: regions must NOT merge across
+    # that seam (edge length is part of the seam key)
+    rows = []
+    for ix, size in ((0, 8), (1, 16)):
+        arr = np.ones((1, size, size))
+        cid = int(cells.encode_np(ZONE, RES, ix, 0))
+        rows.append({"cell_id": cid,
+                     "bytes": codec.encode(arr.astype(np.uint16),
+                                           "raw16"),
+                     "w": size, "h": size, "fmt": "raw16",
+                     "nodata": NODATA})
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=TILE_SCHEMA)
+    got = regions.polygonize(df, band=0).collect()
+    assert len(got) == 2 and all(r["n_tiles"] == 1 for r in got)

@@ -228,6 +228,19 @@ def cell_center_np(cell_id):
     return (ix.astype(np.float64) + 0.5) * size, (iy.astype(np.float64) + 0.5) * size
 
 
+def neighbor_cell(zone: int, res: int, ix: int, iy: int,
+                  dx: int, dy: int) -> int | None:
+    """Adjacent cell id, or None past the zone edge (zones are
+    disjoint planar frames — windows/regions stop there). The single
+    home of this arithmetic: the focal halo exchange and the region
+    seam addressing must agree on it."""
+    n = 1 << res
+    jx, jy = ix + dx, iy + dy
+    if not (0 <= jx < n and 0 <= jy < n):
+        return None
+    return int(encode_np(zone, res, jx, jy))
+
+
 def cell_frame_np(cell_id):
     """World-frame ``(x0, y0, size)`` of each cell: the zone origin plus
     the cell's offset inside its zone (all exact binary floats)."""

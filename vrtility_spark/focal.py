@@ -130,11 +130,8 @@ def focal_np(P: np.ndarray, op: str, radius: int,
 
 def _neighbor_id(zone: int, res: int, ix: int, iy: int,
                  dx: int, dy: int) -> int | None:
-    n = 1 << res
-    jx, jy = ix + dx, iy + dy
-    if not (0 <= jx < n and 0 <= jy < n):
-        return None  # zone edge: no neighbor, window shrinks
-    return int(cells.encode_np(zone, res, jx, jy))
+    # zone edge → None: no neighbor, the window shrinks
+    return cells.neighbor_cell(zone, res, ix, iy, dx, dy)
 
 
 def focal_filter(df: DataFrame, op="mean", radius: int = 1,

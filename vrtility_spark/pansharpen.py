@@ -129,8 +129,13 @@ def pansharpen(ms: DataFrame, pan: DataFrame, method: str = "brovey",
                     A = A[sel]
                 parr = codec.decode(d["_p_bytes"], int(d["_p_w"]),
                                     int(d["_p_h"]), d["_p_fmt"])
-                pnd = (np.asarray(d["_p_bn"], dtype=np.float64)
-                       if d["_p_bn"] is not None else d["_p_nodata"])
+                # same length-vs-plane-count fallback every decode
+                # path gets via codec.row_band_meta: a misaligned
+                # array degrades to the scalar, never a broadcast crash
+                pnd = d["_p_nodata"]
+                if (d["_p_bn"] is not None
+                        and len(d["_p_bn"]) == len(parr)):
+                    pnd = np.asarray(d["_p_bn"], dtype=np.float64)
                 P = codec.to_float_masked(parr, pnd)[pan_i]
                 out = pansharpen_np(A, P, method=method, weights=wts,
                                     resampling=resampling)
@@ -140,8 +145,22 @@ def pansharpen(ms: DataFrame, pan: DataFrame, method: str = "brovey",
                     "rawf32")
                 res["w"], res["h"] = int(d["_p_w"]), int(d["_p_h"])
                 res["fmt"], res["nodata"] = "rawf32", OUT_NODATA
-                if "band_nodata" in names:
-                    res["band_nodata"] = None
+                # the payload now holds only the sharpened planes:
+                # subset the band NAMES alongside and null the per-band
+                # scale/offset/nodata arrays — the fused rawf32 values
+                # are no longer in the stored-integer domain those
+                # described (apply set_scale BEFORE fusing if the MS
+                # bands carry physical scale factors)
+                if "bands" in names and d.get("bands") is not None:
+                    bn = list(d["bands"])
+                    res["bands"] = ([bn[i] for i in sel]
+                                    if sel is not None
+                                    and all(-len(bn) <= i < len(bn)
+                                            for i in sel) else
+                                    (bn if sel is None else None))
+                for c in ("band_scale", "band_offset", "band_nodata"):
+                    if c in names:
+                        res[c] = None
                 rows.append(res)
             yield pd.DataFrame(rows, columns=names)
 

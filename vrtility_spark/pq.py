@@ -72,6 +72,11 @@ def train_pq(df: DataFrame, vec_col: str, id_col: str, m: int = 8,
     seeding finesse here). Each iteration is ONE Arrow pass emitting
     map-side partial sums for every (subspace, code); the driver
     merges in (subspace, code, partition) order — bit-reproducible."""
+    if not 1 <= int(ksub) <= 256:
+        raise ValueError(
+            f"ksub={ksub} out of range: codes are stored as uint8, so "
+            "each subspace holds at most 256 codewords (raise m, not "
+            "ksub, for more capacity)")
     first = (df.orderBy(id_col).limit(int(ksub))
              .select(vec_col).toPandas()[vec_col].tolist())
     X0 = np.asarray(first, dtype=np.float64)
@@ -138,6 +143,9 @@ def _encode_np(X: np.ndarray, books: np.ndarray,
                normalize: bool) -> np.ndarray:
     """(N, d) → (N, m) uint8 codes."""
     m, ksub, dsub = books.shape
+    if ksub > 256:
+        raise ValueError(f"codebook has {ksub} codewords per subspace; "
+                         "uint8 codes hold at most 256")
     if normalize:
         X = _normalize(X)
     S = _sub(X, m)
@@ -226,7 +234,10 @@ def pq_search(indexed: DataFrame, queries: DataFrame, books: np.ndarray,
             probed[qid] = set(int(x) for x in order)
 
     has_cluster = centroids is not None
-    S = int(shortlist)
+    if int(shortlist) < 1:
+        raise ValueError("shortlist must be >= 1")
+    # a shortlist narrower than k would silently truncate the answer
+    S = max(int(shortlist), int(k))
 
     def score(batches):
         best: dict[int, list] = {qid: [] for qid in luts}

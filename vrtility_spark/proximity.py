@@ -95,13 +95,16 @@ def proximity(df: DataFrame, band: int = 0,
     band_i = int(band)
 
     def kernel(P: np.ndarray, meta: dict) -> np.ndarray:
-        nb, Hp, Wp = P.shape
-        if not (-nb <= band_i < nb):
-            raise ValueError(
-                f"proximity: band {band_i} out of range for {nb}-plane "
-                "tile")
-        D = proximity_np(P[band_i][None], vals, md)
+        # the class plane was subset BEFORE the halo exchange, so the
+        # padded window is always single-plane here
         h, w = meta["h"], meta["w"]
+        if h != w:
+            raise ValueError(
+                f"proximity: tile {w}x{h} has non-square pixels on a "
+                "square cell — pixel-space distances would not be "
+                "Euclidean in world units; resample to a square grid "
+                "first")
+        D = proximity_np(P[0][None], vals, md)
         out = D[:, r:r + h, r:r + w]
         if units == "geo":
             _, _, size = cells.cell_frame_np(meta["cell_id"])

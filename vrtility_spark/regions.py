@@ -177,11 +177,9 @@ def region_table_np(L: np.ndarray, vals: np.ndarray):
 
 def _neighbor(zone: int, res: int, ix: int, iy: int,
               dx: int, dy: int) -> int | None:
-    n = 1 << res
-    jx, jy = ix + dx, iy + dy
-    if not (0 <= jx < n and 0 <= jy < n):
-        return None  # zone edge: regions stop at the zone frame
-    return int(cells.encode_np(zone, res, jx, jy))
+    # zone edge → None: regions stop at the zone frame (the same
+    # shared arithmetic the focal halo exchange uses)
+    return cells.neighbor_cell(zone, res, ix, iy, dx, dy)
 
 
 def _emit_stage(df: DataFrame, band: int, values, key: str,
@@ -273,11 +271,16 @@ def _emit_stage(df: DataFrame, band: int, values, key: str,
                     if len(pos) == 0:
                         continue
                     edge_val = A[sl]
+                    # the edge LENGTH rides in px and joins the seam
+                    # key: tiles with mismatched pixel grids then never
+                    # pair (regions stop at that seam) instead of
+                    # merging geometrically non-adjacent pixels
+                    edge_n = h if axis == 0 else w
                     for p in pos:
                         out.append((
                             1, cid, None, None, base + int(edge_lab[p]),
-                            float(edge_val[p]), None, None, None, None,
-                            None, seam, axis, int(p), None))
+                            float(edge_val[p]), edge_n, None, None,
+                            None, None, seam, axis, int(p), None))
             if out:
                 cols = ["kind", "cell_id", "w", "h", "label", "value",
                         "px", "pxmin", "pymin", "pxmax", "pymax",
@@ -305,15 +308,32 @@ def _seam_pairs(mid: DataFrame) -> DataFrame:
     """One grouping serves both graphs: the two sides of each seam
     pixel pair up by position; equal values ⟺ the region CONTINUES
     (a component-merge edge), different values ⟺ the regions TOUCH
-    (an adjacency edge). Returns (src, dst, same) with src < dst."""
+    (an adjacency edge). Returns (src, dst, same) with src < dst.
+
+    The edge length (px) is part of the key, so tiles with mismatched
+    pixel grids never pair. More than 2 records per seam pixel can
+    only mean multiple tile rows for one cell — the one-row-per-cell
+    contract every grouped raster operator shares (focal raises the
+    same way) — and fails loudly instead of fragmenting regions."""
     return (mid.filter(F.col("kind") == 1)
-            .groupBy("seam", "axis", "pos")
+            .groupBy("seam", "axis", "pos", "px")
             .agg(F.min("label").alias("src"),
                  F.max("label").alias("dst"),
                  F.min("value").alias("vmin"),
                  F.max("value").alias("vmax"),
                  F.count(F.lit(1)).alias("cnt"))
-            .filter((F.col("cnt") == 2) & (F.col("src") < F.col("dst")))
+            # guard and pair-filter as ONE when/otherwise expression:
+            # two separate predicates would let Catalyst evaluate the
+            # cnt==2 conjunct first and silently drop the cnt>2 rows
+            # the guard exists to catch
+            .filter(F.when(
+                F.col("cnt") <= 2,
+                (F.col("cnt") == 2) & (F.col("src") < F.col("dst")))
+                .otherwise(F.raise_error(F.concat(
+                    F.lit("regions: seam "), F.col("seam"),
+                    F.lit(" has >2 records per boundary pixel — a "
+                          "cell has multiple tile rows; composite to "
+                          "one row per cell first"))).cast("boolean")))
             .select("src", "dst",
                     (F.col("vmin") == F.col("vmax")).alias("same"))
             .distinct())
@@ -534,6 +554,13 @@ def _sieve_once(df: DataFrame, band: int, min_pixels: int, values,
                         m = L == ll
                         if np.issubdtype(plane.dtype, np.floating):
                             plane[m] = fillv
+                        elif np.isnan(fillv):
+                            raise ValueError(
+                                f"sieve: cell {d[key]} has an integer "
+                                f"payload ({d['fmt']}) but no finite "
+                                "nodata to write — fill='nodata' needs "
+                                "a finite nodata sentinel on integer "
+                                "formats (set_nodata first)")
                         else:
                             plane[m] = int(round(float(fillv)))
                     res["bytes"] = codec.encode(arr, d["fmt"])
