@@ -96,6 +96,15 @@ def image_pipeline_bench(spark, reps: int):
                         resampling="nearest")
                 .composite("median").df)
 
+    def _polygonize():
+        # first-valid composite → region extraction across all tile
+        # seams: per-tile labeling + seam matching + distributed
+        # component merge at the sf-scaled grid (8x8 tiles per zone)
+        return (Pipeline(images)
+                .warp(cell_res=datagen.TILE_RES)
+                .composite("first")
+                .polygonize(band=-1))
+
     def _pyramid():
         # composite + 2 overview levels: the delta vs
         # image_median_composite is the pyramid's two shrinking
@@ -109,7 +118,8 @@ def image_pipeline_bench(spark, reps: int):
     shapes = {"image_median_composite": _median,
               "image_geomedian_composite": _geomedian,
               "image_regrid_pipeline": _regrid,
-              "image_pyramid": _pyramid}
+              "image_pyramid": _pyramid,
+              "image_polygonize_pipeline": _polygonize}
     times: dict[str, float] = {}
     for _rep in range(reps):
         for key, build in shapes.items():
