@@ -232,6 +232,95 @@ def stateful_running_trend(spark: SparkSession, input_dir: str,
             .trigger(availableNow=True).start())
 
 
+def stateful_running_harmonic(spark: SparkSession, input_dir: str,
+                              n_harmonics: int = 1,
+                              period_years: float = 1.0,
+                              cell_res: int = datagen.TILE_RES,
+                              mask_values=None,
+                              checkpoint_dir: str | None = None,
+                              out_path: str | None = None):
+    """Streaming twin of :func:`vrtility_spark.harmonic.harmonic`:
+    the per-cell state is the same ``(q, B, H, W)`` normal-equation
+    block the batch incremental path shuffles (XᵀX triangle, Xᵀy,
+    Σy²), so each arriving scene folds in O(1) and the emitted tile is
+    always the seasonal fit over the full history — streaming
+    phenology with no history read and no recompute. Output planes
+    per data band follow harmonic_finalize (intercept, slope,
+    sin/cos/amp/phase per harmonic, rmse, n_obs); mask plane dropped
+    like the other stateful operators."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    vals = datagen.S2_MASK_VALUES if mask_values is None else mask_values
+    K, P = int(n_harmonics), float(period_years)
+
+    def update(key, pdfs, state):
+        import numpy as np
+
+        from vrtility_spark import codec as C
+        from vrtility_spark import harmonic as HA
+        from vrtility_spark import masks as M
+        from vrtility_spark import trend as TR
+        p_ = HA.n_params(K)
+        q = HA._acc_rows(p_)
+        if state.exists:
+            count, acc_b, nb, w, h = state.get
+            acc = np.frombuffer(acc_b, dtype="<f8") \
+                .reshape(q, nb, h, w).copy()
+        else:
+            count, acc, nb, w, h = 0, None, None, None, None
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                arr = C.decode(row.bytes, row.w, row.h, row.fmt)
+                m01 = M.build_intmask_np(arr[-1], vals)
+                data = C.to_float_masked(
+                    M.apply_mask_np(arr[:-1], m01, row.nodata), row.nodata)
+                if acc is None:
+                    nb, h, w = data.shape
+                    acc = np.zeros((q, nb, h, w))
+                t = float(TR.t_years(
+                    np.int64(pd.Timestamp(row.datetime).value)))
+                x = HA.design_np(np.array([t]), K, P)[0]
+                ok = ~np.isnan(data)
+                okf = ok.astype(np.float64)
+                y = np.where(ok, data, 0.0)
+                idx = 0
+                for i in range(p_):
+                    for j in range(i, p_):
+                        acc[idx] += (x[i] * x[j]) * okf
+                        idx += 1
+                for i in range(p_):
+                    acc[idx] += x[i] * y
+                    idx += 1
+                acc[idx] += y * y
+                count += 1
+        state.update((count, acc.astype("<f8").tobytes(), nb, w, h))
+        planes = HA.harmonic_finalize(acc, K)
+        payload = C.encode(
+            C.from_float(planes, TR.OUT_NODATA, "float32"), "rawf32")
+        yield pd.DataFrame([{
+            "cell_id": int(key[0]), "n_scenes": int(count),
+            "bytes": payload, "w": w, "h": h, "fmt": "rawf32",
+            "nodata": TR.OUT_NODATA}])
+
+    stream = read_scene_stream(spark, input_dir)
+    celled = assign_cells(stream, cell_res)
+    updated = celled.groupBy("cell_id").applyInPandasWithState(
+        update, TREND_STREAM_SCHEMA, _TREND_STATE_SCHEMA, "update",
+        GroupStateTimeout.NoTimeout)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if out_path:
+            batch_df.write.mode("append").parquet(out_path)
+
+    return (updated.writeStream.foreachBatch(sink)
+            .option("checkpointLocation",
+                    checkpoint_dir or (out_path or "/tmp/vrt_harm")
+                    + "/_ckpt")
+            .outputMode("update")
+            .trigger(availableNow=True).start())
+
+
 def composite_stream(spark: SparkSession, input_dir: str, table_dir: str,
                      reducer: str = "median", cell_res: int = datagen.TILE_RES,
                      mask_values=None, checkpoint_dir: str | None = None,
