@@ -131,9 +131,16 @@ def _mosaic_region_rows(G, h, w, values=None):
     if values is not None:
         valid &= np.isin(G, list(values))
     L = bfs_labels(np.where(valid, G, np.nan), valid)
+    Hm, Wm = L.shape
+    Pd = np.full((Hm + 2, Wm + 2), -2, dtype=np.int64)
+    Pd[1:-1, 1:-1] = L
     rows = []
     for lb in np.unique(L[L >= 0]):
         ys, xs = np.nonzero(L == lb)
+        perim = 0  # global exposed edges, counted on the MOSAIC
+        for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+            nb = Pd[1 + dy:1 + dy + Hm, 1 + dx:1 + dx + Wm]
+            perim += int(((L == lb) & (nb != L)).sum())
         tiles = {}
         for y, x in zip(ys, xs):
             ix, iy = x // w, y // h
@@ -151,15 +158,15 @@ def _mosaic_region_rows(G, h, w, values=None):
             bx1.append(x0 + (max(lx) + 1) * (size / w))
             by0.append(y0 + min(ly) * (size / h))
             by1.append(y0 + (max(ly) + 1) * (size / h))
-        rows.append((min(pids), float(G[ys[0], xs[0]]), len(ys),
+        rows.append((min(pids), float(G[ys[0], xs[0]]), len(ys), perim,
                      len(tiles), min(bx0), min(by0), max(bx1), max(by1)))
     return sorted(rows)
 
 
 def _collect_rows(df):
     return sorted((r["region_id"], r["value"], r["pixel_count"],
-                   r["n_tiles"], r["xmin"], r["ymin"], r["xmax"],
-                   r["ymax"]) for r in df.collect())
+                   r["perimeter"], r["n_tiles"], r["xmin"], r["ymin"],
+                   r["xmax"], r["ymax"]) for r in df.collect())
 
 
 def test_distributed_matches_mosaic(spark):
@@ -171,7 +178,7 @@ def test_distributed_matches_mosaic(spark):
     want = _mosaic_region_rows(G, h, w)
     assert got == want
     # the fixture must actually exercise the seam merge
-    assert any(r[3] > 1 for r in want), "no region crosses a tile seam"
+    assert any(r[4] > 1 for r in want), "no region crosses a tile seam"
 
 
 def test_missing_tile_and_values_filter(spark):
@@ -206,7 +213,7 @@ def test_single_tile_no_edges(spark):
     df = spark.createDataFrame(pd.DataFrame(rows), schema=TILE_SCHEMA)
     got = _collect_rows(polygonize(df))
     assert got == _mosaic_region_rows(G, h, w)
-    assert all(r[3] == 1 for r in got)
+    assert all(r[4] == 1 for r in got)
 
 
 def test_pipeline_polygonize_verb(spark, tiny_images):
@@ -219,7 +226,7 @@ def test_pipeline_polygonize_verb(spark, tiny_images):
     rows = out.collect()
     assert len(rows) > 0
     assert {f.name for f in out.schema.fields} == {
-        "region_id", "value", "pixel_count", "n_tiles",
+        "region_id", "value", "pixel_count", "perimeter", "n_tiles",
         "xmin", "ymin", "xmax", "ymax"}
     # SCL classes only; every region id decodes to a real cell
     scl = {float(v) for v in np.unique(

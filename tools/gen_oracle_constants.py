@@ -1030,8 +1030,15 @@ def image_polygonize_rows():
               (ix - x0g) * w:(ix - x0g + 1) * w] = tiles[cid]
             pos[(ix - x0g, iy - y0g)] = cid
         L = regions_mod.label_np(G, np.isfinite(G))
+        Hm, Wm = L.shape
+        Pd = np.full((Hm + 2, Wm + 2), -2, dtype=np.int64)
+        Pd[1:-1, 1:-1] = L
         for lb in np.unique(L[L >= 0]):
             ys, xs = np.nonzero(L == lb)
+            perim = 0  # exposed pixel edges, counted on the MOSAIC
+            for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+                nb = Pd[1 + dy:1 + dy + Hm, 1 + dx:1 + dx + Wm]
+                perim += int(((L == lb) & (nb != L)).sum())
             per_tile: dict[tuple, list] = {}
             for y, x in zip(ys, xs):
                 per_tile.setdefault((x // w, y // h), []).append(
@@ -1053,6 +1060,7 @@ def image_polygonize_rows():
                 "region_id": int(min(pids)),
                 "value": float(G[ys[0], xs[0]]),
                 "pixel_count": int(len(ys)),
+                "perimeter": int(perim),
                 "n_tiles": int(len(per_tile)),
                 "xmin": min(bx0), "ymin": min(by0),
                 "xmax": max(bx1), "ymax": max(by1)})
@@ -1336,8 +1344,8 @@ def main() -> None:
         # and the distributed component merge in global pixel-id space
         "polygonize": values_sql(
             image_polygonize_rows(),
-            ["region_id", "value", "pixel_count", "n_tiles",
-             "xmin", "ymin", "xmax", "ymax"]),
+            ["region_id", "value", "pixel_count", "perimeter",
+             "n_tiles", "xmin", "ymin", "xmax", "ymax"]),
         # composite -> overview level: pins the parent-keyed pyramid
         # shuffle (average data bands, mode class plane)
         "image_overview": values_sql(

@@ -61,7 +61,8 @@ from vrtility_spark.dedup import connected_components
 PID_RADIX = 1 << 24
 
 REGION_SCHEMA = (
-    "region_id long, value double, pixel_count long, n_tiles long, "
+    "region_id long, value double, pixel_count long, perimeter long, "
+    "n_tiles long, "
     "xmin double, ymin double, xmax double, ymax double")
 
 #: emit-stage record kinds: 0 = per-tile region partial, 1 = seam
@@ -69,7 +70,7 @@ REGION_SCHEMA = (
 _MID_SCHEMA = (
     "kind int, cell_id long, w int, h int, label long, value double, "
     "px long, pxmin int, pymin int, pxmax int, pymax int, "
-    "seam long, axis int, pos int, label_b long")
+    "seam long, axis int, pos int, label_b long, perim long")
 
 
 # ------------------------------------------------------ NumPy kernels ----
@@ -173,6 +174,26 @@ def region_table_np(L: np.ndarray, vals: np.ndarray):
     return uniq, values, counts, pxmin, pymin, pxmax, pymax
 
 
+def boundary_counts_np(L: np.ndarray) -> np.ndarray:
+    """Per-label count of exposed pixel edges — edges whose 4-neighbor
+    is a DIFFERENT label, invalid, or outside the array. Returned in
+    the order of ``np.unique(L[L >= 0])`` (region_table_np's order).
+    Summed over tiles (minus seam-match corrections) this is the exact
+    region perimeter in pixel-edge units."""
+    H, W = L.shape
+    m = L >= 0
+    lab = L[m]
+    uniq, inv = np.unique(lab, return_inverse=True)
+    counts = np.zeros(len(uniq), dtype=np.int64)
+    Pd = np.full((H + 2, W + 2), -2, dtype=np.int64)
+    Pd[1:-1, 1:-1] = L
+    for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+        nb = Pd[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
+        exposed = (nb != L)[m]
+        counts += np.bincount(inv[exposed], minlength=len(uniq))
+    return counts
+
+
 # ------------------------------------------------- distributed driver ----
 
 def _neighbor(zone: int, res: int, ix: int, iy: int,
@@ -230,6 +251,7 @@ def _emit_stage(df: DataFrame, band: int, values, key: str,
                     continue
                 (lab, val, cnt, pxmin, pymin, pxmax,
                  pymax) = region_table_np(L, A)
+                bcnt = boundary_counts_np(L)
                 zone, res, ix, iy = (int(v) for v in cells.decode_np(cid))
                 base = cid * PID_RADIX
                 for i in range(len(lab)):
@@ -237,7 +259,7 @@ def _emit_stage(df: DataFrame, band: int, values, key: str,
                         0, cid, w, h, base + int(lab[i]), float(val[i]),
                         int(cnt[i]), int(pxmin[i]), int(pymin[i]),
                         int(pxmax[i]), int(pymax[i]),
-                        None, None, None, None))
+                        None, None, None, None, int(bcnt[i])))
                 if adjacency:
                     pairs = set()
                     for a, b in ((L[:, :-1], L[:, 1:]),
@@ -251,7 +273,7 @@ def _emit_stage(df: DataFrame, band: int, values, key: str,
                         out.append((
                             2, cid, None, None, base + int(la), None,
                             None, None, None, None, None,
-                            None, None, None, base + int(lb)))
+                            None, None, None, base + int(lb), None))
                 # seam records: E/W use pixel column edges, N/S rows.
                 # axis 0 = vertical seam (horizontal adjacency), pos=y;
                 # axis 1 = horizontal seam, pos=x. Row 0 = ymin, so the
@@ -280,11 +302,11 @@ def _emit_stage(df: DataFrame, band: int, values, key: str,
                         out.append((
                             1, cid, None, None, base + int(edge_lab[p]),
                             float(edge_val[p]), edge_n, None, None,
-                            None, None, seam, axis, int(p), None))
+                            None, None, seam, axis, int(p), None, None))
             if out:
                 cols = ["kind", "cell_id", "w", "h", "label", "value",
                         "px", "pxmin", "pymin", "pxmax", "pymax",
-                        "seam", "axis", "pos", "label_b"]
+                        "seam", "axis", "pos", "label_b", "perim"]
                 pdf = pd.DataFrame(out, columns=cols, dtype=object)
                 # pixel-id columns hold ~2^59 values with NULLs mixed
                 # in; default inference would coerce them to float64
@@ -292,7 +314,7 @@ def _emit_stage(df: DataFrame, band: int, values, key: str,
                 # integer dtypes instead
                 for c in ("kind", "cell_id", "w", "h", "label", "px",
                           "pxmin", "pymin", "pxmax", "pymax", "seam",
-                          "axis", "pos", "label_b"):
+                          "axis", "pos", "label_b", "perim"):
                     pdf[c] = pd.array(
                         [None if v is None else int(v) for v in pdf[c]],
                         dtype="Int64")
@@ -304,11 +326,10 @@ def _emit_stage(df: DataFrame, band: int, values, key: str,
     return df.mapInPandas(emit, schema=_MID_SCHEMA)
 
 
-def _seam_pairs(mid: DataFrame) -> DataFrame:
-    """One grouping serves both graphs: the two sides of each seam
-    pixel pair up by position; equal values ⟺ the region CONTINUES
-    (a component-merge edge), different values ⟺ the regions TOUCH
-    (an adjacency edge). Returns (src, dst, same) with src < dst.
+def _seam_groups(mid: DataFrame) -> DataFrame:
+    """Matched seam PIXELS: the two sides of each boundary pixel pair
+    up by (seam, axis, position, edge length) — one row per matched
+    pixel with both labels and both values.
 
     The edge length (px) is part of the key, so tiles with mismatched
     pixel grids never pair. More than 2 records per seam pixel can
@@ -333,10 +354,20 @@ def _seam_pairs(mid: DataFrame) -> DataFrame:
                     F.lit("regions: seam "), F.col("seam"),
                     F.lit(" has >2 records per boundary pixel — a "
                           "cell has multiple tile rows; composite to "
-                          "one row per cell first"))).cast("boolean")))
-            .select("src", "dst",
-                    (F.col("vmin") == F.col("vmax")).alias("same"))
-            .distinct())
+                          "one row per cell first"))).cast("boolean"))))
+
+
+def _pairs_of(groups: DataFrame) -> DataFrame:
+    """Seam pixel matches → distinct label pairs: equal values ⟺ the
+    region CONTINUES (component-merge edge), different values ⟺ the
+    regions TOUCH (adjacency edge)."""
+    return (groups.select(
+        "src", "dst", (F.col("vmin") == F.col("vmax")).alias("same"))
+        .distinct())
+
+
+def _seam_pairs(mid: DataFrame) -> DataFrame:
+    return _pairs_of(_seam_groups(mid))
 
 
 def _component_labels(mid: DataFrame, max_iter: int, reliable: bool,
@@ -375,9 +406,11 @@ def polygonize(df: DataFrame, band: int = 0, key: str = "cell_id",
 
     Returns ``REGION_SCHEMA``: one row per region —
     ``region_id`` (min global pixel id, deterministic), ``value``,
-    ``pixel_count``, ``n_tiles`` (tiles the region touches), and the
-    region's world-frame bbox (pixel edges, row 0 = ymin — the zonal /
-    rasterize pixel-center convention).
+    ``pixel_count``, ``perimeter`` (exact exposed-pixel-edge count:
+    per-tile boundary counts minus one edge per side for every
+    equal-value matched seam pixel), ``n_tiles`` (tiles the region
+    touches), and the region's world-frame bbox (pixel edges, row 0 =
+    ymin — the zonal / rasterize pixel-center convention).
 
     ``reliable=True`` routes the iterative merge's checkpoints to
     durable storage (:mod:`checkpointing`), surviving executor loss on
@@ -389,11 +422,24 @@ def polygonize(df: DataFrame, band: int = 0, key: str = "cell_id",
     mid = truncate_lineage(mid, eager=False, reliable=reliable,
                            checkpoint_dir=checkpoint_dir)
     parts = mid.filter(F.col("kind") == 0)
-    _, labels = _component_labels(mid, max_iter, reliable,
-                                  checkpoint_dir)
+    groups = _seam_groups(mid)
+    edges = _pairs_of(groups).filter("same").select("src", "dst")
+    labels = connected_components(edges, "src", "dst",
+                                  max_iter=max_iter, reliable=reliable,
+                                  checkpoint_dir=checkpoint_dir)
+    # perimeter correction: each EQUAL-value matched seam pixel hides
+    # one exposed edge on BOTH sides (the per-tile counts treated the
+    # tile border as boundary)
+    corr = (groups.filter(F.col("vmin") == F.col("vmax"))
+            .select(F.explode(F.array("src", "dst")).alias("label"))
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("_matched_px")))
     joined = (parts.join(labels.withColumnRenamed("id", "label"),
                          "label", "left")
-              .withColumn("comp", F.coalesce("comp", "label")))
+              .join(corr, "label", "left")
+              .withColumn("comp", F.coalesce("comp", "label"))
+              .withColumn("perim", F.col("perim")
+                          - F.coalesce("_matched_px", F.lit(0))))
     # world-frame bbox: cell origin + pixel edges (exact binary floats)
     x0, y0, size = cells.cell_frame_cols(F.col("cell_id"))
     px = size / F.col("w")
@@ -406,13 +452,14 @@ def polygonize(df: DataFrame, band: int = 0, key: str = "cell_id",
     return (g.groupBy("comp")
             .agg(F.min("value").alias("value"),
                  F.sum("px").alias("pixel_count"),
+                 F.sum("perim").alias("perimeter"),
                  F.countDistinct("cell_id").alias("n_tiles"),
                  F.min("wxmin").alias("xmin"),
                  F.min("wymin").alias("ymin"),
                  F.max("wxmax").alias("xmax"),
                  F.max("wymax").alias("ymax"))
             .select(F.col("comp").alias("region_id"), "value",
-                    "pixel_count", "n_tiles",
+                    "pixel_count", "perimeter", "n_tiles",
                     "xmin", "ymin", "xmax", "ymax"))
 
 
