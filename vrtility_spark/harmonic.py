@@ -73,6 +73,26 @@ def _acc_rows(p: int) -> int:
     return p * (p + 1) // 2 + p + 1  # XtX triangle + Xty + Σy²
 
 
+def fold_scene(acc: np.ndarray, x: np.ndarray, data: np.ndarray) -> None:
+    """Fold ONE scene into the ``(q, B, H, W)`` sufficient-statistics
+    block in place (``x`` = that scene's design row). The single home
+    of the accumulator index order — the batch partials and the
+    streaming state must stay byte-compatible."""
+    p = len(x)
+    ok = ~np.isnan(data)
+    okf = ok.astype(np.float64)
+    y = np.where(ok, data, 0.0)
+    idx = 0
+    for i in range(p):
+        for j in range(i, p):
+            acc[idx] += (x[i] * x[j]) * okf
+            idx += 1
+    for i in range(p):
+        acc[idx] += x[i] * y
+        idx += 1
+    acc[idx] += y * y
+
+
 def accumulate_np(X: np.ndarray, stack: np.ndarray) -> np.ndarray:
     """``(T, p)`` design × ``(T, B, H, W)`` NaN-masked stack →
     ``(q, B, H, W)`` sufficient statistics (validity folded per pixel)."""
@@ -270,19 +290,7 @@ def harmonic_partials(df: DataFrame, n_harmonics: int = 1,
                 t = float(t_years(np.int64(
                     pd.Timestamp(row.datetime).value)))
                 x = design_np(np.array([t]), K, P)[0]
-                ok = ~np.isnan(data)
-                okf = ok.astype(np.float64)
-                y = np.where(ok, data, 0.0)
-                acc = st[1]
-                idx = 0
-                for i in range(p):
-                    for j in range(i, p):
-                        acc[idx] += (x[i] * x[j]) * okf
-                        idx += 1
-                for i in range(p):
-                    acc[idx] += x[i] * y
-                    idx += 1
-                acc[idx] += y * y
+                fold_scene(st[1], x, data)
                 st[2] += 1
                 if row.datetime < st[3]:
                     st[3] = row.datetime

@@ -150,14 +150,18 @@ def label_np(vals: np.ndarray, valid: np.ndarray) -> np.ndarray:
     return L
 
 
-def region_table_np(L: np.ndarray, vals: np.ndarray):
+def region_table_np(L: np.ndarray, vals: np.ndarray, fact=None):
     """Per-region aggregates of a label image: returns
     ``(labels, values, counts, pxmin, pymin, pxmax, pymax)`` arrays,
-    sorted by label. Pixel-space bboxes are inclusive indices."""
+    sorted by label. Pixel-space bboxes are inclusive indices.
+    ``fact`` optionally passes a precomputed ``(m, uniq, inv)``
+    factorization (shared with :func:`boundary_counts_np`)."""
     H, W = L.shape
-    m = L >= 0
-    lab = L[m]
-    uniq, inv = np.unique(lab, return_inverse=True)
+    if fact is None:
+        m = L >= 0
+        uniq, inv = np.unique(L[m], return_inverse=True)
+    else:
+        m, uniq, inv = fact
     counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
     ys, xs = np.nonzero(m)
     pxmin = np.full(len(uniq), W, dtype=np.int64)
@@ -174,16 +178,18 @@ def region_table_np(L: np.ndarray, vals: np.ndarray):
     return uniq, values, counts, pxmin, pymin, pxmax, pymax
 
 
-def boundary_counts_np(L: np.ndarray) -> np.ndarray:
+def boundary_counts_np(L: np.ndarray, fact=None) -> np.ndarray:
     """Per-label count of exposed pixel edges — edges whose 4-neighbor
     is a DIFFERENT label, invalid, or outside the array. Returned in
     the order of ``np.unique(L[L >= 0])`` (region_table_np's order).
     Summed over tiles (minus seam-match corrections) this is the exact
     region perimeter in pixel-edge units."""
     H, W = L.shape
-    m = L >= 0
-    lab = L[m]
-    uniq, inv = np.unique(lab, return_inverse=True)
+    if fact is None:
+        m = L >= 0
+        uniq, inv = np.unique(L[m], return_inverse=True)
+    else:
+        m, uniq, inv = fact
     counts = np.zeros(len(uniq), dtype=np.int64)
     Pd = np.full((H + 2, W + 2), -2, dtype=np.int64)
     Pd[1:-1, 1:-1] = L
@@ -204,11 +210,15 @@ def _neighbor(zone: int, res: int, ix: int, iy: int,
 
 
 def _emit_stage(df: DataFrame, band: int, values, key: str,
-                adjacency: bool = False) -> DataFrame:
+                adjacency: bool = False,
+                perimeter: bool = False) -> DataFrame:
     """Shared per-tile pass: decode once, label locally, emit region
     partials (kind 0), seam boundary pixels (kind 1) and — when
     ``adjacency`` — in-tile different-region contact pairs (kind 2,
-    for the region-adjacency graph :func:`sieve` merges along)."""
+    for the region-adjacency graph :func:`sieve` merges along).
+    ``perimeter`` adds per-label exposed-edge counts to the partials
+    (polygonize wants them; sieve never reads them, so it skips the
+    cost)."""
     names = [f.name for f in df.schema.fields]
     for req in (key, "bytes", "w", "h", "fmt", "nodata"):
         if req not in names:
@@ -249,9 +259,13 @@ def _emit_stage(df: DataFrame, band: int, values, key: str,
                 L = label_np(A, valid)
                 if not (L >= 0).any():
                     continue
+                m_ = L >= 0
+                uniq_, inv_ = np.unique(L[m_], return_inverse=True)
+                fact = (m_, uniq_, inv_)
                 (lab, val, cnt, pxmin, pymin, pxmax,
-                 pymax) = region_table_np(L, A)
-                bcnt = boundary_counts_np(L)
+                 pymax) = region_table_np(L, A, fact=fact)
+                bcnt = (boundary_counts_np(L, fact=fact)
+                        if perimeter else None)
                 zone, res, ix, iy = (int(v) for v in cells.decode_np(cid))
                 base = cid * PID_RADIX
                 for i in range(len(lab)):
@@ -259,7 +273,8 @@ def _emit_stage(df: DataFrame, band: int, values, key: str,
                         0, cid, w, h, base + int(lab[i]), float(val[i]),
                         int(cnt[i]), int(pxmin[i]), int(pymin[i]),
                         int(pxmax[i]), int(pymax[i]),
-                        None, None, None, None, int(bcnt[i])))
+                        None, None, None, None,
+                        None if bcnt is None else int(bcnt[i])))
                 if adjacency:
                     pairs = set()
                     for a, b in ((L[:, :-1], L[:, 1:]),
@@ -373,8 +388,11 @@ def _seam_pairs(mid: DataFrame) -> DataFrame:
 def _component_labels(mid: DataFrame, max_iter: int, reliable: bool,
                       checkpoint_dir):
     """(pairs, labels) — seam pairs plus the hash-min component labels
-    over the equal-value edges."""
-    pairs = _seam_pairs(mid)
+    over the equal-value edges. The pairs are lineage-truncated: both
+    the CC edges and the caller's adjacency graph read them."""
+    pairs = truncate_lineage(_seam_pairs(mid), eager=False,
+                             reliable=reliable,
+                             checkpoint_dir=checkpoint_dir)
     edges = pairs.filter("same").select("src", "dst")
     labels = connected_components(edges, "src", "dst",
                                   max_iter=max_iter, reliable=reliable,
@@ -416,13 +434,17 @@ def polygonize(df: DataFrame, band: int = 0, key: str = "cell_id",
     durable storage (:mod:`checkpointing`), surviving executor loss on
     long jobs.
     """
-    mid = _emit_stage(df, band, values, key)
+    mid = _emit_stage(df, band, values, key, perimeter=True)
     # one shared materialization: the CC iterations and the final
     # aggregation both read this, and neither should re-decode tiles
     mid = truncate_lineage(mid, eager=False, reliable=reliable,
                            checkpoint_dir=checkpoint_dir)
     parts = mid.filter(F.col("kind") == 0)
-    groups = _seam_groups(mid)
+    # the seam grouping feeds BOTH the component edges and the
+    # perimeter correction: truncate so its shuffle runs once
+    groups = truncate_lineage(_seam_groups(mid), eager=False,
+                              reliable=reliable,
+                              checkpoint_dir=checkpoint_dir)
     edges = _pairs_of(groups).filter("same").select("src", "dst")
     labels = connected_components(edges, "src", "dst",
                                   max_iter=max_iter, reliable=reliable,

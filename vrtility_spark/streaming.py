@@ -74,6 +74,35 @@ RUNNING_SCHEMA = ("cell_id long, n_scenes int, bytes binary, w int, h int, "
 _STATE_SCHEMA = "count int, sums binary, valid binary, w int, h int, nodata double"
 
 
+def _masked_scene(row, vals):
+    """Decode + int-mask one streamed scene row, honoring per-band
+    ``band_nodata`` exactly like the batch scene_fn path
+    (codec.row_band_meta + masks.apply_mask_np) — the stateful
+    operators' parity with their batch twins depends on masking the
+    same pixels."""
+    import numpy as np
+
+    from vrtility_spark import codec as C
+    from vrtility_spark import masks as M
+    arr = C.decode(row.bytes, row.w, row.h, row.fmt)
+    nd = C.row_band_meta(row, len(arr), "band_nodata", row.nodata)
+    nd_data = nd[:-1] if isinstance(nd, np.ndarray) else nd
+    m01 = M.build_intmask_np(arr[-1], vals)
+    return C.to_float_masked(M.apply_mask_np(arr[:-1], m01, nd_data),
+                             nd_data)
+
+
+def _check_state_shape(data, ref_shape, cell):
+    """A scene whose plane layout disagrees with the accumulated state
+    would broadcast into the wrong bands — fail loudly instead (the
+    batch partials raise the same way)."""
+    if ref_shape is not None and data.shape != ref_shape:
+        raise ValueError(
+            f"cell {cell}: streamed scene planes {data.shape} disagree "
+            f"with the accumulated state {ref_shape} (mixed band "
+            "counts); normalize band layout first")
+
+
 def stateful_running_mean(spark: SparkSession, input_dir: str,
                           cell_res: int = datagen.TILE_RES,
                           mask_values=None,
@@ -108,15 +137,18 @@ def stateful_running_mean(spark: SparkSession, input_dir: str,
         fmt = "raw16"
         for pdf in pdfs:
             for row in pdf.itertuples(index=False):
-                arr = C.decode(row.bytes, row.w, row.h, row.fmt)
                 fmt = row.fmt
-                m01 = M.build_intmask_np(arr[-1], vals)
-                data = C.to_float_masked(
-                    M.apply_mask_np(arr[:-1], m01, row.nodata), row.nodata)
+                data = _masked_scene(row, vals)
                 if sums is None:
                     w, h, nodata = int(row.w), int(row.h), float(row.nodata)
                     sums = np.zeros(data.size, dtype="<f8")
                     valid = np.zeros(data.size, dtype="<i4")
+                elif data.size != sums.size:
+                    raise ValueError(
+                        f"cell {int(key[0])}: streamed scene size "
+                        f"{data.shape} disagrees with the accumulated "
+                        "state (mixed band counts); normalize band "
+                        "layout first")
                 ok = ~np.isnan(data)
                 sums += np.where(ok, data, 0.0).ravel()
                 valid += ok.ravel().astype("<i4")
@@ -188,13 +220,12 @@ def stateful_running_trend(spark: SparkSession, input_dir: str,
         nodata = TR.OUT_NODATA
         for pdf in pdfs:
             for row in pdf.itertuples(index=False):
-                arr = C.decode(row.bytes, row.w, row.h, row.fmt)
-                m01 = M.build_intmask_np(arr[-1], vals)
-                data = C.to_float_masked(
-                    M.apply_mask_np(arr[:-1], m01, row.nodata), row.nodata)
+                data = _masked_scene(row, vals)
                 if acc is None:
                     nb, h, w = data.shape
                     acc = np.zeros((5, nb, h, w))
+                else:
+                    _check_state_shape(data, acc.shape[1:], int(key[0]))
                 t = float(TR.t_years(
                     np.int64(pd.Timestamp(row.datetime).value)))
                 ok = ~np.isnan(data)
@@ -271,13 +302,12 @@ def stateful_running_harmonic(spark: SparkSession, input_dir: str,
             count, acc, nb, w, h = 0, None, None, None, None
         for pdf in pdfs:
             for row in pdf.itertuples(index=False):
-                arr = C.decode(row.bytes, row.w, row.h, row.fmt)
-                m01 = M.build_intmask_np(arr[-1], vals)
-                data = C.to_float_masked(
-                    M.apply_mask_np(arr[:-1], m01, row.nodata), row.nodata)
+                data = _masked_scene(row, vals)
                 if acc is None:
                     nb, h, w = data.shape
                     acc = np.zeros((q, nb, h, w))
+                else:
+                    _check_state_shape(data, acc.shape[1:], int(key[0]))
                 t = float(TR.t_years(
                     np.int64(pd.Timestamp(row.datetime).value)))
                 x = HA.design_np(np.array([t]), K, P)[0]
