@@ -134,3 +134,44 @@ def test_splits_are_stateless_streaming_ops(spark, corpus, tmp_path):
         sampling.sample_fraction(corpus, ["id"], 0.5, seed=11),
         ["id"], {"train": 0.8, "test": 0.2}, seed=12).collect()}
     assert got == want and len(got) > 0
+
+
+def test_pipeline_thin_caps_scenes_per_cell(spark, tmp_path):
+    from vrtility_spark import datagen, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    p = Pipeline(images).warp(cell_res=datagen.TILE_RES).thin(3, seed=4)
+    per = {r["cell_id"]: r["n"] for r in
+           p.df.groupBy("cell_id").agg(F.count("*").alias("n"))
+           .collect()}
+    assert per and all(v == 3 for v in per.values())  # 5 dates → cap 3
+    # deterministic: same kept set under resharding
+    a = sorted((r["cell_id"], r["image_id"]) for r in p.df.collect())
+    p2 = Pipeline(images.repartition(11)) \
+        .warp(cell_res=datagen.TILE_RES).thin(3, seed=4)
+    assert a == sorted((r["cell_id"], r["image_id"])
+                       for r in p2.df.collect())
+    # per-period thinning keeps one per month (5 distinct months)
+    pm = Pipeline(images).warp(cell_res=datagen.TILE_RES) \
+        .thin(1, period="month")
+    perm = {r["cell_id"]: r["n"] for r in
+            pm.df.groupBy("cell_id").agg(F.count("*").alias("n"))
+            .collect()}
+    assert all(v == 5 for v in perm.values())
+    # composite still works downstream and the verb replays from a
+    # bundle (thinning must precede masking/compositing cleanly)
+    out = pm.set_maskfun("int", datagen.S2_MASK_VALUES) \
+        .composite("median")
+    bundle = out.to_bundle(str(tmp_path / "b.json"))
+    assert any(v["verb"] == "thin" for v in bundle["verbs"])
+    from vrtility_spark.pipeline import Pipeline as P2
+    replay = P2.from_bundle(str(tmp_path / "b.json"), images)
+    got = {r.cell_id: r.bytes for r in replay.df.collect()}
+    assert got == {r.cell_id: r.bytes for r in out.df.collect()}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="cell_id"):
+        Pipeline(images).thin(3)
+    with _pytest.raises(KeyError, match="period"):
+        Pipeline(images).warp(cell_res=datagen.TILE_RES) \
+            .thin(3, period="fortnight")

@@ -54,6 +54,7 @@ class Pipeline:
     _BUNDLE_VERBS = frozenset([
         "cloud_filter", "orbit_filter", "drop_duplicates", "date_range",
         "set_maskfun", "create_mlmask", "subset_bands", "derived_band",
+        "thin",
         "set_scale", "reproject", "warp", "regrid", "composite",
         "composite_period", "trend", "harmonic", "gapfill",
         "hampel", "savgol", "split_cells", "focal", "sieve",
@@ -232,6 +233,37 @@ class Pipeline:
                           self._UNBUNDLEABLE)
 
     # -------------------------------------------------- reduce (A1-A13)
+    def thin(self, n: int, period: str | None = None,
+             seed: int = 0) -> "Pipeline":
+        """Deterministic scene thinning: keep at most ``n`` scenes per
+        cell (per calendar ``period`` — "month"/"quarter"/"year" — when
+        given), chosen by content hash with image_id tiebreak
+        (sampling.stratified_sample_n). Dense-revisit cells otherwise
+        dominate composite cost for no statistical gain; hash-range
+        membership keeps the kept set reshard/retry/append-proof.
+        Requires cells assigned (:meth:`warp` first)."""
+        from vrtility_spark import sampling as _sampling
+        if "cell_id" not in self._df.columns:
+            raise ValueError("thin() needs cell_id — warp() first")
+        df = self._df
+        strata = ["cell_id"]
+        if period is not None:
+            trunc = {"month": "month", "quarter": "quarter",
+                     "year": "year"}
+            if period not in trunc:
+                raise KeyError(f"unknown period {period!r}; "
+                               "month | quarter | year")
+            df = df.withColumn(
+                "_thin_period",
+                F.date_trunc(trunc[period], F.col("datetime")))
+            strata = ["cell_id", "_thin_period"]
+        out = _sampling.stratified_sample_n(
+            df, strata, int(n), ["image_id"], seed=int(seed)) \
+            .drop("rk", "_thin_period")
+        return self._next(out, self._mask_specs, "thin",
+                          {"n": int(n), "period": period,
+                           "seed": int(seed)})
+
     def composite(self, reducer="median", mode: str = "auto",
                   max_stack_bytes: int | None = None) -> "Pipeline":
         """Temporal composite. ``mode``/``max_stack_bytes`` carry the
