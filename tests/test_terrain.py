@@ -182,3 +182,81 @@ def test_terrain_pipeline_verb_and_bundle(spark, tmp_path, tiny_images):
     a = {r.cell_id: bytes(r.bytes) for r in rows}
     b = {r.cell_id: bytes(r.bytes) for r in replay.df.collect()}
     assert a == b
+
+
+# --------------------------------------------------- D8 flow direction ----
+
+def flowdir_loop(G, sx, sy):
+    """Naive per-pixel D8 oracle over the unpadded (B, H, W) array."""
+    B, H, W = G.shape
+    out = np.full((B, H, W), np.nan)
+    for b in range(B):
+        for y in range(H):
+            for x in range(W):
+                win_ok = True
+                best, code = -np.inf, 0.0
+                for c, dy, dx in terrain.D8_CODES:
+                    ny, nx = y + dy, x + dx
+                    if not (0 <= ny < H and 0 <= nx < W) or \
+                            np.isnan(G[b, ny, nx]):
+                        win_ok = False
+                        break
+                    drop = (G[b, y, x] - G[b, ny, nx]) / \
+                        float(np.hypot(dx * sx, dy * sy))
+                    if drop > best:
+                        best, code = drop, float(c)
+                if win_ok and not np.isnan(G[b, y, x]):
+                    out[b, y, x] = code if best > 0 else 0.0
+    return out
+
+
+def test_flowdir_matches_loop_oracle():
+    rng = np.random.default_rng(19)
+    G = rng.uniform(100, 200, (2, 9, 11))
+    G[rng.random(G.shape) < 0.08] = np.nan
+    got = terrain.flow_direction_np(_pad(G), 30.0, 30.0)
+    want = flowdir_loop(G, 30.0, 30.0)
+    np.testing.assert_array_equal(np.nan_to_num(got, nan=-1),
+                                  np.nan_to_num(want, nan=-1))
+
+
+def test_flowdir_closed_forms():
+    yy, xx = np.mgrid[0:8, 0:8].astype(float)
+    # z rises to the NE → water flows SW (code 8) everywhere interior
+    plane = (xx + yy)[None]
+    out = terrain.flow_direction_np(_pad(plane), 10.0, 10.0)
+    assert (out[0, 1:-1, 1:-1] == 8.0).all()
+    # bowl: the minimum is a SINK (code 0)
+    bowl = ((xx - 4) ** 2 + (yy - 4) ** 2)[None]
+    out = terrain.flow_direction_np(_pad(bowl), 10.0, 10.0)
+    assert out[0, 4, 4] == 0.0
+    assert (np.nan_to_num(out[0], nan=99)[1:-1, 1:-1] != 99).all()
+    # flat terrain: all sinks
+    flat = np.full((1, 6, 6), 42.0)
+    out = terrain.flow_direction_np(_pad(flat), 10.0, 10.0)
+    assert (out[0, 1:-1, 1:-1] == 0.0).all()
+    # pure north-rising ramp drains due south (cardinal beats the
+    # diagonals because their √2 length halves nothing here)
+    ramp = yy[None]
+    out_iso = terrain.flow_direction_np(_pad(ramp), 10.0, 10.0)
+    assert (out_iso[0, 1:-1, 1:-1] == 4.0).all()  # due south
+
+
+def test_flowdir_distributed_matches_mosaic(spark):
+    h = w = 12
+    positions = [(0, 0), (1, 0), (0, 1)]
+    rows, G = _grid_tiles(h, w, positions, seed=23)
+    df = spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+    size = cells.cell_size(RES)
+    out = {r.cell_id: r
+           for r in terrain.terrain(df, "flowdir").collect()}
+    want_all = terrain.flow_direction_np(_pad(G), size / w, size / h)
+    for (ix, iy) in positions:
+        cid = int(cells.encode_np(ZONE, RES, ix, iy))
+        r = out[cid]
+        got = codec.to_float_masked(
+            codec.decode(r.bytes, r.w, r.h, r.fmt), r.nodata)
+        want = want_all[:, iy * h:(iy + 1) * h, ix * w:(ix + 1) * w]
+        np.testing.assert_array_equal(
+            np.nan_to_num(got, nan=-1),
+            np.nan_to_num(want.astype(np.float32), nan=-1))

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame
 from vrtility_spark import cells
 from vrtility_spark.focal import focal_filter
 
-TERRAIN_OPS = ("slope", "aspect", "hillshade")
+TERRAIN_OPS = ("slope", "aspect", "hillshade", "flowdir")
 
 
 # ------------------------------------------------------ NumPy kernels ----
@@ -97,6 +97,38 @@ def hillshade_np(P: np.ndarray, sx: float, sy: float,
     return 255.0 * np.clip(hs, 0.0, 1.0)
 
 
+#: D8 neighbor codes (ESRI convention), (code, dy, dx) on this grid
+#: (row 0 = ymin/SOUTH ⇒ north is +dy): E=1, SE=2, S=4, SW=8, W=16,
+#: NW=32, N=64, NE=128
+D8_CODES = ((1, 0, 1), (2, -1, 1), (4, -1, 0), (8, -1, -1),
+            (16, 0, -1), (32, 1, -1), (64, 1, 0), (128, 1, 1))
+
+
+def flow_direction_np(P: np.ndarray, sx: float, sy: float) -> np.ndarray:
+    """D8 flow direction of the padded ``(B, H+2, W+2)`` array: each
+    pixel points at the neighbor with the steepest positive descent
+    ``(z − z_nb) / distance`` (diagonals pay their √2·pixel length,
+    anisotropic pixels their true hypot). Flat pixels and sinks (no
+    positive drop) are 0; ties keep the SMALLEST code (deterministic);
+    windows touching any invalid sample are NaN — the same strict edge
+    semantics as the other terrain kernels."""
+    from numpy.lib.stride_tricks import sliding_window_view
+    Wv = sliding_window_view(P, (3, 3), axis=(1, 2))
+    z = Wv[..., 1, 1]
+    bad = np.isnan(Wv).any(axis=(-2, -1))
+    best = np.full(z.shape, -np.inf)
+    code = np.zeros(z.shape)
+    for c, dy, dx in D8_CODES:  # ascending codes: first strict winner
+        nb = Wv[..., 1 + dy, 1 + dx]
+        drop = (z - nb) / float(np.hypot(dx * sx, dy * sy))
+        better = drop > best
+        code = np.where(better, float(c), code)
+        best = np.where(better, drop, best)
+    out = np.where(best > 0, code, 0.0)
+    out[bad] = np.nan
+    return out
+
+
 def terrain_np(P: np.ndarray, op: str, sx: float, sy: float,
                units: str = "degrees", azimuth: float = 315.0,
                altitude: float = 45.0) -> np.ndarray:
@@ -106,6 +138,8 @@ def terrain_np(P: np.ndarray, op: str, sx: float, sy: float,
         return aspect_np(P, sx, sy)
     if op == "hillshade":
         return hillshade_np(P, sx, sy, azimuth=azimuth, altitude=altitude)
+    if op == "flowdir":
+        return flow_direction_np(P, sx, sy)
     raise KeyError(f"unknown terrain op {op!r}; known: {TERRAIN_OPS}")
 
 
