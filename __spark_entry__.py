@@ -1661,6 +1661,56 @@ def q_image_hillshade(spark, sf_dir):
         nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
 
 
+def q_image_flowdir(spark, sf_dir):
+    """Masked median composite → D8 flow direction (terrain.terrain
+    op='flowdir'): each pixel codes its steepest-positive-descent
+    neighbor (ESRI codes, true diagonal distances, sinks/flats = 0) —
+    the hydrology primitive, computed through the same focal halo
+    exchange as hillshade so directions cross tile seams exactly.
+    Pinned against constants computed Spark-free on assembled per-zone
+    mosaics with the loop-oracle-gated kernel
+    (tools/gen_oracle_constants.py)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    out = (Pipeline(images)
+           .set_maskfun("int", datagen.S2_MASK_VALUES)
+           .warp(cell_res=datagen.TILE_RES)
+           .composite("median")
+           .terrain("flowdir")
+           .df)
+
+    @F.pandas_udf("long")
+    def code_sum(b: pd.Series, w: pd.Series, h: pd.Series,
+                 fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f in zip(b, w, h, fmt):
+            dec = codec.decode(x, int(wi), int(hi), f).astype(np.float64)
+            res.append(int(dec[dec != -9999.0].sum()))
+        return pd.Series(res)
+
+    @F.pandas_udf("long")
+    def px_eq(b: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series,
+              target: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f, t in zip(b, w, h, fmt, target):
+            dec = codec.decode(x, int(wi), int(hi), f)
+            res.append(int((dec == np.float32(t)).sum()))
+        return pd.Series(res)
+
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        code_sum("bytes", "w", "h", "fmt").alias("code_sum"),
+        px_eq("bytes", "w", "h", "fmt", F.lit(0.0)).alias("sink_px"),
+        px_eq("bytes", "w", "h", "fmt",
+              F.lit(-9999.0)).alias("nodata_px"))
+
+
 def q_rasterize_aoi(spark, sf_dir):
     """Vector→raster (rasterize.rasterize_aoi): fixture AOI polygons
     burn into 16x16 tiles at the tile resolution — cover cells from
@@ -1806,6 +1856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "zonal_histogram": q_zonal_histogram,
         "image_hillshade": q_image_hillshade,
+        "image_flowdir": q_image_flowdir,
         "image_change": q_image_change,
         "image_quarterly_composite": q_image_quarterly_composite,
         "image_trend": q_image_trend,

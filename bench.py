@@ -41,7 +41,7 @@ BENCH_QUERIES = [
     # generation cached once, each shape best-of-reps like these keys)
     "image_focal_mean", "image_medoid_composite", "image_hls_composite",
     "image_regrid_composite", "image_hampel", "image_budget_composite",
-    "image_overview", "image_hillshade", "image_change",
+    "image_overview", "image_hillshade", "image_flowdir", "image_change",
     "image_quarterly_composite", "image_trend", "image_gapfill",
     "image_phash_dedup", "image_std_composite", "image_anomaly",
     "image_remedian_composite", "image_harmonic", "polygonize",
