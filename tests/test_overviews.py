@@ -244,6 +244,22 @@ def test_build_level_errors(spark):
         overviews.build_level(dfm).collect()
     with pytest.raises(ValueError, match="levels must be"):
         overviews.build_pyramid(df, 0)
+    # sibling nodata disagreement: every tile in a 2x2 group is decoded
+    # with one sentinel, so silent mis-masking must raise instead
+    rows3, _ = _grid_tiles(8, 8, [(0, 0), (1, 0)])
+    rows3[1]["nodata"] = NODATA + 1
+    dfn = spark.createDataFrame(pd.DataFrame(rows3), TILE_SCHEMA)
+    with pytest.raises(Exception, match="disagree on nodata"):
+        overviews.build_level(dfn).collect()
+    # per-band sentinel disagreement raises the same way
+    rows4, _ = _grid_tiles(8, 8, [(0, 0), (1, 0)])
+    bn = [[float(NODATA), 0.0], [float(NODATA), 65535.0]]
+    for r, b in zip(rows4, bn):
+        r["band_nodata"] = b
+    dfb = spark.createDataFrame(
+        pd.DataFrame(rows4), TILE_SCHEMA + ", band_nodata array<double>")
+    with pytest.raises(Exception, match="disagree on nodata"):
+        overviews.build_level(dfb).collect()
 
 
 def test_overviews_pipeline_verb_and_bundle(spark, tmp_path, tiny_images):

@@ -175,3 +175,10 @@ def test_pipeline_thin_caps_scenes_per_cell(spark, tmp_path):
     with _pytest.raises(KeyError, match="period"):
         Pipeline(images).warp(cell_res=datagen.TILE_RES) \
             .thin(3, period="fortnight")
+    # a user column named 'rk' survives thinning untouched (the rank
+    # column is private '_thin_rk', not the hard-coded 'rk' default)
+    tagged = Pipeline(images.withColumn("rk", F.lit("keepme"))) \
+        .warp(cell_res=datagen.TILE_RES).thin(3, seed=4)
+    assert "rk" in tagged.df.columns
+    assert {r["rk"] for r in tagged.df.select("rk").distinct()
+            .collect()} == {"keepme"}

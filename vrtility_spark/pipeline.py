@@ -258,8 +258,9 @@ class Pipeline:
                 F.date_trunc(trunc[period], F.col("datetime")))
             strata = ["cell_id", "_thin_period"]
         out = _sampling.stratified_sample_n(
-            df, strata, int(n), ["image_id"], seed=int(seed)) \
-            .drop("rk", "_thin_period")
+            df, strata, int(n), ["image_id"], seed=int(seed),
+            rank_col="_thin_rk") \
+            .drop("_thin_rk", "_thin_period")
         return self._next(out, self._mask_specs, "thin",
                           {"n": int(n), "period": period,
                            "seed": int(seed)})
@@ -469,7 +470,9 @@ class Pipeline:
         """Terrain derivative (slope/aspect/hillshade, Horn 3x3) over a
         one-row-per-cell tile table via the focal halo exchange
         (terrain.terrain) — gradients cross tile seams exactly; output
-        re-types to rawf32 with NaN nodata. Pending masks flush first."""
+        re-types to rawf32 with the finite -9999 sentinel as nodata
+        (not NaN — see terrain.py module header). Pending masks flush
+        first."""
         from vrtility_spark import terrain as _terrain
         psz = pixel_size if (pixel_size is None or np.isscalar(pixel_size)) \
             else list(pixel_size)

@@ -159,7 +159,9 @@ def terrain(df: DataFrame, op: str, units: str = "degrees",
     ``(sx, sy)``) defaults to each cell's own ground sample distance
     ``cell_size(res) / (w, h)`` — correct even for mixed-resolution
     tables (e.g. overview levels).  Output payloads are ``rawf32``
-    with NaN nodata.
+    with the FINITE ``-9999`` sentinel as nodata (gdaldem's classic
+    default; NaN would surface as a NULL nodata column through the
+    Arrow grouped-map path — see the module header).
     """
     if op not in TERRAIN_OPS:
         raise KeyError(f"unknown terrain op {op!r}; known: {TERRAIN_OPS}")
