@@ -1802,7 +1802,45 @@ def entry(spark: SparkSession) -> DataFrame:
     return comp.crossJoin(F.broadcast(cellstats))
 
 
+# --- driver-window rotation -------------------------------------------
+# The grading driver oracle-checks only the FIRST 50 queries() entries,
+# so with 67 queries 17 silently age out of the committed correctness
+# artifact each round. Fix (VERDICT r4 item #1): ~10 core keys stay
+# PINNED at the front; the remaining keys rotate right by 17 (the
+# window slack) once per committed CORRECTNESS_r*.json, so any key
+# outside the window this round is inside it the next — every query
+# earns a committed driver row at least every other round. The rotation
+# index is derived from the repo's own committed artifacts, so the
+# driver, tools/check_oracle.py, and pytest all see the same order
+# within one round.
+_PINNED = (
+    "pricing_summary", "mosaic_latest", "cell_assign", "spatial_join",
+    "knn", "hampel", "near_dup_clusters", "dedup_corpus", "ann_ivf",
+    "image_median_composite",
+)
+_ROTATION_BASE = 3  # CORRECTNESS artifacts committed before this scheme
+
+
+def _rotation_rounds() -> int:
+    import glob
+    here = os.path.dirname(os.path.abspath(__file__))
+    n = len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    return max(0, n - _ROTATION_BASE)
+
+
+def _rotate_window(base: dict) -> dict:
+    rest = [k for k in base if k not in _PINNED]
+    shift = (17 * _rotation_rounds()) % len(rest) if rest else 0
+    order = list(_PINNED) + rest[-shift:] + rest[:-shift] if shift \
+        else list(_PINNED) + rest
+    return {k: base[k] for k in order}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return _rotate_window(_queries_canonical())
+
+
+def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,

@@ -24,31 +24,14 @@ from vrtility_spark import datagen  # noqa: E402
 from vrtility_spark.pipeline import Pipeline  # noqa: E402
 from vrtility_spark.session import get_spark  # noqa: E402
 
-BENCH_QUERIES = [
-    "pricing_summary", "shipping_priority", "local_supplier",
-    "mosaic_latest", "moving_avg", "locf", "dedup_first",
-    "cell_assign", "reproject_cells", "spatial_join", "coverage_filter",
-    "knn", "hampel", "savgol",
-    "composite_scalars", "asof_join", "range_join", "rollup",
-    "anti_join", "set_ops", "simhash", "dedup_exact_docs", "ngram_jaccard",
-    "near_dup_clusters", "dedup_corpus", "minhash_docs", "minhash_lsh", "token_stats",
-    "quality_score", "lang_id", "fingerprint", "embedding_topk",
-    "embedding_lsh", "embedding_dup_clusters", "ann_ivf", "ann_pq",
-    "train_test_split", "stratified_sample",
-    # fixture-scale payload queries: constant-size inputs, benched so
-    # round-over-round regressions on these operators stay visible
-    # (the sf-scaled image pipeline is timed in image_pipeline_bench —
-    # generation cached once, each shape best-of-reps like these keys)
-    "image_focal_mean", "image_medoid_composite", "image_hls_composite",
-    "image_regrid_composite", "image_hampel", "image_budget_composite",
-    "image_overview", "image_hillshade", "image_flowdir", "image_change",
-    "image_quarterly_composite", "image_trend", "image_gapfill",
-    "image_phash_dedup", "image_std_composite", "image_anomaly",
-    "image_remedian_composite", "image_harmonic", "polygonize",
-    "image_proximity", "image_pansharpen", "image_sieve",
-    "zonal_stats", "zonal_histogram", "rasterize_aoi",
-    "audio_features", "video_features",
-]
+# bench and correctness surfaces stay congruent BY CONSTRUCTION: every
+# queries() entry is benched (fixture-scale payload queries included,
+# so round-over-round regressions on every operator stay visible). The
+# lone exclusion is the fixture-scale "image_median_composite" driver
+# query, whose key the sf-SCALED pipeline shape in image_pipeline_bench
+# owns (generation cached once, each shape best-of-reps).
+BENCH_QUERIES = [k for k in entrymod.queries()
+                 if k != "image_median_composite"]
 
 IMG = dict(zones=(30, 31, 27), nx=8, ny=8, n_dates=5, w=64, h=64)
 
@@ -143,7 +126,24 @@ def main() -> None:
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                     "bench"))
     from probe import kernel_probe
+    # QUIET-GATE the artifact (VERDICT r4 item #2): the probe used to be
+    # recorded but not acted on, so a bench committed in a noisy window
+    # understated capability. Retry (bounded) until the host is quiet;
+    # if it never quiets, run anyway — the probe history in the JSON
+    # says so explicitly and a later quiet rerun can sit beside it.
+    retries = int(os.environ.get("SPARK_GRAFT_PROBE_RETRIES", "6"))
+    sleep_s = float(os.environ.get("SPARK_GRAFT_PROBE_SLEEP", "300"))
+    probe_history = []
     probe = kernel_probe()
+    probe_history.append(probe)
+    for _ in range(retries):
+        if probe["quiet"]:
+            break
+        print(f"# probe not quiet ({probe}); sleeping {sleep_s:.0f}s",
+              file=sys.stderr)
+        time.sleep(sleep_s)
+        probe = kernel_probe()
+        probe_history.append(probe)
     spark = get_spark("vrtility-bench", cores=cpus, shuffle_partitions=cpus)
     queries = entrymod.queries()
 
@@ -175,6 +175,11 @@ def main() -> None:
     n_scenes, img_times = image_pipeline_bench(spark, max(reps, 3))
     times.update({k: round(v, 3) for k, v in img_times.items()})
 
+    # closing probe: a window that was quiet at t0 may have gone noisy
+    # mid-run; quiet-at-both-ends is the claim the artifact makes
+    spark.stop()
+    probe_end = kernel_probe()
+
     total = round(sum(times.values()), 3)
     result = {
         "metric": "headline_queries_total_wall",
@@ -185,6 +190,8 @@ def main() -> None:
         "cpus": cpus,
         "reps": reps,
         "probe": probe,
+        "probe_history": probe_history,
+        "probe_end": probe_end,
         "image_bench_scenes": n_scenes,
         "scenes_per_sec_median_composite": round(
             n_scenes / img_times["image_median_composite"], 2),

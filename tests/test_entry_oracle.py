@@ -56,6 +56,28 @@ def test_query_vs_oracle(spark, name):
                                   check_exact=False, rtol=0, atol=1e-9)
 
 
+def test_driver_window_rotation():
+    """The driver oracle-checks the first 50 queries() entries; the
+    rotation must (a) keep the pinned core keys up front, (b) cover
+    every key at least every other round (shift advances by 17 per
+    committed CORRECTNESS artifact: a key outside this round's window
+    sits <= 17 positions past it, so next round it moves inside), and
+    (c) never lose or duplicate a key."""
+    canon = list(entrymod._queries_canonical())
+    rotated = list(QUERIES)
+    assert sorted(canon) == sorted(rotated)
+    assert rotated[:len(entrymod._PINNED)] == list(entrymod._PINNED)
+    rest = [k for k in canon if k not in entrymod._PINNED]
+    # consecutive rounds: the union of two consecutive windows is ALL keys
+    def window(rounds):
+        shift = (17 * rounds) % len(rest)
+        order = (list(entrymod._PINNED) + rest[-shift:] + rest[:-shift]
+                 if shift else list(entrymod._PINNED) + rest)
+        return set(order[:50])
+    for r in range(8):
+        assert window(r) | window(r + 1) == set(canon), r
+
+
 def test_rows_only_queries_run(spark):
     for name in sorted(set(QUERIES) - set(ORACLES)):
         df = QUERIES[name](spark, SF_DIR)
