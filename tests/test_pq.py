@@ -170,3 +170,68 @@ def test_guards_ksub_and_shortlist(spark, vecs):
     with pytest.raises(ValueError, match="shortlist"):
         pq.pq_search(enc, df, books, "embedding", "vec_id", "vec_id",
                      k=5, shortlist=0)
+
+
+def test_kmeans_parallel_init_beats_first_and_is_deterministic(spark, vecs):
+    # the k-means|| seeding (default) must land a materially lower
+    # quantization error than the legacy first-ksub-rows baseline at
+    # the same Lloyd budget (measured 5.04 vs 15.85 at iters=1 on this
+    # fixture), and be bit-reproducible run to run (hash coins, no RNG)
+    df, X = vecs
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+
+    def err(b):
+        return ((pq.decode_np(pq._encode_np(Xn, b, False), b) - Xn)
+                ** 2).sum()
+
+    bf = pq.train_pq(df, "embedding", "vec_id", m=4, ksub=8, iters=1,
+                     init="first")
+    bk = pq.train_pq(df, "embedding", "vec_id", m=4, ksub=8, iters=1,
+                     init="kmeans||")
+    assert err(bk) < 0.6 * err(bf)
+    bk2 = pq.train_pq(df, "embedding", "vec_id", m=4, ksub=8, iters=1,
+                      init="kmeans||")
+    np.testing.assert_array_equal(bk, bk2)
+    with pytest.raises(ValueError, match="unknown init"):
+        pq.train_pq(df, "embedding", "vec_id", m=4, ksub=8, init="rng")
+
+
+def test_pq_index_persistence_roundtrip_and_resume(spark, vecs, tmp_path):
+    df, X = vecs
+    cents = ann.train_ivf(df, "embedding", "vec_id", n_clusters=4, iters=2)
+    books = pq.train_pq(df, "embedding", "vec_id", m=4, ksub=8, iters=2)
+    enc = pq.pq_encode(ann.ivf_assign(df, "embedding", cents),
+                       "embedding", books).cache()
+    path = str(tmp_path / "pqidx")
+    man = pq.write_pq_index(enc, path, books, centroids=cents)
+    assert man["partitions"]  # per-partition row counts recorded
+    back, books2, cents2 = pq.read_pq_index(spark, path)
+    np.testing.assert_allclose(books2, books)
+    np.testing.assert_allclose(cents2, cents)
+    want = sorted((r["vec_id"], bytes(r["pq_code"]))
+                  for r in enc.collect())
+    assert sorted((r["vec_id"], bytes(r["pq_code"]))
+                  for r in back.collect()) == want
+    # search straight off the restored index == search on the live one
+    q = df.where(F.col("vec_id") < 4)
+    live = {(r["q_id"], r["rank"]): r["id"] for r in pq.pq_search(
+        enc, q, books, "embedding", "vec_id", "vec_id", k=3,
+        centroids=cents, nprobe=4, shortlist=len(X), rerank=True,
+        rank_round=9).collect()}
+    rest = {(r["q_id"], r["rank"]): r["id"] for r in pq.pq_search(
+        back, q, books2, "embedding", "vec_id", "vec_id", k=3,
+        centroids=cents2, nprobe=4, shortlist=len(X), rerank=True,
+        rank_round=9).collect()}
+    assert live == rest and live
+    # RESUME: an interrupted encode job commits the remaining
+    # partitions only, and the chained read equals the single-shot one
+    path2 = str(tmp_path / "pqidx2")
+    tab = pq.pq_index_table(path2)
+    half = enc.where(F.col("cluster") < 2)
+    tab.commit(half, "cluster", upsert=True)
+    todo = tab.remaining(enc, "cluster")
+    assert todo.count() == enc.count() - half.count()
+    pq.write_pq_index(todo, path2, books, centroids=cents)
+    back2, _, _ = pq.read_pq_index(spark, path2)
+    assert sorted((r["vec_id"], bytes(r["pq_code"]))
+                  for r in back2.collect()) == want

@@ -21,6 +21,11 @@ Spark-first shapes:
 * :func:`pq_encode` — narrow ``mapInPandas``; the code column is a
   ``binary`` of ``m`` bytes, so a 10¹²-vector index is ~m TB instead
   of ~8·d TB.
+* :func:`write_pq_index` / :func:`read_pq_index` — the code table
+  commits to a :class:`lineage.SnapshotTable` (durable manifest,
+  per-partition row counts, ``remaining()``-based resume for
+  interrupted encode jobs) keyed by the IVF ``cluster`` when present;
+  codebooks + coarse centroids persist as tiny parquet sidecars.
 * :func:`pq_search` — queries are the BOUNDED side (the
   ``embedding_topk`` / kNN contract): their LUTs broadcast inside the
   closure, the code table streams through ONE narrow map emitting a
@@ -62,35 +67,225 @@ def _sub(X: np.ndarray, m: int) -> np.ndarray:
     return X.reshape(N, m, dsub).transpose(1, 0, 2)
 
 
+def _sub_min_d2(S_s: np.ndarray, C_s: np.ndarray) -> np.ndarray:
+    """(N, dsub) points vs (c, dsub) candidates → per-point min
+    squared-L2 distance (plain Euclidean: subvectors are NOT unit
+    vectors even when the full vector is normalized)."""
+    d2 = (np.sum(S_s ** 2, axis=1)[:, None] - 2.0 * S_s @ C_s.T
+          + np.sum(C_s ** 2, axis=1)[None, :])
+    return np.maximum(d2.min(axis=1), 0.0)
+
+
+def init_pq_kmeans_parallel(df: DataFrame, vec_col: str, id_col: str,
+                            m: int, ksub: int, seed: int = 42,
+                            rounds: int = 2, oversample: int | None = None,
+                            normalize: bool = True) -> np.ndarray:
+    """Deterministic per-subspace k-means|| seeding, ``(m, ksub, dsub)``.
+
+    The :func:`ann.init_kmeans_parallel` recipe (Bahmani et al.,
+    VLDB'12; hash-coin sampling, weighted k-means++ finish) applied to
+    every PQ subspace AT ONCE: all ``m`` subspaces share the same
+    Arrow passes, so a round costs two narrow corpus passes TOTAL (per-
+    subspace Σd², then the sample filter) instead of two per subspace.
+    The sampling coin is ``xxhash64(id, seed, round, sub)`` (JVM-side,
+    bit-reproducible, no RNG state); distances are plain squared-L2 in
+    each subspace (subvectors are not unit vectors). Candidates are
+    weighted by nearest-point counts (one shared counting pass) and
+    reduced to ``ksub`` centers per subspace driver-side — candidate
+    pools are O(oversample · rounds) per subspace, driver-trivial."""
+    el = float(oversample if oversample is not None else 2 * ksub)
+    proj = df.select(F.col(id_col).alias("_id"),
+                     F.transform(F.col(vec_col),
+                                 lambda a: a.cast("double")).alias("_emb"))
+    first = proj.orderBy("_id").limit(1).collect()
+    if not first:
+        raise ValueError("init_pq_kmeans_parallel: empty corpus")
+    x0 = np.asarray(first[0]._emb, dtype=np.float64).reshape(1, -1)
+    if normalize:
+        x0 = _normalize(x0)
+    dsub = _check_dims(x0.shape[1], m)
+    S0 = _sub(x0, m)
+    cands: list[list[np.ndarray]] = [[S0[s][0]] for s in range(m)]
+
+    def totals_udf(C):
+        def run(batches):
+            tot = np.zeros(m)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.asarray(pdf["_emb"].tolist(), dtype=np.float64)
+                if normalize:
+                    X = _normalize(X)
+                S = _sub(X, m)
+                for s in range(m):
+                    tot[s] += _sub_min_d2(S[s], C[s]).sum()
+            yield pd.DataFrame({"sub": np.arange(m, dtype=np.int64),
+                                "tot": tot})
+        return run
+
+    def sample_udf(C, totals):
+        def run(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.asarray(pdf["_emb"].tolist(), dtype=np.float64)
+                if normalize:
+                    X = _normalize(X)
+                S = _sub(X, m)
+                rows = []
+                for s in range(m):
+                    if totals[s] <= 0.0:
+                        continue
+                    u = pdf[f"_u{s}"].to_numpy(dtype=np.float64)
+                    keep = u * totals[s] < el * _sub_min_d2(S[s], C[s])
+                    rows.extend({"sub": s, "subvec": v.tolist()}
+                                for v in S[s][keep])
+                if rows:
+                    yield pd.DataFrame(rows)
+        return run
+
+    for r in range(int(rounds)):
+        C = [np.stack(c) for c in cands]
+        trows = (proj.mapInPandas(totals_udf(C), "sub long, tot double")
+                 .groupBy("sub").agg(F.sum("tot").alias("t")).collect())
+        totals = np.zeros(m)
+        for row in trows:
+            totals[row.sub] = float(row.t or 0.0)
+        if totals.max() <= 0.0:
+            break
+        coins = [(F.pmod(F.xxhash64(F.col("_id"), F.lit(int(seed)),
+                                    F.lit(r), F.lit(s)),
+                         F.lit(2 ** 40)).cast("double")
+                  / F.lit(float(2 ** 40))).alias(f"_u{s}")
+                 for s in range(m)]
+        sampled = (proj.select("_id", "_emb", *coins)
+                   .mapInPandas(sample_udf(C, totals),
+                                "sub long, subvec array<double>")
+                   .collect())
+        for row in sampled:
+            cands[int(row.sub)].append(
+                np.asarray(row.subvec, dtype=np.float64))
+
+    # pad degenerate pools (tiny corpus / tight duplicates) old-init
+    # style with the first ids' subvectors, then dedupe per subspace
+    need_pad = any(len(c) < ksub for c in cands)
+    if need_pad:
+        pad = (proj.orderBy("_id").limit(int(ksub) + max(len(c) for c in cands))
+               .select("_emb").collect())
+        P = np.asarray([row._emb for row in pad], dtype=np.float64)
+        if normalize:
+            P = _normalize(P)
+        SP = _sub(P, m)
+        for s in range(m):
+            cands[s].extend(SP[s])
+    C = [np.unique(np.stack(c), axis=0) for c in cands]
+
+    # shared counting pass: per-partition nearest-candidate counts for
+    # every subspace (O(Σ|C_s|) rows per partition, vectors stay put)
+    def count_udf(Cs):
+        def run(batches):
+            counts = [np.zeros(len(Cs[s]), dtype=np.int64)
+                      for s in range(m)]
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.asarray(pdf["_emb"].tolist(), dtype=np.float64)
+                if normalize:
+                    X = _normalize(X)
+                S = _sub(X, m)
+                for s in range(m):
+                    d2 = (np.sum(S[s] ** 2, axis=1)[:, None]
+                          - 2.0 * S[s] @ Cs[s].T
+                          + np.sum(Cs[s] ** 2, axis=1)[None, :])
+                    np.add.at(counts[s], np.argmin(d2, axis=1), 1)
+            rows = []
+            for s in range(m):
+                for i in np.nonzero(counts[s])[0]:
+                    rows.append({"sub": s, "cand": int(i),
+                                 "n": int(counts[s][i])})
+            if rows:
+                yield pd.DataFrame(rows)
+        return run
+
+    weights = [np.zeros(len(C[s])) for s in range(m)]
+    for row in (proj.mapInPandas(count_udf(C),
+                                 "sub long, cand long, n long")
+                .groupBy("sub", "cand").agg(F.sum("n").alias("n"))
+                .collect()):
+        weights[int(row.sub)][int(row.cand)] += row.n
+
+    books = np.zeros((m, int(ksub), dsub))
+    for s in range(m):
+        Cs, w = C[s], np.maximum(weights[s], 1e-9)
+        if len(Cs) <= ksub:
+            books[s, :len(Cs)] = Cs
+            if len(Cs) < ksub:
+                books[s, len(Cs):] = Cs[0]
+            continue
+        # greedy weighted k-means++ (argmax of w·d², index tiebreak)
+        sel = [int(np.argmax(w))]
+        d2 = np.maximum(np.sum((Cs - Cs[sel[0]]) ** 2, axis=1), 0.0)
+        while len(sel) < ksub:
+            score = w * d2
+            score[sel] = -1.0
+            nxt = int(np.argmax(score))
+            sel.append(nxt)
+            d2 = np.minimum(d2, np.sum((Cs - Cs[nxt]) ** 2, axis=1))
+        centers = Cs[sel].copy()
+        for _ in range(3):  # weighted Lloyd polish on the pool
+            dd = (np.sum(Cs ** 2, axis=1)[:, None]
+                  - 2.0 * Cs @ centers.T
+                  + np.sum(centers ** 2, axis=1)[None, :])
+            lab = np.argmin(dd, axis=1)
+            for j in range(ksub):
+                msk = lab == j
+                if msk.any():
+                    centers[j] = np.average(Cs[msk], axis=0,
+                                            weights=w[msk])
+        books[s] = centers
+    return books
+
+
 def train_pq(df: DataFrame, vec_col: str, id_col: str, m: int = 8,
-             ksub: int = 16, iters: int = 3,
-             normalize: bool = True) -> np.ndarray:
+             ksub: int = 16, iters: int = 3, normalize: bool = True,
+             init: str = "kmeans||", seed: int = 42) -> np.ndarray:
     """Per-subspace k-means codebooks, ``(m, ksub, dsub)`` float64.
 
-    Init is the first ``ksub`` rows by id (per-subspace k-means is
-    low-dimensional and Lloyd-polished; determinism matters more than
-    seeding finesse here). Each iteration is ONE Arrow pass emitting
-    map-side partial sums for every (subspace, code); the driver
-    merges in (subspace, code, partition) order — bit-reproducible."""
+    ``init="kmeans||"`` (default) seeds every subspace with the
+    deterministic oversampled sampler
+    (:func:`init_pq_kmeans_parallel` — all subspaces share the same
+    corpus passes); ``init="first"`` keeps the legacy
+    first-``ksub``-rows-by-id seeding (the recall baseline in
+    test_pq). Each Lloyd iteration is ONE Arrow pass emitting map-side
+    partial sums for every (subspace, code); the driver merges in
+    (subspace, code, partition) order — bit-reproducible."""
     if not 1 <= int(ksub) <= 256:
         raise ValueError(
             f"ksub={ksub} out of range: codes are stored as uint8, so "
             "each subspace holds at most 256 codewords (raise m, not "
             "ksub, for more capacity)")
-    first = (df.orderBy(id_col).limit(int(ksub))
-             .select(vec_col).toPandas()[vec_col].tolist())
-    X0 = np.asarray(first, dtype=np.float64)
-    if normalize:
-        X0 = _normalize(X0)
-    d = X0.shape[1]
-    dsub = _check_dims(d, m)
-    books = np.zeros((m, ksub, dsub))
-    S0 = _sub(X0, m)
-    for s in range(m):
-        n0 = min(len(X0), ksub)
-        books[s, :n0] = S0[s][:n0]
-        if n0 < ksub:
-            books[s, n0:] = S0[s][0] if n0 else 0.0
+    if init not in ("kmeans||", "first"):
+        raise ValueError(f"unknown init {init!r}: kmeans|| | first")
+    if init == "kmeans||":
+        books = init_pq_kmeans_parallel(df, vec_col, id_col, m, int(ksub),
+                                        seed=seed, normalize=normalize)
+        d = books.shape[2] * m
+        dsub = books.shape[2]
+    else:
+        first = (df.orderBy(id_col).limit(int(ksub))
+                 .select(vec_col).toPandas()[vec_col].tolist())
+        X0 = np.asarray(first, dtype=np.float64)
+        if normalize:
+            X0 = _normalize(X0)
+        d = X0.shape[1]
+        dsub = _check_dims(d, m)
+        books = np.zeros((m, ksub, dsub))
+        S0 = _sub(X0, m)
+        for s in range(m):
+            n0 = min(len(X0), ksub)
+            books[s, :n0] = S0[s][:n0]
+            if n0 < ksub:
+                books[s, n0:] = S0[s][0] if n0 else 0.0
 
     def make_partials(bk: np.ndarray):
         def run(batches):
@@ -198,6 +393,80 @@ def pq_encode(df: DataFrame, vec_col: str, books: np.ndarray,
         return pd.Series([c.tobytes() for c in codes])
 
     return df.withColumn(out_col, enc(F.col(vec_col)))
+
+
+def save_pq_books(spark, path: str, books: np.ndarray,
+                  centroids: np.ndarray | None = None) -> None:
+    """Persist codebooks (and the coarse IVF centroids, when given) as
+    tiny single-file parquet tables next to the code table."""
+    m, ksub, dsub = books.shape
+    rows = [(int(s), int(kk), [float(x) for x in books[s, kk]])
+            for s in range(m) for kk in range(ksub)]
+    (spark.createDataFrame(rows, "sub int, code int, center array<double>")
+     .coalesce(1).write.mode("overwrite").parquet(path + "_books"))
+    if centroids is not None:
+        crows = [(int(i), [float(x) for x in c])
+                 for i, c in enumerate(centroids)]
+        (spark.createDataFrame(crows, "cluster int, centroid array<double>")
+         .coalesce(1).write.mode("overwrite").parquet(path + "_centroids"))
+
+
+def load_pq_books(spark, path: str) -> tuple[np.ndarray, np.ndarray | None]:
+    """(books, centroids-or-None) back from :func:`save_pq_books`."""
+    b = (spark.read.parquet(path + "_books")
+         .orderBy("sub", "code").toPandas())
+    m, ksub = int(b["sub"].max()) + 1, int(b["code"].max()) + 1
+    books = np.asarray(b.center.tolist(), dtype=np.float64) \
+        .reshape(m, ksub, -1)
+    try:
+        c = (spark.read.parquet(path + "_centroids")
+             .orderBy("cluster").toPandas())
+        centroids = np.asarray(c.centroid.tolist(), dtype=np.float64)
+    except Exception:
+        centroids = None
+    return books, centroids
+
+
+def pq_index_table(path: str):
+    """The code table as a :class:`lineage.SnapshotTable` — encode a
+    10¹²-vector corpus in partition batches, commit each, and an
+    interrupted job resumes from ``remaining()`` instead of
+    re-encoding (exactly the scenes-log durability contract)."""
+    from vrtility_spark.lineage import SnapshotTable
+    return SnapshotTable(path + "_codes")
+
+
+def write_pq_index(indexed: DataFrame, path: str, books: np.ndarray,
+                   centroids: np.ndarray | None = None,
+                   partition_col: str | None = None) -> dict:
+    """Persist a full PQ index: the encoded code table committed to a
+    :class:`lineage.SnapshotTable` (durable manifest, per-partition
+    row counts, resumable), plus the tiny codebook/centroid tables.
+
+    ``partition_col`` keys the snapshot partitions — ``cluster`` when
+    the table is IVF-assigned (searches over ``nprobe`` clusters then
+    prune at the SCAN, the :func:`ann.write_ivf_index` layout); falls
+    back to ``cluster`` if present else a hash bucket of the first
+    column."""
+    if partition_col is None:
+        partition_col = "cluster" if "cluster" in indexed.columns else None
+    if partition_col is None:
+        indexed = indexed.withColumn(
+            "_bucket", F.pmod(F.xxhash64(indexed.columns[0]), F.lit(64)))
+        partition_col = "_bucket"
+    tab = pq_index_table(path)
+    manifest = tab.commit(indexed, partition_col, upsert=True)
+    save_pq_books(indexed.sparkSession, path, books, centroids)
+    return manifest
+
+
+def read_pq_index(spark, path: str):
+    """(indexed DataFrame, books, centroids-or-None) back from
+    :func:`write_pq_index` — the DataFrame reads through the snapshot
+    chain (newest snapshot wins per partition)."""
+    indexed = pq_index_table(path).read(spark)
+    books, centroids = load_pq_books(spark, path)
+    return indexed, books, centroids
 
 
 def pq_search(indexed: DataFrame, queries: DataFrame, books: np.ndarray,
