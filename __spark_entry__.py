@@ -321,6 +321,32 @@ def q_knn(spark, sf_dir):
                       F.round("dist", 6).alias("dist_r"), "rank")
 
 
+def q_knn_distributed(spark, sf_dir):
+    """J6 kNN, distributed-queries path (knn.knn_tiles_distributed):
+    the query table stays a DataFrame end to end — nothing query-sized
+    reaches the driver; per-round signal is one scalar count. Same
+    exact-top-k contract (and oracle) as q_knn."""
+    from vrtility_spark import knn as knn_mod
+    pts = _events_points(spark, sf_dir)
+    tiles = pts.select(
+        F.lpad(F.col("event_id").cast("string"), 8, "0").alias("image_id"),
+        F.col("event_type").alias("caption"),
+        F.col("user_id").alias("phash"),
+        "zone",
+        F.col("x").alias("xmin"), F.col("x").alias("xmax"),
+        F.col("y").alias("ymin"), F.col("y").alias("ymax"),
+        cells.xy_to_cell_col(F.col("zone"), F.col("x"), F.col("y"), CELL_RES)
+        .alias("cell_id"),
+    )
+    queries = spark.createDataFrame(
+        KNN_QUERIES, "query_id string, zone long, x double, y double, k int")
+    n_tiles = _t(spark, sf_dir, "events").count()
+    out = knn_mod.knn_tiles_distributed(tiles, queries, res=CELL_RES,
+                                        max_rings=64, n_tiles_hint=n_tiles)
+    return out.select("query_id", "image_id",
+                      F.round("dist", 6).alias("dist_r"), "rank")
+
+
 def _arr_median(arr):
     """Exact median of an array column (interpolated for even sizes —
     the same definition as DuckDB's median())."""
@@ -1806,9 +1832,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # The grading driver oracle-checks only the FIRST 50 queries() entries,
 # so with 67 queries 17 silently age out of the committed correctness
 # artifact each round. Fix (VERDICT r4 item #1): ~10 core keys stay
-# PINNED at the front; the remaining keys rotate right by 17 (the
-# window slack) once per committed CORRECTNESS_r*.json, so any key
-# outside the window this round is inside it the next — every query
+# PINNED at the front; the remaining keys rotate right by the window
+# slack (total keys - 50) once per committed CORRECTNESS_r*.json, so
+# any key outside the window this round is inside it the next — every query
 # earns a committed driver row at least every other round. The rotation
 # index is derived from the repo's own committed artifacts, so the
 # driver, tools/check_oracle.py, and pytest all see the same order
@@ -1830,7 +1856,11 @@ def _rotation_rounds() -> int:
 
 def _rotate_window(base: dict) -> dict:
     rest = [k for k in base if k not in _PINNED]
-    shift = (17 * _rotation_rounds()) % len(rest) if rest else 0
+    # step = how many keys sit OUTSIDE the driver's 50-slot window each
+    # round; rotating right by exactly that many puts every currently
+    # excluded key inside the window next round
+    step = max(len(base) - 50, 1)
+    shift = (step * _rotation_rounds()) % len(rest) if rest else 0
     order = list(_PINNED) + rest[-shift:] + rest[:-shift] if shift \
         else list(_PINNED) + rest
     return {k: base[k] for k in order}
@@ -1855,6 +1885,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage_filter": q_coverage_filter,
         "composite_scalars": q_composite_scalars,
         "knn": q_knn,
+        "knn_distributed": q_knn_distributed,
         "hampel": q_hampel,
         "savgol": q_savgol,
         "asof_join": q_asof_join,
@@ -2559,4 +2590,7 @@ def oracle_sql() -> dict[str, str]:
         out.update(CONSTANT_ORACLES)
     except ImportError:
         pass
+    # the distributed-queries kNN path shares q_knn's exact-top-k
+    # contract, fixture, and output schema — one oracle, two engines
+    out["knn_distributed"] = out["knn"]
     return out

@@ -59,18 +59,20 @@ def test_query_vs_oracle(spark, name):
 def test_driver_window_rotation():
     """The driver oracle-checks the first 50 queries() entries; the
     rotation must (a) keep the pinned core keys up front, (b) cover
-    every key at least every other round (shift advances by 17 per
-    committed CORRECTNESS artifact: a key outside this round's window
-    sits <= 17 positions past it, so next round it moves inside), and
-    (c) never lose or duplicate a key."""
+    every key at least every other round (shift advances by the window
+    slack per committed CORRECTNESS artifact, so every key outside this
+    round's window moves inside it next round), and (c) never lose or
+    duplicate a key."""
     canon = list(entrymod._queries_canonical())
     rotated = list(QUERIES)
     assert sorted(canon) == sorted(rotated)
     assert rotated[:len(entrymod._PINNED)] == list(entrymod._PINNED)
     rest = [k for k in canon if k not in entrymod._PINNED]
     # consecutive rounds: the union of two consecutive windows is ALL keys
+    step = max(len(canon) - 50, 1)
+
     def window(rounds):
-        shift = (17 * rounds) % len(rest)
+        shift = (step * rounds) % len(rest)
         order = (list(entrymod._PINNED) + rest[-shift:] + rest[:-shift]
                  if shift else list(entrymod._PINNED) + rest)
         return set(order[:50])

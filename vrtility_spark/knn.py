@@ -46,6 +46,181 @@ _OUT_SCHEMA = ("query_id string, image_id string, dist double, rank int, "
                "caption string, phash long")
 
 
+def knn_tiles_distributed(tiles: DataFrame, queries: DataFrame, res: int,
+                          max_rings: int = 64,
+                          initial_radius: int | None = None,
+                          n_tiles_hint: int | None = None,
+                          persist: bool = True, reliable: bool = False,
+                          checkpoint_dir: str | None = None) -> DataFrame:
+    """Exact K nearest tiles per query — the DISTRIBUTED-QUERIES twin
+    of :func:`knn_tiles` for 10⁶+-row query tables.
+
+    :func:`knn_tiles` collects the query table to the driver (right
+    for ad-hoc probe lists; documented there). Here the query table
+    stays a DataFrame end to end: candidate disk cells are generated
+    executor-side (two ``explode(sequence(...))`` generators per
+    radius round), counted against a per-cell tile-count aggregate
+    (computed ONCE and reused every round), and each query's minimal
+    disk radius ``r0`` falls out of a per-query cumulative ring sum —
+    one window over rings, never a per-query driver loop. The ONLY
+    thing that ever reaches the driver is one scalar per round: the
+    count of still-under-filled queries, which decides whether to
+    double the count radius. The probe phase is the same disk(r1)
+    guarantee as :func:`knn_tiles` (``r1 = ceil(√2·(r0+1))``), with the
+    per-query radius driving a column-valued ``sequence`` explode, and
+    the same graceful per-zone equi-join when a disk covers its zone.
+
+    Scale shape: the count join moves (pending × (2rc+1)²) tiny key
+    rows against the cell-count table (itself bounded by the number of
+    distinct occupied cells, not tiles); the probe fanout is bounded by
+    K/local-density per query. Nothing query-sized or tile-sized is
+    ever collected. Results are row-identical to :func:`knn_tiles` on
+    the same input (pytest-pinned).
+    """
+    spark = tiles.sparkSession
+    size = cell_size(res)
+    nmax = (1 << res) - 1
+    nside = 1 << res
+
+    tiles_p = tiles.select(
+        "cell_id", "image_id", "caption", "phash",
+        ((F.col("xmin") + F.col("xmax")) / 2).alias("tcx"),
+        ((F.col("ymin") + F.col("ymax")) / 2).alias("tcy"))
+    if persist:
+        tiles_p = tiles_p.persist()
+    cell_counts = (tiles_p.groupBy("cell_id")
+                   .agg(F.count("*").alias("_n")).persist())
+
+    def _clip(c):
+        return F.greatest(F.lit(0), F.least(F.lit(nmax), c)).cast("long")
+
+    q = (queries.select(
+            "query_id", F.col("zone").cast("long").alias("zone"),
+            F.col("x").cast("double").alias("qx"),
+            F.col("y").cast("double").alias("qy"),
+            F.col("k").cast("int").alias("k"))
+         .withColumn("qix", _clip(F.floor(F.col("qx") / F.lit(size))))
+         .withColumn("qiy", _clip(F.floor(F.col("qy") / F.lit(size))))
+         .persist())
+    stats = q.agg(F.count("*").alias("nq"), F.max("k").alias("kmax"),
+                  F.count_distinct("zone").alias("nz")).collect()[0]
+    if not stats.nq:
+        q.unpersist()
+        cell_counts.unpersist()
+        if persist:
+            tiles_p.unpersist()
+        return spark.createDataFrame([], _OUT_SCHEMA)
+
+    if initial_radius is None:
+        n_tiles = (n_tiles_hint if n_tiles_hint is not None
+                   else tiles_p.count())
+        density = max(n_tiles / ((stats.nz or 1) * nside ** 2), 1e-9)
+        want_cells = 4.0 * stats.kmax / density
+        initial_radius = max(2, math.ceil((math.sqrt(want_cells) - 1) / 2))
+    rc_cap = min(nmax, int(max_rings))
+    rc = min(int(initial_radius), rc_cap)
+
+    def _cell_expr(zone, ix, iy):
+        return ((zone * 16 + F.lit(res)) * F.lit(_B) + iy) * F.lit(_B) + ix
+
+    def _disk(df, radius):
+        """Explode the Chebyshev disk around each query's cell;
+        ``radius`` is a literal int or a per-row Column."""
+        from pyspark.sql import Column
+        r = radius if isinstance(radius, Column) else F.lit(int(radius))
+        return (df
+                .withColumn("dx", F.explode(F.sequence(-r, r)))
+                .withColumn("dy", F.explode(F.sequence(-r, r)))
+                .withColumn("ix", F.col("qix") + F.col("dx"))
+                .withColumn("iy", F.col("qiy") + F.col("dy"))
+                .where((F.col("ix") >= 0) & (F.col("ix") <= nmax)
+                       & (F.col("iy") >= 0) & (F.col("iy") <= nmax))
+                .withColumn("_cell", _cell_expr(F.col("zone"),
+                                                F.col("ix"), F.col("iy"))))
+
+    # ---- phase 1: count (loop driven by ONE scalar per round) ------------
+    solved: list[DataFrame] = []
+    pending = q
+    while True:
+        ring_counts = (_disk(pending, rc)
+                       .withColumn("ring", F.greatest(F.abs("dx"),
+                                                      F.abs("dy")))
+                       .join(cell_counts,
+                             F.col("_cell") == F.col("cell_id"), "left")
+                       .groupBy("query_id", "k", "ring")
+                       .agg(F.sum(F.coalesce(F.col("_n"),
+                                             F.lit(0))).alias("rn")))
+        wr = Window.partitionBy("query_id").orderBy("ring")
+        got = (ring_counts.withColumn("cum", F.sum("rn").over(wr))
+               .where(F.col("cum") >= F.col("k"))
+               .groupBy("query_id").agg(F.min("ring").alias("r0")))
+        # disk covers the whole zone (take all) / bounded search
+        # exhausted (best partial answer): r0 = current count radius
+        covers = ((F.col("qix") <= rc) & (F.col("qiy") <= rc)
+                  & (F.col("qix") + rc >= nmax)
+                  & (F.col("qiy") + rc >= nmax))
+        exhausted = rc >= rc_cap
+        fallback = (pending.where(covers | F.lit(exhausted))
+                    .select("query_id",
+                            F.lit(int(rc)).cast("int").alias("r0"))
+                    .join(got, "query_id", "left_anti"))
+        round_solved = (got.select("query_id",
+                                   F.col("r0").cast("int").alias("r0"))
+                        .unionByName(fallback).persist())
+        solved.append(round_solved)
+        nxt = pending.join(round_solved, "query_id", "left_anti").persist()
+        n_left = nxt.count()  # the ONLY driver-side signal
+        if pending is not q:
+            pending.unpersist()
+        pending = nxt
+        if n_left == 0 or exhausted:
+            pending.unpersist()
+            break
+        rc = min(2 * rc, rc_cap)
+
+    import functools
+    r0df = functools.reduce(DataFrame.unionByName, solved)
+
+    # ---- phase 2: probe + exact rank (same guarantee as knn_tiles) ------
+    qr = (q.join(r0df, "query_id")
+          .withColumn("r1", F.least(
+              F.lit(nmax),
+              F.ceil(F.lit(_SQRT2) * (F.col("r0") + 1))).cast("int")))
+    zone_cover = (F.lit(2) * F.col("r1") + F.lit(1)) >= F.lit(nside)
+    hits_d = (_disk(qr.where(~zone_cover), F.col("r1"))
+              .select("query_id", "k", "qx", "qy", "_cell")
+              .join(tiles_p, F.col("_cell") == F.col("cell_id"), "inner")
+              .select("query_id", "k", "qx", "qy", "image_id",
+                      "caption", "phash", "tcx", "tcy"))
+    tzone = F.floor(F.col("cell_id") / (16 * _B * _B))
+    hits_z = (qr.where(zone_cover)
+              .select("query_id", "k", "qx", "qy",
+                      F.col("zone").alias("_qzone"))
+              .join(tiles_p.withColumn("_tzone", tzone),
+                    F.col("_qzone") == F.col("_tzone"), "inner")
+              .select("query_id", "k", "qx", "qy", "image_id",
+                      "caption", "phash", "tcx", "tcy"))
+    hits = hits_d.unionByName(hits_z)
+
+    w = Window.partitionBy("query_id").orderBy("dist", "image_id")
+    out = (hits
+           .withColumn("dist", F.sqrt((F.col("tcx") - F.col("qx")) ** 2
+                                      + (F.col("tcy") - F.col("qy")) ** 2))
+           .withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= F.col("k"))
+           .select("query_id", "image_id", "dist", "rank",
+                   "caption", "phash"))
+    result = truncate_lineage(out, eager=True, reliable=reliable,
+                              checkpoint_dir=checkpoint_dir)
+    for s in solved:
+        s.unpersist()
+    q.unpersist()
+    cell_counts.unpersist()
+    if persist:
+        tiles_p.unpersist()
+    return result
+
+
 def _qcell(q, res: int):
     """Clipped (ix, iy) of the query's own cell."""
     n = (1 << res) - 1
