@@ -219,3 +219,44 @@ def test_mismatched_tile_dims_never_pair(spark):
     df = spark.createDataFrame(pd.DataFrame(rows), schema=TILE_SCHEMA)
     got = regions.polygonize(df, band=0).collect()
     assert len(got) == 2 and all(r["n_tiles"] == 1 for r in got)
+
+
+def test_incremental_rounds_relabel_only_patched_cells(spark, monkeypatch):
+    """rounds=2 must re-run the decode+label emit stage on ONLY the
+    cells round 1 patched; untouched tiles reuse their checkpointed
+    partials (and the result stays byte-identical to chaining single
+    rounds — pinned by test_sieve_rounds_converge)."""
+    # 2x2 grid where ONLY tile (0,0) contains sub-threshold speckle:
+    # uniform tiles are never patched, so round 2 must re-emit 1 cell
+    h = w = 12
+    from test_regions import FMT
+    rows = []
+    for ix, iy in [(0, 0), (1, 0), (0, 1), (1, 1)]:
+        arr = np.full((1, h, w), 1.0)
+        if (ix, iy) == (0, 0):
+            arr[0, 5, 5] = 2.0  # 1-px speckle inside the big region
+            arr[0, 8, 2:4] = 2.0  # 2-px speckle
+        cid = int(cells.encode_np(ZONE, RES, ix, iy))
+        rows.append({"cell_id": cid,
+                     "bytes": codec.encode(arr.astype(np.uint16), FMT),
+                     "w": w, "h": h, "fmt": FMT, "nodata": NODATA})
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=TILE_SCHEMA)
+
+    emit_inputs = []
+    orig = regions._emit_stage
+
+    def spy(d, *a, **k):
+        emit_inputs.append(d.count())
+        return orig(d, *a, **k)
+
+    monkeypatch.setattr(regions, "_emit_stage", spy)
+    out = regions.sieve(df, band=0, min_pixels=6, rounds=2)
+    got = {r["cell_id"]: r["bytes"] for r in out.collect()}
+    monkeypatch.undo()
+    assert len(got) == len(rows)
+    assert len(emit_inputs) == 2
+    assert emit_inputs[0] == len(rows)  # round 1: full corpus
+    assert emit_inputs[1] == 1          # round 2: only the patched cell
+    # and the speckle is gone
+    speck = codec.decode(got[rows[0]["cell_id"]], h, w, FMT)
+    np.testing.assert_array_equal(speck[0], np.full((h, w), 1))

@@ -512,11 +512,16 @@ def sieve(df: DataFrame, band: int = 0, min_pixels: int = 9,
     One round is one global sieve (every small region judged against
     ORIGINAL sizes — a deterministic variant of GDAL's cascade, which
     merges serially in scan order). ``rounds > 1`` re-runs on the
-    rewritten tiles: merged speckle that is still under the threshold
-    joins its (now larger) surroundings, converging like iterated
-    gdal_sieve. Small regions with NO neighbour (speckle surrounded by
-    nodata) keep their value under ``largest_neighbor`` and drop under
-    ``"nodata"``.
+    rewritten tiles INCREMENTALLY: a tile's emit output depends only on
+    its own pixels, so round ``k+1`` re-labels only the cells round
+    ``k`` actually patched and reuses every untouched tile's
+    checkpointed partials — the seam/CC/RAG stages still see the full
+    record set, but the decode+label cost of round ``k+1`` scales with
+    the patch set, not the corpus. Merged speckle that is still under
+    the threshold joins its (now larger) surroundings, converging like
+    iterated gdal_sieve. Small regions with NO neighbour (speckle
+    surrounded by nodata) keep their value under ``largest_neighbor``
+    and drop under ``"nodata"``.
 
     Returns the input schema with payloads rewritten (same format);
     ``band``/``values`` follow :func:`polygonize`.
@@ -526,20 +531,37 @@ def sieve(df: DataFrame, band: int = 0, min_pixels: int = 9,
     if int(min_pixels) < 1:
         raise ValueError("min_pixels must be >= 1")
     out = df
+    prev_mid = prev_patched = None
     for _ in range(int(rounds)):
-        out = _sieve_once(out, band, int(min_pixels), values, fill, key,
-                          max_iter, reliable, checkpoint_dir)
+        out, prev_mid, prev_patched = _sieve_once(
+            out, band, int(min_pixels), values, fill, key,
+            max_iter, reliable, checkpoint_dir,
+            prev_mid=prev_mid, prev_patched=prev_patched)
     return out
 
 
 def _sieve_once(df: DataFrame, band: int, min_pixels: int, values,
                 fill: str, key: str, max_iter: int, reliable: bool,
-                checkpoint_dir) -> DataFrame:
+                checkpoint_dir, prev_mid: DataFrame | None = None,
+                prev_patched: DataFrame | None = None):
+    """One global sieve round. Returns ``(rewritten tiles, this
+    round's checkpointed mid table, this round's patched-cell ids)`` —
+    the latter two feed the next round's incremental re-label (only
+    patched cells re-emit; untouched tiles reuse their partials)."""
     from pyspark.sql import Window
 
     names = [f.name for f in df.schema.fields]
+    if prev_mid is None or prev_patched is None:
+        emitted = _emit_stage(df, band, values, key, adjacency=True)
+    else:
+        redo = df.join(prev_patched.withColumnRenamed("cell_id", key),
+                       key, "left_semi")
+        emitted = (prev_mid.join(prev_patched, "cell_id", "left_anti")
+                   .unionByName(
+                       _emit_stage(redo, band, values, key,
+                                   adjacency=True)))
     mid = truncate_lineage(
-        _emit_stage(df, band, values, key, adjacency=True),
+        emitted,
         eager=False, reliable=reliable, checkpoint_dir=checkpoint_dir)
     parts = mid.filter(F.col("kind") == 0)
     pairs, labels = _component_labels(mid, max_iter, reliable,
@@ -582,9 +604,15 @@ def _sieve_once(df: DataFrame, band: int, min_pixels: int, values,
              .select(F.col("cell_id").alias(key),
                      (F.col("label") % PID_RADIX).alias("llabel"),
                      "new_value"))
-    patches = patch.groupBy(key).agg(
-        F.collect_list(F.struct("llabel", "new_value")).alias("_patches"))
-    joined = df.join(patches, key, "left")
+    patches = truncate_lineage(
+        patch.groupBy(key).agg(
+            F.collect_list(F.struct("llabel", "new_value"))
+            .alias("_patches")),
+        eager=False, reliable=reliable, checkpoint_dir=checkpoint_dir)
+    # only patched tiles enter the Arrow rewrite; untouched tile bytes
+    # never cross the Python boundary at all
+    joined = df.join(patches, key, "inner")
+    untouched = df.join(patches, key, "left_anti").select(*names)
     keep = None if values is None else {float(v) for v in values}
     band_i = int(band)
 
@@ -640,4 +668,7 @@ def _sieve_once(df: DataFrame, band: int, min_pixels: int, values,
     out_schema = T.StructType(
         [T.StructField(f.name, f.dataType, True)
          for f in df.schema.fields])
-    return joined.mapInPandas(apply_patches, schema=out_schema)
+    rewritten = (joined.mapInPandas(apply_patches, schema=out_schema)
+                 .unionByName(untouched))
+    patched_cells = patches.select(F.col(key).alias("cell_id")).distinct()
+    return rewritten, mid, patched_cells
