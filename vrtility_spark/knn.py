@@ -164,17 +164,20 @@ def knn_tiles_distributed(tiles: DataFrame, queries: DataFrame, res: int,
                     .select("query_id",
                             F.lit(int(rc)).cast("int").alias("r0"))
                     .join(got, "query_id", "left_anti"))
-        round_solved = (got.select("query_id",
-                                   F.col("r0").cast("int").alias("r0"))
-                        .unionByName(fallback).persist())
+        # truncate per round: pending_{k+1} references round_solved_k
+        # AND pending_k, so without truncation the logical plan doubles
+        # every round (exponential analyze/explain cost — a real OOM at
+        # sf0.01 before this). These tables are (query_id, r0)-sized.
+        round_solved = truncate_lineage(
+            got.select("query_id", F.col("r0").cast("int").alias("r0"))
+            .unionByName(fallback), eager=True)
         solved.append(round_solved)
-        nxt = pending.join(round_solved, "query_id", "left_anti").persist()
+        nxt = truncate_lineage(
+            pending.join(round_solved, "query_id", "left_anti"),
+            eager=False)
         n_left = nxt.count()  # the ONLY driver-side signal
-        if pending is not q:
-            pending.unpersist()
         pending = nxt
         if n_left == 0 or exhausted:
-            pending.unpersist()
             break
         rc = min(2 * rc, rc_cap)
 
@@ -212,8 +215,6 @@ def knn_tiles_distributed(tiles: DataFrame, queries: DataFrame, res: int,
                    "caption", "phash"))
     result = truncate_lineage(out, eager=True, reliable=reliable,
                               checkpoint_dir=checkpoint_dir)
-    for s in solved:
-        s.unpersist()
     q.unpersist()
     cell_counts.unpersist()
     if persist:
