@@ -1659,6 +1659,36 @@ def q_image_change(spark, sf_dir):
         nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
 
 
+def q_image_stretch(spark, sf_dir):
+    """Masked median composite → percent-cut stretch (stretch.stretch,
+    SURVEY §2 F7 — the reference's plotting normalization,
+    /root/reference/R/gdalraster-internals.R:12-22,64-81, re-expressed
+    collection-global): per-band type-7 quantile bounds computed from
+    EXACT integer histogram partials (the only exchange is the tiny
+    histogram merge), then a narrow [0,1] rescale re-typing to
+    rawf32/-9999. Pinned against constants computed Spark-free with
+    np.quantile(method='linear') over the assembled fixture
+    (tools/gen_oracle_constants.py)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    out = (Pipeline(images)
+           .set_maskfun("int", datagen.S2_MASK_VALUES)
+           .warp(cell_res=datagen.TILE_RES)
+           .composite("median")
+           .stretch(pct_cut=(2, 98))
+           .df)
+    fs, nd_px = _float_payload_udfs()
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        F.md5("caption_agg").alias("caption_md5"),
+        fs("bytes", "w", "h", "fmt").alias("st_sum"),
+        nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
+
+
 def q_image_hillshade(spark, sf_dir):
     """Masked median composite → hillshade (terrain.terrain): Horn 3x3
     gradients with the focal halo exchange, so shading crosses tile
@@ -1925,6 +1955,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "zonal_histogram": q_zonal_histogram,
         "image_hillshade": q_image_hillshade,
+        "image_stretch": q_image_stretch,
         "image_flowdir": q_image_flowdir,
         "image_change": q_image_change,
         "image_quarterly_composite": q_image_quarterly_composite,

@@ -403,6 +403,59 @@ def image_hillshade_rows():
     return sorted(rows, key=lambda d: d["cell_id"])
 
 
+def image_stretch_rows():
+    """Masked median composite → percent-cut stretch (F7,
+    stretch.stretch pct_cut=(2,98)) replicated without Spark: the
+    collection-global per-band bounds are type-7 quantiles over EVERY
+    valid composite pixel of every cell in every zone
+    (np.quantile(method='linear') — identical to the engine's exact
+    integer histogram, pinned in tests/test_stretch.py), then each
+    tile runs the normalize + rawf32/-9999 encode round-trip and the
+    usual float-payload checksums."""
+    from vrtility_spark import stretch as stretch_mod
+
+    pdf = _grouped_fixture()
+    tiles: dict[int, np.ndarray] = {}
+    meta: dict[int, tuple] = {}
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        with np.errstate(all="ignore"):
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                out = composite.REDUCERS["median"](_masked_stack(grp, nd))
+        tiles[int(cell_id)] = codec.from_float(out, nd, "uint16")
+        meta[int(cell_id)] = (nd, len(grp),
+                              _caption_agg(grp.caption.tolist()))
+    masked = {cid: codec.to_float_masked(tiles[cid], meta[cid][0])
+              for cid in tiles}
+    nb = next(iter(masked.values())).shape[0]
+    allpix = np.concatenate(
+        [m.reshape(nb, -1) for m in masked.values()], axis=1)
+    lo = np.array([np.quantile(b[np.isfinite(b)], 0.02, method="linear")
+                   for b in allpix])
+    hi = np.array([np.quantile(b[np.isfinite(b)], 0.98, method="linear")
+                   for b in allpix])
+    rows = []
+    for cid, A in masked.items():
+        out = stretch_mod.stretch_np(A, lo, hi)
+        payload = codec.encode(
+            codec.from_float(out, -9999.0, "float32"), "rawf32")
+        dec = codec.decode(payload, A.shape[2], A.shape[1],
+                           "rawf32").astype(np.float64)
+        valid = dec[dec != -9999.0]
+        _nd, n_scenes, agg = meta[cid]
+        rows.append({
+            "cell_id": cid, "n_scenes": n_scenes,
+            "payload_len": len(payload),
+            "caption_md5": hashlib.md5(agg.encode()).hexdigest(),
+            "st_sum": float(np.round(valid, 3).sum()),
+            "nodata_px": int((dec == -9999.0).sum()),
+        })
+    return sorted(rows, key=lambda d: d["cell_id"])
+
+
 def rasterize_rows():
     """Fixture AOIs burned into 16x16 tiles at the tile res, replicated
     without Spark: cover cells from cover_bbox_np, pixel-center PIP per
@@ -1426,6 +1479,12 @@ def main() -> None:
             image_hillshade_rows(),
             ["cell_id", "n_scenes", "payload_len", "caption_md5",
              "hs_sum", "nodata_px"]),
+        # composite -> percent-cut stretch (F7): pins the exact
+        # histogram type-7 quantiles and the [0,1] rawf32 re-typing
+        "image_stretch": values_sql(
+            image_stretch_rows(),
+            ["cell_id", "n_scenes", "payload_len", "caption_md5",
+             "st_sum", "nodata_px"]),
         # periodic composites (synthetic (cell, period) group key)
         "image_quarterly_composite": values_sql(
             image_periodic_rows(),

@@ -59,7 +59,7 @@ class Pipeline:
         "composite_period", "trend", "harmonic", "gapfill",
         "hampel", "savgol", "split_cells", "focal", "sieve",
         "proximity", "overview_level",
-        "overviews", "terrain"])
+        "overviews", "terrain", "stretch"])
 
     def __init__(self, df: DataFrame, mask_specs: tuple = (),
                  log: tuple = (), mask_dropped: bool = False):
@@ -371,6 +371,26 @@ class Pipeline:
             (), "focal", {"op": op, "radius": int(radius),
                           "weights": w_list, "normalize": normalize,
                           "fill": bool(fill)})
+
+    def stretch(self, pct_cut=None, minmax=None) -> "Pipeline":
+        """Per-band normalize to [0, 1] against ONE collection-global
+        range (stretch.stretch — the reference's plotting
+        normalization, F7): explicit ``minmax``, type-7 percentile
+        ``pct_cut`` (exact histogram quantiles for integer payloads),
+        or global min/max. Output re-types to rawf32 with the finite
+        -9999 sentinel. Pending masks flush first (masked pixels must
+        not feed the quantiles)."""
+        from vrtility_spark import stretch as _stretch
+        mm = (None if minmax is None else
+              [np.atleast_1d(np.asarray(m, dtype=np.float64)).tolist()
+               for m in minmax])
+        return self._next(
+            _stretch.stretch(self._flushed().df, pct_cut=pct_cut,
+                             minmax=minmax),
+            (), "stretch",
+            {"pct_cut": (None if pct_cut is None
+                         else [float(p) for p in pct_cut]),
+             "minmax": mm})
 
     def sieve(self, min_pixels: int, band: int = 0, values=None,
               fill: str = "largest_neighbor", rounds: int = 1) -> "Pipeline":
