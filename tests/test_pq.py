@@ -235,3 +235,21 @@ def test_pq_index_persistence_roundtrip_and_resume(spark, vecs, tmp_path):
     back2, _, _ = pq.read_pq_index(spark, path2)
     assert sorted((r["vec_id"], bytes(r["pq_code"]))
                   for r in back2.collect()) == want
+
+
+def test_pq_index_bucket_fallback_and_books_only(spark, vecs, tmp_path):
+    df, X = vecs
+    books = pq.train_pq(df, "embedding", "vec_id", m=4, ksub=8, iters=2)
+    enc = pq.pq_encode(df, "embedding", books)  # no cluster column
+    path = str(tmp_path / "flatidx")
+    pq.write_pq_index(enc, path, books)  # hash-bucket fallback, no IVF
+    back, books2, cents2 = pq.read_pq_index(spark, path)
+    # the internal _bucket partitioner never leaks into the read schema
+    assert sorted(back.columns) == sorted(enc.columns)
+    assert sorted((r["vec_id"], bytes(r["pq_code"]))
+                  for r in back.collect()) == \
+        sorted((r["vec_id"], bytes(r["pq_code"])) for r in enc.collect())
+    # a books-only index reads back with centroids=None (missing
+    # sidecar is legal; corruption still raises)
+    assert cents2 is None
+    np.testing.assert_allclose(books2, books)

@@ -137,6 +137,52 @@ def test_stretch_validation(spark):
         stretch.stretch(df, pct_cut=(2, 98), minmax=(0, 1))
     with pytest.raises(ValueError, match="bad pct_cut"):
         stretch.stretch(df, pct_cut=(98, 2))
+    # the same argument-order mistake on the explicit-range path
+    with pytest.raises(ValueError, match="lo > hi"):
+        stretch.stretch(df, minmax=(3000.0, 1000.0))
+    with pytest.raises(ValueError, match="lo > hi"):
+        stretch.stretch(df, minmax=((0.0, 5000.0), (1.0, 4000.0)))
     empty = df.where("cell_id < 0")
     with pytest.raises(ValueError, match="no valid pixels"):
         stretch.stretch(empty, pct_cut=(2, 98))
+
+
+def test_passthrough_underscore_columns(spark):
+    # itertuples mangles leading-underscore / positional names; the
+    # apply pass must carry such user metadata through untouched
+    import pyspark.sql.functions as F
+    df, rows, _ = _tiles(spark, n=4)
+    df2 = df.withColumn("_src", F.concat(F.lit("s"), F.col("cell_id")))
+    out = stretch.stretch(df2, minmax=(1000.0, 3000.0)).collect()
+    assert {o["_src"] for o in out} == \
+        {f"s{r['cell_id']}" for r in rows}
+    assert all(o["fmt"] == "rawf32" for o in out)
+
+
+def test_mixed_fmt_keeps_integer_contributions_exact(spark):
+    # one rawf32 tile in an integer collection: float pixels bin to
+    # midpoints, integer pixels stay EXACT histogram values — pinned
+    # against a NumPy oracle that reproduces exactly that regime
+    dfi, _, planes_i = _tiles(spark, n=4, seed=3)
+    dff, _, planes_f = _tiles(spark, n=1, seed=11, fmt="rawf32",
+                              hi=4000)
+    mixed = dfi.unionByName(dff)
+    q_lo, q_hi = stretch.band_percentiles(mixed, (2, 98))
+    allpix = np.concatenate(
+        [p.reshape(p.shape[0], -1) for p in planes_i + planes_f], axis=1)
+    glo = np.array([np.nanmin(b) for b in allpix])
+    gw = (np.array([np.nanmax(b) for b in allpix]) - glo) / stretch.N_BINS
+    intpix = np.concatenate(
+        [p.reshape(p.shape[0], -1) for p in planes_i], axis=1)
+    fltpix = np.concatenate(
+        [p.reshape(p.shape[0], -1) for p in planes_f], axis=1)
+    for q, p in zip((q_lo, q_hi), (0.02, 0.98)):
+        for b in range(allpix.shape[0]):
+            xi = intpix[b][np.isfinite(intpix[b])]  # exact
+            xf = fltpix[b][np.isfinite(fltpix[b])]
+            idx = np.clip(((xf - glo[b]) / gw[b]).astype(np.int64),
+                          0, stretch.N_BINS - 1)
+            xf = glo[b] + (idx + 0.5) * gw[b]  # binned
+            want = float(np.quantile(np.concatenate([xi, xf]), p,
+                                     method="linear"))
+            assert q[b] == pytest.approx(want, abs=1e-9)

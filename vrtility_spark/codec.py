@@ -203,6 +203,19 @@ def pd_isna(v) -> bool:
         return False
 
 
+def band_nodata_keys(pdf) -> set:
+    """Distinct normalized ``band_nodata`` values across a pandas
+    frame: ``None`` / scalar-NaN collapse to ``None``; arrays compare
+    by their float64 byte image. One element ⇔ the group agrees on its
+    per-band sentinels — the profile check shared by grouped-map
+    operators (trend/harmonic/gapfill/remedian/overviews)."""
+    import pandas as pd
+    col = getattr(pdf, "band_nodata", pd.Series([None] * len(pdf)))
+    return {None if v is None or (np.isscalar(v) and pd_isna(v))
+            else np.asarray(v, dtype=np.float64).tobytes()
+            for v in col}
+
+
 def psnr(a: np.ndarray, b: np.ndarray, peak: float = 65535.0) -> float:
     """Peak signal-to-noise ratio in dB (the lossy-format gate)."""
     mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))

@@ -815,9 +815,7 @@ def composite_incremental(
         # cross-PARTITION profile agreement: each partial was checked
         # internally, but two partitions can each be consistent while
         # disagreeing with each other — including on band_nodata
-        bn_keys = {None if v is None
-                   else np.asarray(v, dtype=np.float64).tobytes()
-                   for v in pdf.band_nodata}
+        bn_keys = codec.band_nodata_keys(pdf)
         if (pdf.w.nunique() > 1 or pdf.h.nunique() > 1
                 or pdf.fmt.nunique() > 1 or pdf.nb.nunique() > 1
                 or pdf.nodata.nunique(dropna=False) > 1
@@ -973,9 +971,7 @@ def composite(df: DataFrame, reducer: str | Callable[[np.ndarray], np.ndarray],
                 "bigger max_stack_bytes on a larger executor.")
         nd = codec.row_band_meta(first, nb0, "band_nodata", nodata)
         if "band_nodata" in pdf.columns:
-            seen = {None if v is None or (np.isscalar(v) and codec.pd_isna(v))
-                    else np.asarray(v, dtype=np.float64).tobytes()
-                    for v in pdf["band_nodata"]}
+            seen = codec.band_nodata_keys(pdf)
             if len(seen) > 1:
                 raise ValueError(
                     f"cell {int(pdf[key].iloc[0])}: scenes disagree on "

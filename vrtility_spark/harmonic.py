@@ -325,9 +325,7 @@ def harmonic_incremental(df: DataFrame, n_harmonics: int = 1,
                              max_active_bytes=max_active_bytes)
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        bn_keys = {None if v is None
-                   else np.asarray(v, dtype=np.float64).tobytes()
-                   for v in pdf.band_nodata}
+        bn_keys = codec.band_nodata_keys(pdf)
         if (pdf.w.nunique() > 1 or pdf.h.nunique() > 1
                 or pdf.fmt.nunique() > 1 or pdf.nb.nunique() > 1
                 or pdf.nodata.nunique(dropna=False) > 1

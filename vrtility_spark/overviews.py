@@ -159,16 +159,12 @@ def build_level(df: DataFrame, method="average",
                 f"build_level: parent group holds {len(pdf)} rows over "
                 f"{pdf[key].nunique()} cells; input must be one row per "
                 "cell — composite first")
-        # sibling nodata agreement (mirrors trend._check_profile): every
-        # tile in the 2x2 group is decoded with the FIRST child's
+        # sibling nodata agreement (same rule as trend._check_profile):
+        # every tile in the 2x2 group is decoded with the FIRST child's
         # sentinel, and the output row's passthrough metadata comes from
         # a possibly different representative child — disagreeing
         # sentinels would silently mis-mask instead of erroring
-        bn_keys = {None if v is None or (np.isscalar(v)
-                                         and codec.pd_isna(v))
-                   else np.asarray(v, dtype=np.float64).tobytes()
-                   for v in getattr(pdf, "band_nodata",
-                                    pd.Series([None] * len(pdf)))}
+        bn_keys = codec.band_nodata_keys(pdf)
         if pdf.nodata.nunique(dropna=False) > 1 or len(bn_keys) > 1:
             raise ValueError(
                 f"build_level: sibling tiles under parent of cell "

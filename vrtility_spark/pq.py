@@ -418,11 +418,17 @@ def load_pq_books(spark, path: str) -> tuple[np.ndarray, np.ndarray | None]:
     m, ksub = int(b["sub"].max()) + 1, int(b["code"].max()) + 1
     books = np.asarray(b.center.tolist(), dtype=np.float64) \
         .reshape(m, ksub, -1)
+    # only a MISSING sidecar means "books-only index"; any other read
+    # failure (corruption, permissions) must surface — a silently-None
+    # centroids table would degrade pq_search to a full-corpus scan
+    from pyspark.errors import AnalysisException
     try:
         c = (spark.read.parquet(path + "_centroids")
              .orderBy("cluster").toPandas())
         centroids = np.asarray(c.centroid.tolist(), dtype=np.float64)
-    except Exception:
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
         centroids = None
     return books, centroids
 
@@ -465,6 +471,11 @@ def read_pq_index(spark, path: str):
     :func:`write_pq_index` — the DataFrame reads through the snapshot
     chain (newest snapshot wins per partition)."""
     indexed = pq_index_table(path).read(spark)
+    # the write-side hash-bucket partitioner is an internal layout
+    # detail — strip it so the round-trip schema matches what the
+    # caller committed (unionByName against fresh pq_encode rows works)
+    if "_bucket" in indexed.columns:
+        indexed = indexed.drop("_bucket")
     books, centroids = load_pq_books(spark, path)
     return indexed, books, centroids
 

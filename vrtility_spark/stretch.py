@@ -34,6 +34,7 @@ histogram merge (≤ bands × 65536 rows total).
 
 from __future__ import annotations
 
+from types import SimpleNamespace
 from typing import Iterable, Sequence
 
 import numpy as np
@@ -85,29 +86,33 @@ def stretch_np(P: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
     return np.clip(out, 0.0, 1.0)
 
 
-def _decoded(row):
-    arr = codec.decode(row.bytes, int(row.w), int(row.h), row.fmt)
-    nd = codec.row_band_meta(row, len(arr), "band_nodata",
-                             float(row.nodata))
+def _decoded(d: dict):
+    arr = codec.decode(d["bytes"], int(d["w"]), int(d["h"]), d["fmt"])
+    nd = codec.row_band_meta(
+        SimpleNamespace(band_nodata=d.get("band_nodata")), len(arr),
+        "band_nodata", float(d["nodata"]))
     return codec.to_float_masked(arr, nd)
 
 
 def _hist_partials(edges_lo: np.ndarray | None,
                    edges_w: np.ndarray | None):
     """Arrow map → per-partition per-band value histograms. With
-    ``edges_lo/edges_w`` (float payloads) values are binned to bin
-    midpoints; without (integer payloads) values are exact."""
+    ``edges_lo/edges_w`` set, ``rawf32`` rows are binned to bin
+    midpoints; integer-payload rows stay exact even in a mixed
+    collection (their pixels contribute exact histogram values — only
+    the float tiles pay the half-bin resolution)."""
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         acc: dict[tuple[int, float], int] = {}
         for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                P = _decoded(row)
+            for row in pdf.itertuples(index=False, name=None):
+                d = dict(zip(pdf.columns, row))
+                P = _decoded(d)
                 for b in range(len(P)):
                     x = P[b][np.isfinite(P[b])]
                     if x.size == 0:
                         continue
-                    if edges_lo is not None:
+                    if edges_lo is not None and d["fmt"] == "rawf32":
                         w = edges_w[b]
                         if w > 0:
                             idx = np.clip(
@@ -133,8 +138,8 @@ def _minmax_partials():
         lo: dict[int, float] = {}
         hi: dict[int, float] = {}
         for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                P = _decoded(row)
+            for row in pdf.itertuples(index=False, name=None):
+                P = _decoded(dict(zip(pdf.columns, row)))
                 for b in range(len(P)):
                     x = P[b][np.isfinite(P[b])]
                     if x.size == 0:
@@ -179,7 +184,10 @@ def band_percentiles(df: DataFrame, pcts: Sequence[float]
                      ) -> list[np.ndarray]:
     """Collection-global per-band type-7 percentiles (``pcts`` in
     0-100). Exact for integer payloads; bin-midpoint resolution
-    (``N_BINS`` over the exact min/max range) for rawf32."""
+    (``N_BINS`` over the exact min/max range) for rawf32. In a mixed
+    collection each tile keeps its own regime — integer tiles
+    contribute exact values, rawf32 tiles binned ones — so appending a
+    float tile never degrades the integer pixels' exactness."""
     fmts = [r.fmt for r in df.select("fmt").distinct().collect()]
     unknown = [f for f in fmts if f not in _INT_FMTS + ("rawf32",)]
     if unknown:
@@ -237,6 +245,9 @@ def stretch(df: DataFrame, pct_cut: Sequence[float] | None = None,
     elif minmax is not None:
         lo = np.atleast_1d(np.asarray(minmax[0], dtype=np.float64))
         hi = np.atleast_1d(np.asarray(minmax[1], dtype=np.float64))
+        if np.any(lo > hi):
+            raise ValueError(
+                f"stretch: minmax lo > hi ({minmax!r}) — pass (lo, hi)")
     else:
         lo, hi = band_minmax(df)
 
@@ -248,12 +259,15 @@ def stretch(df: DataFrame, pct_cut: Sequence[float] | None = None,
             if len(pdf) == 0:
                 continue
             rows = []
-            for row in pdf.itertuples(index=False):
-                P = _decoded(row)
+            for row in pdf.itertuples(index=False, name=None):
+                # dict(zip(...)) not getattr: itertuples mangles
+                # non-identifier / leading-underscore passthrough names
+                d = dict(zip(pdf.columns, row))
+                P = _decoded(d)
                 blo = lo if len(lo) > 1 else np.repeat(lo, len(P))
                 bhi = hi if len(hi) > 1 else np.repeat(hi, len(P))
                 out = stretch_np(P, blo, bhi)
-                d = {n: getattr(row, n) for n in names}
+                d = {n: d[n] for n in names}
                 d["bytes"] = codec.encode(
                     codec.from_float(out, _SENTINEL, "float32"), "rawf32")
                 d["fmt"] = "rawf32"

@@ -261,10 +261,7 @@ def gapfill_periods(df: DataFrame, key: str = "cell_id",
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
-        bn_keys = {None if v is None or (np.isscalar(v) and codec.pd_isna(v))
-                   else np.asarray(v, dtype=np.float64).tobytes()
-                   for v in getattr(pdf, "band_nodata",
-                                    pd.Series([None] * len(pdf)))}
+        bn_keys = codec.band_nodata_keys(pdf)
         if (pdf.w.nunique() > 1 or pdf.h.nunique() > 1
                 or pdf.fmt.nunique() > 1
                 or pdf.nodata.nunique(dropna=False) > 1 or len(bn_keys) > 1):

@@ -98,10 +98,7 @@ def trend_np(ts_years: np.ndarray, stack: np.ndarray) -> np.ndarray:
 
 
 def _check_profile(pdf: pd.DataFrame, key: str) -> None:
-    bn_keys = {None if v is None or (np.isscalar(v) and codec.pd_isna(v))
-               else np.asarray(v, dtype=np.float64).tobytes()
-               for v in getattr(pdf, "band_nodata",
-                                pd.Series([None] * len(pdf)))}
+    bn_keys = codec.band_nodata_keys(pdf)
     if (pdf.w.nunique() > 1 or pdf.h.nunique() > 1
             or pdf.fmt.nunique() > 1
             or pdf.nodata.nunique(dropna=False) > 1 or len(bn_keys) > 1):
@@ -266,9 +263,7 @@ def trend_incremental(df: DataFrame, key: str = "cell_id",
                           max_active_bytes=max_active_bytes)
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        bn_keys = {None if v is None
-                   else np.asarray(v, dtype=np.float64).tobytes()
-                   for v in pdf.band_nodata}
+        bn_keys = codec.band_nodata_keys(pdf)
         if (pdf.w.nunique() > 1 or pdf.h.nunique() > 1
                 or pdf.fmt.nunique() > 1 or pdf.nb.nunique() > 1
                 or pdf.nodata.nunique(dropna=False) > 1
