@@ -1767,6 +1767,45 @@ def q_image_flowdir(spark, sf_dir):
               F.lit(-9999.0)).alias("nodata_px"))
 
 
+def q_image_tri(spark, sf_dir):
+    """Masked median composite → the 3x3 neighborhood-index terrain
+    products (terrain.terrain ops 'tri' Riley, 'tpi', 'roughness' —
+    completing the gdaldem menu alongside slope/aspect/hillshade/
+    flowdir) through the same focal halo exchange, so windows cross
+    tile seams exactly as on one mosaic. The three products share one
+    composite and join on cell_id (each is a single cell-keyed halo
+    shuffle). Pinned against constants computed Spark-free on
+    assembled per-zone mosaics with the loop-/closed-form-gated
+    kernels (tools/gen_oracle_constants.py). The reference delegates
+    these to gdaldem outside its pipeline (R/gdal-options.R)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema, terrain
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    base = (Pipeline(images)
+            .set_maskfun("int", datagen.S2_MASK_VALUES)
+            .warp(cell_res=datagen.TILE_RES)
+            .composite("median")
+            .df)
+    fs, nd_px = _float_payload_udfs()
+
+    def sums(op, name):
+        out = terrain.terrain(base, op)
+        return out.select(
+            "cell_id", "n_scenes",
+            F.length("bytes").alias("payload_len"),
+            fs("bytes", "w", "h", "fmt").alias(f"{name}_sum"),
+            nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
+
+    tri = sums("tri", "tri")
+    tpi = sums("tpi", "tpi").select("cell_id", "tpi_sum")
+    rough = sums("roughness", "rough").select("cell_id", "rough_sum")
+    return (tri.join(tpi, "cell_id").join(rough, "cell_id")
+            .select("cell_id", "n_scenes", "payload_len", "tri_sum",
+                    "tpi_sum", "rough_sum", "nodata_px"))
+
+
 def q_rasterize_aoi(spark, sf_dir):
     """Vector→raster (rasterize.rasterize_aoi): fixture AOI polygons
     burn into 16x16 tiles at the tile resolution — cover cells from
@@ -1971,6 +2010,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_hampel": q_image_hampel,
         "audio_features": q_audio_features,
         "video_features": q_video_features,
+        "image_tri": q_image_tri,
     }
 
 

@@ -96,9 +96,79 @@ def test_hole_poisons_neighbors():
 
 def test_unknown_ops_raise():
     with pytest.raises(KeyError):
-        terrain.terrain_np(np.ones((1, 4, 4)), "tpi", 1.0, 1.0)
+        terrain.terrain_np(np.ones((1, 4, 4)), "curvature", 1.0, 1.0)
     with pytest.raises(ValueError):
         terrain.slope_np(np.ones((1, 4, 4)), 1.0, 1.0, units="radians")
+    with pytest.raises(ValueError):
+        terrain.tri_np(np.ones((1, 4, 4)), alg="renner")
+
+
+# --------------------------------------- 3x3 neighborhood indices ----
+# (gdaldem tpi / tri / roughness; loop oracles + closed forms)
+
+def _loop_index_oracle(G, op, alg="riley"):
+    """Per-pixel 3x3 index with plain loops (strict any-NaN window)."""
+    B, H, W = G.shape
+    P = _pad(G)
+    out = np.full((B, H, W), np.nan)
+    for b in range(B):
+        for i in range(H):
+            for j in range(W):
+                win = P[b, i:i + 3, j:j + 3]
+                if np.isnan(win).any():
+                    continue
+                z = win[1, 1]
+                nb = np.delete(win.ravel(), 4)
+                if op == "tpi":
+                    out[b, i, j] = z - nb.mean()
+                elif op == "tri" and alg == "riley":
+                    out[b, i, j] = np.sqrt(((nb - z) ** 2).sum())
+                elif op == "tri" and alg == "wilson":
+                    out[b, i, j] = np.abs(nb - z).mean()
+                elif op == "roughness":
+                    out[b, i, j] = win.max() - win.min()
+    return out
+
+
+@pytest.mark.parametrize("op,kw", [
+    ("tpi", {}), ("tri", {"alg": "riley"}), ("tri", {"alg": "wilson"}),
+    ("roughness", {}),
+])
+def test_index_kernels_match_loop_oracle(op, kw):
+    G = np.round(RNG.uniform(0, 300, size=(2, 7, 9)))
+    G[0, 2, 3] = np.nan
+    got = terrain.terrain_np(_pad(G), op, 1.0, 1.0, **kw)
+    want = _loop_index_oracle(G, op, **kw)
+    np.testing.assert_allclose(got, want, rtol=1e-12, equal_nan=True)
+
+
+def test_index_closed_forms():
+    # inclined plane z = 2x: TPI is exactly 0 on any plane (center =
+    # neighbor mean by symmetry); roughness = z-range of the window =
+    # 2*2; TRI riley = sqrt(6 * dz^2) with dz=2 per column offset
+    x = np.arange(8, dtype=np.float64)
+    plane = np.tile(2.0 * x, (8, 1))[None]
+    interior = (slice(1, -1), slice(1, -1))
+    tpi = terrain.tpi_np(_pad(plane))[0][interior]
+    np.testing.assert_allclose(tpi, 0.0, atol=1e-12)
+    rough = terrain.roughness_np(_pad(plane))[0][interior]
+    np.testing.assert_allclose(rough, 4.0)
+    # 3 neighbors at dz=-2, 2 at dz=0, 3 at dz=+2:
+    tri_r = terrain.tri_np(_pad(plane), alg="riley")[0][interior]
+    np.testing.assert_allclose(tri_r, np.sqrt(24.0))  # sqrt(6 * 2^2)
+    tri_w = terrain.tri_np(_pad(plane), alg="wilson")[0][interior]
+    np.testing.assert_allclose(tri_w, 1.5)  # 12 / 8
+    # flat: every index is 0
+    flat = np.full((1, 6, 6), 7.0)
+    for op in ("tpi", "tri", "roughness"):
+        v = terrain.terrain_np(_pad(flat), op, 1.0, 1.0)[0][interior]
+        np.testing.assert_allclose(v, 0.0)
+    # a single peak: TPI positive at the peak, negative beside it
+    peak = np.zeros((1, 5, 5))
+    peak[0, 2, 2] = 8.0
+    tp = terrain.tpi_np(_pad(peak))[0]
+    assert tp[2, 2] == 8.0 and tp[2, 1] == -1.0
+    assert terrain.roughness_np(_pad(peak))[0][2, 2] == 8.0
 
 
 # ------------------------------------------- distributed halo product ----
@@ -128,7 +198,8 @@ def _grid_tiles(h, w, positions, nan_frac=0.1, seed=13):
     return rows, G
 
 
-@pytest.mark.parametrize("op", ["slope", "hillshade"])
+@pytest.mark.parametrize("op", ["slope", "hillshade", "tpi", "tri",
+                                "roughness"])
 def test_distributed_matches_global_mosaic(spark, op):
     h = w = 16
     positions = [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0)]

@@ -1056,6 +1056,72 @@ def image_flowdir_rows():
     return sorted(rows, key=lambda d: d["cell_id"])
 
 
+def image_tri_rows():
+    """Masked median composite → TRI (Riley) / TPI / roughness
+    replicated without Spark: per-zone mosaics padded and reduced with
+    terrain.tri_np/tpi_np/roughness_np (loop-/closed-form-gated in
+    tests/test_terrain.py), each cropped back to tiles through the
+    exact rawf32/-9999 round trip.  Checksums are sum(round(v, 3)) in
+    f64 over valid pixels in payload order (identical reduction both
+    sides) plus the shared -9999 count (the three products share one
+    window-validity geography)."""
+    from vrtility_spark import terrain
+
+    pdf = _grouped_fixture()
+    tiles: dict[int, np.ndarray] = {}
+    meta: dict[int, tuple] = {}
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        with np.errstate(all="ignore"):
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                out = composite.REDUCERS["median"](_masked_stack(grp, nd))
+        tiles[int(cell_id)] = codec.from_float(out, nd, "uint16")
+        meta[int(cell_id)] = (nd, len(grp))
+    by_zone: dict[int, list] = {}
+    for cid in tiles:
+        zone, _res, ix, iy = (int(v) for v in cells.decode_np(cid))
+        by_zone.setdefault(zone, []).append((cid, ix, iy))
+    h = w = 16
+    rows = []
+    for zone, lst in sorted(by_zone.items()):
+        x0 = min(ix for _, ix, _ in lst)
+        y0 = min(iy for _, _, iy in lst)
+        gx = max(ix for _, ix, _ in lst) - x0 + 1
+        gy = max(iy for _, _, iy in lst) - y0 + 1
+        nb = tiles[lst[0][0]].shape[0]
+        G = np.full((nb, gy * h, gx * w), np.nan)
+        for cid, ix, iy in lst:
+            A = codec.to_float_masked(tiles[cid], meta[cid][0])
+            G[:, (iy - y0) * h:(iy - y0 + 1) * h,
+              (ix - x0) * w:(ix - x0 + 1) * w] = A
+        P = np.full((nb, gy * h + 2, gx * w + 2), np.nan)
+        P[:, 1:-1, 1:-1] = G
+        prods = {"tri": terrain.tri_np(P, alg="riley"),
+                 "tpi": terrain.tpi_np(P),
+                 "rough": terrain.roughness_np(P)}
+        for cid, ix, iy in lst:
+            row = {"cell_id": cid, "n_scenes": meta[cid][1]}
+            for name, full in prods.items():
+                tile = full[:, (iy - y0) * h:(iy - y0 + 1) * h,
+                            (ix - x0) * w:(ix - x0 + 1) * w]
+                payload = codec.encode(
+                    codec.from_float(tile, -9999.0, "float32"), "rawf32")
+                dec = codec.decode(payload, w, h, "rawf32") \
+                    .astype(np.float64)
+                valid = dec[dec != -9999.0]
+                row[f"{name}_sum"] = float(np.round(valid, 3).sum())
+                row["payload_len"] = len(payload)
+                row["nodata_px"] = int((dec == -9999.0).sum())
+            rows.append({k: row[k] for k in
+                         ("cell_id", "n_scenes", "payload_len",
+                          "tri_sum", "tpi_sum", "rough_sum",
+                          "nodata_px")})
+    return sorted(rows, key=lambda d: d["cell_id"])
+
+
 def image_harmonic_rows():
     """Per-pixel harmonic regression replicated Spark-free: the masked
     fixture stack in FLOAT64, time in years since trend.TREND_EPOCH,
@@ -1439,6 +1505,12 @@ def main() -> None:
             image_flowdir_rows(),
             ["cell_id", "n_scenes", "payload_len", "code_sum",
              "sink_px", "nodata_px"]),
+        # composite -> TRI/TPI/roughness: pins the 3x3 neighborhood
+        # indices (the rest of the gdaldem menu) through the exchange
+        "image_tri": values_sql(
+            image_tri_rows(),
+            ["cell_id", "n_scenes", "payload_len", "tri_sum",
+             "tpi_sum", "rough_sum", "nodata_px"]),
         # per-pixel seasonal fit: pins the normal-equation accumulators
         # and the deterministic elimination per plane family
         "image_harmonic": values_sql(

@@ -486,23 +486,25 @@ class Pipeline:
 
     def terrain(self, op: str, units: str = "degrees",
                 azimuth: float = 315.0, altitude: float = 45.0,
-                pixel_size=None) -> "Pipeline":
-        """Terrain derivative (slope/aspect/hillshade, Horn 3x3) over a
-        one-row-per-cell tile table via the focal halo exchange
-        (terrain.terrain) — gradients cross tile seams exactly; output
-        re-types to rawf32 with the finite -9999 sentinel as nodata
-        (not NaN — see terrain.py module header). Pending masks flush
-        first."""
+                pixel_size=None, alg: str = "riley") -> "Pipeline":
+        """Terrain derivative (slope/aspect/hillshade/flowdir/tpi/tri/
+        roughness — the full gdaldem menu, Horn 3x3 for the gradient
+        ops) over a one-row-per-cell tile table via the focal halo
+        exchange (terrain.terrain) — windows cross tile seams exactly;
+        output re-types to rawf32 with the finite -9999 sentinel as
+        nodata (not NaN — see terrain.py module header). ``alg`` picks
+        the TRI formula (riley/wilson). Pending masks flush first."""
         from vrtility_spark import terrain as _terrain
         psz = pixel_size if (pixel_size is None or np.isscalar(pixel_size)) \
             else list(pixel_size)
         return self._next(
             _terrain.terrain(self.df, op, units=units, azimuth=azimuth,
-                             altitude=altitude, pixel_size=pixel_size),
+                             altitude=altitude, pixel_size=pixel_size,
+                             alg=alg),
             (), "terrain", {"op": op, "units": units,
                             "azimuth": float(azimuth),
                             "altitude": float(altitude),
-                            "pixel_size": psz})
+                            "pixel_size": psz, "alg": alg})
 
     def overview_level(self, method="average") -> "Pipeline":
         """One overview level up (2x coarser ground resolution): every

@@ -1,9 +1,13 @@
-"""Terrain derivatives — slope / aspect / hillshade over tiled rasters.
+"""Terrain derivatives — the gdaldem menu over tiled rasters:
+slope / aspect / hillshade / D8 flowdir / TPI / TRI / roughness.
 
 The gdaldem family as distributed operators: Horn's 3x3 finite
-differences (the GDAL default) computed per tile with the focal halo
-exchange (:func:`focal.focal_filter`), so gradients at tile edges see
-their neighbors' pixels exactly as they would on one mosaic — the
+differences (the GDAL default) for the gradient products, plus the
+3x3 neighborhood indices (TPI = z - mean of the 8 neighbors, TRI =
+Riley sqrt-sum-of-squares or Wilson mean-|dz|, roughness = window
+max - min), computed per tile with the focal halo exchange
+(:func:`focal.focal_filter`), so windows at tile edges see their
+neighbors' pixels exactly as they would on one mosaic — the
 boundary condition a tile-at-a-time port silently gets wrong on every
 tile seam.  The reference leaves terrain products to GDAL utilities
 outside its pipeline; here they are cell-keyed stages chainable with
@@ -38,7 +42,8 @@ from pyspark.sql import DataFrame
 from vrtility_spark import cells
 from vrtility_spark.focal import focal_filter
 
-TERRAIN_OPS = ("slope", "aspect", "hillshade", "flowdir")
+TERRAIN_OPS = ("slope", "aspect", "hillshade", "flowdir",
+               "tpi", "tri", "roughness")
 
 
 # ------------------------------------------------------ NumPy kernels ----
@@ -129,9 +134,58 @@ def flow_direction_np(P: np.ndarray, sx: float, sy: float) -> np.ndarray:
     return out
 
 
+def _window_3x3(P: np.ndarray):
+    """Shared 3x3 view of the padded ``(B, H+2, W+2)`` array →
+    ``(windows (B, H, W, 3, 3), center (B, H, W), any-invalid mask)``
+    under the same strict edge semantics as the gradient kernels."""
+    from numpy.lib.stride_tricks import sliding_window_view
+    Wv = sliding_window_view(P, (3, 3), axis=(1, 2))
+    return Wv, Wv[..., 1, 1], np.isnan(Wv).any(axis=(-2, -1))
+
+
+def tpi_np(P: np.ndarray, sx: float = 1.0, sy: float = 1.0) -> np.ndarray:
+    """Topographic position index (gdaldem TPI): center elevation minus
+    the mean of its 8 neighbors — positive on ridges, negative in
+    valleys, ~0 on constant slopes.  Unitless in z; ``sx``/``sy`` are
+    accepted for kernel-signature uniformity and ignored."""
+    Wv, z, bad = _window_3x3(P)
+    nb_mean = (Wv.sum(axis=(-2, -1)) - z) / 8.0
+    out = z - nb_mean
+    out[bad] = np.nan
+    return out
+
+
+def tri_np(P: np.ndarray, sx: float = 1.0, sy: float = 1.0,
+           alg: str = "riley") -> np.ndarray:
+    """Terrain ruggedness index (gdaldem TRI): ``riley`` (the GDAL >=
+    3.3 default) is sqrt(sum((z - z_nb)^2)) over the 8 neighbors
+    (Riley et al. 1999); ``wilson`` is mean(|z - z_nb|) (Wilson et
+    al. 2007, the bathymetric variant).  z units; pixel size ignored."""
+    Wv, z, bad = _window_3x3(P)
+    d = Wv - z[..., None, None]
+    if alg == "riley":
+        out = np.sqrt((d * d).sum(axis=(-2, -1)))  # center term is 0
+    elif alg == "wilson":
+        out = np.abs(d).sum(axis=(-2, -1)) / 8.0
+    else:
+        raise ValueError(f"unknown TRI alg {alg!r}; known: riley, wilson")
+    out[bad] = np.nan
+    return out
+
+
+def roughness_np(P: np.ndarray, sx: float = 1.0,
+                 sy: float = 1.0) -> np.ndarray:
+    """Roughness (gdaldem roughness): max - min of the full 3x3
+    window (center included).  z units; pixel size ignored."""
+    Wv, _z, bad = _window_3x3(P)
+    out = Wv.max(axis=(-2, -1)) - Wv.min(axis=(-2, -1))
+    out[bad] = np.nan
+    return out
+
+
 def terrain_np(P: np.ndarray, op: str, sx: float, sy: float,
                units: str = "degrees", azimuth: float = 315.0,
-               altitude: float = 45.0) -> np.ndarray:
+               altitude: float = 45.0, alg: str = "riley") -> np.ndarray:
     if op == "slope":
         return slope_np(P, sx, sy, units=units)
     if op == "aspect":
@@ -140,6 +194,12 @@ def terrain_np(P: np.ndarray, op: str, sx: float, sy: float,
         return hillshade_np(P, sx, sy, azimuth=azimuth, altitude=altitude)
     if op == "flowdir":
         return flow_direction_np(P, sx, sy)
+    if op == "tpi":
+        return tpi_np(P, sx, sy)
+    if op == "tri":
+        return tri_np(P, sx, sy, alg=alg)
+    if op == "roughness":
+        return roughness_np(P, sx, sy)
     raise KeyError(f"unknown terrain op {op!r}; known: {TERRAIN_OPS}")
 
 
@@ -148,6 +208,7 @@ def terrain_np(P: np.ndarray, op: str, sx: float, sy: float,
 def terrain(df: DataFrame, op: str, units: str = "degrees",
             azimuth: float = 315.0, altitude: float = 45.0,
             pixel_size: float | tuple[float, float] | None = None,
+            alg: str = "riley",
             key: str = "cell_id") -> DataFrame:
     """Distributed terrain derivative over a one-row-per-cell tile
     table (every plane is treated as a DEM; subset to the elevation
@@ -167,6 +228,8 @@ def terrain(df: DataFrame, op: str, units: str = "degrees",
         raise KeyError(f"unknown terrain op {op!r}; known: {TERRAIN_OPS}")
     if units not in ("degrees", "percent"):
         raise ValueError(f"unknown slope units {units!r}")
+    if alg not in ("riley", "wilson"):
+        raise ValueError(f"unknown TRI alg {alg!r}; known: riley, wilson")
     ps = pixel_size
     if ps is not None and np.isscalar(ps):
         ps = (float(ps), float(ps))
@@ -180,12 +243,15 @@ def terrain(df: DataFrame, op: str, units: str = "degrees",
         else:
             sx, sy = ps
         return terrain_np(P, op, sx, sy, units=units, azimuth=azimuth,
-                          altitude=altitude)
+                          altitude=altitude, alg=alg)
 
     # finite sentinel (gdaldem's classic -9999): NaN would surface as a
     # NULL nodata column through the Arrow grouped-map path, breaking
     # float(row.nodata) in downstream cell-keyed operators; -9999 is
-    # outside every terrain product's range (slope [0,90]/percent>=0,
-    # aspect [0,360), hillshade [0,255])
+    # outside the angular/shading products' ranges (slope [0,90]/
+    # percent>=0, aspect [0,360), hillshade [0,255], flowdir codes) and
+    # tri/roughness are >= 0; tpi alone is z-difference-valued and could
+    # in principle hit -9999 exactly — only with a 9999-z local relief,
+    # far outside any reflectance/DEM tile this engine composes
     return focal_filter(df, op=kernel, radius=1, fill=True, key=key,
                         out_fmt="rawf32", out_nodata=-9999.0)
