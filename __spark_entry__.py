@@ -1806,6 +1806,42 @@ def q_image_tri(spark, sf_dir):
                     "tpi_sum", "rough_sum", "nodata_px"))
 
 
+def q_image_fillnodata(spark, sf_dir):
+    """Masked median composite → spatial nodata interpolation
+    (fillnodata.fillnodata, the gdal_fillnodata twin): holes that
+    survive temporal compositing (all scenes masked) take the IDW mean
+    of valid pixels within 2.5 px, then one 3x3 relaxation of the
+    filled pixels only — valid pixels pass through bit-exact,
+    unreachable holes stay nodata. One cell-keyed halo shuffle sized
+    required_pad(2.5, 1); the spatial half of the repair story next to
+    the temporal image_gapfill. Pinned against constants computed
+    Spark-free on assembled per-zone mosaics with the loop-oracle-
+    gated kernel (tools/gen_oracle_constants.py). The reference
+    delegates this to gdal_fillnodata outside its pipeline."""
+    _ensure_shipped(spark)
+    from vrtility_spark import fillnodata as FN
+    out = FN.fillnodata(_image_composite(spark, "median"), 2.5,
+                        smoothing=1)
+    ps = _pix_sum_udf()
+
+    @F.pandas_udf("long")
+    def nd_count(b: pd.Series, w: pd.Series, h: pd.Series,
+                 fmt: pd.Series, nd: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f, n in zip(b, w, h, fmt, nd):
+            arr = codec.decode(x, int(wi), int(hi), f)
+            res.append(int((arr == np.asarray(n).astype(arr.dtype)).sum()))
+        return pd.Series(res)
+
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        F.md5("caption_agg").alias("caption_md5"),
+        ps("bytes", "w", "h", "fmt").alias("pix_sum"),
+        nd_count("bytes", "w", "h", "fmt", "nodata").alias("hole_px"))
+
+
 def q_rasterize_aoi(spark, sf_dir):
     """Vector→raster (rasterize.rasterize_aoi): fixture AOI polygons
     burn into 16x16 tiles at the tile resolution — cover cells from
@@ -2011,6 +2047,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "video_features": q_video_features,
         "image_tri": q_image_tri,
+        "image_fillnodata": q_image_fillnodata,
     }
 
 

@@ -1122,6 +1122,70 @@ def image_tri_rows():
     return sorted(rows, key=lambda d: d["cell_id"])
 
 
+def image_fillnodata_rows():
+    """Masked median composite → spatial IDW gap-fill (max_dist 2.5,
+    one smoothing pass) replicated without Spark: per-zone mosaics
+    padded by required_pad(2.5, 1) and filled with
+    fillnodata.fillnodata_np (loop-oracle-gated in
+    tests/test_fillnodata.py), cropped back to tiles through the exact
+    uint16 round trip.  Checksums: int64 pixel sum + remaining-
+    sentinel count (pins that the holes actually filled)."""
+    from vrtility_spark import fillnodata as FN
+
+    pdf = _grouped_fixture()
+    tiles: dict[int, np.ndarray] = {}
+    meta: dict[int, tuple] = {}
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        with np.errstate(all="ignore"):
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                out = composite.REDUCERS["median"](_masked_stack(grp, nd))
+        tiles[int(cell_id)] = codec.from_float(out, nd, "uint16")
+        meta[int(cell_id)] = (nd, len(grp),
+                              _caption_agg(grp.caption.tolist()))
+    by_zone: dict[int, list] = {}
+    for cid in tiles:
+        zone, _res, ix, iy = (int(v) for v in cells.decode_np(cid))
+        by_zone.setdefault(zone, []).append((cid, ix, iy))
+    h = w = 16
+    max_dist, smoothing = 2.5, 1
+    pad = FN.required_pad(max_dist, smoothing)
+    rows = []
+    for zone, lst in sorted(by_zone.items()):
+        x0 = min(ix for _, ix, _ in lst)
+        y0 = min(iy for _, _, iy in lst)
+        gx = max(ix for _, ix, _ in lst) - x0 + 1
+        gy = max(iy for _, _, iy in lst) - y0 + 1
+        nb = tiles[lst[0][0]].shape[0]
+        G = np.full((nb, gy * h, gx * w), np.nan)
+        for cid, ix, iy in lst:
+            A = codec.to_float_masked(tiles[cid], meta[cid][0])
+            G[:, (iy - y0) * h:(iy - y0 + 1) * h,
+              (ix - x0) * w:(ix - x0 + 1) * w] = A
+        P = np.full((nb, gy * h + 2 * pad, gx * w + 2 * pad), np.nan)
+        P[:, pad:-pad, pad:-pad] = G
+        filled = FN.fillnodata_np(P, max_dist, smoothing=smoothing,
+                                  pad=pad)
+        for cid, ix, iy in lst:
+            tile = filled[:, (iy - y0) * h:(iy - y0 + 1) * h,
+                          (ix - x0) * w:(ix - x0 + 1) * w]
+            nd_, n_scenes, agg = meta[cid]
+            payload = codec.encode(
+                codec.from_float(tile, nd_, "uint16"), "raw16")
+            dec = codec.decode(payload, w, h, "raw16")
+            rows.append({
+                "cell_id": cid, "n_scenes": n_scenes,
+                "payload_len": len(payload),
+                "caption_md5": hashlib.md5(agg.encode()).hexdigest(),
+                "pix_sum": int(np.asarray(dec, dtype=np.int64).sum()),
+                "hole_px": int((dec == dec.dtype.type(0)).sum()),
+            })
+    return sorted(rows, key=lambda d: d["cell_id"])
+
+
 def image_harmonic_rows():
     """Per-pixel harmonic regression replicated Spark-free: the masked
     fixture stack in FLOAT64, time in years since trend.TREND_EPOCH,
@@ -1511,6 +1575,12 @@ def main() -> None:
             image_tri_rows(),
             ["cell_id", "n_scenes", "payload_len", "tri_sum",
              "tpi_sum", "rough_sum", "nodata_px"]),
+        # composite -> spatial IDW gap-fill: pins the gdal_fillnodata
+        # twin (fill + smoothing crossing tile seams) byte-for-byte
+        "image_fillnodata": values_sql(
+            image_fillnodata_rows(),
+            ["cell_id", "n_scenes", "payload_len", "caption_md5",
+             "pix_sum", "hole_px"]),
         # per-pixel seasonal fit: pins the normal-equation accumulators
         # and the deterministic elimination per plane family
         "image_harmonic": values_sql(

@@ -58,7 +58,7 @@ class Pipeline:
         "set_scale", "reproject", "warp", "regrid", "composite",
         "composite_period", "trend", "harmonic", "gapfill",
         "hampel", "savgol", "split_cells", "focal", "sieve",
-        "proximity", "overview_level",
+        "proximity", "fillnodata", "overview_level",
         "overviews", "terrain", "stretch"])
 
     def __init__(self, df: DataFrame, mask_specs: tuple = (),
@@ -441,6 +441,25 @@ class Pipeline:
             (), "proximity", {"band": int(band), "values": vals,
                               "max_dist": float(max_dist),
                               "units": units, "beyond": beyond})
+
+    def fillnodata(self, max_dist: float, power: float = 2.0,
+                   smoothing: int = 0) -> "Pipeline":
+        """Spatial nodata interpolation (fillnodata.fillnodata, the
+        gdal_fillnodata twin): IDW-fill holes from valid pixels within
+        ``max_dist`` pixels, then ``smoothing`` 3x3 relaxations of the
+        filled pixels only; valid pixels pass through bit-exact and
+        unreachable holes stay nodata. One cell-keyed halo shuffle;
+        output keeps the input format. Pending masks flush first (the
+        classic chain: mask → composite → fillnodata)."""
+        from vrtility_spark import fillnodata as _fillnodata
+        return self._next(
+            _fillnodata.fillnodata(self._flushed().df,
+                                   max_dist=float(max_dist),
+                                   power=float(power),
+                                   smoothing=int(smoothing)),
+            (), "fillnodata", {"max_dist": float(max_dist),
+                               "power": float(power),
+                               "smoothing": int(smoothing)})
 
     def pansharpen(self, pan: DataFrame, method: str = "brovey",
                    ms_bands=None, weights=None,
