@@ -1806,6 +1806,51 @@ def q_image_tri(spark, sf_dir):
                     "tpi_sum", "rough_sum", "nodata_px"))
 
 
+_RELIEF_RAMP = ((0.0, 0.0, 0.0, 128.0), (5.0, 0.0, 255.0, 0.0),
+                (20.0, 255.0, 255.0, 0.0), (60.0, 255.0, 255.0, 255.0))
+
+
+def q_image_colorrelief(spark, sf_dir):
+    """Masked median composite → slope → color-relief
+    (terrain.color_relief): the last gdaldem mode — one plane maps to
+    3-plane RGB through a piecewise-linear color ramp (clamped ends,
+    nv color for nodata) in a narrow per-tile Arrow map with ZERO
+    shuffle. Pinned against constants computed Spark-free on
+    assembled per-zone mosaics (tools/gen_oracle_constants.py). The
+    reference delegates this to gdaldem color-relief outside its
+    pipeline."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema, terrain
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    out = (Pipeline(images)
+           .set_maskfun("int", datagen.S2_MASK_VALUES)
+           .warp(cell_res=datagen.TILE_RES)
+           .composite("median")
+           .terrain("slope")
+           .color_relief(_RELIEF_RAMP, band=0, nv_color=(1, 2, 3))
+           .df)
+
+    @F.pandas_udf("long")
+    def chan_sum(b: pd.Series, w: pd.Series, h: pd.Series,
+                 fmt: pd.Series, c: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f, ci in zip(b, w, h, fmt, c):
+            arr = codec.decode(x, int(wi), int(hi), f)
+            res.append(int(np.asarray(arr[int(ci)], np.int64).sum()))
+        return pd.Series(res)
+
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        F.md5("caption_agg").alias("caption_md5"),
+        chan_sum("bytes", "w", "h", "fmt", F.lit(0)).alias("r_sum"),
+        chan_sum("bytes", "w", "h", "fmt", F.lit(1)).alias("g_sum"),
+        chan_sum("bytes", "w", "h", "fmt", F.lit(2)).alias("b_sum"))
+
+
 def q_image_fillnodata(spark, sf_dir):
     """Masked median composite → spatial nodata interpolation
     (fillnodata.fillnodata, the gdal_fillnodata twin): holes that
@@ -2048,6 +2093,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_features": q_video_features,
         "image_tri": q_image_tri,
         "image_fillnodata": q_image_fillnodata,
+        "image_colorrelief": q_image_colorrelief,
     }
 
 

@@ -331,3 +331,77 @@ def test_flowdir_distributed_matches_mosaic(spark):
         np.testing.assert_array_equal(
             np.nan_to_num(got, nan=-1),
             np.nan_to_num(want.astype(np.float32), nan=-1))
+
+
+# --------------------------------------------------- color relief ----
+# (gdaldem color-relief: ramp LUT; loop oracle + distributed map)
+
+RAMP = [(0.0, 0, 0, 128), (100.0, 0, 255, 0), (300.0, 255, 255, 255)]
+
+
+def test_color_relief_np_oracle_and_modes():
+    A = np.array([[np.nan, 0.0, 50.0], [100.0, 200.0, 999.0]])
+    got = terrain.color_relief_np(A, RAMP, nv_color=(9, 9, 9))
+    # loop oracle: per-pixel per-channel np.interp with clamping
+    for i in range(2):
+        for j in range(3):
+            v = A[i, j]
+            if np.isnan(v):
+                np.testing.assert_array_equal(got[:, i, j], [9, 9, 9])
+                continue
+            for c in range(3):
+                xs = [e[0] for e in RAMP]
+                ys = [e[1 + c] for e in RAMP]
+                assert got[c, i, j] == np.interp(v, xs, ys)
+    # clamping outside the ramp
+    np.testing.assert_array_equal(got[:, 1, 2], [255, 255, 255])
+    # nearest mode snaps to entries (149 → 100-entry, 201 → 300-entry)
+    near = terrain.color_relief_np(
+        np.array([[149.0, 201.0]]), RAMP, interpolate=False)
+    np.testing.assert_array_equal(near[:, 0, 0], [0, 255, 0])
+    np.testing.assert_array_equal(near[:, 0, 1], [255, 255, 255])
+    # guards
+    with pytest.raises(ValueError, match="ramp"):
+        terrain.color_relief_np(A, RAMP[:1])
+    with pytest.raises(ValueError, match="distinct"):
+        terrain.color_relief_np(A, [(0, 0, 0, 0), (0.0, 1, 1, 1)])
+
+
+def test_color_relief_distributed(spark):
+    h = w = 10
+    rows, G = _grid_tiles(h, w, [(0, 0), (1, 0)], nan_frac=0.15, seed=31)
+    df = spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+    out = {r.cell_id: r
+           for r in terrain.color_relief(df, RAMP, band=0).collect()}
+    for ix, iy in [(0, 0), (1, 0)]:
+        cid = int(cells.encode_np(ZONE, RES, ix, iy))
+        r = out[cid]
+        assert r.fmt == "raw16" and r.nodata == 65535.0
+        arr = codec.decode(r.bytes, r.w, r.h, r.fmt)
+        assert arr.shape == (3, h, w)
+        A = G[0, iy * h:(iy + 1) * h, ix * w:(ix + 1) * w]
+        want = codec.from_float(
+            terrain.color_relief_np(A, RAMP), 65535.0, "uint16")
+        np.testing.assert_array_equal(arr, want)
+    # out-of-range band errors loudly
+    with pytest.raises(Exception):
+        terrain.color_relief(df, RAMP, band=7).collect()
+
+
+def test_color_relief_pipeline_chain_and_bundle(spark, tmp_path,
+                                                tiny_images):
+    from vrtility_spark import datagen
+    p = (Pipeline(tiny_images)
+         .set_maskfun("int", datagen.S2_MASK_VALUES)
+         .warp(cell_res=datagen.TILE_RES)
+         .composite("median")
+         .terrain("slope")
+         .color_relief([(0.0, 0, 0, 128), (90.0, 255, 0, 0)]))
+    rows = p.df.collect()
+    assert rows and all(r.fmt == "raw16" for r in rows)
+    path = str(tmp_path / "cr.json")
+    p.to_bundle(path)
+    p2 = Pipeline.from_bundle(path, tiny_images)
+    a = {r.cell_id: r.bytes for r in rows}
+    b = {r.cell_id: r.bytes for r in p2.df.collect()}
+    assert a == b

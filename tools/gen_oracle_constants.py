@@ -1122,6 +1122,76 @@ def image_tri_rows():
     return sorted(rows, key=lambda d: d["cell_id"])
 
 
+def image_colorrelief_rows():
+    """Composite → slope → color-relief replicated without Spark:
+    per-zone mosaics reduced with terrain.slope_np, cropped back to
+    tiles through the exact rawf32/-9999 round trip (the distributed
+    inter-stage encoding), then mapped per pixel with
+    terrain.color_relief_np and the uint16 encode — per-channel int64
+    sums pin every LUT segment, the clamp, and the nv color."""
+    from vrtility_spark import terrain
+
+    ramp = ((0.0, 0.0, 0.0, 128.0), (5.0, 0.0, 255.0, 0.0),
+            (20.0, 255.0, 255.0, 0.0), (60.0, 255.0, 255.0, 255.0))
+    pdf = _grouped_fixture()
+    tiles: dict[int, np.ndarray] = {}
+    meta: dict[int, tuple] = {}
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        with np.errstate(all="ignore"):
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                out = composite.REDUCERS["median"](_masked_stack(grp, nd))
+        tiles[int(cell_id)] = codec.from_float(out, nd, "uint16")
+        meta[int(cell_id)] = (nd, len(grp),
+                              _caption_agg(grp.caption.tolist()))
+    by_zone: dict[int, list] = {}
+    for cid in tiles:
+        zone, _res, ix, iy = (int(v) for v in cells.decode_np(cid))
+        by_zone.setdefault(zone, []).append((cid, ix, iy))
+    h = w = 16
+    size = cells.cell_size(datagen.TILE_RES)
+    sx, sy = size / w, size / h
+    rows = []
+    for zone, lst in sorted(by_zone.items()):
+        x0 = min(ix for _, ix, _ in lst)
+        y0 = min(iy for _, _, iy in lst)
+        gx = max(ix for _, ix, _ in lst) - x0 + 1
+        gy = max(iy for _, _, iy in lst) - y0 + 1
+        nb = tiles[lst[0][0]].shape[0]
+        G = np.full((nb, gy * h, gx * w), np.nan)
+        for cid, ix, iy in lst:
+            A = codec.to_float_masked(tiles[cid], meta[cid][0])
+            G[:, (iy - y0) * h:(iy - y0 + 1) * h,
+              (ix - x0) * w:(ix - x0 + 1) * w] = A
+        P = np.full((nb, gy * h + 2, gx * w + 2), np.nan)
+        P[:, 1:-1, 1:-1] = G
+        sl = terrain.slope_np(P, sx, sy)
+        for cid, ix, iy in lst:
+            tile = sl[:, (iy - y0) * h:(iy - y0 + 1) * h,
+                      (ix - x0) * w:(ix - x0 + 1) * w]
+            # distributed inter-stage round trip: rawf32/-9999
+            sp = codec.decode(
+                codec.encode(codec.from_float(tile, -9999.0, "float32"),
+                             "rawf32"), w, h, "rawf32")
+            A0 = codec.to_float_masked(sp, -9999.0)[0]
+            rgb = codec.from_float(
+                terrain.color_relief_np(A0, ramp, nv_color=(1, 2, 3)),
+                65535.0, "uint16")
+            nd_, n_scenes, agg = meta[cid]
+            rows.append({
+                "cell_id": cid, "n_scenes": n_scenes,
+                "payload_len": len(codec.encode(rgb, "raw16")),
+                "caption_md5": hashlib.md5(agg.encode()).hexdigest(),
+                "r_sum": int(np.asarray(rgb[0], np.int64).sum()),
+                "g_sum": int(np.asarray(rgb[1], np.int64).sum()),
+                "b_sum": int(np.asarray(rgb[2], np.int64).sum()),
+            })
+    return sorted(rows, key=lambda d: d["cell_id"])
+
+
 def image_fillnodata_rows():
     """Masked median composite → spatial IDW gap-fill (max_dist 2.5,
     one smoothing pass) replicated without Spark: per-zone mosaics
@@ -1581,6 +1651,12 @@ def main() -> None:
             image_fillnodata_rows(),
             ["cell_id", "n_scenes", "payload_len", "caption_md5",
              "pix_sum", "hole_px"]),
+        # composite -> slope -> color relief: pins the LUT segments,
+        # end clamping, nv color, and the rawf32 inter-stage round trip
+        "image_colorrelief": values_sql(
+            image_colorrelief_rows(),
+            ["cell_id", "n_scenes", "payload_len", "caption_md5",
+             "r_sum", "g_sum", "b_sum"]),
         # per-pixel seasonal fit: pins the normal-equation accumulators
         # and the deterministic elimination per plane family
         "image_harmonic": values_sql(

@@ -59,7 +59,7 @@ class Pipeline:
         "composite_period", "trend", "harmonic", "gapfill",
         "hampel", "savgol", "split_cells", "focal", "sieve",
         "proximity", "fillnodata", "overview_level",
-        "overviews", "terrain", "stretch"])
+        "overviews", "terrain", "color_relief", "stretch"])
 
     def __init__(self, df: DataFrame, mask_specs: tuple = (),
                  log: tuple = (), mask_dropped: bool = False):
@@ -524,6 +524,24 @@ class Pipeline:
                             "azimuth": float(azimuth),
                             "altitude": float(altitude),
                             "pixel_size": psz, "alg": alg})
+
+    def color_relief(self, ramp, band: int = 0,
+                     interpolate: bool = True,
+                     nv_color=(0, 0, 0)) -> "Pipeline":
+        """gdaldem color-relief (terrain.color_relief): map one plane
+        to 3-plane RGB through a color ramp — per-pixel narrow Arrow
+        map, zero shuffle. Pending masks flush first."""
+        from vrtility_spark import terrain as _terrain
+        ramp_l = [[float(x) for x in e] for e in ramp]
+        nv = [float(x) for x in nv_color]
+        return self._next(
+            _terrain.color_relief(self._flushed().df, ramp_l,
+                                  band=int(band),
+                                  interpolate=bool(interpolate),
+                                  nv_color=nv),
+            (), "color_relief", {"ramp": ramp_l, "band": int(band),
+                                 "interpolate": bool(interpolate),
+                                 "nv_color": nv})
 
     def overview_level(self, method="average") -> "Pipeline":
         """One overview level up (2x coarser ground resolution): every
