@@ -758,6 +758,31 @@ def q_fingerprint(spark, sf_dir):
     return sh.groupBy("doc_id").agg(F.min(F.md5(F.col("sh"))).alias("fingerprint"))
 
 
+DECONTAM_MOD = 11       # every 11th doc plays the "benchmark" here
+DECONTAM_MIN_OVERLAP = 2
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (decontam.contamination): per-corpus-
+    document count of 3-gram shingles shared with a benchmark set, with
+    the >= 2-shingle contamination flag. The benchmark's distinct
+    shingle hashes BROADCAST (eval suites are MBs against a 100-TB
+    corpus), so the corpus scan is probed map-side and only (doc,
+    count) pairs shuffle. Benchmark := doc_id % 11 == 0 — a
+    deterministic stand-in eval set with guaranteed overlap (word-soup
+    docs share plenty of 3-grams)."""
+    from vrtility_spark import decontam
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % DECONTAM_MOD == 0)
+    corpus = d.where(F.col("doc_id") % DECONTAM_MOD != 0)
+    rep = decontam.contamination(
+        corpus, bench, n=3, min_overlap=DECONTAM_MIN_OVERLAP)
+    return rep.select(
+        "doc_id", "n_shingles", "hit_shingles",
+        F.round("overlap_frac", 6).alias("overlap_frac"),
+        F.col("contaminated").cast("int").alias("contaminated"))
+
+
 # =====================================================================
 # similarity search over embeddings
 # =====================================================================
@@ -2056,6 +2081,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "decontaminate": q_decontaminate,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh": q_embedding_lsh,
         "embedding_dup_clusters": q_embedding_dup_clusters,
@@ -2594,6 +2620,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": shingle_cte + """
             select doc_id, min(md5(sh)) as fingerprint from sh group by doc_id
+        """,
+        "decontaminate": shingle_cte + f"""
+            , bench as (
+              select distinct sh from sh where doc_id % {DECONTAM_MOD} = 0
+            ), corp as (
+              select * from sh where doc_id % {DECONTAM_MOD} <> 0
+            ), tot as (
+              select doc_id, count(*) as n_shingles from corp group by doc_id
+            ), hits as (
+              select c.doc_id, count(*) as hit_shingles
+              from corp c join bench using (sh) group by c.doc_id
+            )
+            select d.doc_id,
+                   coalesce(t.n_shingles, 0) as n_shingles,
+                   coalesce(h.hit_shingles, 0) as hit_shingles,
+                   round(case when coalesce(t.n_shingles, 0) > 0
+                         then coalesce(h.hit_shingles, 0) * 1.0 / t.n_shingles
+                         else 0.0 end, 6) as overlap_frac,
+                   cast(coalesce(h.hit_shingles, 0)
+                        >= {DECONTAM_MIN_OVERLAP} as int) as contaminated
+            from documents d
+            left join tot t using (doc_id)
+            left join hits h using (doc_id)
+            where d.doc_id % {DECONTAM_MOD} <> 0
         """,
         "embedding_topk": """
             with pairs as (
