@@ -758,6 +758,25 @@ def q_fingerprint(spark, sf_dir):
     return sh.groupBy("doc_id").agg(F.min(F.md5(F.col("sh"))).alias("fingerprint"))
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals
+    (textquality.repetition_report): per-document duplicate-word
+    fraction (pure expressions, zero shuffle), the character share of
+    the single most frequent 2-gram (deterministic count-desc/gram-asc
+    tie-break), and the duplicate-3-gram occurrence fraction — counter
+    rows shuffle with map-side combine, text payloads never do."""
+    from vrtility_spark import textquality as tq
+    d = _t(spark, sf_dir, "documents")
+    rep = tq.repetition_report(d, chars_col="n_chars", top_n=2, dup_n=3)
+    return rep.select(
+        "doc_id", "n_words", "n_distinct_words",
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        "top2_gram", "top2_count",
+        F.round("top2_char_frac", 6).alias("top2_char_frac"),
+        "total_3grams", "distinct_3grams",
+        F.round("dup3_frac", 6).alias("dup3_frac"))
+
+
 DECONTAM_MOD = 11       # every 11th doc plays the "benchmark" here
 DECONTAM_MIN_OVERLAP = 2
 
@@ -2082,6 +2101,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh": q_embedding_lsh,
         "embedding_dup_clusters": q_embedding_dup_clusters,
@@ -2620,6 +2640,49 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": shingle_cte + """
             select doc_id, min(md5(sh)) as fingerprint from sh group by doc_id
+        """,
+        "repetition_stats": """
+            with words as (
+              select doc_id, n_chars, string_split(text, ' ') as w
+              from documents
+            ), g2 as (
+              select doc_id, concat_ws(' ', w[i], w[i+1]) as gram
+              from words, unnest(range(1, greatest(len(w), 1))) as t(i)
+            ), c2 as (
+              select doc_id, gram, count(*) as cnt from g2 group by 1, 2
+            ), top2 as (
+              select doc_id, gram, cnt from (
+                select *, row_number() over (partition by doc_id
+                    order by cnt desc, gram asc) as rn from c2)
+              where rn = 1
+            ), g3 as (
+              select doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) as gram
+              from words, unnest(range(1, greatest(len(w) - 1, 1))) as t(i)
+            ), a3 as (
+              select doc_id, count(*) as total_3grams,
+                     count(distinct gram) as distinct_3grams
+              from g3 group by doc_id
+            )
+            select d.doc_id,
+                   len(d.w) as n_words,
+                   len(list_distinct(d.w)) as n_distinct_words,
+                   round(1.0 - len(list_distinct(d.w)) * 1.0 / len(d.w),
+                         6) as dup_word_frac,
+                   coalesce(t.gram, '') as top2_gram,
+                   coalesce(t.cnt, 0) as top2_count,
+                   round(case when d.n_chars > 0
+                         then coalesce(t.cnt, 0)
+                              * length(coalesce(t.gram, '')) * 1.0
+                              / d.n_chars
+                         else 0.0 end, 6) as top2_char_frac,
+                   coalesce(a.total_3grams, 0) as total_3grams,
+                   coalesce(a.distinct_3grams, 0) as distinct_3grams,
+                   round(case when coalesce(a.total_3grams, 0) > 0
+                         then 1.0 - a.distinct_3grams * 1.0 / a.total_3grams
+                         else 0.0 end, 6) as dup3_frac
+            from words d
+            left join top2 t using (doc_id)
+            left join a3 a using (doc_id)
         """,
         "decontaminate": shingle_cte + f"""
             , bench as (
