@@ -1931,6 +1931,30 @@ def q_image_fillnodata(spark, sf_dir):
         nd_count("bytes", "w", "h", "fmt", "nodata").alias("hole_px"))
 
 
+def q_point_sample(spark, sf_dir):
+    """Point sampling (pointsample.point_sample, the gdallocationinfo /
+    terra::extract twin): bilinear per-band values of the masked median
+    composite at a deterministic low-discrepancy point set — seam
+    points exercise the cross-tile stencil (zero halo: a stencil pixel
+    in the neighbour tile is just a stencil row keyed by that cell),
+    overshoot points exercise the NULL coverage-hole path, and the
+    dyadic lattice makes every weight exact binary so the partial sums
+    are bit-stable. Tile payloads never shuffle (stencil lists
+    broadcast onto the scan). Pinned against sample_np on assembled
+    per-zone mosaics (tools/gen_oracle_constants.py). The reference
+    delegates point inspection to gdallocationinfo / terra::extract
+    outside its pipeline."""
+    _ensure_shipped(spark)
+    from vrtility_spark import pointsample
+    tiles = _image_composite(spark, "median")
+    pts = spark.createDataFrame(
+        pointsample.demo_points(),
+        "point_id long, zone long, x double, y double")
+    out = pointsample.point_sample(tiles, pts, method="bilinear")
+    return out.select("point_id", "band",
+                      F.round("value", 6).alias("value_r"))
+
+
 def q_rasterize_aoi(spark, sf_dir):
     """Vector→raster (rasterize.rasterize_aoi): fixture AOI polygons
     burn into 16x16 tiles at the tile resolution — cover cells from
@@ -2139,6 +2163,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_features": q_video_features,
         "image_tri": q_image_tri,
         "image_fillnodata": q_image_fillnodata,
+        "point_sample": q_point_sample,
         "image_colorrelief": q_image_colorrelief,
     }
 

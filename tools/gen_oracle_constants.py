@@ -1192,6 +1192,61 @@ def image_colorrelief_rows():
     return sorted(rows, key=lambda d: d["cell_id"])
 
 
+def point_sample_rows():
+    """Masked median composite sampled bilinearly at the deterministic
+    demo point set, replicated without Spark: per-zone mosaics of the
+    composite tiles (uint16 round trip) fed to pointsample.sample_np
+    (loop-oracle-gated in tests/test_pointsample.py). The dyadic point
+    lattice makes every stencil weight exact binary, so the
+    distributed partial sums match bit-for-bit; NULL rows pin the
+    coverage-hole path."""
+    from vrtility_spark import pointsample
+
+    pdf = _grouped_fixture()
+    tiles: dict[int, np.ndarray] = {}
+    nds: dict[int, np.ndarray] = {}
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        with np.errstate(all="ignore"):
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                out = composite.REDUCERS["median"](_masked_stack(grp, nd))
+        tiles[int(cell_id)] = codec.from_float(out, nd, "uint16")
+        nds[int(cell_id)] = nd
+    by_zone: dict[int, list] = {}
+    for cid in tiles:
+        zone, _res, ix, iy = (int(v) for v in cells.decode_np(cid))
+        by_zone.setdefault(zone, []).append((cid, ix, iy))
+    h = w = 16
+    res = datagen.TILE_RES
+    n_global = (1 << res) * w
+    pxsize = cells.cell_size(res) / w
+    pts = pointsample.demo_points()
+    rows = []
+    for zone, lst in sorted(by_zone.items()):
+        gx = max(ix for _, ix, _ in lst) + 1
+        gy = max(iy for _, _, iy in lst) + 1
+        nb = tiles[lst[0][0]].shape[0]
+        G = np.full((nb, gy * h, gx * w), np.nan)
+        for cid, ix, iy in lst:
+            A = codec.to_float_masked(tiles[cid], nds[cid])
+            G[:, iy * h:(iy + 1) * h, ix * w:(ix + 1) * w] = A
+        zp = [(pid, x, y) for pid, z, x, y in pts if z == zone]
+        vals = pointsample.sample_np(
+            G, n_global, [p[1] for p in zp], [p[2] for p in zp],
+            pxsize, "bilinear")
+        for i, (pid, _x, _y) in enumerate(zp):
+            for b in range(nb):
+                v = vals[i, b]
+                rows.append({
+                    "point_id": pid, "band": b,
+                    "value_r": (None if np.isnan(v)
+                                else _round_half_up(float(v), 6))})
+    return sorted(rows, key=lambda d: (d["point_id"], d["band"]))
+
+
 def image_fillnodata_rows():
     """Masked median composite → spatial IDW gap-fill (max_dist 2.5,
     one smoothing pass) replicated without Spark: per-zone mosaics
@@ -1651,6 +1706,12 @@ def main() -> None:
             image_fillnodata_rows(),
             ["cell_id", "n_scenes", "payload_len", "caption_md5",
              "pix_sum", "hole_px"]),
+        # composite -> bilinear point sampling: pins the stencil
+        # expressions, the cross-tile partial sums, and the NULL
+        # coverage-hole path against sample_np on per-zone mosaics
+        "point_sample": values_sql(
+            point_sample_rows(),
+            ["point_id", "band", "value_r"]),
         # composite -> slope -> color relief: pins the LUT segments,
         # end clamping, nv color, and the rawf32 inter-stage round trip
         "image_colorrelief": values_sql(
