@@ -1955,6 +1955,35 @@ def q_point_sample(spark, sf_dir):
                       F.round("value", 6).alias("value_r"))
 
 
+def q_grid_idw(spark, sf_dir):
+    """Gridding (gridding.grid_points, the gdal_grid twin): inverse-
+    distance-weighted surfaces from a deterministic scattered point
+    set. Each point reaches only the tiles its radius-bbox covers
+    (pure-expression cover explosion — the communication IS the plan,
+    no halo, no global grid); one grouped Arrow map per cell builds the
+    surface from its sorted point list, so any partitioning is
+    bit-identical. Pinned against grid_np per cover cell
+    (tools/gen_oracle_constants.py). The reference delegates this to
+    gdal_grid outside its pipeline."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, gridding
+    pts = spark.createDataFrame(
+        gridding.demo_grid_points(),
+        "point_id long, zone long, x double, y double, value double")
+    out = gridding.grid_points(pts, datagen.TILE_RES, 16, 16, "invdist",
+                               radius=GRID_IDW_RADIUS, power=2.0,
+                               id_col="point_id")
+    fsum, nd_px = _float_payload_udfs()
+    return out.select(
+        "cell_id", "n_points",
+        F.length("bytes").alias("payload_len"),
+        F.round(fsum("bytes", "w", "h", "fmt"), 3).alias("fsum"),
+        nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
+
+
+GRID_IDW_RADIUS = 6144.0  # 1.5 px at TILE_RES/16px tiles
+
+
 def q_rasterize_aoi(spark, sf_dir):
     """Vector→raster (rasterize.rasterize_aoi): fixture AOI polygons
     burn into 16x16 tiles at the tile resolution — cover cells from
@@ -2164,6 +2193,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_tri": q_image_tri,
         "image_fillnodata": q_image_fillnodata,
         "point_sample": q_point_sample,
+        "grid_idw": q_grid_idw,
         "image_colorrelief": q_image_colorrelief,
     }
 

@@ -1247,6 +1247,47 @@ def point_sample_rows():
     return sorted(rows, key=lambda d: (d["point_id"], d["band"]))
 
 
+def grid_idw_rows():
+    """IDW gridding of the deterministic demo point set, replicated
+    without Spark: per cover cell, the candidate points are selected
+    with the SAME cover_bbox_np arithmetic the distributed cover
+    explosion compiles to expressions, sorted by point id, and run
+    through grid_np (loop-oracle-gated in tests/test_gridding.py).
+    Checksums: payload length, round-3 valid-pixel sum in payload
+    order, and the sentinel count (pins the min_points/nodata
+    geography)."""
+    from vrtility_spark import gridding
+
+    radius = 6144.0  # matches __spark_entry__.GRID_IDW_RADIUS
+    res, w, h = datagen.TILE_RES, 16, 16
+    size = cells.cell_size(res)
+    pts = gridding.demo_grid_points()
+    cover: dict[int, list] = {}
+    for pid, zone, x, y, v in pts:
+        for cid in cells.cover_bbox_np(zone, x - radius, y - radius,
+                                       x + radius, y + radius, res):
+            cover.setdefault(int(cid), []).append((pid, x, y, v))
+    rows = []
+    for cid, lst in sorted(cover.items()):
+        lst = sorted(lst)  # pid order == the kernel's sort
+        _z, _r, ix, iy = (int(t) for t in cells.decode_np(cid))
+        surf = gridding.grid_np(
+            [t[1] for t in lst], [t[2] for t in lst], [t[3] for t in lst],
+            ix * size, iy * size, size, w, h, "invdist", radius, 2.0)
+        enc = codec.encode(
+            codec.from_float(surf, gridding.OUT_NODATA, "float32"),
+            "rawf32")
+        dec = codec.decode(enc, w, h, "rawf32").astype(np.float64)
+        valid = dec[dec != gridding.OUT_NODATA]
+        rows.append({
+            "cell_id": cid, "n_points": len(lst),
+            "payload_len": len(enc),
+            "fsum": _round_half_up(float(np.round(valid, 3).sum()), 3),
+            "nodata_px": int((dec == gridding.OUT_NODATA).sum()),
+        })
+    return rows
+
+
 def image_fillnodata_rows():
     """Masked median composite → spatial IDW gap-fill (max_dist 2.5,
     one smoothing pass) replicated without Spark: per-zone mosaics
@@ -1712,6 +1753,11 @@ def main() -> None:
         "point_sample": values_sql(
             point_sample_rows(),
             ["point_id", "band", "value_r"]),
+        # scattered points -> IDW surface: pins the cover explosion,
+        # the sorted-order accumulation, and the storage round trip
+        "grid_idw": values_sql(
+            grid_idw_rows(),
+            ["cell_id", "n_points", "payload_len", "fsum", "nodata_px"]),
         # composite -> slope -> color relief: pins the LUT segments,
         # end clamping, nv color, and the rawf32 inter-stage round trip
         "image_colorrelief": values_sql(
