@@ -1982,6 +1982,26 @@ def q_grid_idw(spark, sf_dir):
 
 
 GRID_IDW_RADIUS = 6144.0  # 1.5 px at TILE_RES/16px tiles
+CONTOUR_BREAKS = [2000.0, 3500.0, 5000.0]
+
+
+def q_contour_polygons(spark, sf_dir):
+    """Contour polygons (regions.contour_polygons — gdal_contour's -p
+    mode): the masked median composite's band 0 digitized at fixed
+    levels (algebra.classify, a no-shuffle Arrow map that fuses into
+    polygonize's decode stage) and extracted as equal-level regions
+    with level bounds. Same shuffle profile as polygonize: region
+    partials + seam pixels, never tile bytes. Pinned against the
+    shared mosaic region oracle (tools/gen_oracle_constants.py). The
+    reference reaches contours through external GDAL utilities."""
+    _ensure_shipped(spark)
+    from vrtility_spark import regions
+    out = regions.contour_polygons(
+        _image_composite(spark, "median"), CONTOUR_BREAKS, band=0)
+    return out.select(
+        "region_id", "pixel_count", "perimeter", "n_tiles",
+        "level", "level_min", "level_max",
+        "xmin", "ymin", "xmax", "ymax")
 
 
 def q_rasterize_aoi(spark, sf_dir):
@@ -2194,6 +2214,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_fillnodata": q_image_fillnodata,
         "point_sample": q_point_sample,
         "grid_idw": q_grid_idw,
+        "contour_polygons": q_contour_polygons,
         "image_colorrelief": q_image_colorrelief,
     }
 

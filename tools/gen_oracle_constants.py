@@ -1409,8 +1409,6 @@ def image_polygonize_rows():
     rebuilt in GLOBAL pixel-id space with per-tile partial bboxes —
     pinning the seam matching and the distributed component merge
     exactly."""
-    from vrtility_spark import regions as regions_mod
-
     pdf = _grouped_fixture()
     tiles: dict[int, np.ndarray] = {}
     for cell_id, grp in pdf.groupby("cell_id"):
@@ -1423,11 +1421,57 @@ def image_polygonize_rows():
         out = composite.REDUCERS["first"](stack)
         pay = codec.from_float(out, nd, "uint16")
         tiles[int(cell_id)] = codec.to_float_masked(pay, nd)[-1]
+    return _region_rows_from_planes(tiles)
+
+
+def contour_rows():
+    """Contour polygons replicated Spark-free: the masked median
+    composite's band 0 (uint16 round trip) digitized with
+    algebra.classify_np through the rawf32 round trip, then the SAME
+    mosaic region oracle as polygonize, with the class index mapped to
+    its level bounds (NULL on the open ends)."""
+    from vrtility_spark import algebra
+
+    breaks = [2000.0, 3500.0, 5000.0]  # __spark_entry__.CONTOUR_BREAKS
+    pdf = _grouped_fixture()
+    tiles: dict[int, np.ndarray] = {}
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            med = composite.REDUCERS["median"](_masked_stack(grp, nd))
+        pay = codec.from_float(med, nd, "uint16")
+        plane = codec.to_float_masked(pay, nd)[0]
+        cls = algebra.classify_np(plane[None], breaks)
+        enc = codec.encode(
+            codec.from_float(cls, -9999.0, "float32"), "rawf32")
+        tiles[int(cell_id)] = codec.to_float_masked(
+            codec.decode(enc, pay.shape[2], pay.shape[1], "rawf32"),
+            -9999.0)[0]
+    out = []
+    for r in _region_rows_from_planes(tiles):
+        lvl = int(r.pop("value"))
+        r["level"] = lvl
+        r["level_min"] = breaks[lvl - 1] if lvl >= 1 else None
+        r["level_max"] = breaks[lvl] if lvl < len(breaks) else None
+        out.append(r)
+    return out
+
+
+def _region_rows_from_planes(tiles: dict):
+    """Shared mosaic oracle for the polygonize-family queries: label
+    per-zone mosaics of single ``(h, w)`` planes with regions.label_np
+    and rebuild the operator's region rows (global min-pixel ids,
+    mosaic-exact perimeters, per-tile partial bboxes)."""
+    from vrtility_spark import regions as regions_mod
+
     by_zone: dict[int, list] = {}
     for cid in tiles:
         zone, _res, ix, iy = (int(v) for v in cells.decode_np(cid))
         by_zone.setdefault(zone, []).append((cid, ix, iy))
-    h = w = 16
+    h, w = next(iter(tiles.values())).shape
     rows = []
     for zone, lst in sorted(by_zone.items()):
         x0g = min(ix for _, ix, _ in lst)
@@ -1758,6 +1802,14 @@ def main() -> None:
         "grid_idw": values_sql(
             grid_idw_rows(),
             ["cell_id", "n_points", "payload_len", "fsum", "nodata_px"]),
+        # median band 0 -> classify -> polygonize: pins the fused
+        # digitize map and the level-bound mapping through the same
+        # mosaic region oracle as polygonize
+        "contour_polygons": values_sql(
+            contour_rows(),
+            ["region_id", "pixel_count", "perimeter", "n_tiles",
+             "level", "level_min", "level_max",
+             "xmin", "ymin", "xmax", "ymax"]),
         # composite -> slope -> color relief: pins the LUT segments,
         # end clamping, nv color, and the rawf32 inter-stage round trip
         "image_colorrelief": values_sql(

@@ -135,6 +135,59 @@ def tile_algebra(left: DataFrame, right: DataFrame, op="diff",
     return joined.mapInPandas(combine, schema=out_schema)
 
 
+def classify_np(A: np.ndarray, breaks) -> np.ndarray:
+    """Digitize a NaN-masked array into class indices: ``0`` below
+    ``breaks[0]``, ``i`` for ``breaks[i-1] <= v < breaks[i]``,
+    ``len(breaks)`` at or above the last break. NaN stays NaN."""
+    br = np.asarray(list(breaks), dtype=np.float64)
+    if len(br) == 0 or np.any(np.diff(br) <= 0):
+        raise ValueError("breaks must be non-empty and strictly increasing")
+    out = np.digitize(A, br).astype(np.float64)
+    out[~np.isfinite(A)] = np.nan
+    return out
+
+
+def classify(df: DataFrame, breaks, band: int = 0,
+             key: str = "cell_id") -> DataFrame:
+    """Reclassify a continuous band into level indices — the digitize
+    step of gdal_contour's polygon mode and of any thematic-map
+    recipe. ``band`` picks the plane; output is a single-plane
+    ``rawf32`` tile table whose values are the class indices
+    ``0..len(breaks)`` (``-9999`` sentinel where the input was
+    nodata), ready for :func:`regions.polygonize` / :func:`zonal`.
+    A narrow per-tile Arrow map — no shuffle, no join, pipelines into
+    whatever stage precedes it."""
+    br = tuple(float(b) for b in breaks)
+    classify_np(np.zeros(1), br)  # validate eagerly
+    from vrtility_spark.bands import subset_band_index
+    one = subset_band_index(df, int(band))
+    names = [f.name for f in one.schema.fields]
+
+    def _map(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_rows = []
+            for row in pdf.itertuples(index=False):
+                arr = codec.decode(row.bytes, int(row.w), int(row.h),
+                                   row.fmt)
+                nd = codec.row_band_meta(row, len(arr), "band_nodata",
+                                         float(row.nodata))
+                A = codec.to_float_masked(arr, nd)
+                out = classify_np(A, br)
+                d = {n: getattr(row, n) for n in names}
+                d["bytes"] = codec.encode(
+                    codec.from_float(out, _SENTINEL, "float32"), "rawf32")
+                d["fmt"] = "rawf32"
+                d["nodata"] = _SENTINEL
+                if "band_nodata" in names:
+                    d["band_nodata"] = None
+                out_rows.append(d)
+            yield pd.DataFrame(out_rows, columns=names)
+
+    return one.mapInPandas(_map, schema=one.schema)
+
+
 def zscore_anomaly(scenes: DataFrame, mean_df: DataFrame | None = None,
                    std_df: DataFrame | None = None, key: str = "cell_id",
                    scene_fn=None,

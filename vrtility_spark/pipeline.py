@@ -59,7 +59,7 @@ class Pipeline:
         "composite_period", "trend", "harmonic", "gapfill",
         "hampel", "savgol", "split_cells", "focal", "sieve",
         "proximity", "fillnodata", "overview_level",
-        "overviews", "terrain", "color_relief", "stretch"])
+        "overviews", "terrain", "color_relief", "stretch", "classify"])
 
     def __init__(self, df: DataFrame, mask_specs: tuple = (),
                  log: tuple = (), mask_dropped: bool = False):
@@ -422,6 +422,39 @@ class Pipeline:
         from vrtility_spark import regions as _regions
         return _regions.polygonize(self._flushed().df, band=band,
                                    values=values, reliable=reliable)
+
+    def classify(self, breaks, band: int = 0) -> "Pipeline":
+        """Digitize a continuous band into level indices
+        (algebra.classify) — a narrow no-shuffle Arrow map; the
+        classified single-plane rawf32 tiles chain into polygonize /
+        sieve / zonal. Pending masks flush first."""
+        from vrtility_spark import algebra as _algebra
+        br = [float(b) for b in breaks]
+        return self._next(
+            _algebra.classify(self._flushed().df, br, band=int(band)),
+            (), "classify", {"breaks": br, "band": int(band)})
+
+    def contour(self, breaks, band: int = 0,
+                reliable: bool = False) -> DataFrame:
+        """Terminal contour extraction (regions.contour_polygons —
+        gdal_contour -p): digitize at ``breaks`` and polygonize the
+        equal-level regions. Returns the region TABLE with level
+        bounds, not a Pipeline. Pending masks flush first."""
+        from vrtility_spark import regions as _regions
+        return _regions.contour_polygons(
+            self._flushed().df, [float(b) for b in breaks],
+            band=int(band), reliable=reliable)
+
+    def sample_points(self, points: DataFrame,
+                      method: str = "nearest", **kw) -> DataFrame:
+        """Terminal point sampling (pointsample.point_sample — the
+        gdallocationinfo twin): per-band values at point locations,
+        bilinear stencils crossing tile seams with zero halo. Returns
+        the long-form value TABLE, not a Pipeline. Pending masks flush
+        first (sample the MASKED surface)."""
+        from vrtility_spark import pointsample as _pointsample
+        return _pointsample.point_sample(self._flushed().df, points,
+                                         method=method, **kw)
 
     def proximity(self, band: int = 0, values=(1.0,),
                   max_dist: float = 8.0, units: str = "pixels",

@@ -485,6 +485,38 @@ def polygonize(df: DataFrame, band: int = 0, key: str = "cell_id",
                     "xmin", "ymin", "xmax", "ymax"))
 
 
+def contour_polygons(df: DataFrame, breaks, band: int = 0,
+                     key: str = "cell_id", max_iter: int = 50,
+                     reliable: bool = False,
+                     checkpoint_dir: str | None = None) -> DataFrame:
+    """Contour polygons — gdal_contour's ``-p`` (polygonize) mode on
+    the distributed grid: digitize a continuous band at ``breaks``
+    (:func:`algebra.classify`, a narrow no-shuffle Arrow map), then
+    extract the equal-level regions with :func:`polygonize` — the
+    classify map FUSES into polygonize's tile-decode stage, so the
+    composition adds zero shuffles to polygonize's plan.
+
+    Output: polygonize's region rows plus ``level`` (the class index),
+    ``level_min`` / ``level_max`` (the band's bounds from ``breaks``;
+    NULL on the open ends). The reference reaches contours through
+    external GDAL utilities; here they chain from any composite.
+    """
+    from vrtility_spark.algebra import classify
+    br = [float(b) for b in breaks]
+    classes = classify(df, br, band=band, key=key)
+    regs = polygonize(classes, band=0, key=key, max_iter=max_iter,
+                      reliable=reliable, checkpoint_dir=checkpoint_dir)
+    arr = F.array(*[F.lit(b) for b in br])
+    lvl = F.col("value").cast("int")
+    return (regs
+            .withColumn("level", lvl)
+            .withColumn("level_min",
+                        F.when(lvl >= 1, F.element_at(arr, lvl)))
+            .withColumn("level_max",
+                        F.when(lvl < len(br), F.element_at(arr, lvl + 1)))
+            .drop("value"))
+
+
 def sieve(df: DataFrame, band: int = 0, min_pixels: int = 9,
           values: Sequence[float] | None = None,
           fill: str = "largest_neighbor", rounds: int = 1,
