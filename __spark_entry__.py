@@ -2035,6 +2035,30 @@ def q_rasterize_aoi(spark, sf_dir):
         burned("bytes", "w", "h", "fmt").alias("burned_px"))
 
 
+def q_zonal_majority(spark, sf_dir):
+    """Per-(AOI, band) modal pixel value (zonal.zonal_majority — the
+    QGIS majority / terra modal zonal statistic) over the masked
+    median composite's class-like uint16 planes: the shared broadcast
+    cover join, per-tile exact value counts (one partial row per
+    distinct value), decomposable sum merge, and a deterministic
+    argmax window (ties to the smallest value). Pinned against
+    value_counts_np on the same tiles (tools/gen_oracle_constants.py)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema, zonal
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    tiles = (Pipeline(images)
+             .set_maskfun("int", datagen.S2_MASK_VALUES)
+             .warp(cell_res=datagen.TILE_RES)
+             .composite("median")
+             .classify([1500.0, 2500.0, 3500.0, 4500.0]).df)
+    aoi = schema.aoi_df(spark, datagen.aoi_pandas(nx=2, ny=2))
+    out = zonal.zonal_majority(tiles, aoi, datagen.TILE_RES)
+    return out.select("aoi_id", "band", "value",
+                      F.col("count").alias("cnt"), "total")
+
+
 def q_zonal_stats(spark, sf_dir):
     """Masked median composite → zonal statistics per AOI polygon
     (zonal.zonal_stats): AOI parts explode to cover cells (pure
@@ -2215,6 +2239,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_sample": q_point_sample,
         "grid_idw": q_grid_idw,
         "contour_polygons": q_contour_polygons,
+        "zonal_majority": q_zonal_majority,
         "image_colorrelief": q_image_colorrelief,
     }
 

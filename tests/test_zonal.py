@@ -300,3 +300,83 @@ def test_zonal_histogram_distributed_and_mass_invariant(spark):
                    if (a2, b2) == (aid, b)) == n
     with pytest.raises(ValueError, match="nbins"):
         zonal.zonal_histogram(tiles, aoi, RES, 0.0, 0.0, 4)
+
+
+def test_value_counts_np_matches_loop():
+    size = cells.cell_size(RES)
+    rows, mosaics = _tiles(8, 8, [(0, 0)], seed=3)
+    A, x0, y0, x1, y1 = next(iter(mosaics.values()))
+    # coarse classes so counts are non-trivial
+    A = np.where(np.isfinite(A), np.floor(A / 1000.0), np.nan)
+    ring = parse_wkt_polygon(_rect_wkt(0.1 * size, 0.1 * size,
+                                       0.8 * size, 0.9 * size))
+    got = zonal.value_counts_np(A, ring, x0, y0, x1, y1)
+    want: dict = {}
+    H, W = A.shape[1], A.shape[2]
+    for b in range(A.shape[0]):
+        for i in range(H):
+            for j in range(W):
+                cx = x0 + (j + 0.5) * (x1 - x0) / W
+                cy = y0 + (i + 0.5) * (y1 - y0) / H
+                if not points_in_polygon_np(
+                        np.array([cx]), np.array([cy]), ring)[0]:
+                    continue
+                v = A[b, i, j]
+                if np.isfinite(v):
+                    want[(b, float(v))] = want.get((b, float(v)), 0) + 1
+    assert {(b, v): c for b, v, c in got} == want
+
+
+def test_zonal_majority_distributed(spark):
+    size = cells.cell_size(RES)
+    rows, mosaics = _tiles(16, 16, [(ix, iy) for ix in range(2)
+                                    for iy in range(2)], seed=7)
+    # quantize payloads into classes INSIDE the tiles themselves
+    import vrtility_spark.codec as codec_mod
+    class_rows = []
+    class_mosaics = {}
+    for r, (cid, (A, x0, y0, x1, y1)) in zip(rows, mosaics.items()):
+        arr = codec_mod.decode(r["bytes"], r["w"], r["h"], r["fmt"])
+        cls = np.where(arr == NODATA, 0, arr // 800 + 1).astype(np.uint16)
+        class_rows.append({**r, "bytes": codec_mod.encode(cls, FMT)})
+        Ac = np.where(np.isfinite(A), np.floor(A / 800.0) + 1, np.nan)
+        class_mosaics[cid] = (Ac, x0, y0, x1, y1)
+    aoi_rows = [
+        {"aoi_id": "m1", "zone": ZONE,
+         "geom_wkt": _rect_wkt(0.2 * size, 0.3 * size,
+                               1.7 * size, 1.9 * size)},
+        {"aoi_id": "m2", "zone": ZONE,
+         "geom_wkt": _rect_wkt(0.1 * size, 0.1 * size,
+                               0.6 * size, 0.5 * size)},
+    ]
+    for a in aoi_rows:
+        from vrtility_spark.datagen import _wkt_coords
+        xs, ys = _wkt_coords(a["geom_wkt"])
+        a.update(xmin=min(xs), ymin=min(ys), xmax=max(xs), ymax=max(ys))
+    tiles = spark.createDataFrame(pd.DataFrame(class_rows), TILE_SCHEMA)
+    aoi = spark.createDataFrame(pd.DataFrame(aoi_rows), AOI_SCHEMA)
+    got = {(r.aoi_id, r.band): (r.value, r["count"], r.total)
+           for r in zonal.zonal_majority(tiles, aoi, RES).collect()}
+    # driver-side merge of the loop-gated per-tile counts
+    agg: dict = {}
+    for a in aoi_rows:
+        ring = parse_wkt_polygon(a["geom_wkt"])
+        for cid, (A, x0, y0, x1, y1) in class_mosaics.items():
+            if (x1 <= a["xmin"] or x0 >= a["xmax"]
+                    or y1 <= a["ymin"] or y0 >= a["ymax"]):
+                continue
+            for b, v, c in zonal.value_counts_np(A, ring, x0, y0, x1, y1):
+                k = (a["aoi_id"], b, v)
+                agg[k] = agg.get(k, 0) + c
+    want = {}
+    for (aid, b, v), c in agg.items():
+        tot = sum(c2 for (a2, b2, _), c2 in agg.items()
+                  if (a2, b2) == (aid, b))
+        cur = want.get((aid, b))
+        # argmax with ties to the smallest value
+        if cur is None or c > cur[1] or (c == cur[1] and v < cur[0]):
+            want[(aid, b)] = (v, c, tot)
+    assert got == want
+    # majority count never exceeds the total, and totals match stats
+    for (aid, b), (v, c, tot) in got.items():
+        assert 0 < c <= tot

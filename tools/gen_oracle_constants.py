@@ -847,6 +847,63 @@ def zonal_histogram_rows(lo=0.0, hi=8192.0, nbins=16):
             for (aid, b, k), c in sorted(agg.items())]
 
 
+def zonal_majority_rows():
+    """Per-(AOI, band) modal class value over the classified median
+    composite, replicated Spark-free: the same tiles as zonal_rows,
+    band 0 digitized with algebra.classify_np through the rawf32 round
+    trip, exact value counts per covered tile (zonal.value_counts_np,
+    loop-gated in tests/test_zonal.py) merged per AOI, argmax with
+    ties to the smallest value."""
+    from vrtility_spark import algebra, zonal
+    from vrtility_spark.join import parse_wkt_polygon
+
+    breaks = [1500.0, 2500.0, 3500.0, 4500.0]
+    pdf = _grouped_fixture()
+    tiles: dict[int, np.ndarray] = {}
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            med = composite.REDUCERS["median"](_masked_stack(grp, nd))
+        plane = codec.to_float_masked(
+            codec.from_float(med, nd, "uint16"), nd)[0]
+        cls = algebra.classify_np(plane[None], breaks)
+        enc = codec.encode(
+            codec.from_float(cls, -9999.0, "float32"), "rawf32")
+        tiles[int(cell_id)] = codec.to_float_masked(
+            codec.decode(enc, plane.shape[1], plane.shape[0], "rawf32"),
+            -9999.0)
+    agg: dict[tuple, int] = {}
+    for a in datagen.aoi_pandas(nx=2, ny=2).itertuples(index=False):
+        zone_a = int(a.srs.split(":")[1])
+        ring = parse_wkt_polygon(a.geom_wkt)
+        for cid, A in tiles.items():
+            zone, res, ix, iy = (int(v) for v in cells.decode_np(cid))
+            if zone != zone_a:
+                continue
+            size = cells.cell_size(res)
+            x0, y0 = ix * size, iy * size
+            if (x0 + size <= a.xmin or x0 >= a.xmax
+                    or y0 + size <= a.ymin or y0 >= a.ymax):
+                continue
+            for b, v, c in zonal.value_counts_np(
+                    A, ring, x0, y0, x0 + size, y0 + size):
+                key = (a.aoi_id, b, v)
+                agg[key] = agg.get(key, 0) + c
+    best: dict[tuple, tuple] = {}
+    totals: dict[tuple, int] = {}
+    for (aid, b, v), c in agg.items():
+        totals[(aid, b)] = totals.get((aid, b), 0) + c
+        cur = best.get((aid, b))
+        if cur is None or c > cur[1] or (c == cur[1] and v < cur[0]):
+            best[(aid, b)] = (v, c)
+    return [{"aoi_id": aid, "band": b, "value": v, "cnt": c,
+             "total": totals[(aid, b)]}
+            for (aid, b), (v, c) in sorted(best.items())]
+
+
 def image_hls_rows():
     """HLS profile: int16 storage, per-band sentinels -9999, bitmask
     Fmask plane — mean composite through the per-band metadata path."""
@@ -1810,6 +1867,11 @@ def main() -> None:
             ["region_id", "pixel_count", "perimeter", "n_tiles",
              "level", "level_min", "level_max",
              "xmin", "ymin", "xmax", "ymax"]),
+        # classified median -> per-AOI modal class: pins the exact
+        # value-count partials and the deterministic argmax
+        "zonal_majority": values_sql(
+            zonal_majority_rows(),
+            ["aoi_id", "band", "value", "cnt", "total"]),
         # composite -> slope -> color relief: pins the LUT segments,
         # end clamping, nv color, and the rawf32 inter-stage round trip
         "image_colorrelief": values_sql(

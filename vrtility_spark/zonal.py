@@ -41,7 +41,7 @@ from typing import Iterable
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from vrtility_spark import cells, codec
@@ -173,6 +173,87 @@ def zonal_histogram(tiles: DataFrame, aoi: DataFrame, res: int,
         emit, schema="aoi_id string, band int, bin int, count long")
     return (partials.groupBy("aoi_id", "band", "bin")
             .agg(F.sum("count").alias("count")))
+
+
+def value_counts_np(A: np.ndarray, ring: np.ndarray,
+                    xmin: float, ymin: float, xmax: float, ymax: float):
+    """Per-band exact value counts of valid inside-pixels: a list of
+    ``(band, value, count)`` — the unbinned companion of
+    :func:`histogram_np` for CLASS planes, where the mode must be a
+    real class value, not a bin center."""
+    B, H, W = A.shape
+    xs = xmin + (np.arange(W) + 0.5) * (xmax - xmin) / W
+    ys = ymin + (np.arange(H) + 0.5) * (ymax - ymin) / H
+    gx, gy = np.meshgrid(xs, ys)
+    inside = points_in_polygon_np(gx, gy, ring)
+    out = []
+    for b in range(B):
+        v = A[b][inside]
+        v = v[np.isfinite(v)]
+        if len(v):
+            vals, cnts = np.unique(v, return_counts=True)
+            out.extend((b, float(val), int(c))
+                       for val, c in zip(vals, cnts))
+    return out
+
+
+def zonal_majority(tiles: DataFrame, aoi: DataFrame, res: int,
+                   key: str = "cell_id",
+                   broadcast_aoi: bool = True) -> DataFrame:
+    """Per-(AOI, band) modal pixel value — QGIS "zonal statistics:
+    majority" / terra::zonal(fun=modal) for class planes (land-cover
+    share reports, dominant-class maps). Continuous bands should be
+    :func:`algebra.classify`-ed first; the partials here carry one row
+    per DISTINCT value per (AOI, tile, band), which is tiny for class
+    planes and degenerate for continuous data.
+
+    Same broadcast cover join as every zonal operator (tile rows never
+    move); partial value counts merge with a decomposable sum and the
+    mode is one window argmax — ties break to the SMALLEST value, so
+    the result is deterministic. Output: ``(aoi_id, band, value,
+    count, total)`` where ``total`` counts all valid inside-pixels.
+    """
+    joined = _aoi_tile_join(tiles, aoi, int(res), key, broadcast_aoi)
+
+    def emit(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        ring_cache: dict[str, np.ndarray] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for row in pdf.itertuples(index=False):
+                cid = int(getattr(row, key))
+                zone, r, ix, iy = (int(v) for v in cells.decode_np(cid))
+                size = cells.cell_size(r)
+                x0, y0 = ix * size, iy * size
+                arr = codec.decode(row.bytes, int(row.w), int(row.h),
+                                   row.fmt)
+                nd = codec.row_band_meta(row, len(arr), "band_nodata",
+                                         float(row.nodata))
+                A = codec.to_float_masked(arr, nd)
+                ring = ring_cache.get(row.geom_wkt)
+                if ring is None:
+                    ring = parse_wkt_polygon(row.geom_wkt)
+                    ring_cache[row.geom_wkt] = ring
+                for b, val, c in value_counts_np(
+                        A, ring, x0, y0, x0 + size, y0 + size):
+                    rows.append((row.aoi_id, b, val, c))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "aoi_id", "band", "value", "count"])
+
+    partials = joined.mapInPandas(
+        emit, schema="aoi_id string, band int, value double, count long")
+    counts = (partials.groupBy("aoi_id", "band", "value")
+              .agg(F.sum("count").alias("count")))
+    win = Window.partitionBy("aoi_id", "band") \
+        .orderBy(F.desc("count"), F.asc("value"))
+    tot = Window.partitionBy("aoi_id", "band")
+    return (counts
+            .withColumn("total", F.sum("count").over(tot))
+            .withColumn("_rn", F.row_number().over(win))
+            .where("_rn = 1")
+            .select("aoi_id", "band", "value", "count", "total"))
 
 
 def zonal_stats(tiles: DataFrame, aoi: DataFrame, res: int,
