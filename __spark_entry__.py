@@ -1945,12 +1945,13 @@ def q_point_sample(spark, sf_dir):
     delegates point inspection to gdallocationinfo / terra::extract
     outside its pipeline."""
     _ensure_shipped(spark)
-    from vrtility_spark import pointsample
+    from vrtility_spark import datagen, pointsample
     tiles = _image_composite(spark, "median")
     pts = spark.createDataFrame(
         pointsample.demo_points(),
         "point_id long, zone long, x double, y double")
-    out = pointsample.point_sample(tiles, pts, method="bilinear")
+    out = pointsample.point_sample(tiles, pts, method="bilinear",
+                                   grid=(datagen.TILE_RES, 16, 16, 5))
     return out.select("point_id", "band",
                       F.round("value", 6).alias("value_r"))
 

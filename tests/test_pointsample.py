@@ -166,3 +166,17 @@ def test_tiles_never_shuffle(spark):
         _df(spark, rows), _points(spark, SEAM_PTS), "bilinear")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_grid_param_skips_probe_and_matches(spark):
+    rows = _tiles([(ix, iy) for ix in range(2) for iy in range(2)])
+    df, pts = _df(spark, rows), _points(spark, SEAM_PTS)
+    probed = _got(pointsample.point_sample(df, pts, "bilinear"))
+    given = _got(pointsample.point_sample(
+        df, pts, "bilinear", grid=(RES, W, H, 3)))
+    assert probed == given
+    # a wrong grid is caught by the in-kernel check
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="probe said|regrid"):
+        pointsample.point_sample(
+            df, pts, "bilinear", grid=(RES, 8, 8, 3)).collect()

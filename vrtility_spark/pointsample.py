@@ -138,15 +138,22 @@ def point_sample(tiles: DataFrame, points: DataFrame,
                  method: str = "nearest", key: str = "cell_id",
                  id_col: str = "point_id", zone_col: str = "zone",
                  x_col: str = "x", y_col: str = "y",
-                 broadcast_points: bool = True) -> DataFrame:
+                 broadcast_points: bool = True,
+                 grid: tuple | None = None) -> DataFrame:
     """``(point_id, band, value)`` per point × band; ``value`` is NULL
     when no valid pixel contributes (point over a coverage hole, or a
     fully-nodata stencil). The tile grid (res, w, h, band count) is
-    probed from one row and every decoded tile is checked against it —
-    mixed grids must be regridded first."""
+    probed from one row — pass ``grid=(res, w, h, nb)`` when you know
+    it to skip the probe (a ``limit(1)`` still evaluates part of an
+    unmaterialized upstream pipeline, so skipping it halves the cost
+    of sampling straight off a composite). Every decoded tile is
+    checked against the grid — mixed grids must be regridded first."""
     if method not in ("nearest", "bilinear"):
         raise KeyError(f"unknown method {method!r}; nearest | bilinear")
-    res, w, h, nb = _tile_meta(tiles, key)
+    if grid is not None:
+        res, w, h, nb = (int(v) for v in grid)
+    else:
+        res, w, h, nb = _tile_meta(tiles, key)
     if w != h:
         raise ValueError(
             f"point_sample: {w}x{h} tiles on square cells have "
