@@ -1761,6 +1761,33 @@ def q_image_hillshade(spark, sf_dir):
         nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
 
 
+def q_image_hillshade_md(spark, sf_dir):
+    """Multidirectional hillshade (terrain op 'hillshade_md' — gdaldem
+    hillshade -multidirectional, the Mark-1992 sin²-weighted blend of
+    azimuths 225/270/315/360): identical halo-exchange plumbing to
+    image_hillshade, different kernel. Pinned against constants from
+    hillshade_md_np on assembled mosaics
+    (tools/gen_oracle_constants.py)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    out = (Pipeline(images)
+           .set_maskfun("int", datagen.S2_MASK_VALUES)
+           .warp(cell_res=datagen.TILE_RES)
+           .composite("median")
+           .terrain("hillshade_md")
+           .df)
+    fs, nd_px = _float_payload_udfs()
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        F.md5("caption_agg").alias("caption_md5"),
+        fs("bytes", "w", "h", "fmt").alias("hs_sum"),
+        nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
+
+
 def q_image_flowdir(spark, sf_dir):
     """Masked median composite → D8 flow direction (terrain.terrain
     op='flowdir'): each pixel codes its steepest-positive-descent
@@ -2241,6 +2268,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_idw": q_grid_idw,
         "contour_polygons": q_contour_polygons,
         "zonal_majority": q_zonal_majority,
+        "image_hillshade_md": q_image_hillshade_md,
         "image_colorrelief": q_image_colorrelief,
     }
 

@@ -198,8 +198,8 @@ def _grid_tiles(h, w, positions, nan_frac=0.1, seed=13):
     return rows, G
 
 
-@pytest.mark.parametrize("op", ["slope", "hillshade", "tpi", "tri",
-                                "roughness"])
+@pytest.mark.parametrize("op", ["slope", "hillshade", "hillshade_md",
+                                "tpi", "tri", "roughness"])
 def test_distributed_matches_global_mosaic(spark, op):
     h = w = 16
     positions = [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0)]
@@ -405,3 +405,32 @@ def test_color_relief_pipeline_chain_and_bundle(spark, tmp_path,
     a = {r.cell_id: r.bytes for r in rows}
     b = {r.cell_id: r.bytes for r in p2.df.collect()}
     assert a == b
+
+
+def test_hillshade_md_is_weighted_blend():
+    """The multidirectional product IS the sin²-weighted half-sum of
+    the four directional hillshades (weights sum to 2 exactly)."""
+    rng = np.random.default_rng(8)
+    P = rng.uniform(0, 500, (1, 9, 9))
+    P[0, 2, 3] = np.nan
+    sx = sy = 10.0
+    got = terrain.hillshade_md_np(P, sx, sy)
+    dzdx, dzdy = terrain.horn_gradients_np(P, sx, sy)
+    with np.errstate(invalid="ignore"):
+        aspect = np.arctan2(-dzdx, -dzdy)
+    acc = np.zeros_like(got)
+    wsum = np.zeros_like(got)
+    for az in (225.0, 270.0, 315.0, 360.0):
+        wgt = np.sin(aspect - np.radians(az)) ** 2
+        acc += wgt * terrain.hillshade_np(P, sx, sy, azimuth=az)
+        wsum += wgt
+    np.testing.assert_allclose(wsum[np.isfinite(wsum)], 2.0, rtol=1e-12)
+    np.testing.assert_allclose(got, acc / 2.0, rtol=1e-12, equal_nan=True)
+    valid = np.isfinite(got)
+    assert (got[valid] >= 0).all() and (got[valid] <= 255).all()
+    # flat ground: slope 0 → every azimuth shades cos(zen) identically
+    F0 = np.full((1, 5, 5), 100.0)
+    flat = terrain.hillshade_md_np(F0, sx, sy)
+    np.testing.assert_allclose(
+        flat[0, 1:-1, 1:-1], 255.0 * np.cos(np.radians(45.0)),
+        rtol=1e-12)

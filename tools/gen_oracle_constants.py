@@ -336,8 +336,9 @@ def image_overview_rows():
     return sorted(rows, key=lambda d: (d["level"], d["cell_id"]))
 
 
-def image_hillshade_rows():
-    """Masked median composite → hillshade (Horn 3x3, sun at 315/45)
+def image_hillshade_rows(md: bool = False):
+    """Masked median composite → hillshade (Horn 3x3, sun at 315/45;
+    ``md=True`` → the multidirectional Mark-1992 blend)
     replicated without Spark: per-zone mosaics assembled, padded,
     reduced with terrain.hillshade_np (kernels loop-/closed-form-gated
     in tests/test_terrain.py), cropped back to tiles and run through
@@ -382,7 +383,8 @@ def image_hillshade_rows():
               (ix - x0) * w:(ix - x0 + 1) * w] = A
         P = np.full((nb, gy * h + 2, gx * w + 2), np.nan)
         P[:, 1:-1, 1:-1] = G
-        hs = terrain.hillshade_np(P, sx, sy)
+        hs = (terrain.hillshade_md_np(P, sx, sy) if md
+              else terrain.hillshade_np(P, sx, sy))
         for cid, ix, iy in lst:
             tile = hs[:, (iy - y0) * h:(iy - y0 + 1) * h,
                       (ix - x0) * w:(ix - x0 + 1) * w]
@@ -1916,6 +1918,12 @@ def main() -> None:
         # and the rawf32 re-typing
         "image_hillshade": values_sql(
             image_hillshade_rows(),
+            ["cell_id", "n_scenes", "payload_len", "caption_md5",
+             "hs_sum", "nodata_px"]),
+        # the multidirectional (Mark 1992) blend through the same
+        # exchange — identical plumbing, different kernel
+        "image_hillshade_md": values_sql(
+            image_hillshade_rows(md=True),
             ["cell_id", "n_scenes", "payload_len", "caption_md5",
              "hs_sum", "nodata_px"]),
         # composite -> percent-cut stretch (F7): pins the exact

@@ -42,8 +42,8 @@ from pyspark.sql import DataFrame
 from vrtility_spark import cells
 from vrtility_spark.focal import focal_filter
 
-TERRAIN_OPS = ("slope", "aspect", "hillshade", "flowdir",
-               "tpi", "tri", "roughness")
+TERRAIN_OPS = ("slope", "aspect", "hillshade", "hillshade_md",
+               "flowdir", "tpi", "tri", "roughness")
 
 
 # ------------------------------------------------------ NumPy kernels ----
@@ -100,6 +100,30 @@ def hillshade_np(P: np.ndarray, sx: float, sy: float,
     hs = (np.cos(zen) * np.cos(slope_r)
           + np.sin(zen) * np.sin(slope_r) * np.cos(az - aspect_r))
     return 255.0 * np.clip(hs, 0.0, 1.0)
+
+
+def hillshade_md_np(P: np.ndarray, sx: float, sy: float,
+                    altitude: float = 45.0) -> np.ndarray:
+    """Multidirectional shaded relief (gdaldem hillshade
+    -multidirectional, after Mark 1992): hillshades from azimuths
+    225/270/315/360 combined with weights ``sin²(aspect − azimuth)``.
+    The four azimuths form two orthogonal pairs, so the weights sum to
+    exactly 2 everywhere and the combination is the weighted sum
+    halved — no per-pixel normalization term. Output in [0, 255],
+    NaN where gradients are."""
+    dzdx, dzdy = horn_gradients_np(P, sx, sy)
+    slope_r = np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy))
+    with np.errstate(invalid="ignore"):
+        aspect_r = np.arctan2(-dzdx, -dzdy)
+    zen = np.radians(90.0 - altitude)
+    acc = np.zeros_like(slope_r)
+    for az_deg in (225.0, 270.0, 315.0, 360.0):
+        az = np.radians(az_deg)
+        hs = np.clip(np.cos(zen) * np.cos(slope_r)
+                     + np.sin(zen) * np.sin(slope_r)
+                     * np.cos(az - aspect_r), 0.0, 1.0)
+        acc += np.sin(aspect_r - az) ** 2 * hs
+    return 255.0 * np.clip(acc / 2.0, 0.0, 1.0)
 
 
 #: D8 neighbor codes (ESRI convention), (code, dy, dx) on this grid
@@ -192,6 +216,8 @@ def terrain_np(P: np.ndarray, op: str, sx: float, sy: float,
         return aspect_np(P, sx, sy)
     if op == "hillshade":
         return hillshade_np(P, sx, sy, azimuth=azimuth, altitude=altitude)
+    if op == "hillshade_md":
+        return hillshade_md_np(P, sx, sy, altitude=altitude)
     if op == "flowdir":
         return flow_direction_np(P, sx, sy)
     if op == "tpi":
