@@ -113,13 +113,13 @@ def tile_algebra(left: DataFrame, right: DataFrame, op="diff",
                 arrL = codec.decode(row.bytes, int(row.w), int(row.h),
                                     row.fmt)
                 ndL = codec.row_band_meta(row, len(arrL), "band_nodata",
-                                          float(row.nodata))
+                                          codec.nodata_scalar(row.nodata))
                 A = codec.to_float_masked(arrL, ndL)
                 arrR = codec.decode(rb, int(rw), int(rh), rfmt)
                 ndR = (np.asarray(rbnd, dtype=np.float64)
                        if rbnd is not None and not np.isscalar(rbnd)
                        and len(np.atleast_1d(rbnd)) == len(arrR)
-                       else float(rnd))
+                       else codec.nodata_scalar(rnd))
                 Bm = codec.to_float_masked(arrR, ndR)
                 out = algebra_np(A, Bm, op)
                 payload = codec.from_float(out, _SENTINEL, "float32")
@@ -172,7 +172,7 @@ def classify(df: DataFrame, breaks, band: int = 0,
                 arr = codec.decode(row.bytes, int(row.w), int(row.h),
                                    row.fmt)
                 nd = codec.row_band_meta(row, len(arr), "band_nodata",
-                                         float(row.nodata))
+                                         codec.nodata_scalar(row.nodata))
                 A = codec.to_float_masked(arr, nd)
                 out = classify_np(A, br)
                 d = {n: getattr(row, n) for n in names}

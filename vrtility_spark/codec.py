@@ -179,6 +179,15 @@ def plane_count(buf: bytes, w: int, h: int, fmt: str) -> int | None:
     return len(buf) // (itemsize * w * h)
 
 
+def nodata_scalar(v) -> float:
+    """Scalar nodata with NULL tolerated: a NaN sentinel surfaces as a
+    NULL ``nodata`` column through the Arrow grouped-map boundary (see
+    :mod:`terrain`'s module header), and externally-written tables may
+    carry nullable nodata — both mean "NaN is the sentinel", so the
+    fallback is NaN, not a TypeError from ``float(None)``."""
+    return float("nan") if v is None or pd_isna(v) else float(v)
+
+
 def row_band_meta(row, nb: int, col: str, fallback) -> np.ndarray | float:
     """Per-band metadata for one row: the ``band_scale`` /
     ``band_offset`` / ``band_nodata`` array when present and aligned

@@ -18,7 +18,7 @@ Spark-first plan — the asymmetry IS the design:
   trade :func:`__spark_entry__.ngram_jaccard_pairs` documents);
 - the BENCHMARK side is small by construction (eval suites are MBs,
   not TBs), so its distinct shingle-hash set **broadcasts**: the
-  overlap test is a broadcast-hash semi/inner join against the scan —
+  overlap test is one broadcast-hash LEFT join marking hits in place —
   the corpus never shuffles for the probe itself;
 - per-document hit counts then aggregate on ``id_col`` — one
   map-side-combined shuffle of ``(doc_id, count)`` pairs, nothing
@@ -41,21 +41,12 @@ def shingle_hashes(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", n: int = 3,
                    distinct: bool = True) -> DataFrame:
     """``(id_col, sh)`` word-``n``-gram shingles of ``text_col``,
-    folded to int64 with ``xxhash64``. The words array materializes
-    once per row (inlining ``split`` into every ``element_at``
-    re-evaluates it per shingle — measured 10x at sf0.1); the
-    ``size >= n`` guard keeps ``sequence`` ascending (Spark runs it
-    DESCENDING for upper bound < 1)."""
-    if n < 1:
-        raise ValueError(f"n must be >= 1, got {n}")
-    parts = ", ".join(f"element_at(w, i + {k})" for k in range(n))
-    sh = F.expr(
-        f"case when size(w) >= {n} then "
-        f"transform(sequence(1, size(w) - {n - 1}), "
-        f"i -> concat_ws(' ', {parts})) "
-        "else array() end")
+    folded to int64 with ``xxhash64``. The shingle expression is
+    :func:`textquality.word_ngrams` — the engine's one canonical
+    tokenization, shared with the repetition-quality reports."""
+    from vrtility_spark.textquality import word_ngrams
     out = (df.withColumn("w", F.split(F.col(text_col), " "))
-             .select(id_col, F.explode(sh).alias("_sh"))
+             .select(id_col, F.explode(word_ngrams(n)).alias("_sh"))
              .select(id_col, F.xxhash64("_sh").alias("sh")))
     return out.distinct() if distinct else out
 
@@ -77,16 +68,19 @@ def contamination(docs: DataFrame, benchmark: DataFrame,
     if min_overlap < 1:
         raise ValueError(f"min_overlap must be >= 1, got {min_overlap}")
     bench_sh = F.broadcast(
-        shingle_hashes(benchmark, text_col, id_col, n).select("sh").distinct())
+        shingle_hashes(benchmark, text_col, id_col, n)
+        .select("sh").distinct().withColumn("_hit", F.lit(1)))
     doc_sh = shingle_hashes(docs, text_col, id_col, n)
-    hits = (doc_sh.join(bench_sh, "sh")
-            .groupBy(id_col)
-            .agg(F.count("*").alias("hit_shingles")))
-    totals = doc_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    # ONE broadcast probe marks hits in place, ONE map-side-combined
+    # shuffle produces both counters — the corpus shingle set is never
+    # aggregated twice
+    counts = (doc_sh.join(bench_sh, "sh", "left")
+              .groupBy(id_col)
+              .agg(F.count("*").alias("n_shingles"),
+                   F.count("_hit").alias("hit_shingles")))
     frac = F.col("hit_shingles") / F.col("n_shingles")
     return (docs.select(id_col)
-            .join(totals, id_col, "left")
-            .join(hits, id_col, "left")
+            .join(counts, id_col, "left")
             .select(
                 id_col,
                 F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),

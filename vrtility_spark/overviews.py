@@ -190,7 +190,7 @@ def build_level(df: DataFrame, method="average",
             if canvas is None:
                 nb = len(arr)
                 nd = codec.row_band_meta(row, nb, "band_nodata",
-                                         float(row.nodata))
+                                         codec.nodata_scalar(row.nodata))
                 canvas = np.full((nb, 2 * h, 2 * w), np.nan,
                                  dtype=np.float64)
             elif len(arr) != nb:

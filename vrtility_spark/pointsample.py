@@ -222,7 +222,7 @@ def point_sample(tiles: DataFrame, points: DataFrame,
             arr = codec.decode(buf, exp_w, exp_h, fmt)
             nd = (np.asarray(bn, dtype=np.float64)
                   if bn is not None and len(bn) == arr.shape[0]
-                  else float(nod))
+                  else codec.nodata_scalar(nod))
             A = codec.to_float_masked(arr, nd)
             if A.shape[0] != exp_nb:
                 raise ValueError(

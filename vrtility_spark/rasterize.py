@@ -169,7 +169,7 @@ def clip_tiles(tiles: DataFrame, aoi: DataFrame, res: int,
                 arr = codec.decode(row.bytes, int(row.w), int(row.h),
                                    row.fmt)
                 nd = codec.row_band_meta(row, len(arr), "band_nodata",
-                                         float(row.nodata))
+                                         codec.nodata_scalar(row.nodata))
                 A = codec.to_float_masked(arr, nd)
                 A[:, ~keep] = np.nan
                 payload = codec.from_float(A, nd,

@@ -90,7 +90,7 @@ def _decoded(d: dict):
     arr = codec.decode(d["bytes"], int(d["w"]), int(d["h"]), d["fmt"])
     nd = codec.row_band_meta(
         SimpleNamespace(band_nodata=d.get("band_nodata")), len(arr),
-        "band_nodata", float(d["nodata"]))
+        "band_nodata", codec.nodata_scalar(d["nodata"]))
     return codec.to_float_masked(arr, nd)
 
 

@@ -352,7 +352,7 @@ def color_relief(df: DataFrame, ramp, band: int = 0,
                         f"color_relief band {band} out of range for "
                         f"{nb}-plane tile")
                 nd = codec.row_band_meta(row, nb, "band_nodata",
-                                         float(row.nodata))
+                                         codec.nodata_scalar(row.nodata))
                 A = codec.to_float_masked(arr, nd)[i]
                 rgb = color_relief_np(A, entries,
                                       interpolate=interpolate,

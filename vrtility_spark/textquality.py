@@ -37,16 +37,28 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _grams(text_col: str, n: int):
-    """Word ``n``-gram occurrence array (NON-distinct), materializing
-    the split once; empty array below ``n`` words (``sequence`` runs
-    descending for upper bound < 1, hence the guard)."""
-    parts = ", ".join(f"element_at(w, i + {k})" for k in range(n))
+def word_ngrams(n: int, words_col: str = "w"):
+    """Word ``n``-gram occurrence array (NON-distinct) over a
+    previously-materialized split column (inlining ``split`` into
+    every ``element_at`` re-evaluates it per shingle); empty array
+    below ``n`` words (``sequence`` runs descending for upper bound
+    < 1, hence the guard). The ONE canonical shingle definition —
+    :mod:`decontam` builds its overlap sets from the same expression,
+    so contamination and quality reports can never diverge on
+    tokenization."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    parts = ", ".join(f"element_at({words_col}, i + {k})"
+                      for k in range(n))
     return F.expr(
-        f"case when size(w) >= {n} then "
-        f"transform(sequence(1, size(w) - {n - 1}), "
+        f"case when size({words_col}) >= {n} then "
+        f"transform(sequence(1, size({words_col}) - {n - 1}), "
         f"i -> concat_ws(' ', {parts})) "
         "else array() end")
+
+
+def _grams(text_col: str, n: int):
+    return word_ngrams(n)
 
 
 def word_stats(df: DataFrame, text_col: str = "text",

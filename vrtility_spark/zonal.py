@@ -153,7 +153,7 @@ def zonal_histogram(tiles: DataFrame, aoi: DataFrame, res: int,
                 arr = codec.decode(row.bytes, int(row.w), int(row.h),
                                    row.fmt)
                 nd = codec.row_band_meta(row, len(arr), "band_nodata",
-                                         float(row.nodata))
+                                         codec.nodata_scalar(row.nodata))
                 A = codec.to_float_masked(arr, nd)
                 ring = ring_cache.get(row.geom_wkt)
                 if ring is None:
@@ -229,7 +229,7 @@ def zonal_majority(tiles: DataFrame, aoi: DataFrame, res: int,
                 arr = codec.decode(row.bytes, int(row.w), int(row.h),
                                    row.fmt)
                 nd = codec.row_band_meta(row, len(arr), "band_nodata",
-                                         float(row.nodata))
+                                         codec.nodata_scalar(row.nodata))
                 A = codec.to_float_masked(arr, nd)
                 ring = ring_cache.get(row.geom_wkt)
                 if ring is None:
@@ -288,7 +288,7 @@ def zonal_stats(tiles: DataFrame, aoi: DataFrame, res: int,
                 arr = codec.decode(row.bytes, int(row.w), int(row.h),
                                    row.fmt)
                 nd = codec.row_band_meta(row, len(arr), "band_nodata",
-                                         float(row.nodata))
+                                         codec.nodata_scalar(row.nodata))
                 A = codec.to_float_masked(arr, nd)
                 ring = ring_cache.get(row.geom_wkt)
                 if ring is None:
