@@ -139,6 +139,57 @@ def test_bilinear_renormalizes_over_valid(spark):
     assert got[(0, 0)] == pytest.approx(exp)
 
 
+def test_sample_np_origin_is_absolute_frame():
+    """A sub-mosaic anchored mid-zone must sample exactly like the
+    zero-origin full mosaic that is NaN outside the sub-mosaic: the
+    clamp happens in the ZONE frame, so pixels just outside the
+    sub-array are excluded (missing tiles), never replicated from the
+    sub-array's own column 0."""
+    rows = _tiles([(1, 1)])
+    A = codec.to_float_masked(next(iter(rows.values())), NODATA)
+    G_sub = A
+    G_full = np.full((3, 2 * H, 2 * W), np.nan)
+    G_full[:, H:, W:] = A
+    # points straddling the sub-mosaic's low edges (x just below SIZE)
+    pts = [(SIZE - 0.3 * PX, 1.5 * SIZE), (1.5 * SIZE, SIZE - 0.3 * PX),
+           (SIZE + 0.2 * PX, SIZE + 0.2 * PX), (1.3 * SIZE, 1.7 * SIZE)]
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    for method in ("nearest", "bilinear"):
+        exp = pointsample.sample_np(G_full, NGLOB, xs, ys, PX, method)
+        got = pointsample.sample_np(G_sub, NGLOB, xs, ys, PX, method,
+                                    origin=(SIZE, SIZE))
+        np.testing.assert_allclose(got, exp, rtol=1e-12)
+
+
+def test_out_of_zone_point_is_null(spark):
+    """A point whose coordinate lies outside the zone frame is NULL
+    (gdallocationinfo's 'location off this file') even when the
+    clamped stencil would land on a real tile; a point just inside the
+    zone edge still gets edge replication."""
+    edge = NGLOB // W - 1  # last cell index on each axis at RES
+    rows = _tiles([(edge, edge)])
+    span = NGLOB * PX
+    pts = [(span + 100.0, span - 0.5 * PX),   # x beyond the zone
+           (-5.0, span - 0.5 * PX),           # x below the zone
+           (span - 0.1, span - 0.1)]          # inside: edge replication
+    # mosaic twin agrees: NaN off-zone, value at the inside point
+    G = codec.to_float_masked(next(iter(rows.values())), NODATA)
+    exp = pointsample.sample_np(
+        G, NGLOB, [p[0] for p in pts], [p[1] for p in pts], PX,
+        "bilinear", origin=((NGLOB - W) * PX, (NGLOB - W) * PX))
+    assert np.isnan(exp[0]).all() and np.isnan(exp[1]).all()
+    got = _got(pointsample.point_sample(
+        _df(spark, rows), _points(spark, pts), "bilinear"))
+    for b in range(3):
+        assert got[(0, b)] is None
+        assert got[(1, b)] is None
+        if np.isnan(exp[2, b]):
+            assert got[(2, b)] is None
+        else:
+            assert got[(2, b)] == pytest.approx(exp[2, b], rel=1e-12)
+
+
 def test_mixed_grid_raises(spark):
     rows = _tiles([(0, 0)])
     bad = dict(rows)

@@ -97,6 +97,55 @@ def test_stateful_running_mean(spark, tiny_images, tiny_images_pdf, tmp_path):
         np.testing.assert_array_equal(a1[: a2.shape[0]], a2)
 
 
+def test_running_mean_rejects_profile_drift(spark, tiny_images_pdf, tmp_path):
+    """A streamed scene whose layout (same byte count, different
+    (nb, h, w)) or payload profile (fmt/nodata) disagrees with the
+    accumulated state must fail loudly — silently folding it in would
+    pixel-misalign the running sums or mis-encode the emitted mean."""
+    import numpy as np
+    import pytest
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from vrtility_spark import codec, schema
+
+    base = tiny_images_pdf[tiny_images_pdf.image_id.str.startswith("Z30_0_0")]
+    first = base.iloc[[0]]
+
+    def run(drift_fn, land_name):
+        land = str(tmp_path / land_name)
+        out = str(tmp_path / (land_name + "_out"))
+        schema.images_df(spark, first).write.parquet(land)
+        q = streaming.stateful_running_mean(spark, land, out_path=out)
+        q.awaitTermination(240)
+        drifted = base.iloc[[1]].copy()
+        drift_fn(drifted)
+        schema.images_df(spark, drifted).write.mode("append").parquet(land)
+        q2 = streaming.stateful_running_mean(spark, land, out_path=out)
+        with pytest.raises(StreamingQueryException):
+            q2.awaitTermination(240)
+            if q2.exception() is not None:
+                raise q2.exception()
+
+    def relayout(pdf):
+        r = pdf.iloc[0]
+        arr = codec.decode(r.bytes, int(r.w), int(r.h), r.fmt)
+        nb, h, w = arr.shape
+        pdf.loc[pdf.index[0], "bytes"] = codec.encode(
+            arr.reshape(nb, h // 2, w * 2), r.fmt)
+        pdf.loc[pdf.index[0], "w"] = w * 2
+        pdf.loc[pdf.index[0], "h"] = h // 2
+
+    def refmt(pdf):
+        r = pdf.iloc[0]
+        arr = codec.decode(r.bytes, int(r.w), int(r.h), r.fmt)
+        pdf.loc[pdf.index[0], "bytes"] = codec.encode(
+            arr.astype(np.float32), "rawf32")
+        pdf.loc[pdf.index[0], "fmt"] = "rawf32"
+
+    run(relayout, "drift_shape")
+    run(refmt, "drift_fmt")
+
+
 def test_stream_correct_when_cell_spans_batches(spark, tiny_images, tmp_path):
     """A cell's scenes split across micro-batches must still produce
     ONE composite per cell equal to the batch run — the case file

@@ -27,10 +27,13 @@ move:
    from the average, NULL when nothing valid remains (GDAL's
    nodata-excluding bilinear).
 
-Edge semantics: stencils clamp at the ZONE edge (GDAL's dataset-edge
-replication); a stencil pixel inside the zone but over a missing tile
-contributes nothing (coverage hole ≡ nodata). ``sample_np`` is the
-mosaic twin used by the loop oracle and the constants generator.
+Edge semantics: stencils of IN-ZONE points clamp at the ZONE edge
+(GDAL's dataset-edge replication for the sub-half-pixel overhang); a
+point whose own coordinate lies outside the zone frame yields NULL
+(gdallocationinfo's "location off this file"); a stencil pixel inside
+the zone but over a missing tile contributes nothing (coverage hole ≡
+nodata). ``sample_np`` is the mosaic twin used by the loop oracle and
+the constants generator.
 
 For point sets too large to broadcast (≫10⁷), pass
 ``broadcast_points=False``: the join falls back to a shuffled hash
@@ -63,12 +66,20 @@ def sample_np(G: np.ndarray, n_global: int, xs, ys, pxsize: float,
     ``origin`` (zone coords), ``n_global`` the zone-wide pixel count
     per axis (clamping bound). Returns ``(npts, nb)`` float64 with NaN
     where no valid pixel contributes. Stencil pixels outside ``G``
-    (missing tiles) are excluded exactly like nodata."""
+    (missing tiles) are excluded exactly like nodata. Edge replication
+    clamps in the ABSOLUTE zone frame (``origin`` offsets the clamp,
+    so a sub-mosaic anchored mid-zone never replicates its own column
+    0 for pixels that exist in a neighbour); a point whose own
+    coordinate lies outside the zone frame entirely is NaN —
+    gdallocationinfo's "location off this file"."""
     xs = np.asarray(xs, dtype=np.float64)
     ys = np.asarray(ys, dtype=np.float64)
     nb, H, W = G.shape
-    gx = (xs - origin[0]) / pxsize
-    gy = (ys - origin[1]) / pxsize
+    ox, oy = origin[0] / pxsize, origin[1] / pxsize
+    gx = xs / pxsize - ox
+    gy = ys / pxsize - oy
+    off = ((gx + ox < 0) | (gx + ox >= n_global)
+           | (gy + oy < 0) | (gy + oy >= n_global))
     if method == "nearest":
         corners = [(0, 0)]
         bx, by = np.floor(gx), np.floor(gy)
@@ -82,11 +93,13 @@ def sample_np(G: np.ndarray, n_global: int, xs, ys, pxsize: float,
     wv = np.zeros((len(xs), nb))
     wsum = np.zeros((len(xs), nb))
     for dx, dy in corners:
-        px = np.clip(bx + dx, 0, n_global - 1).astype(np.int64)
-        py = np.clip(by + dy, 0, n_global - 1).astype(np.int64)
+        ax = np.clip(bx + dx + ox, 0, n_global - 1)
+        ay = np.clip(by + dy + oy, 0, n_global - 1)
+        px = np.floor(ax - ox).astype(np.int64)
+        py = np.floor(ay - oy).astype(np.int64)
         wt = ((fx if dx else 1.0 - fx) * (fy if dy else 1.0 - fy)
               if method == "bilinear" else np.ones_like(fx))
-        inside = (px >= 0) & (px < W) & (py >= 0) & (py < H)
+        inside = (px >= 0) & (px < W) & (py >= 0) & (py < H) & ~off
         v = np.full((len(xs), nb), np.nan)
         v[inside] = G[:, py[inside], px[inside]].T
         ok = np.isfinite(v) & (wt > 0)[:, None]
@@ -180,7 +193,13 @@ def point_sample(tiles: DataFrame, points: DataFrame,
             (((fx if dx else 1.0 - fx) * (fy if dy else 1.0 - fy))
              if method == "bilinear" else F.lit(1.0)).alias("wt"))
         for dx, dy in corners])
+    # a point whose own coordinate is outside the zone frame gets NO
+    # stencil rows → NULL from the final left join (gdallocationinfo's
+    # "location off this file"); edge replication via the clamp below
+    # serves only the sub-half-pixel overhang of in-zone points
+    inzone = ((gx >= 0) & (gx < n_global) & (gy >= 0) & (gy < n_global))
     st = (points
+          .where(inzone)
           .select(F.col(id_col).alias("point_id"), zone.alias("_zone"),
                   F.explode(stencil).alias("s"))
           .select("point_id", "_zone",

@@ -71,7 +71,8 @@ def scene_arrival_stats(spark: SparkSession, input_dir: str, out_path: str,
 
 RUNNING_SCHEMA = ("cell_id long, n_scenes int, bytes binary, w int, h int, "
                   "fmt string, nodata double")
-_STATE_SCHEMA = "count int, sums binary, valid binary, w int, h int, nodata double"
+_STATE_SCHEMA = ("count int, sums binary, valid binary, w int, h int, "
+                 "nodata double, fmt string")
 
 
 def _masked_scene(row, vals):
@@ -129,31 +130,40 @@ def stateful_running_mean(spark: SparkSession, input_dir: str,
         from vrtility_spark import codec as C
         from vrtility_spark import masks as M
         if state.exists:
-            count, sums_b, valid_b, w, h, nodata = state.get
+            count, sums_b, valid_b, w, h, nodata, fmt = state.get
             sums = np.frombuffer(sums_b, dtype="<f8").copy()
             valid = np.frombuffer(valid_b, dtype="<i4").copy()
         else:
-            count, sums, valid, w, h, nodata = 0, None, None, None, None, None
-        fmt = "raw16"
+            count, sums, valid, w, h = 0, None, None, None, None
+            nodata = fmt = None
         for pdf in pdfs:
             for row in pdf.itertuples(index=False):
-                fmt = row.fmt
                 data = _masked_scene(row, vals)
                 if sums is None:
-                    w, h, nodata = int(row.w), int(row.h), float(row.nodata)
+                    w, h = int(row.w), int(row.h)
+                    nodata, fmt = C.nodata_scalar(row.nodata), row.fmt
                     sums = np.zeros(data.size, dtype="<f8")
                     valid = np.zeros(data.size, dtype="<i4")
-                elif data.size != sums.size:
-                    raise ValueError(
-                        f"cell {int(key[0])}: streamed scene size "
-                        f"{data.shape} disagrees with the accumulated "
-                        "state (mixed band counts); normalize band "
-                        "layout first")
+                else:
+                    _check_state_shape(
+                        data, (sums.size // (w * h), h, w), int(key[0]))
+                    row_nd = C.nodata_scalar(row.nodata)
+                    if (row.fmt, row_nd) != (fmt, nodata) \
+                            and not (np.isnan(row_nd) and np.isnan(nodata)
+                                     and row.fmt == fmt):
+                        raise ValueError(
+                            f"cell {int(key[0])}: streamed scene "
+                            f"fmt/nodata ({row.fmt}, {row.nodata}) "
+                            f"disagree with the accumulated state "
+                            f"({fmt}, {nodata}); the emitted composite "
+                            "is encoded with the state's profile — "
+                            "normalize payload profile first")
                 ok = ~np.isnan(data)
                 sums += np.where(ok, data, 0.0).ravel()
                 valid += ok.ravel().astype("<i4")
                 count += 1
-        state.update((count, sums.tobytes(), valid.tobytes(), w, h, nodata))
+        state.update((count, sums.tobytes(), valid.tobytes(), w, h,
+                      nodata, fmt))
         nb = sums.size // (w * h)
         with np.errstate(invalid="ignore"):
             mean = (sums / np.maximum(valid, 1)).reshape(nb, h, w)
