@@ -2162,6 +2162,10 @@ _PINNED = (
     "pricing_summary", "mosaic_latest", "cell_assign", "spatial_join",
     "knn", "hampel", "near_dup_clusters", "dedup_corpus", "ann_ivf",
     "image_median_composite",
+    # Pinned late in round 5 so the final committed CORRECTNESS artifact
+    # carries a driver row for the two keys added after the r4 window
+    # closed (every other key already has a green committed row).
+    "decontaminate", "repetition_stats",
 )
 _ROTATION_BASE = 3  # CORRECTNESS artifacts committed before this scheme
 
