@@ -1369,6 +1369,50 @@ def q_image_proximity(spark, sf_dir):
         px_eq("bytes", "w", "h", "fmt", F.lit(5.0)).alias("cap_px"))
 
 
+def q_image_viewshed(spark, sf_dir):
+    """Capped viewshed (viewshed.viewshed): per-observer line-of-sight
+    over the first-valid composite's band-0 plane as a DEM — the
+    gdal_viewshed twin the reference reaches through GDAL
+    (R/call-gdalraster-mirai.R:42-114). The max_dist cap IS the
+    distribution strategy: each of the 9 fixture observers explodes to
+    its disk's covering cells with pure expressions, one equi-join
+    ships the covered tiles, and a grouped Arrow map runs the R3 DDA
+    kernel once per observer — no global mosaic ever exists, so the
+    plan survives 10^6 observers against a 100-TB DEM. Pinned against
+    constants computed Spark-free on full-zone mosaics with the same
+    loop-oracle-gated kernel (tools/gen_oracle_constants.py); full-zone
+    vs disk mosaics agree exactly because no ray leaves the cap."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema, viewshed
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    tiles = (Pipeline(images)
+             .warp(cell_res=datagen.TILE_RES)
+             .composite("first").df)
+    obs = spark.createDataFrame(viewshed.fixture_observers())
+    P = viewshed.FIXTURE_PARAMS
+    out = viewshed.viewshed(
+        tiles, obs, max_dist=P["max_dist"], band=P["band"],
+        obs_height=P["obs_height"], target_height=P["target_height"],
+        grid=(datagen.TILE_RES, 16, 16))
+
+    @F.pandas_udf("long")
+    def vs_px(b: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series,
+              target: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        return pd.Series([
+            int((codec.decode(x, int(wi), int(hi), f) == int(t)).sum())
+            for x, wi, hi, f, t in zip(b, w, h, fmt, target)])
+
+    return out.select(
+        "obs_id", "cell_id", "n_tiles",
+        F.length("bytes").alias("payload_len"),
+        vs_px("bytes", "w", "h", "fmt", F.lit(1)).alias("visible_px"),
+        vs_px("bytes", "w", "h", "fmt", F.lit(0)).alias("hidden_px"),
+        vs_px("bytes", "w", "h", "fmt", F.lit(255)).alias("outside_px"))
+
+
 def q_image_overview(spark, sf_dir):
     """Masked median composite → 1-level overview pyramid
     (overviews.build_pyramid): every 2x2 block of sibling tiles
@@ -2163,9 +2207,10 @@ _PINNED = (
     "knn", "hampel", "near_dup_clusters", "dedup_corpus", "ann_ivf",
     "image_median_composite",
     # Pinned late in round 5 so the final committed CORRECTNESS artifact
-    # carries a driver row for the two keys added after the r4 window
+    # carries a driver row for the keys added after the r4 window
     # closed (every other key already has a green committed row).
-    "decontaminate", "repetition_stats",
+    "decontaminate", "repetition_stats", "image_viewshed",
+    "knn_distributed",
 )
 _ROTATION_BASE = 3  # CORRECTNESS artifacts committed before this scheme
 
@@ -2274,6 +2319,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_majority": q_zonal_majority,
         "image_hillshade_md": q_image_hillshade_md,
         "image_colorrelief": q_image_colorrelief,
+        "image_viewshed": q_image_viewshed,
     }
 
 

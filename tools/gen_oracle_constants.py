@@ -1789,6 +1789,78 @@ def image_proximity_rows():
     return sorted(rows, key=lambda rr: rr["cell_id"])
 
 
+def image_viewshed_rows():
+    """Viewshed replicated Spark-free: the first-valid composite's band
+    0 as the DEM, per-zone mosaics, the same R3 DDA kernel (loop-oracle-
+    gated against a per-pixel Python twin in tests/test_viewshed.py) run
+    per fixture observer on the full-zone mosaic — exact because rays
+    never leave the max_dist disk — then cropped back to the observer's
+    bbox-cover cells through the identical raw16 round trip, pinning the
+    disk cover explosion, the tile join fan-in, and the per-observer
+    grouped assembly."""
+    from vrtility_spark import viewshed as vsh
+
+    P = vsh.FIXTURE_PARAMS
+    pdf = _grouped_fixture()
+    tiles = {}
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        stack = np.stack([
+            codec.to_float_masked(
+                codec.decode(rr.bytes, rr.w, rr.h, rr.fmt), nd)
+            for rr in grp.itertuples(index=False)])
+        out = composite.REDUCERS["first"](stack)
+        pay = codec.from_float(out, nd, "uint16")
+        tiles[int(cell_id)] = codec.to_float_masked(pay, nd)[P["band"]]
+    by_zone: dict[int, list] = {}
+    for cid in tiles:
+        zone, _res, ix, iy = (int(v) for v in cells.decode_np(cid))
+        by_zone.setdefault(zone, []).append((cid, ix, iy))
+    h = w = 16
+    res = datagen.TILE_RES
+    size = cells.cell_size(res)
+    pxs = size / w
+    md_px = P["max_dist"] / pxs
+    rows = []
+    for o in vsh.fixture_observers().itertuples(index=False):
+        zone = int(o.zone)
+        lst = by_zone.get(zone, [])
+        if not lst:
+            continue
+        x0 = min(ix for _, ix, _ in lst)
+        y0 = min(iy for _, _, iy in lst)
+        gx = max(ix for _, ix, _ in lst) - x0 + 1
+        gy = max(iy for _, _, iy in lst) - y0 + 1
+        G = np.full((gy * h, gx * w), np.nan)
+        for cid, ix, iy in lst:
+            G[(iy - y0) * h:(iy - y0 + 1) * h,
+              (ix - x0) * w:(ix - x0 + 1) * w] = tiles[cid]
+        oc = float(o.x) / pxs - 0.5 - x0 * w
+        orow = float(o.y) / pxs - 0.5 - y0 * h
+        V = vsh.viewshed_np(G, oc, orow, P["obs_height"],
+                            P["target_height"], md_px)
+        r_ = P["max_dist"]
+        cover = set(int(c) for c in cells.cover_bbox_np(
+            zone, float(o.x) - r_, float(o.y) - r_,
+            float(o.x) + r_, float(o.y) + r_, res))
+        present = [(cid, ix, iy) for cid, ix, iy in lst if cid in cover]
+        for cid, ix, iy in present:
+            tile = V[(iy - y0) * h:(iy - y0 + 1) * h,
+                     (ix - x0) * w:(ix - x0 + 1) * w]
+            payload = codec.encode(tile[None].astype(np.uint16), "raw16")
+            dec = codec.decode(payload, w, h, "raw16")
+            rows.append({
+                "obs_id": int(o.obs_id),
+                "cell_id": int(cid),
+                "n_tiles": len(present),
+                "payload_len": len(payload),
+                "visible_px": int((dec == 1).sum()),
+                "hidden_px": int((dec == 0).sum()),
+                "outside_px": int((dec == 255).sum())})
+    return sorted(rows, key=lambda rr: (rr["obs_id"], rr["cell_id"]))
+
+
 def _sql_lit(v) -> str:
     if v is None:
         return "NULL"
@@ -1902,6 +1974,12 @@ def main() -> None:
         "image_proximity": values_sql(
             image_proximity_rows(),
             ["cell_id", "payload_len", "dist_sum", "zero_px", "cap_px"]),
+        # first-composite band 0 as DEM -> per-observer line of sight:
+        # pins the disk cover explosion + grouped mosaic assembly
+        "image_viewshed": values_sql(
+            image_viewshed_rows(),
+            ["obs_id", "cell_id", "n_tiles", "payload_len", "visible_px",
+             "hidden_px", "outside_px"]),
         # first-composite -> region extraction: pins the seam matching
         # and the distributed component merge in global pixel-id space
         "polygonize": values_sql(
