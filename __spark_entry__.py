@@ -1413,6 +1413,55 @@ def q_image_viewshed(spark, sf_dir):
         vs_px("bytes", "w", "h", "fmt", F.lit(255)).alias("outside_px"))
 
 
+def q_image_histmatch(spark, sf_dir):
+    """Histogram matching (histmatch.histogram_match): remap the
+    first-valid composites so their per-band value distribution matches
+    the median composites' — the radiometric-normalization step before
+    cross-date mosaicking (the family the reference reaches through
+    .gr_normalize, R/gdalraster-internals.R:12-22, and GDAL LUT tools).
+    The plan is two bounded histogram aggregates (≤ bands × 65536 rows
+    each — integer payloads are EXACT) plus one broadcast-LUT narrow
+    rewrite: nothing pixel-sized ever shuffles, so the shape is
+    constant-communication at 100 TB. Pinned against constants computed
+    Spark-free with collection-global pooled histograms
+    (tools/gen_oracle_constants.py), which also pins that the stats
+    pass is one global aggregate rather than per-tile."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, histmatch, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    src = (Pipeline(images)
+           .warp(cell_res=datagen.TILE_RES).composite("first").df)
+    ref = (Pipeline(images)
+           .warp(cell_res=datagen.TILE_RES).composite("median").df)
+    out = histmatch.histogram_match(src, ref)
+
+    @F.pandas_udf("double")
+    def valid_sum(b: pd.Series, w: pd.Series, h: pd.Series,
+                  fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f in zip(b, w, h, fmt):
+            dec = codec.decode(x, int(wi), int(hi), f)
+            v = dec[dec != -9999.0]
+            res.append(float(np.round(v.astype(np.float64), 3).sum()))
+        return pd.Series(res)
+
+    @F.pandas_udf("long")
+    def nd_px(b: pd.Series, w: pd.Series, h: pd.Series,
+              fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        return pd.Series([
+            int((codec.decode(x, int(wi), int(hi), f) == -9999.0).sum())
+            for x, wi, hi, f in zip(b, w, h, fmt)])
+
+    return out.select(
+        "cell_id", F.length("bytes").alias("payload_len"),
+        valid_sum("bytes", "w", "h", "fmt").alias("valid_sum"),
+        nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
+
+
 def q_image_overview(spark, sf_dir):
     """Masked median composite → 1-level overview pyramid
     (overviews.build_pyramid): every 2x2 block of sibling tiles
@@ -2210,7 +2259,7 @@ _PINNED = (
     # carries a driver row for the keys added after the r4 window
     # closed (every other key already has a green committed row).
     "decontaminate", "repetition_stats", "image_viewshed",
-    "knn_distributed",
+    "image_histmatch", "knn_distributed",
 )
 _ROTATION_BASE = 3  # CORRECTNESS artifacts committed before this scheme
 
@@ -2320,6 +2369,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_hillshade_md": q_image_hillshade_md,
         "image_colorrelief": q_image_colorrelief,
         "image_viewshed": q_image_viewshed,
+        "image_histmatch": q_image_histmatch,
     }
 
 

@@ -1861,6 +1861,63 @@ def image_viewshed_rows():
     return sorted(rows, key=lambda rr: (rr["obs_id"], rr["cell_id"]))
 
 
+def image_histmatch_rows():
+    """Histogram matching replicated Spark-free: first-valid composites
+    as the source collection, median composites of the same fixture as
+    the reference, per-band LUTs built from COLLECTION-GLOBAL exact
+    histograms (all zones pooled — pinning that the stats pass is one
+    global aggregate, not per-tile), applied per tile through the
+    identical rawf32/-9999 round trip."""
+    from vrtility_spark import histmatch
+
+    pdf = _grouped_fixture()
+
+    def composited(how):
+        out = {}
+        for cell_id, grp in pdf.groupby("cell_id"):
+            grp = grp.sort_values("datetime", kind="mergesort")
+            nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+            stack = np.stack([
+                codec.to_float_masked(
+                    codec.decode(rr.bytes, rr.w, rr.h, rr.fmt), nd)
+                for rr in grp.itertuples(index=False)])
+            red = composite.REDUCERS[how](stack)
+            pay = codec.from_float(red, nd, "uint16")
+            out[int(cell_id)] = codec.to_float_masked(pay, nd)
+        return out
+
+    src = composited("first")
+    ref = composited("median")
+    nb = next(iter(src.values())).shape[0]
+    luts = {}
+    for b in range(nb):
+        xs = np.concatenate([t[b][np.isfinite(t[b])] for t in src.values()])
+        rs = np.concatenate([t[b][np.isfinite(t[b])] for t in ref.values()])
+        sv, sc = np.unique(xs, return_counts=True)
+        rv, rc = np.unique(rs, return_counts=True)
+        luts[b] = (sv, histmatch.match_lut(sv, sc, rv, rc))
+    rows = []
+    for cid, P in src.items():
+        out = np.full(P.shape, np.nan)
+        for b in range(nb):
+            sv, lut = luts[b]
+            m = np.isfinite(P[b])
+            if m.any():
+                out[b][m] = lut[np.clip(
+                    np.searchsorted(sv, P[b][m]), 0, len(sv) - 1)]
+        payload = codec.encode(
+            codec.from_float(out, -9999.0, "float32"), "rawf32")
+        dec = codec.decode(payload, P.shape[2], P.shape[1], "rawf32")
+        valid = dec[dec != -9999.0]
+        rows.append({
+            "cell_id": int(cid),
+            "payload_len": len(payload),
+            "valid_sum": float(np.round(valid.astype(np.float64),
+                                        3).sum()),
+            "nodata_px": int((dec == -9999.0).sum())})
+    return sorted(rows, key=lambda rr: rr["cell_id"])
+
+
 def _sql_lit(v) -> str:
     if v is None:
         return "NULL"
@@ -1980,6 +2037,11 @@ def main() -> None:
             image_viewshed_rows(),
             ["obs_id", "cell_id", "n_tiles", "payload_len", "visible_px",
              "hidden_px", "outside_px"]),
+        # first composite matched onto the median composite's global
+        # distribution: pins the two histogram passes + LUT broadcast
+        "image_histmatch": values_sql(
+            image_histmatch_rows(),
+            ["cell_id", "payload_len", "valid_sum", "nodata_px"]),
         # first-composite -> region extraction: pins the seam matching
         # and the distributed component merge in global pixel-id space
         "polygonize": values_sql(
