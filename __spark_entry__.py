@@ -779,6 +779,7 @@ def q_repetition_stats(spark, sf_dir):
 
 DECONTAM_MOD = 11       # every 11th doc plays the "benchmark" here
 DECONTAM_MIN_OVERLAP = 2
+CROSSDUP_N = 5          # window width for cross-document span dedup
 
 
 def q_decontaminate(spark, sf_dir):
@@ -1411,6 +1412,23 @@ def q_image_viewshed(spark, sf_dir):
         vs_px("bytes", "w", "h", "fmt", F.lit(1)).alias("visible_px"),
         vs_px("bytes", "w", "h", "fmt", F.lit(0)).alias("hidden_px"),
         vs_px("bytes", "w", "h", "fmt", F.lit(255)).alias("outside_px"))
+
+
+def q_cross_dup(spark, sf_dir):
+    """Cross-document duplicated n-grams (crossdup.cross_duplicates):
+    the window-granularity exact-substring dedup signal of Lee et al.
+    2022 — per document, how many of its 5-gram windows also occur in
+    other documents. Three narrow gram-sized exchanges (per-(gram,doc)
+    counts → distinct-doc window over the gram → per-doc totals), never
+    a pair explosion: the stop-gram shared by every document stays ONE
+    aggregated row, so the plan is skew-bounded at 100 TB where
+    ngram_jaccard-style pair generation needs its DF cap."""
+    from vrtility_spark import crossdup
+    d = _t(spark, sf_dir, "documents")
+    rep = crossdup.cross_duplicates(d, n=CROSSDUP_N)
+    return rep.select(
+        "doc_id", F.col("n_windows").cast("long").alias("n_windows"),
+        "dup_windows", F.round("dup_frac", 6).alias("dup_frac"))
 
 
 def q_image_histmatch(spark, sf_dir):
@@ -2259,7 +2277,7 @@ _PINNED = (
     # carries a driver row for the keys added after the r4 window
     # closed (every other key already has a green committed row).
     "decontaminate", "repetition_stats", "image_viewshed",
-    "image_histmatch", "knn_distributed",
+    "image_histmatch", "cross_dup_ngrams", "knn_distributed",
 )
 _ROTATION_BASE = 3  # CORRECTNESS artifacts committed before this scheme
 
@@ -2370,6 +2388,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_colorrelief": q_image_colorrelief,
         "image_viewshed": q_image_viewshed,
         "image_histmatch": q_image_histmatch,
+        "cross_dup_ngrams": q_cross_dup,
     }
 
 
@@ -2937,6 +2956,35 @@ def oracle_sql() -> dict[str, str]:
             left join tot t using (doc_id)
             left join hits h using (doc_id)
             where d.doc_id % {DECONTAM_MOD} <> 0
+        """,
+        "cross_dup_ngrams": f"""
+            with words as (
+              select doc_id, string_split(text, ' ') as w from documents
+            ), occ as (
+              select doc_id, concat_ws(' ', w[i], w[i+1], w[i+2],
+                                       w[i+3], w[i+4]) as g
+              from words,
+                   unnest(range(1, greatest(len(w) - 3, 1))) as t(i)
+            ), per as (
+              select doc_id, g, count(*) as cnt from occ group by 1, 2
+            ), hot as (
+              select g from per group by g having count(*) >= 2
+            ), dup as (
+              select doc_id, sum(cnt) as dup_windows
+              from per join hot using (g) group by doc_id
+            ), base as (
+              select doc_id,
+                     greatest(len(string_split(text, ' ')) - 4, 0)
+                       as n_windows
+              from documents
+            )
+            select b.doc_id, b.n_windows,
+                   coalesce(u.dup_windows, 0) as dup_windows,
+                   round(case when b.n_windows > 0
+                         then coalesce(u.dup_windows, 0) * 1.0
+                              / b.n_windows
+                         else 0.0 end, 6) as dup_frac
+            from base b left join dup u using (doc_id)
         """,
         "embedding_topk": """
             with pairs as (
