@@ -141,6 +141,22 @@ def test_distributed_rawf32_binned_regime(spark):
     assert (np.diff(got_flat[order]) >= -1e-9).all()
 
 
+def test_sentinel_collision_refused(spark):
+    # a reference whose values include the -9999 output sentinel would
+    # turn matched pixels into silent nodata — must raise loudly
+    h = w = 8
+    src_rows, _ = _tiles(h, w, 2,
+                         lambda r, hh, ww: r.integers(1, 9, (1, hh, ww)),
+                         5)
+    ref_rows, _ = _tiles(
+        h, w, 2,
+        lambda r, hh, ww: np.full((1, hh, ww), -9999.0), 6, fmt="rawf32")
+    A = spark.createDataFrame(pd.DataFrame(src_rows), TILE_SCHEMA)
+    B = spark.createDataFrame(pd.DataFrame(ref_rows), TILE_SCHEMA)
+    with pytest.raises(Exception, match="sentinel"):
+        histogram_match(A, B)
+
+
 def test_validation(spark):
     h = w = 8
     a_rows, _ = _tiles(h, w, 2,

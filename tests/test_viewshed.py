@@ -91,13 +91,14 @@ def test_viewshed_np_wall_shadow_and_nan_hole():
     assert (got[:, 6:][got[:, 6:] != OUT_NODATA] == 0.0).all()
     assert got[4, 5] == 1.0                 # the wall face itself
     assert (got[:, :5][got[:, :5] != OUT_NODATA] == 1.0).all()
-    # the same wall as NaN: unknown elevation never blocks
+    # the same wall as NaN: unknown elevation never blocks, and the
+    # NaN pixels themselves always come back OUT_NODATA
     dem2 = np.zeros((9, 9))
     dem2[:, 5] = np.nan
     got2 = viewshed_np(dem2, 2.0, 4.0, 1.0, 0.0, 8.0)
-    assert (got2[:, 5][~np.isnan(dem2[:, 5])] == OUT_NODATA).all() \
-        if np.isnan(dem2[:, 5]).all() else True
+    assert (got2[:, 5] == OUT_NODATA).all()
     assert (got2[:, 6:][got2[:, 6:] != OUT_NODATA] == 1.0).all()
+    assert (got2[:, 6:] == 1.0).any()  # beyond-the-hole pixels exist
 
 
 def test_viewshed_np_unknown_observer_ground():
@@ -154,21 +155,24 @@ def test_distributed_matches_mosaic(spark, positions):
     observers = spark.createDataFrame(obs_pdf)
     got = _collect(viewshed.viewshed(df, observers, max_dist=md,
                                      obs_height=3.0, target_height=1.0))
-    have = {(ix, iy) for ix, iy in positions}
+    have = {int(cells.encode_np(ZONE, RES, ix, iy))
+            for ix, iy in positions}
+    # the output key set is pinned EXACTLY: bbox cover ∩ present tiles
+    expected = set()
+    for o in obs_pdf.itertuples(index=False):
+        cov = cells.cover_bbox_np(ZONE, o.x - md, o.y - md,
+                                  o.x + md, o.y + md, RES)
+        expected |= {(o.obs_id, int(c)) for c in cov if int(c) in have}
+    assert set(got) == expected
     for o in obs_pdf.itertuples(index=False):
         oc = o.x / px - 0.5
         orow = o.y / px - 0.5
         want = viewshed_np(G, oc, orow, 3.0, 1.0, 14.0)
-        r_cells = int(np.ceil(md / size))
-        oix, oiy = int(o.x // size), int(o.y // size)
-        for ix, iy in have:
-            if abs(ix - oix) > r_cells or abs(iy - oiy) > r_cells:
+        for oid, cid in expected:
+            if oid != o.obs_id:
                 continue
-            key = (o.obs_id, int(cells.encode_np(ZONE, RES, ix, iy)))
-            if key not in got:
-                # cells fully beyond the bbox cover legitimately absent
-                continue
-            arr, row = got[key]
+            _, _, ix, iy = (int(v) for v in cells.decode_np(cid))
+            arr, row = got[(oid, cid)]
             assert row["fmt"] == "raw16" and row["nodata"] == OUT_NODATA
             w_t = want[iy * h:(iy + 1) * h, ix * w:(ix + 1) * w]
             np.testing.assert_array_equal(
@@ -234,3 +238,15 @@ def test_viewshed_validation(spark):
          "y": size / 2}]))
     with pytest.raises(Exception, match="multiple rows"):
         viewshed.viewshed(sq, obs2, max_dist=size / 4).collect()
+    # duplicate obs_id at different positions → loud error, not a
+    # silently merged disk
+    one = spark.createDataFrame(pd.DataFrame([{
+        "cell_id": cid,
+        "bytes": codec.encode(np.zeros((1, 8, 8), np.uint16), FMT),
+        "w": 8, "h": 8, "fmt": FMT, "nodata": 999.0}]), TILE_SCHEMA)
+    dup_obs = spark.createDataFrame(pd.DataFrame([
+        {"obs_id": 0, "zone": ZONE, "x": size * 0.3, "y": size * 0.3},
+        {"obs_id": 0, "zone": ZONE, "x": size * 0.7, "y": size * 0.6},
+    ]))
+    with pytest.raises(Exception, match="duplicate obs_id"):
+        viewshed.viewshed(one, dup_obs, max_dist=size / 4).collect()

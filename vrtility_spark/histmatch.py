@@ -80,9 +80,12 @@ def match_np(P: np.ndarray, R: np.ndarray) -> np.ndarray:
     return out
 
 
-def _collect_hist(df: DataFrame, label: str) -> dict[int, tuple]:
-    """Merged per-band (values, counts) histogram of a collection,
-    with the stretch dual regime for rawf32 payloads."""
+def _collect_hist(df: DataFrame, label: str
+                  ) -> tuple[dict[int, tuple], np.ndarray | None,
+                             np.ndarray | None]:
+    """Merged per-band ``{band: (values, counts)}`` histogram of a
+    collection plus the rawf32 bin edges used (None for all-integer
+    collections) — the stretch dual regime."""
     fmts = [r.fmt for r in df.select("fmt").distinct().collect()]
     unknown = [f for f in fmts if f not in _INT_FMTS + ("rawf32",)]
     if unknown:
@@ -90,7 +93,11 @@ def _collect_hist(df: DataFrame, label: str) -> dict[int, tuple]:
             f"histogram_match: unknown payload formats {unknown} in "
             f"{label} collection")
     if any(f == "rawf32" for f in fmts):
-        lo, hi = band_minmax(df)
+        try:
+            lo, hi = band_minmax(df)
+        except ValueError as e:
+            raise ValueError(
+                f"histogram_match: {label} collection: {e}") from e
         edges_lo, edges_w = lo, (hi - lo) / N_BINS
     else:
         edges_lo = edges_w = None
@@ -132,6 +139,15 @@ def histogram_match(df: DataFrame, ref: DataFrame) -> DataFrame:
     luts = {b: (src_h[b][0],
                 match_lut(src_h[b][0], src_h[b][1], *ref_h[b]))
             for b in src_h}
+    # matched values ARE reference values (interpolated), so they live
+    # in an unbounded range — a matched value equal to the output
+    # sentinel would silently become nodata downstream; refuse loudly
+    # (stretch never hits this: its outputs clamp to [0, 1])
+    if any(np.any(lut == _SENTINEL) for _, lut in luts.values()):
+        raise ValueError(
+            f"histogram_match: a matched value equals the {_SENTINEL} "
+            "output sentinel — rescale the reference collection away "
+            "from the sentinel first")
 
     names = [f.name for f in df.schema.fields]
     out_schema = df.schema

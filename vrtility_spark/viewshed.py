@@ -144,11 +144,12 @@ def viewshed(tiles: DataFrame, observers: DataFrame, max_dist: float,
     from vrtility_spark.bands import subset_band_index
     from vrtility_spark.warp import cells_cover
 
-    one = subset_band_index(tiles, int(band))
     if grid is not None:
         res, tw, th = (int(v) for v in grid)
     else:
-        probe = one.select("cell_id", "w", "h").first()
+        # probe the RAW tiles (band subset doesn't change the grid), so
+        # no payload rewrite happens just to read metadata
+        probe = tiles.select("cell_id", "w", "h").first()
         if probe is None:
             return _empty(tiles.sparkSession)
         res = int(cells.decode_np(probe.cell_id)[1])
@@ -171,6 +172,15 @@ def viewshed(tiles: DataFrame, observers: DataFrame, max_dist: float,
         (F.col("_oy") - r).alias("ymin"), (F.col("_oy") + r).alias("ymax"))
     cover = cells_cover(bbox, res, out_col="_vcell").select(
         "obs_id", "_ox", "_oy", "_vcell")
+    # restrict to covered tiles FIRST (broadcast semi join — the cover
+    # set is observer-sized), so the band-subset payload rewrite only
+    # touches tiles some observer's disk actually reaches, not the
+    # whole collection
+    covered = tiles.join(
+        F.broadcast(cover.select(F.col("_vcell").alias("cell_id"))
+                    .distinct()),
+        "cell_id", "left_semi")
+    one = subset_band_index(covered, int(band))
     bn = (F.col("band_nodata") if "band_nodata" in one.columns
           else F.lit(None).cast("array<double>")).alias("band_nodata")
     tile_side = one.select("cell_id", "bytes", "w", "h", "fmt",
@@ -188,6 +198,10 @@ def viewshed(tiles: DataFrame, observers: DataFrame, max_dist: float,
             raise ValueError(
                 "viewshed: mixed tile shapes in one observer disk — "
                 "regrid to one grid first")
+        if pdf["_ox"].nunique() != 1 or pdf["_oy"].nunique() != 1:
+            raise ValueError(
+                "viewshed: duplicate obs_id with different positions — "
+                "observer ids must be unique")
         if pdf["cell_id"].duplicated().any():
             raise ValueError(
                 "viewshed: multiple rows per cell — composite to one "
