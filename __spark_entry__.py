@@ -1414,6 +1414,25 @@ def q_image_viewshed(spark, sf_dir):
         vs_px("bytes", "w", "h", "fmt", F.lit(255)).alias("outside_px"))
 
 
+BM25_QUERY = ("hash", "spark", "vector")
+
+
+def q_bm25(spark, sf_dir):
+    """BM25 keyword relevance (bm25.bm25_scores): the lexical retrieval
+    baseline next to the embedding ANN family — Okapi BM25 with the
+    Lucene positive-idf variant over the engine's canonical
+    tokenization. The corpus-sized work is one narrow pass: scalar
+    (N, avgdl) aggregate, an array_intersect-guarded explode so only
+    matching docs emit rows, per-(doc, term) tf bounded by matches x
+    query terms, df broadcast into the score expression. The DuckDB
+    oracle string is GENERATED from the same formula constants
+    (bm25.bm25_sql) so operator and oracle cannot drift."""
+    from vrtility_spark import bm25
+    d = _t(spark, sf_dir, "documents")
+    out = bm25.bm25_scores(d, list(BM25_QUERY))
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def q_cross_dup(spark, sf_dir):
     """Cross-document duplicated n-grams (crossdup.cross_duplicates):
     the window-granularity exact-substring dedup signal of Lee et al.
@@ -2277,7 +2296,8 @@ _PINNED = (
     # carries a driver row for the keys added after the r4 window
     # closed (every other key already has a green committed row).
     "decontaminate", "repetition_stats", "image_viewshed",
-    "image_histmatch", "cross_dup_ngrams", "knn_distributed",
+    "image_histmatch", "cross_dup_ngrams", "bm25_search",
+    "knn_distributed",
 )
 _ROTATION_BASE = 3  # CORRECTNESS artifacts committed before this scheme
 
@@ -2389,6 +2409,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_viewshed": q_image_viewshed,
         "image_histmatch": q_image_histmatch,
         "cross_dup_ngrams": q_cross_dup,
+        "bm25_search": q_bm25,
     }
 
 
@@ -2957,6 +2978,9 @@ def oracle_sql() -> dict[str, str]:
             left join hits h using (doc_id)
             where d.doc_id % {DECONTAM_MOD} <> 0
         """,
+        "bm25_search": __import__(
+            "vrtility_spark.bm25", fromlist=["bm25_sql"]
+        ).bm25_sql(list(BM25_QUERY)),
         "cross_dup_ngrams": f"""
             with words as (
               select doc_id, string_split(text, ' ') as w from documents
