@@ -58,26 +58,39 @@ def test_query_vs_oracle(spark, name):
 
 def test_driver_window_rotation():
     """The driver oracle-checks the first 50 queries() entries; the
-    rotation must (a) keep the pinned core keys up front, (b) cover
-    every key at least every other round (shift advances by the window
-    slack per committed CORRECTNESS artifact, so every key outside this
-    round's window moves inside it next round), and (c) never lose or
-    duplicate a key."""
+    stale-first ordering must (a) keep the pinned core keys up front,
+    (b) never lose or duplicate a key, (c) put every key the committed
+    artifacts have never covered inside this round's window (up to its
+    capacity), and (d) simulated forward, re-cover every key within
+    ceil((N - pinned) / (50 - pinned)) rounds."""
     canon = list(entrymod._queries_canonical())
-    rotated = list(QUERIES)
-    assert sorted(canon) == sorted(rotated)
-    assert rotated[:len(entrymod._PINNED)] == list(entrymod._PINNED)
-    rest = [k for k in canon if k not in entrymod._PINNED]
-    # consecutive rounds: the union of two consecutive windows is ALL keys
-    step = max(len(canon) - 50, 1)
+    ordered = list(QUERIES)
+    assert sorted(canon) == sorted(ordered)
+    pinned = list(entrymod._PINNED)
+    assert ordered[:len(pinned)] == pinned
+    free = entrymod._WINDOW - len(pinned)
 
-    def window(rounds):
-        shift = (step * rounds) % len(rest)
-        order = (list(entrymod._PINNED) + rest[-shift:] + rest[:-shift]
-                 if shift else list(entrymod._PINNED) + rest)
-        return set(order[:50])
-    for r in range(8):
-        assert window(r) | window(r + 1) == set(canon), r
+    # (c) this round: never-covered keys all sort into the live window
+    last = entrymod._coverage_rounds()
+    never = [k for k in canon if k not in pinned and last.get(k, 0) == 0]
+    window_now = set(ordered[:entrymod._WINDOW])
+    assert len(never) <= free, (
+        f"{len(never)} never-covered keys exceed the {free} free window "
+        "slots — some will miss this round's driver artifact")
+    assert set(never) <= window_now
+
+    # (d) steady state: simulate rounds where each covers its window
+    idx = {k: i for i, k in enumerate(canon)}
+    rest = [k for k in canon if k not in pinned]
+    sim = {k: last.get(k, 0) for k in rest}
+    horizon = -(-len(rest) // free)  # ceil
+    base_round = max(sim.values(), default=0)
+    for r in range(1, horizon + 2):
+        order = sorted(rest, key=lambda k: (sim[k], idx[k]))
+        for k in order[:free]:
+            sim[k] = base_round + r
+    assert min(sim.values()) > base_round, (
+        "some key never re-enters the window under stale-first rotation")
 
 
 def test_rows_only_queries_run(spark):

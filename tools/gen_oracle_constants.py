@@ -269,6 +269,69 @@ def image_focal_rows():
     return sorted(rows, key=lambda d: d["cell_id"])
 
 
+def image_morphology_rows():
+    """Masked median composite → morphological OPEN (radius 1, square
+    element, mask-preserving) replicated without Spark: per-zone 2x2
+    tile mosaics are assembled into one array, padded by the fused
+    ``2r`` halo, reduced with morphology.morph_np (kernel math
+    loop-oracle-gated in tests/test_morphology.py), and cropped back to
+    tiles — pinning the single fused erode→dilate halo exchange
+    byte-for-byte."""
+    from vrtility_spark import morphology
+
+    pdf = _grouped_fixture()
+    tiles: dict[int, np.ndarray] = {}
+    meta: dict[int, tuple] = {}
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        with np.errstate(all="ignore"):
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                out = composite.REDUCERS["median"](_masked_stack(grp, nd))
+        tiles[int(cell_id)] = codec.from_float(out, nd, "uint16")
+        meta[int(cell_id)] = (nd, len(grp),
+                              _caption_agg(grp.caption.tolist()))
+    by_zone: dict[int, list] = {}
+    for cid in tiles:
+        zone, _res, ix, iy = (int(v) for v in cells.decode_np(cid))
+        by_zone.setdefault(zone, []).append((cid, ix, iy))
+    h = w = 16
+    r = 1
+    pad = morphology.pad_for("open", r)
+    rows = []
+    for zone, lst in sorted(by_zone.items()):
+        x0 = min(ix for _, ix, _ in lst)
+        y0 = min(iy for _, _, iy in lst)
+        gx = max(ix for _, ix, _ in lst) - x0 + 1
+        gy = max(iy for _, _, iy in lst) - y0 + 1
+        nb = tiles[lst[0][0]].shape[0]
+        G = np.full((nb, gy * h, gx * w), np.nan)
+        for cid, ix, iy in lst:
+            A = codec.to_float_masked(tiles[cid], meta[cid][0])
+            G[:, (iy - y0) * h:(iy - y0 + 1) * h,
+              (ix - x0) * w:(ix - x0 + 1) * w] = A
+        P = np.full((nb, gy * h + 2 * pad, gx * w + 2 * pad), np.nan)
+        P[:, pad:-pad, pad:-pad] = G
+        out = morphology.morph_np(P, "open", r, "square")
+        out = np.where(np.isnan(G), np.nan, out)  # fill=False
+        for cid, ix, iy in lst:
+            tile = out[:, (iy - y0) * h:(iy - y0 + 1) * h,
+                       (ix - x0) * w:(ix - x0 + 1) * w]
+            nd, n_scenes, agg = meta[cid]
+            payload = codec.encode(codec.from_float(tile, nd, "uint16"),
+                                   "raw16")
+            rows.append({
+                "cell_id": cid, "n_scenes": n_scenes,
+                "payload_len": len(payload),
+                "caption_md5": hashlib.md5(agg.encode()).hexdigest(),
+                "pix_sum": int(np.frombuffer(payload, "<u2")
+                               .astype(np.int64).sum()),
+            })
+    return sorted(rows, key=lambda d: d["cell_id"])
+
+
 def image_overview_rows():
     """Masked median composite → 1-level overview pyramid replicated
     without Spark: per-cell median tiles (level 0) plus, per zone, the
@@ -1959,6 +2022,12 @@ def main() -> None:
         # composite -> focal mean: pins the distributed halo exchange
         "image_focal_mean": values_sql(
             image_focal_rows(),
+            ["cell_id", "n_scenes", "payload_len", "caption_md5",
+             "pix_sum"]),
+        # composite -> morphological open: pins the FUSED two-stage
+        # (erode -> dilate) kernel riding one 2r halo exchange
+        "image_morphology": values_sql(
+            image_morphology_rows(),
             ["cell_id", "n_scenes", "payload_len", "caption_md5",
              "pix_sum"]),
         # composite -> D8 flow direction: pins the hydrology kernel

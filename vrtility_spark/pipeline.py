@@ -57,7 +57,7 @@ class Pipeline:
         "thin",
         "set_scale", "reproject", "warp", "regrid", "composite",
         "composite_period", "trend", "harmonic", "gapfill",
-        "hampel", "savgol", "split_cells", "focal", "sieve",
+        "hampel", "savgol", "split_cells", "focal", "morphology", "sieve",
         "proximity", "fillnodata", "overview_level",
         "overviews", "terrain", "color_relief", "stretch", "classify"])
 
@@ -371,6 +371,22 @@ class Pipeline:
             (), "focal", {"op": op, "radius": int(radius),
                           "weights": w_list, "normalize": normalize,
                           "fill": bool(fill)})
+
+    def morphology(self, op: str = "open", radius: int = 1,
+                   shape: str = "square", fill: bool = False) -> "Pipeline":
+        """Grayscale/binary morphology (erode/dilate/open/close/gradient/
+        tophat/blackhat — morphology.morphology) over a one-row-per-cell
+        tile table. Composite ops fuse both stages into ONE halo
+        exchange over a ``2r`` strip; the intermediate never leaves the
+        worker. Generalizes the reference's buffered-mask dilation (P10,
+        R/vrt-set-mask.R) to the full family over any plane. Pending
+        masks flush first, same as :meth:`focal`."""
+        from vrtility_spark import morphology as _morph
+        return self._next(
+            _morph.morphology(self.df, op=op, radius=int(radius),
+                              shape=shape, fill=fill),
+            (), "morphology", {"op": op, "radius": int(radius),
+                               "shape": shape, "fill": bool(fill)})
 
     def stretch(self, pct_cut=None, minmax=None) -> "Pipeline":
         """Per-band normalize to [0, 1] against ONE collection-global
