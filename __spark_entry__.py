@@ -1779,6 +1779,54 @@ def q_image_trend(spark, sf_dir):
         third_sum(2)("bytes", "w", "h", "fmt").alias("nobs_sum"))
 
 
+def q_image_mk_trend(spark, sf_dir):
+    """Per-pixel Mann–Kendall trend test + Theil–Sen slope
+    (mktrend.mk_trend): sen/tau/z/n_obs planes per band over the masked
+    scene stack — the non-parametric, outlier-robust twin of
+    image_trend (a single bad scene can flip an OLS change map; Sen's
+    median-of-pairwise-slopes cannot). Rank statistics admit no
+    fixed-size per-scene partial, so this is a grouped-stack holistic
+    operator (same RAM guard as geomedian; the O(T²) pair work stays
+    in-worker and the pair-slope block is row-chunked). Kernel math is
+    gated by the naive double-loop oracle in tests/test_mktrend.py;
+    this query pins the distributed plumbing against constants computed
+    Spark-free (tools/gen_oracle_constants.py), checksummed per plane
+    family."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    out = (Pipeline(images)
+           .set_maskfun("int", datagen.S2_MASK_VALUES)
+           .warp(cell_res=datagen.TILE_RES)
+           .mk_trend()
+           .df)
+
+    def quarter_sum(which: int):
+        @F.pandas_udf("double")
+        def fsum(b: pd.Series, w: pd.Series, h: pd.Series,
+                 fmt: pd.Series) -> pd.Series:
+            from vrtility_spark import codec
+            out = []
+            for x, wi, hi, f in zip(b, w, h, fmt):
+                dec = codec.decode(x, int(wi), int(hi), f)
+                nb4 = dec.shape[0] // 4
+                pl = dec[which * nb4:(which + 1) * nb4].astype(np.float64)
+                valid = pl[pl != -9999.0]
+                out.append(float(np.round(valid, 3).sum()))
+            return pd.Series(out)
+        return fsum
+
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        quarter_sum(0)("bytes", "w", "h", "fmt").alias("sen_sum"),
+        quarter_sum(1)("bytes", "w", "h", "fmt").alias("tau_sum"),
+        quarter_sum(2)("bytes", "w", "h", "fmt").alias("z_sum"),
+        quarter_sum(3)("bytes", "w", "h", "fmt").alias("nobs_sum"))
+
+
 def q_image_harmonic(spark, sf_dir):
     """Per-pixel harmonic (seasonal) regression (harmonic.harmonic):
     intercept/slope + first-harmonic sin/cos/amplitude/phase + rmse +
@@ -2435,6 +2483,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_change": q_image_change,
         "image_quarterly_composite": q_image_quarterly_composite,
         "image_trend": q_image_trend,
+        "image_mk_trend": q_image_mk_trend,
         "image_harmonic": q_image_harmonic,
         "image_gapfill": q_image_gapfill,
         "image_phash_dedup": q_image_phash_dedup,

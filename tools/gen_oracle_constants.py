@@ -768,6 +768,51 @@ def image_trend_rows():
     return sorted(rows, key=lambda d: d["cell_id"])
 
 
+def image_mk_trend_rows():
+    """Per-pixel Mann–Kendall + Theil–Sen replicated Spark-free: the
+    masked fixture stack in FLOAT64, time in years since
+    trend.TREND_EPOCH, the same vectorized kernel (independently gated
+    by the naive per-pixel double-loop oracle in tests/test_mktrend.py),
+    encoded through the same rawf32/-9999 round trip, checksummed per
+    plane family (sen / tau / z / n_obs) in payload order."""
+    from vrtility_spark import mktrend, trend
+
+    pdf = _grouped_fixture()
+    rows = []
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        stack = []
+        for r in grp.itertuples(index=False):
+            arr = codec.decode(r.bytes, r.w, r.h, r.fmt)
+            m01 = masks.build_intmask_np(arr[-1], datagen.S2_MASK_VALUES)
+            data = masks.apply_mask_np(arr[:-1], m01, nd[:-1])
+            full = np.concatenate([data, arr[-1:]])
+            stack.append(codec.to_float_masked(full, nd))
+        stack = np.stack(stack)
+        ts = trend.t_years(grp.datetime.values.astype("datetime64[ns]")
+                           .astype(np.int64))
+        planes = mktrend.mk_np(ts, stack)
+        payload = codec.encode(
+            codec.from_float(planes, trend.OUT_NODATA, "float32"),
+            "rawf32")
+        dec = codec.decode(payload, 16, 16, "rawf32")
+        nb4 = dec.shape[0] // 4
+        sums = []
+        for which in range(4):
+            pl = dec[which * nb4:(which + 1) * nb4].astype(np.float64)
+            valid = pl[pl != -9999.0]
+            sums.append(float(np.round(valid, 3).sum()))
+        rows.append({
+            "cell_id": int(cell_id),
+            "n_scenes": len(grp),
+            "payload_len": len(payload),
+            "sen_sum": sums[0], "tau_sum": sums[1],
+            "z_sum": sums[2], "nobs_sum": sums[3],
+        })
+    return sorted(rows, key=lambda d: d["cell_id"])
+
+
 def image_change_rows():
     """Early-epoch vs late-epoch median composites combined as a
     normalized difference, replicated Spark-free: per-cell medians over
@@ -2175,6 +2220,12 @@ def main() -> None:
             image_trend_rows(),
             ["cell_id", "n_scenes", "payload_len", "dt_min", "dt_max",
              "slope_sum", "icept_sum", "nobs_sum"]),
+        # Mann-Kendall + Theil-Sen: the non-parametric trend twin
+        # (holistic grouped-stack path; rank stats have no partials)
+        "image_mk_trend": values_sql(
+            image_mk_trend_rows(),
+            ["cell_id", "n_scenes", "payload_len",
+             "sen_sum", "tau_sum", "z_sum", "nobs_sum"]),
         # two-epoch change detection (cell-keyed equi-join algebra)
         "image_change": values_sql(
             image_change_rows(),

@@ -56,7 +56,7 @@ class Pipeline:
         "set_maskfun", "create_mlmask", "subset_bands", "derived_band",
         "thin",
         "set_scale", "reproject", "warp", "regrid", "composite",
-        "composite_period", "trend", "harmonic", "gapfill",
+        "composite_period", "trend", "mk_trend", "harmonic", "gapfill",
         "hampel", "savgol", "split_cells", "focal", "morphology", "sieve",
         "proximity", "fillnodata", "overview_level",
         "overviews", "terrain", "color_relief", "stretch", "classify"])
@@ -327,6 +327,20 @@ class Pipeline:
         return self._next(
             _trend.trend(self._df, scene_fn=self._scene_fn(), mode=mode),
             (), "trend", {"mode": mode})
+
+    def mk_trend(self) -> "Pipeline":
+        """Per-pixel Mann–Kendall trend test + Theil–Sen slope
+        (mktrend.mk_trend): sen (units/year), Kendall tau, tie-corrected
+        normal score z and valid-observation count per (pixel, band), as
+        four planes per input band in a ``rawf32`` tile — the
+        non-parametric, outlier-robust twin of :meth:`trend`. Rank
+        statistics have no fixed-size per-scene partial, so this is a
+        grouped-stack (holistic) operator with the same RAM guard as
+        geomedian; masks fuse into the scene decode."""
+        from vrtility_spark import mktrend as _mk
+        return self._next(
+            _mk.mk_trend(self._df, scene_fn=self._scene_fn()),
+            (), "mk_trend", {})
 
     def harmonic(self, n_harmonics: int = 1, period_years: float = 1.0,
                  mode: str = "auto") -> "Pipeline":
