@@ -1221,6 +1221,38 @@ def q_image_morphology(spark, sf_dir):
         ps("bytes", "w", "h", "fmt").alias("pix_sum"))
 
 
+def q_train_chips(spark, sf_dir):
+    """Masked median composite → training-chip export (Pipeline.chips /
+    chips.make_chips): tiles slice into 8×8 model-ready chips in ONE
+    narrow Arrow map with ZERO added shuffle (plan-gated in
+    tests/test_chips.py), caption metadata riding along so each row is
+    an image+caption training pair (the BASELINE.json input shape);
+    mostly-masked chips drop by their all-bands-valid fraction
+    (Catalyst predicate) and the survivors get a deterministic
+    reshard-proof md5 hash-range train/val split
+    (sampling.assign_splits). Pinned against a constants oracle that
+    recomputes slicing, filter and split Spark-free with hashlib
+    (tools/gen_oracle_constants.py)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    out = (Pipeline(images)
+           .set_maskfun("int", datagen.S2_MASK_VALUES)
+           .warp(cell_res=datagen.TILE_RES)
+           .composite("median")
+           .chips(chip=8, min_valid=0.99,
+                  splits={"train": 0.8, "val": 0.2}, seed=0)
+           .df)
+    ps = _pix_sum_udf()
+    return out.select(
+        "cell_id", "chip_x", "chip_y", "split",
+        F.length("bytes").alias("payload_len"),
+        F.round("valid_frac", 6).alias("valid_frac"),
+        ps("bytes", "w", "h", "fmt").alias("pix_sum"))
+
+
 def q_polygonize(spark, sf_dir):
     """First-valid composite → regions.polygonize on the SCL class
     plane: per-tile runs-union-find labeling (loop-oracle-gated against
@@ -2470,6 +2502,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_budget_composite": q_image_budget_composite,
         "image_focal_mean": q_image_focal_mean,
         "image_morphology": q_image_morphology,
+        "train_chips": q_train_chips,
         "polygonize": q_polygonize,
         "image_proximity": q_image_proximity,
         "image_pansharpen": q_image_pansharpen,

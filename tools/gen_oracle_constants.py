@@ -813,6 +813,52 @@ def image_mk_trend_rows():
     return sorted(rows, key=lambda d: d["cell_id"])
 
 
+def train_chips_rows(chip=8, min_valid=0.99,
+                     weights=None, seed=0):
+    """Masked median composite → training-chip export replicated
+    Spark-free: per-cell median tiles (the shared masked-stack
+    machinery), uint16/raw16 round trip, chips.chip_rows_np slicing
+    (gated against manual slicing in tests/test_chips.py), the
+    all-bands-valid fraction filter, and the md5 hash-range split
+    recomputed with hashlib from the same thresholds
+    sampling._thresholds emits — pinning slicing, filter and split
+    assignment in one row set."""
+    from vrtility_spark import chips as chips_mod
+    from vrtility_spark import sampling
+
+    weights = weights or {"train": 0.8, "val": 0.2}
+    thresholds = sampling._thresholds(weights)
+    pdf = _grouped_fixture()
+    rows = []
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        with np.errstate(all="ignore"):
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                out = composite.REDUCERS["median"](_masked_stack(grp, nd))
+        tile = codec.from_float(out, nd, "uint16")
+        for cx, cy, block, vf in chips_mod.chip_rows_np(tile, nd, chip):
+            if vf < min_valid:
+                continue
+            hx = hashlib.md5(
+                f"{seed}|{int(cell_id)}|{cx}|{cy}".encode()
+            ).hexdigest()[:8]
+            split = next((name for name, bound in thresholds[:-1]
+                          if hx < bound), thresholds[-1][0])
+            payload = codec.encode(block, "raw16")
+            rows.append({
+                "cell_id": int(cell_id), "chip_x": cx, "chip_y": cy,
+                "split": split, "payload_len": len(payload),
+                "valid_frac": round(vf, 6),
+                "pix_sum": int(np.frombuffer(payload, "<u2")
+                               .astype(np.int64).sum()),
+            })
+    return sorted(rows, key=lambda d: (d["cell_id"], d["chip_y"],
+                                       d["chip_x"]))
+
+
 def image_change_rows():
     """Early-epoch vs late-epoch median composites combined as a
     normalized difference, replicated Spark-free: per-cell medians over
@@ -2220,6 +2266,12 @@ def main() -> None:
             image_trend_rows(),
             ["cell_id", "n_scenes", "payload_len", "dt_min", "dt_max",
              "slope_sum", "icept_sum", "nobs_sum"]),
+        # composite -> chip export -> valid filter -> hash split: the
+        # training-pair materialization step (zero-shuffle narrow map)
+        "train_chips": values_sql(
+            train_chips_rows(),
+            ["cell_id", "chip_x", "chip_y", "split", "payload_len",
+             "valid_frac", "pix_sum"]),
         # Mann-Kendall + Theil-Sen: the non-parametric trend twin
         # (holistic grouped-stack path; rank stats have no partials)
         "image_mk_trend": values_sql(

@@ -58,7 +58,7 @@ class Pipeline:
         "set_scale", "reproject", "warp", "regrid", "composite",
         "composite_period", "trend", "mk_trend", "harmonic", "gapfill",
         "hampel", "savgol", "split_cells", "focal", "morphology", "sieve",
-        "proximity", "fillnodata", "overview_level",
+        "proximity", "fillnodata", "chips", "overview_level",
         "overviews", "terrain", "color_relief", "stretch", "classify"])
 
     def __init__(self, df: DataFrame, mask_specs: tuple = (),
@@ -401,6 +401,32 @@ class Pipeline:
                               shape=shape, fill=fill),
             (), "morphology", {"op": op, "radius": int(radius),
                                "shape": shape, "fill": bool(fill)})
+
+    def chips(self, chip: int = 8, min_valid: float | None = None,
+              splits=None, seed: int = 0) -> "Pipeline":
+        """Slice tiles into ``chip×chip`` training chips
+        (chips.make_chips): one narrow Arrow map, ZERO shuffle — every
+        metadata column (incl. caption_agg) rides along, making each
+        row an image+caption training pair. ``min_valid`` drops
+        mostly-masked chips by their all-bands-valid pixel fraction (a
+        plain Catalyst predicate); ``splits`` (e.g. ``{"train": 0.8,
+        "val": 0.2}``) adds a deterministic md5 hash-range ``split``
+        column on (cell, chip_x, chip_y) via sampling.assign_splits —
+        reshard-proof and stable as the corpus grows."""
+        from vrtility_spark import chips as _chips
+        from vrtility_spark import sampling as _sampling
+        out = _chips.make_chips(self.df, chip=int(chip))
+        if min_valid is not None:
+            out = out.filter(F.col("valid_frac") >= float(min_valid))
+        if splits:
+            out = _sampling.assign_splits(
+                out, ["cell_id", "chip_x", "chip_y"], splits,
+                seed=int(seed))
+        return self._next(
+            out, (), "chips",
+            {"chip": int(chip), "min_valid": min_valid,
+             "splits": None if splits is None else dict(splits),
+             "seed": int(seed)})
 
     def stretch(self, pct_cut=None, minmax=None) -> "Pipeline":
         """Per-band normalize to [0, 1] against ONE collection-global
