@@ -1221,6 +1221,29 @@ def q_image_morphology(spark, sf_dir):
         ps("bytes", "w", "h", "fmt").alias("pix_sum"))
 
 
+def q_embedding_pca(spark, sf_dir):
+    """Distributed PCA over an embedding column (pca.fit_pca /
+    transform_pca): the dim-reduction step before ANN indexing. Fit
+    folds per-partition (n, Σx, ΣxxT) sufficient-statistics blocks in
+    one narrow Arrow map — only O(partitions) fixed-size blocks ever
+    move, embedding bytes never shuffle — then a deterministic
+    LAPACK-free cyclic-Jacobi eigensolve on the driver (gated against
+    np.linalg.eigh in tests/test_pca.py); transform is a broadcast
+    batch matmul with zero shuffle. The integer-valued fixture keeps
+    the statistics exact in f64, so the model is bit-identical at any
+    partitioning and the constants oracle is host-portable
+    (tools/gen_oracle_constants.py). Projections in long form."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, pca
+    pdf = datagen.embeddings_pandas(n=150, d=10)
+    df = spark.createDataFrame(pdf[["doc_id", "embedding"]])
+    model = pca.fit_pca(df, k=3)
+    out = pca.transform_pca(df, model)
+    return out.select(
+        "doc_id", F.posexplode("pca").alias("dim", "raw")
+    ).select("doc_id", "dim", F.round("raw", 6).alias("value"))
+
+
 def q_train_chips(spark, sf_dir):
     """Masked median composite → training-chip export (Pipeline.chips /
     chips.make_chips): tiles slice into 8×8 model-ready chips in ONE
@@ -2503,6 +2526,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_focal_mean": q_image_focal_mean,
         "image_morphology": q_image_morphology,
         "train_chips": q_train_chips,
+        "embedding_pca": q_embedding_pca,
         "polygonize": q_polygonize,
         "image_proximity": q_image_proximity,
         "image_pansharpen": q_image_pansharpen,

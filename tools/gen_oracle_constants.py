@@ -859,6 +859,30 @@ def train_chips_rows(chip=8, min_valid=0.99,
                                        d["chip_x"]))
 
 
+def embedding_pca_rows(n=150, d=10, k=3):
+    """Distributed PCA replicated Spark-free: the integer-valued
+    embedding fixture keeps (Σx, ΣxxT) exact in f64, so the covariance
+    — and hence the deterministic cyclic-Jacobi eigensolve (LAPACK-free
+    by design, tests/test_pca.py gates it against np.linalg.eigh) —
+    is bit-identical at any partitioning/core count; projections in
+    long form (doc_id, dim, value) rounded to 6 dp."""
+    from vrtility_spark import pca
+
+    pdf = datagen.embeddings_pandas(n=n, d=d)
+    X = np.stack(pdf.embedding.to_numpy())
+    mean = X.mean(axis=0)
+    cov = (X.T @ X) / len(X) - np.outer(mean, mean)
+    cov = (cov + cov.T) / 2.0
+    _, vecs = pca.jacobi_eigh(cov)
+    Y = (X - mean) @ vecs[:k].T
+    rows = []
+    for i, did in enumerate(pdf.doc_id):
+        for dim in range(k):
+            rows.append({"doc_id": int(did), "dim": dim,
+                         "value": float(np.round(Y[i, dim], 6))})
+    return rows
+
+
 def image_change_rows():
     """Early-epoch vs late-epoch median composites combined as a
     normalized difference, replicated Spark-free: per-cell medians over
@@ -2266,6 +2290,11 @@ def main() -> None:
             image_trend_rows(),
             ["cell_id", "n_scenes", "payload_len", "dt_min", "dt_max",
              "slope_sum", "icept_sum", "nobs_sum"]),
+        # distributed PCA: exact integer sufficient statistics +
+        # deterministic Jacobi eigensolve -> host-portable projections
+        "embedding_pca": values_sql(
+            embedding_pca_rows(),
+            ["doc_id", "dim", "value"]),
         # composite -> chip export -> valid filter -> hash split: the
         # training-pair materialization step (zero-shuffle narrow map)
         "train_chips": values_sql(

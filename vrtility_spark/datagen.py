@@ -310,6 +310,24 @@ def _wkt_coords(wkt: str):
     return xs, ys
 
 
+def embeddings_pandas(n: int = 240, d: int = 12, n_clusters: int = 3,
+                      seed: int = 7) -> pd.DataFrame:
+    """Deterministic clustered embedding fixture with INTEGER-valued
+    entries (stored as float64): integer data keeps PCA's sufficient
+    statistics (Σx, ΣxxT) exact in f64, so the fitted model is
+    bit-identical at any partitioning/core count — the property the
+    embedding_pca constants oracle relies on."""
+    rng = np.random.default_rng(seed)
+    centers = rng.integers(-40, 41, (n_clusters, d))
+    rows = []
+    for i in range(n):
+        c = i % n_clusters
+        vec = centers[c] + rng.integers(-8, 9, d)
+        rows.append({"doc_id": i, "cluster": int(c),
+                     "embedding": vec.astype(np.float64).tolist()})
+    return pd.DataFrame(rows)
+
+
 def knn_queries_pandas(zones=DEFAULT_ZONES, n: int = 20, seed: int = 42) -> pd.DataFrame:
     """kNN probe points (FIXTURES.md §3)."""
     rng = np.random.default_rng(seed + 77)
