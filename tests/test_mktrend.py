@@ -28,6 +28,7 @@ def _naive_mk(ts_years, stack):
                 if n < 2:
                     continue
                 s = 0.0
+                usable = 0
                 slopes = []
                 for p in range(T):
                     for q in range(p + 1, T):
@@ -35,14 +36,16 @@ def _naive_mk(ts_years, stack):
                                 or ts_years[q] == ts_years[p]:
                             continue
                         s += np.sign(y[q] - y[p])
+                        usable += 1
                         slopes.append((y[q] - y[p])
                                       / (ts_years[q] - ts_years[p]))
                 _, counts = np.unique(y[ok], return_counts=True)
                 tie = sum(g * (g - 1) * (2 * g + 5) for g in counts)
                 var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
-                out[B + b, i, j] = s / (n * (n - 1) / 2.0)
-                out[2 * B + b, i, j] = \
-                    (s - np.sign(s)) / np.sqrt(var) if var > 0 else 0.0
+                if usable:
+                    out[B + b, i, j] = s / usable
+                if var > 0 and usable == n * (n - 1) / 2:
+                    out[2 * B + b, i, j] = (s - np.sign(s)) / np.sqrt(var)
                 if slopes:
                     out[b, i, j] = np.median(slopes)
     return out
@@ -77,7 +80,7 @@ def test_mk_np_monotone_and_constant():
     const = mktrend.mk_np(ts, np.ones((5, 1, 2, 2)) * 7.0)
     np.testing.assert_allclose(const[0], 0.0)              # sen = 0
     np.testing.assert_allclose(const[1], 0.0)              # tau = 0
-    np.testing.assert_allclose(const[2], 0.0)              # z = 0 (S=0)
+    assert np.isnan(const[2]).all()   # Var(S)=0: z undefined, nodata
 
 
 def test_mk_sen_outlier_robust_where_ols_is_not():
@@ -120,9 +123,22 @@ def test_mk_np_excludes_tied_time_pairs():
     out = mktrend.mk_np(ts, y)
     want = _naive_mk(ts, y)
     np.testing.assert_allclose(out, want, equal_nan=True)
-    # 5 usable pairs, all increasing except (5→1 excluded): S counts
-    # (0,5)+,(0,1)+,(0,6)+,(5,6)+,(1,6)+ → S=5, npairs=6 → tau=5/6
-    np.testing.assert_allclose(out[1, 0, 0], 5.0 / 6.0)
+    # 5 usable pairs, all increasing ((5→1) at equal t excluded):
+    # S=5 over 5 usable pairs → tau=1; z is nodata (the variance
+    # formula assumes one observation per instant)
+    np.testing.assert_allclose(out[1, 0, 0], 1.0)
+    assert np.isnan(out[2, 0, 0])
+
+
+def test_mk_np_nonfinite_is_invalid():
+    # an inf (ratio scene_fn dividing by zero) must count as invalid
+    ts = np.array([0.0, 1.0, 2.0])
+    y = np.array([1.0, 2.0, np.inf]).reshape(3, 1, 1, 1)
+    out = mktrend.mk_np(ts, y)
+    assert out[3, 0, 0] == 2                    # n excludes the inf
+    np.testing.assert_allclose(out[1, 0, 0], 1.0)   # tau from 1 pair
+    np.testing.assert_allclose(out[0, 0, 0], 1.0)   # sen finite
+    assert np.isfinite(out[2, 0, 0])
 
 
 # ------------------------------------------------- distributed path ----

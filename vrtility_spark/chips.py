@@ -24,6 +24,8 @@ declarative).
 
 from __future__ import annotations
 
+from types import SimpleNamespace
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -78,13 +80,12 @@ def make_chips(df: DataFrame, chip: int = 8,
             for rec in recs:
                 arr = codec.decode(rec["bytes"], int(rec["w"]),
                                    int(rec["h"]), rec["fmt"])
-                bn = rec.get("band_nodata")
-                if bn is not None and not isinstance(bn, float) \
-                        and len(bn) == len(arr):
-                    nd = np.asarray(bn, dtype=np.float64)
-                else:
-                    sc = rec.get("nodata")
-                    nd = np.nan if sc is None else sc  # NaN: mask no-op
+                sc = rec.get("nodata")
+                nd = codec.row_band_meta(
+                    SimpleNamespace(**{"band_nodata":
+                                       rec.get("band_nodata")}),
+                    len(arr), "band_nodata",
+                    np.nan if sc is None or codec.pd_isna(sc) else sc)
                 for cx, cy, block, vf in chip_rows_np(arr, nd, chip):
                     row = dict(rec)
                     row["bytes"] = codec.encode(block, rec["fmt"])

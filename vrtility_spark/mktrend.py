@@ -18,10 +18,15 @@ Statistics (per pixel/band, over the ``n`` valid observations):
   would depend on sort stability; de-duplicate or composite per period
   first if your collection has same-instant scenes).
 - ``tau = S / (n(n−1)/2)`` — Kendall's tau-a.
+- ``tau`` is taken over the USABLE pairs, so tau/sen/n agree on which
+  pixels are defined.
 - ``Var(S) = [n(n−1)(2n+5) − Σ_g g(g−1)(2g+5)] / 18`` over tied VALUE
   groups ``g`` (the classic tie correction), and the
   continuity-corrected normal score ``z = (S ∓ 1)/√Var`` (0 when
-  ``S = 0``).
+  ``S = 0``). The variance formula assumes one observation per
+  instant, so ``z`` is nodata wherever same-instant pairs were
+  excluded (and wherever Var degenerates, i.e. every valid sample
+  tied).
 - ``sen = median over pairs of (y_j − y_i)/(t_j − t_i)`` (units/year,
   same time axis as :data:`trend.TREND_EPOCH`).
 
@@ -89,25 +94,37 @@ def mk_np(ts_years: np.ndarray, stack: np.ndarray,
     the naive per-pixel double-loop oracle in tests/test_mktrend.py."""
     t = np.asarray(ts_years, dtype=np.float64)
     stack = np.asarray(stack, dtype=np.float64)
+    # non-finite samples (e.g. a ratio scene_fn dividing by zero) are
+    # invalid, same as NaN — otherwise they'd skew S/sen while being
+    # excluded from n (and OLS trend's isnan test would disagree)
+    stack = np.where(np.isfinite(stack), stack, np.nan)
     T, B, H, W = stack.shape
-    valid = np.isfinite(stack)
+    valid = ~np.isnan(stack)
     n = valid.sum(axis=0).astype(np.float64)
 
     pairs = [(i, j) for i in range(T) for j in range(i + 1, T)
              if t[j] != t[i]]
     S = np.zeros((B, H, W), dtype=np.float64)
+    npairs = np.zeros((B, H, W), dtype=np.float64)  # usable pairs
     for i, j in pairs:
         d = stack[j] - stack[i]
-        S += np.where(np.isnan(d), 0.0, np.sign(d))
+        ok = ~np.isnan(d)
+        S += np.where(ok, np.sign(d), 0.0)
+        npairs += ok
 
-    npairs = n * (n - 1.0) / 2.0
+    full_pairs = n * (n - 1.0) / 2.0
     with np.errstate(divide="ignore", invalid="ignore"):
+        # tau over the USABLE pairs (same-instant pairs excluded), so
+        # tau and sen agree on which pixels are defined
         tau = np.where(npairs > 0, S / npairs, np.nan)
         var = (n * (n - 1.0) * (2.0 * n + 5.0)
                - _tie_term(stack, valid)) / 18.0
         var = np.maximum(var, 0.0)
-        z = np.where(var > 0, (S - np.sign(S)) / np.sqrt(var), 0.0)
-    z = np.where(n < 2, np.nan, z)
+        z = np.where(var > 0, (S - np.sign(S)) / np.sqrt(var), np.nan)
+    # z's variance formula assumes one observation per instant: where
+    # same-instant pairs were excluded (npairs < full_pairs) it does
+    # not apply — nodata there (composite per period / dedup first)
+    z = np.where((n < 2) | (npairs < full_pairs), np.nan, z)
     tau = np.where(n < 2, np.nan, tau)
 
     # Sen: median of pairwise slopes, row-chunked so the (P, B, ch, W)

@@ -51,11 +51,24 @@ def _offsets(r: int, shape: str):
 
 def _reduce(A: np.ndarray, r: int, shape: str, fn) -> np.ndarray:
     """NaN-skipping min/max over the structuring element: ``(B, Hp,
-    Wp)`` → ``(B, Hp−2r, Wp−2r)``. ``fn`` is np.fmin or np.fmax."""
+    Wp)`` → ``(B, Hp−2r, Wp−2r)``. ``fn`` is np.fmin or np.fmax. The
+    square window is SEPARABLE (min/max over the box = 1-D pass along
+    x then along y): 2·(2r+1) slice reductions instead of (2r+1)² —
+    NaN-skipping composes because the valid set of the box is the
+    union of its rows. The disk element is not separable and keeps the
+    per-offset loop."""
     B, Hp, Wp = A.shape
     H, W = Hp - 2 * r, Wp - 2 * r
     if H <= 0 or W <= 0:
         raise ValueError(f"padded array {Hp}x{Wp} too small for radius {r}")
+    if shape == "square":
+        tmp = np.full((B, Hp, W), np.nan)
+        for dx in range(-r, r + 1):
+            tmp = fn(tmp, A[:, :, r + dx:r + dx + W])
+        out = np.full((B, H, W), np.nan)
+        for dy in range(-r, r + 1):
+            out = fn(out, tmp[:, r + dy:r + dy + H, :])
+        return out
     out = np.full((B, H, W), np.nan)
     for dy, dx in _offsets(r, shape):
         out = fn(out, A[:, r + dy:r + dy + H, r + dx:r + dx + W])

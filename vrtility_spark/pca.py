@@ -53,7 +53,9 @@ def jacobi_eigh(A: np.ndarray, max_sweeps: int = 64,
     V = np.eye(n)
     scale = max(1.0, float(np.abs(A).max()))
     for _ in range(max_sweeps):
-        off = np.sqrt(max(0.0, (A**2).sum() - (np.diag(A)**2).sum()))
+        # off-diagonal mass measured directly (sum(A²) − sum(diag²)
+        # catastrophically cancels, stalling convergence at ~√eps·‖A‖)
+        off = np.sqrt(((A - np.diag(np.diag(A)))**2).sum())
         if off <= tol * scale * n:
             break
         for p in range(n - 1):
@@ -111,6 +113,8 @@ def fit_pca(df: DataFrame, k: int, col: str = "embedding") -> PCAModel:
     regardless of row count), merged on the driver in partition order,
     then the deterministic Jacobi eigensolve of the covariance."""
     k = int(k)
+    if k < 1:  # d-independent half of the check: fail BEFORE the scan
+        raise ValueError(f"k must be in [1, d], got {k}")
 
     def partials(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         from pyspark import TaskContext
