@@ -1996,6 +1996,40 @@ def q_image_stretch(spark, sf_dir):
         nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
 
 
+def q_image_topocorrect(spark, sf_dir):
+    """Topographic C-correction (algebra.topo_correct — Teillet et al.
+    1982): band 0 of the masked median composite plays the DEM, one
+    halo exchange computes the cos(i) illumination raster (terrain op
+    'illumination', the unscaled hillshade), and ρ·(cosθz+c)/(cos i+c)
+    corrects every band through ONE cell-keyed equi-join + narrow
+    Arrow map (tile_algebra's plane-broadcast callable path). The
+    standard radiometric normalization before mosaicking mountainous
+    scenes; the reference leaves it to external GDAL/OTB tooling.
+    Pinned against constants computed Spark-free on assembled per-zone
+    mosaics incl. the illum table's rawf32 round trip
+    (tools/gen_oracle_constants.py)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import algebra, bands, datagen, schema, terrain
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    comp = (Pipeline(images)
+            .set_maskfun("int", datagen.S2_MASK_VALUES)
+            .warp(cell_res=datagen.TILE_RES)
+            .composite("median")
+            .df)
+    illum = terrain.terrain(bands.subset_band_index(comp, 0),
+                            "illumination", azimuth=135.0, altitude=50.0)
+    out = algebra.topo_correct(comp, illum, altitude=50.0, c=0.5)
+    fs, nd_px = _float_payload_udfs()
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        F.md5("caption_agg").alias("caption_md5"),
+        fs("bytes", "w", "h", "fmt").alias("corr_sum"),
+        nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
+
+
 def q_image_hillshade(spark, sf_dir):
     """Masked median composite → hillshade (terrain.terrain): Horn 3x3
     gradients with the focal halo exchange, so shading crosses tile
@@ -2541,6 +2575,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_quarterly_composite": q_image_quarterly_composite,
         "image_trend": q_image_trend,
         "image_mk_trend": q_image_mk_trend,
+        "image_topocorrect": q_image_topocorrect,
         "image_harmonic": q_image_harmonic,
         "image_gapfill": q_image_gapfill,
         "image_phash_dedup": q_image_phash_dedup,

@@ -201,3 +201,93 @@ def test_zscore_anomaly_requires_both_stats(spark, tiny_images):
     with pytest.raises(ValueError, match="both mean_df and std_df"):
         algebra.zscore_anomaly(
             masked, mean_df=composite.composite(masked, "mean"))
+
+
+# ------------------------------------------------ topographic correction
+
+def test_topo_correct_flat_terrain_identity(spark):
+    # a flat DEM: cos(i) = cos(zenith) = sin(altitude) everywhere, so
+    # the correction factor is exactly 1 and bands pass through
+    rowsL, L = _tiles([(0, 0), (1, 0)], seed=11)
+    illum_rows = []
+    for r in rowsL:
+        il = np.full((1, r["h"], r["w"]), np.sin(np.radians(50.0)),
+                     dtype=np.float32)
+        illum_rows.append({**r, "bytes": codec.encode(il, "rawf32"),
+                           "fmt": "rawf32", "nodata": -9999.0})
+    left = spark.createDataFrame(pd.DataFrame(rowsL), TILE_SCHEMA)
+    illum = spark.createDataFrame(pd.DataFrame(illum_rows), TILE_SCHEMA)
+    out = {r.cell_id: r for r in algebra.topo_correct(
+        left, illum, altitude=50.0, c=0.5).collect()}
+    for cid, r in out.items():
+        got = codec.to_float_masked(
+            codec.decode(r.bytes, r.w, r.h, r.fmt), r.nodata)
+        np.testing.assert_allclose(got, L[cid].astype(np.float32),
+                                   rtol=1e-6, equal_nan=True)
+
+
+def test_topo_correct_formula_and_plane_broadcast(spark):
+    # 2-band tiles against a SINGLE-plane illumination raster: the
+    # callable plane-broadcast path; values match the Teillet formula
+    rowsL, L = _tiles([(0, 0)], seed=12)
+    cid = rowsL[0]["cell_id"]
+    rng = np.random.default_rng(1)
+    il = rng.uniform(0.2, 1.0, (1, 8, 8)).astype(np.float32)
+    il[0, 0, 0] = np.nan                       # invalid illum pixel
+    illum_rows = [{**rowsL[0], "bytes": codec.encode(il, "rawf32"),
+                   "fmt": "rawf32", "nodata": -9999.0}]
+    left = spark.createDataFrame(pd.DataFrame(rowsL), TILE_SCHEMA)
+    illum = spark.createDataFrame(pd.DataFrame(illum_rows), TILE_SCHEMA)
+    r = algebra.topo_correct(left, illum, altitude=30.0, c=0.2,
+                             broadcast_illum=True).collect()[0]
+    got = codec.to_float_masked(
+        codec.decode(r.bytes, r.w, r.h, r.fmt), r.nodata)
+    cosz = np.sin(np.radians(30.0))
+    want = L[cid] * (cosz + 0.2) / (il.astype(np.float64) + 0.2)
+    want[:, np.isnan(il[0])] = np.nan
+    np.testing.assert_allclose(got, want.astype(np.float32), rtol=1e-6,
+                               equal_nan=True)
+    assert got.shape[0] == 2                   # per-band planes kept
+    # named ops keep the strict shape contract
+    with pytest.raises(ValueError, match="shapes disagree"):
+        algebra.algebra_np(L[cid], il.astype(np.float64), "diff")
+
+
+def test_topo_correct_against_terrain_illumination(spark):
+    # end-to-end: inclined-plane DEM -> terrain illumination -> correct
+    # a constant band; on the plane's interior cos(i) is constant, so
+    # the corrected band is constant with the closed-form value
+    from vrtility_spark import terrain
+    h = w = 8
+    cid = int(cells.encode_np(ZONE, RES, 0, 0))
+    size = cells.cell_size(RES)
+    sx = sy = size / w
+    yy, xx = np.mgrid[0:h, 0:w]
+    dem = (300.0 * xx * sx / (w * sx) * w + 1000.0).reshape(1, h, w)
+    dem_rows = [{"cell_id": cid,
+                 "bytes": codec.encode(dem.astype(np.float32), "rawf32"),
+                 "w": w, "h": h, "fmt": "rawf32", "nodata": -9999.0}]
+    dem_df = spark.createDataFrame(pd.DataFrame(dem_rows), TILE_SCHEMA)
+    illum = terrain.terrain(dem_df, "illumination", azimuth=90.0,
+                            altitude=45.0)
+    band = np.full((1, h, w), 2000.0, dtype=np.float32)
+    band_rows = [{**dem_rows[0], "bytes": codec.encode(band, "rawf32")}]
+    band_df = spark.createDataFrame(pd.DataFrame(band_rows), TILE_SCHEMA)
+    r = algebra.topo_correct(band_df, illum, altitude=45.0,
+                             c=0.0).collect()[0]
+    got = codec.to_float_masked(
+        codec.decode(r.bytes, r.w, r.h, r.fmt), r.nodata)
+    # slope of the ramp: dz/dx = 300 / sx per pixel-metre
+    slope_r = np.arctan(300.0 / sx)
+    zen = np.radians(45.0)
+    # aspect faces the sun (azimuth 90 = +x downslope east... the ramp
+    # rises with x, so the sunlit closed form uses cos(az - aspect)=±1;
+    # just compare against illumination_np on the same padded array
+    P = np.full((1, h + 2, w + 2), np.nan)
+    P[:, 1:-1, 1:-1] = dem
+    il = terrain.illumination_np(P, sx, sy, azimuth=90.0, altitude=45.0)
+    want = 2000.0 * np.cos(zen) / il
+    np.testing.assert_allclose(
+        got[np.isfinite(got)], want.astype(np.float32)[np.isfinite(got)],
+        rtol=1e-5)
+    assert np.isfinite(slope_r)

@@ -434,3 +434,22 @@ def test_hillshade_md_is_weighted_blend():
     np.testing.assert_allclose(
         flat[0, 1:-1, 1:-1], 255.0 * np.cos(np.radians(45.0)),
         rtol=1e-12)
+
+
+def test_illumination_is_unscaled_hillshade():
+    # hillshade == 255 * clip(illumination, 0, 1) by construction, and
+    # a flat DEM's illumination is exactly sin(altitude)
+    rng = np.random.default_rng(21)
+    P = np.pad(rng.uniform(100, 900, (1, 6, 6)),
+               ((0, 0), (1, 1), (1, 1)), constant_values=np.nan)
+    il = terrain.illumination_np(P, 10.0, 10.0, azimuth=200.0,
+                                 altitude=35.0)
+    hs = terrain.hillshade_np(P, 10.0, 10.0, azimuth=200.0,
+                              altitude=35.0)
+    np.testing.assert_allclose(hs, 255.0 * np.clip(il, 0.0, 1.0),
+                               equal_nan=True)
+    flat = np.pad(np.full((1, 5, 5), 42.0), ((0, 0), (1, 1), (1, 1)),
+                  constant_values=np.nan)
+    il_flat = terrain.illumination_np(flat, 3.0, 3.0, altitude=35.0)
+    np.testing.assert_allclose(il_flat[np.isfinite(il_flat)],
+                               np.sin(np.radians(35.0)), rtol=1e-12)

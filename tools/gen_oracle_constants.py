@@ -468,6 +468,83 @@ def image_hillshade_rows(md: bool = False):
     return sorted(rows, key=lambda d: d["cell_id"])
 
 
+def image_topocorrect_rows(azimuth=135.0, altitude=50.0, c=0.5):
+    """Masked median composite → topographic C-correction replicated
+    without Spark: band 0 of each per-zone mosaic plays the DEM,
+    illumination (cos i) computed with terrain.illumination_np over
+    the padded mosaic (the same halo-exchange pinning as hillshade),
+    ROUND-TRIPPED through the rawf32/-9999 encode exactly as the
+    distributed illum table is, then Teillet's ρ·(cosθz+c)/(cos i+c)
+    (kernel closed-form-gated in tests/test_algebra.py) through the
+    final rawf32 re-typing."""
+    from vrtility_spark import terrain
+
+    pdf = _grouped_fixture()
+    tiles: dict[int, np.ndarray] = {}
+    meta: dict[int, tuple] = {}
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        with np.errstate(all="ignore"):
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                out = composite.REDUCERS["median"](_masked_stack(grp, nd))
+        tiles[int(cell_id)] = codec.from_float(out, nd, "uint16")
+        meta[int(cell_id)] = (nd, len(grp),
+                              _caption_agg(grp.caption.tolist()))
+    by_zone: dict[int, list] = {}
+    for cid in tiles:
+        zone, _res, ix, iy = (int(v) for v in cells.decode_np(cid))
+        by_zone.setdefault(zone, []).append((cid, ix, iy))
+    h = w = 16
+    size = cells.cell_size(datagen.TILE_RES)
+    sx, sy = size / w, size / h
+    cosz = float(np.sin(np.radians(altitude)))
+    rows = []
+    for zone, lst in sorted(by_zone.items()):
+        x0 = min(ix for _, ix, _ in lst)
+        y0 = min(iy for _, _, iy in lst)
+        gx = max(ix for _, ix, _ in lst) - x0 + 1
+        gy = max(iy for _, _, iy in lst) - y0 + 1
+        G = np.full((1, gy * h, gx * w), np.nan)
+        for cid, ix, iy in lst:
+            A = codec.to_float_masked(tiles[cid], meta[cid][0])
+            G[:, (iy - y0) * h:(iy - y0 + 1) * h,
+              (ix - x0) * w:(ix - x0 + 1) * w] = A[:1]
+        P = np.full((1, gy * h + 2, gx * w + 2), np.nan)
+        P[:, 1:-1, 1:-1] = G
+        il = terrain.illumination_np(P, sx, sy, azimuth=azimuth,
+                                     altitude=altitude)
+        for cid, ix, iy in lst:
+            il_tile = il[:, (iy - y0) * h:(iy - y0 + 1) * h,
+                         (ix - x0) * w:(ix - x0 + 1) * w]
+            # the distributed illum table is a rawf32/-9999 payload:
+            # replicate that round trip before the correction
+            il_rt = codec.to_float_masked(
+                codec.decode(codec.encode(
+                    codec.from_float(il_tile, -9999.0, "float32"),
+                    "rawf32"), w, h, "rawf32"), -9999.0)
+            nd_, n_scenes, agg = meta[cid]
+            A = codec.to_float_masked(tiles[cid], nd_)
+            den = il_rt + c
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out = A * (cosz + c) / den
+            out = np.where(den == 0, np.nan, out)
+            payload = codec.encode(
+                codec.from_float(out, -9999.0, "float32"), "rawf32")
+            dec = codec.decode(payload, w, h, "rawf32").astype(np.float64)
+            valid = dec[dec != -9999.0]
+            rows.append({
+                "cell_id": cid, "n_scenes": n_scenes,
+                "payload_len": len(payload),
+                "caption_md5": hashlib.md5(agg.encode()).hexdigest(),
+                "corr_sum": float(np.round(valid, 3).sum()),
+                "nodata_px": int((dec == -9999.0).sum()),
+            })
+    return sorted(rows, key=lambda d: d["cell_id"])
+
+
 def image_stretch_rows():
     """Masked median composite → percent-cut stretch (F7,
     stretch.stretch pct_cut=(2,98)) replicated without Spark: the
@@ -2238,6 +2315,12 @@ def main() -> None:
             image_overview_rows(),
             ["level", "cell_id", "n_scenes", "payload_len",
              "caption_md5", "pix_sum"]),
+        # composite -> illumination -> Teillet C-correction: pins the
+        # two-table cell join + plane-broadcast callable path
+        "image_topocorrect": values_sql(
+            image_topocorrect_rows(),
+            ["cell_id", "n_scenes", "payload_len", "caption_md5",
+             "corr_sum", "nodata_px"]),
         # composite -> hillshade: pins the Horn-gradient halo exchange
         # and the rawf32 re-typing
         "image_hillshade": values_sql(

@@ -38,8 +38,14 @@ _SENTINEL = -9999.0
 
 
 def algebra_np(A: np.ndarray, B: np.ndarray, op) -> np.ndarray:
-    """Pixel-wise combine of two NaN-masked ``(B, H, W)`` arrays."""
-    if A.shape != B.shape:
+    """Pixel-wise combine of two NaN-masked ``(B, H, W)`` arrays.
+    Named ops require identical shapes; a callable may also pair a
+    multi-band side with a single-plane side on the same pixel grid
+    (NumPy plane broadcast — e.g. per-band correction by one
+    illumination raster)."""
+    plane_bcast = (callable(op) and A.shape[1:] == B.shape[1:]
+                   and 1 in (A.shape[0], B.shape[0]))
+    if A.shape != B.shape and not plane_bcast:
         raise ValueError(
             f"tile shapes disagree: {A.shape} vs {B.shape}; regrid or "
             "normalize band layout first")
@@ -133,6 +139,35 @@ def tile_algebra(left: DataFrame, right: DataFrame, op="diff",
             yield pd.DataFrame(out_rows, columns=lnames)
 
     return joined.mapInPandas(combine, schema=out_schema)
+
+
+def topo_correct(bands: DataFrame, illum: DataFrame,
+                 altitude: float = 45.0, c: float = 0.5,
+                 key: str = "cell_id",
+                 broadcast_illum: bool = False) -> DataFrame:
+    """Topographic (C-) correction of a tile collection against an
+    illumination raster (Teillet et al. 1982): ``ρ_corr = ρ ·
+    (cos θz + c) / (cos i + c)`` with ``cos θz = sin(altitude)`` and
+    ``cos i`` the single-plane output of ``terrain(op="illumination")``
+    on the DEM — the standard slope/aspect radiometric normalization
+    before mosaicking mountainous scenes (``c = 0`` is the plain
+    cosine correction; the Teillet ``c`` damps its overcorrection at
+    grazing incidence). One cell-keyed equi-join + a narrow Arrow map
+    (tile_algebra); NaN where either side is invalid or the
+    denominator vanishes."""
+    cosz = float(np.sin(np.radians(altitude)))
+    c = float(c)
+
+    def corr(A, IL):
+        den = IL + c
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = A * (cosz + c) / den
+        out = np.where(den == 0, np.nan, out)
+        return np.broadcast_to(out, (max(A.shape[0], IL.shape[0]),)
+                               + A.shape[1:])
+
+    return tile_algebra(bands, illum, op=corr, key=key,
+                        broadcast_right=broadcast_illum)
 
 
 def classify_np(A: np.ndarray, breaks) -> np.ndarray:

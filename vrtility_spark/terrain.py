@@ -43,7 +43,7 @@ from vrtility_spark import cells
 from vrtility_spark.focal import focal_filter
 
 TERRAIN_OPS = ("slope", "aspect", "hillshade", "hillshade_md",
-               "flowdir", "tpi", "tri", "roughness")
+               "illumination", "flowdir", "tpi", "tri", "roughness")
 
 
 # ------------------------------------------------------ NumPy kernels ----
@@ -87,18 +87,29 @@ def aspect_np(P: np.ndarray, sx: float, sy: float) -> np.ndarray:
     return az
 
 
-def hillshade_np(P: np.ndarray, sx: float, sy: float,
-                 azimuth: float = 315.0,
-                 altitude: float = 45.0) -> np.ndarray:
-    """Shaded relief in [0, 255] (float); NaN where gradients are."""
+def illumination_np(P: np.ndarray, sx: float, sy: float,
+                    azimuth: float = 315.0,
+                    altitude: float = 45.0) -> np.ndarray:
+    """Cosine of the local solar incidence angle, ``cos(i) ∈ [−1, 1]``
+    — the raw illumination raster hillshade scales to [0, 255] and the
+    input to topographic correction (algebra.topo_correct): ``cos(i) =
+    cos(θz)cos(s) + sin(θz)sin(s)cos(φa − a)``. NaN where gradients
+    are."""
     dzdx, dzdy = horn_gradients_np(P, sx, sy)
     slope_r = np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy))
     with np.errstate(invalid="ignore"):
         aspect_r = np.arctan2(-dzdx, -dzdy)  # flat → 0, harmless: sin=0
     zen = np.radians(90.0 - altitude)
     az = np.radians(azimuth)
-    hs = (np.cos(zen) * np.cos(slope_r)
-          + np.sin(zen) * np.sin(slope_r) * np.cos(az - aspect_r))
+    return (np.cos(zen) * np.cos(slope_r)
+            + np.sin(zen) * np.sin(slope_r) * np.cos(az - aspect_r))
+
+
+def hillshade_np(P: np.ndarray, sx: float, sy: float,
+                 azimuth: float = 315.0,
+                 altitude: float = 45.0) -> np.ndarray:
+    """Shaded relief in [0, 255] (float); NaN where gradients are."""
+    hs = illumination_np(P, sx, sy, azimuth=azimuth, altitude=altitude)
     return 255.0 * np.clip(hs, 0.0, 1.0)
 
 
@@ -216,6 +227,9 @@ def terrain_np(P: np.ndarray, op: str, sx: float, sy: float,
         return aspect_np(P, sx, sy)
     if op == "hillshade":
         return hillshade_np(P, sx, sy, azimuth=azimuth, altitude=altitude)
+    if op == "illumination":
+        return illumination_np(P, sx, sy, azimuth=azimuth,
+                               altitude=altitude)
     if op == "hillshade_md":
         return hillshade_md_np(P, sx, sy, altitude=altitude)
     if op == "flowdir":
