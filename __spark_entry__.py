@@ -1996,6 +1996,35 @@ def q_image_stretch(spark, sf_dir):
         nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
 
 
+def q_image_quality_mosaic(spark, sf_dir):
+    """Quality mosaic (composite reducer 'qmosaic:<band>' — Earth
+    Engine qualityMosaic parity): per pixel, the WHOLE observation
+    from the scene whose quality plane is maximal (ties → earliest),
+    keeping bands coherent — score by NDVI or cloud distance, carry
+    the winning scene's spectra. Selects real observations (row-exact
+    like medoid), rides the standard composite stack path + RAM
+    guards, bundles as a plain string reducer. Kernel gated by a naive
+    per-pixel loop + coherence check in tests/test_composite.py; this
+    query pins the distributed plumbing against Spark-free constants
+    (tools/gen_oracle_constants.py)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    out = (Pipeline(images)
+           .set_maskfun("int", datagen.S2_MASK_VALUES)
+           .warp(cell_res=datagen.TILE_RES)
+           .composite("qmosaic:0")
+           .df)
+    ps = _pix_sum_udf()
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        F.md5("caption_agg").alias("caption_md5"),
+        ps("bytes", "w", "h", "fmt").alias("pix_sum"))
+
+
 def q_image_topocorrect(spark, sf_dir):
     """Topographic C-correction (algebra.topo_correct — Teillet et al.
     1982): band 0 of the masked median composite plays the DEM, one
@@ -2456,8 +2485,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver, tools/check_oracle.py, and pytest all see the same order
 # within one round.
 _PINNED = (
+    # 9 core keys re-verified every round; "knn" left to rotation since
+    # knn_distributed (same two-phase machinery, same oracle shape)
+    # occupies a window slot as a never-covered key this round
     "pricing_summary", "mosaic_latest", "cell_assign", "spatial_join",
-    "knn", "hampel", "near_dup_clusters", "dedup_corpus", "ann_ivf",
+    "hampel", "near_dup_clusters", "dedup_corpus", "ann_ivf",
     "image_median_composite",
 )
 _WINDOW = 50  # the grading driver oracle-checks the first 50 entries
@@ -2576,6 +2608,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_trend": q_image_trend,
         "image_mk_trend": q_image_mk_trend,
         "image_topocorrect": q_image_topocorrect,
+        "image_quality_mosaic": q_image_quality_mosaic,
         "image_harmonic": q_image_harmonic,
         "image_gapfill": q_image_gapfill,
         "image_phash_dedup": q_image_phash_dedup,

@@ -321,3 +321,95 @@ def test_drop_mask_band_scene_fn_all_paths(spark, tiny_images):
         arr = codec.decode(r.bytes, r.w, r.h, r.fmt)
         assert arr.shape[0] == 4, name  # SCL plane dropped
         assert len(r.band_nodata) == 4, name  # metadata trimmed with it
+
+
+# -------------------------------------------------- quality mosaic ----
+
+def _naive_qmosaic(stack, b):
+    T, B, H, W = stack.shape
+    out = np.full((B, H, W), np.nan)
+    for y in range(H):
+        for x in range(W):
+            best, bi = -np.inf, None
+            for t in range(T):
+                v = stack[t, b, y, x]
+                if not np.isnan(v) and v > best:   # first max wins
+                    best, bi = v, t
+            if bi is not None:
+                out[:, y, x] = stack[bi, :, y, x]
+    return out
+
+
+def test_qmosaic_vs_naive_and_coherence(stack):
+    got = composite.qmosaic_t(1)(stack)
+    np.testing.assert_allclose(got, _naive_qmosaic(stack, 1),
+                               equal_nan=True)
+    # coherence: wherever the quality plane is valid, ALL output bands
+    # come from one single scene (an exact observation match exists)
+    s = stack[:, 1]
+    for y in range(s.shape[1]):
+        for x in range(s.shape[2]):
+            if np.isnan(s[:, y, x]).all():
+                assert np.isnan(got[:, y, x]).all()
+                continue
+            col = got[:, y, x]
+            matches = [
+                t for t in range(stack.shape[0])
+                if np.array_equal(stack[t, :, y, x], col, equal_nan=True)]
+            assert matches, (y, x)
+
+
+def test_qmosaic_ties_and_validation():
+    # tie on the score: the EARLIEST scene wins (argmax first max)
+    st = np.zeros((3, 2, 1, 1))
+    st[:, 0, 0, 0] = [5.0, 5.0, 1.0]       # scores: tie between t0,t1
+    st[:, 1, 0, 0] = [10.0, 20.0, 30.0]
+    out = composite.qmosaic_t(0)(st)
+    assert out[1, 0, 0] == 10.0
+    # negative index addresses from the end; out-of-range raises
+    out2 = composite.qmosaic_t(-2)(st)
+    assert out2[1, 0, 0] == 10.0
+    with pytest.raises(ValueError, match="out of range"):
+        composite.qmosaic_t(7)(st)
+    # string form parses; garbage still raises
+    assert composite.resolve_reducer("qmosaic:3")
+    with pytest.raises(KeyError, match="unknown reducer"):
+        composite.resolve_reducer("qmosaic:x")
+
+
+def test_qmosaic_distributed_pipeline(spark, tiny_images, tmp_path):
+    from vrtility_spark.pipeline import Pipeline
+    p = (Pipeline(tiny_images)
+         .set_maskfun("int", datagen.S2_MASK_VALUES)
+         .warp(cell_res=datagen.TILE_RES)
+         .composite("qmosaic:0"))
+    rows = {r.cell_id: r for r in p.df.collect()}
+    assert rows
+    # Spark-free replication per cell over the SAME masked stack
+    pdf = datagen.images_pandas(nx=2, ny=2, w=16, h=16)
+    from vrtility_spark import cells, masks
+    cx, cy = (pdf.xmin + pdf.xmax) / 2, (pdf.ymin + pdf.ymax) / 2
+    pdf["cell_id"] = cells.xy_to_cell_np(
+        pdf.zone.values, cx.values, cy.values, datagen.TILE_RES)
+    for cid, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        st = []
+        for rr in grp.itertuples(index=False):
+            arr = codec.decode(rr.bytes, rr.w, rr.h, rr.fmt)
+            m01 = masks.build_intmask_np(arr[-1], datagen.S2_MASK_VALUES)
+            data = masks.apply_mask_np(arr[:-1], m01, nd[:-1])
+            full = np.concatenate([data, arr[-1:]])
+            st.append(codec.to_float_masked(full, nd).astype(np.float32))
+        want_f = composite.qmosaic_t(0)(np.stack(st))
+        r = rows[int(cid)]
+        got = codec.decode(r.bytes, r.w, r.h, r.fmt)
+        want = codec.from_float(want_f.astype(np.float64), nd, "uint16")
+        np.testing.assert_array_equal(got, want)
+    # string reducer → the verb bundles and replays
+    path = str(tmp_path / "qmosaic_bundle.json")
+    p.to_bundle(path)
+    p2 = Pipeline.from_bundle(path, tiny_images)
+    a = sorted((r.cell_id, bytes(r.bytes)) for r in p.df.collect())
+    b = sorted((r.cell_id, bytes(r.bytes)) for r in p2.df.collect())
+    assert a == b

@@ -845,6 +845,32 @@ def image_trend_rows():
     return sorted(rows, key=lambda d: d["cell_id"])
 
 
+def image_quality_mosaic_rows():
+    """Quality mosaic (qmosaic:0) replicated Spark-free: the masked
+    fixture stack in the composite path's float32 compute dtype,
+    composite.qmosaic_t(0) (kernel naive-loop + coherence gated in
+    tests/test_composite.py), uint16 round trip, shared checksum."""
+    pdf = _grouped_fixture()
+    rows = []
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        stack = _masked_stack(grp, nd)
+        out = composite.qmosaic_t(0)(stack)
+        payload = codec.encode(
+            codec.from_float(out.astype(np.float64), nd, "uint16"),
+            "raw16")
+        rows.append({
+            "cell_id": int(cell_id), "n_scenes": len(grp),
+            "payload_len": len(payload),
+            "caption_md5": hashlib.md5(
+                _caption_agg(grp.caption.tolist()).encode()).hexdigest(),
+            "pix_sum": int(np.frombuffer(payload, "<u2")
+                           .astype(np.int64).sum()),
+        })
+    return sorted(rows, key=lambda d: d["cell_id"])
+
+
 def image_mk_trend_rows():
     """Per-pixel Mann–Kendall + Theil–Sen replicated Spark-free: the
     masked fixture stack in FLOAT64, time in years since
@@ -2373,6 +2399,12 @@ def main() -> None:
             image_trend_rows(),
             ["cell_id", "n_scenes", "payload_len", "dt_min", "dt_max",
              "slope_sum", "icept_sum", "nobs_sum"]),
+        # quality mosaic (GEE qualityMosaic parity): per-pixel argmax
+        # of the quality plane carries the whole coherent observation
+        "image_quality_mosaic": values_sql(
+            image_quality_mosaic_rows(),
+            ["cell_id", "n_scenes", "payload_len", "caption_md5",
+             "pix_sum"]),
         # distributed PCA: exact integer sufficient statistics +
         # deterministic Jacobi eigensolve -> host-portable projections
         "embedding_pca": values_sql(

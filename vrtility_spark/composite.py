@@ -125,6 +125,35 @@ def first_t(stack: np.ndarray) -> np.ndarray:
     return mosaic_t(stack[::-1])
 
 
+def qmosaic_t(band: int):
+    """Quality mosaic (Earth Engine ``qualityMosaic`` parity): per
+    pixel, select the WHOLE observation (all bands from the same
+    scene) whose ``band``-indexed quality plane is maximal; ties go to
+    the earliest scene (the stack is datetime-ascending, argmax takes
+    the first maximum). Pixels whose quality plane is invalid in every
+    scene are nodata. Unlike ``mosaic``/``max`` this keeps bands
+    COHERENT — the classic use is scoring by NDVI or cloud distance
+    and carrying the spectral bands of the winning scene."""
+    b = int(band)
+
+    def reduce(stack: np.ndarray) -> np.ndarray:
+        if not -stack.shape[1] <= b < stack.shape[1]:
+            raise ValueError(
+                f"quality band index {b} out of range for "
+                f"{stack.shape[1]}-plane stack")
+        s = stack[:, b]                                   # (T, H, W)
+        neg = np.where(np.isnan(s), -np.inf, s)
+        idx = neg.argmax(axis=0)                          # first max
+        out = np.take_along_axis(
+            stack, np.broadcast_to(idx, stack.shape[1:])[None],
+            axis=0)[0]
+        out = out.copy()
+        out[:, np.isnan(s).all(axis=0)] = np.nan
+        return out
+
+    return reduce
+
+
 # ------------------------------------------------- multiband kernels ----
 # X: (T, B, P) float64 with NaN → (B, P)
 
@@ -466,8 +495,12 @@ def resolve_reducer(reducer):
     m = re.fullmatch(r"quantile:(0(\.\d+)?|1(\.0+)?)", reducer)
     if m:
         return quantile_t(float(m.group(1)))
+    m = re.fullmatch(r"qmosaic:(-?\d+)", reducer)
+    if m:
+        return qmosaic_t(int(m.group(1)))
     raise KeyError(f"unknown reducer {reducer!r}; known: "
-                   f"{sorted(REDUCERS)} or qNN / quantile:<q>")
+                   f"{sorted(REDUCERS)} or qNN / quantile:<q> / "
+                   "qmosaic:<band index>")
 
 COMPOSITE_SCHEMA = (
     "cell_id long, bytes binary, w int, h int, fmt string, n_scenes int, "
