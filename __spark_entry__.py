@@ -2008,15 +2008,7 @@ def q_image_quality_mosaic(spark, sf_dir):
     query pins the distributed plumbing against Spark-free constants
     (tools/gen_oracle_constants.py)."""
     _ensure_shipped(spark)
-    from vrtility_spark import datagen, schema
-    from vrtility_spark.pipeline import Pipeline
-    images = schema.images_df(
-        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
-    out = (Pipeline(images)
-           .set_maskfun("int", datagen.S2_MASK_VALUES)
-           .warp(cell_res=datagen.TILE_RES)
-           .composite("qmosaic:0")
-           .df)
+    out = _image_composite(spark, "qmosaic:0")
     ps = _pix_sum_udf()
     return out.select(
         "cell_id", "n_scenes",

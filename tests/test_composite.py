@@ -330,10 +330,12 @@ def _naive_qmosaic(stack, b):
     out = np.full((B, H, W), np.nan)
     for y in range(H):
         for x in range(W):
-            best, bi = -np.inf, None
+            best, bi = None, None
             for t in range(T):
                 v = stack[t, b, y, x]
-                if not np.isnan(v) and v > best:   # first max wins
+                # first max wins; a literal -inf score is VALID (only
+                # NaN means invalid), matching the kernel
+                if not np.isnan(v) and (bi is None or v > best):
                     best, bi = v, t
             if bi is not None:
                 out[:, y, x] = stack[bi, :, y, x]
@@ -375,6 +377,15 @@ def test_qmosaic_ties_and_validation():
     assert composite.resolve_reducer("qmosaic:3")
     with pytest.raises(KeyError, match="unknown reducer"):
         composite.resolve_reducer("qmosaic:x")
+    # a literal -inf score is a VALID value (only NaN is invalid):
+    # all-(-inf) scores still select the earliest scene
+    st2 = np.zeros((2, 2, 1, 1))
+    st2[:, 0, 0, 0] = [-np.inf, -np.inf]
+    st2[:, 1, 0, 0] = [7.0, 8.0]
+    out3 = composite.qmosaic_t(0)(st2)
+    assert out3[1, 0, 0] == 7.0
+    np.testing.assert_array_equal(
+        out3, _naive_qmosaic(st2, 0))
 
 
 def test_qmosaic_distributed_pipeline(spark, tiny_images, tmp_path):

@@ -129,7 +129,8 @@ def qmosaic_t(band: int):
     """Quality mosaic (Earth Engine ``qualityMosaic`` parity): per
     pixel, select the WHOLE observation (all bands from the same
     scene) whose ``band``-indexed quality plane is maximal; ties go to
-    the earliest scene (the stack is datetime-ascending, argmax takes
+    the earliest scene (the stack is (datetime, image_id)-ascending,
+    argmax takes
     the first maximum). Pixels whose quality plane is invalid in every
     scene are nodata. Unlike ``mosaic``/``max`` this keeps bands
     COHERENT — the classic use is scoring by NDVI or cloud distance
@@ -146,8 +147,7 @@ def qmosaic_t(band: int):
         idx = neg.argmax(axis=0)                          # first max
         out = np.take_along_axis(
             stack, np.broadcast_to(idx, stack.shape[1:])[None],
-            axis=0)[0]
-        out = out.copy()
+            axis=0)[0]      # advanced indexing: already a fresh array
         out[:, np.isnan(s).all(axis=0)] = np.nan
         return out
 
@@ -959,7 +959,13 @@ def composite(df: DataFrame, reducer: str | Callable[[np.ndarray], np.ndarray],
     fn = resolve_reducer(reducer)
 
     def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("datetime", kind="mergesort")
+        # image_id tiebreak: same-instant scenes otherwise keep
+        # arbitrary partition-arrival order, which selection reducers
+        # (mosaic/first/qmosaic, xoid ties) would surface as
+        # run-to-run nondeterminism
+        sort_cols = (["datetime", "image_id"]
+                     if "image_id" in pdf.columns else ["datetime"])
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
         # the vrt_stack invariant: scenes in one stack must share the
         # grid (the reference errors on >1 SRS, R/vrt-stack.R:30; mixed
         # zones are impossible here because cell_id encodes the zone,
