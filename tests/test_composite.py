@@ -424,3 +424,48 @@ def test_qmosaic_distributed_pipeline(spark, tiny_images, tmp_path):
     a = sorted((r.cell_id, bytes(r.bytes)) for r in p.df.collect())
     b = sorted((r.cell_id, bytes(r.bytes)) for r in p2.df.collect())
     assert a == b
+
+
+def test_same_instant_scenes_deterministic(spark):
+    import pandas as pd
+    # three scenes share a timestamp: the scene_order_key tiebreak
+    # makes selection reducers partition-order-proof AND keeps the
+    # stack and incremental paths in byte agreement
+    from vrtility_spark import cells
+    h = w = 4
+    cid = int(cells.encode_np(0, datagen.TILE_RES, 0, 0))
+    ts = pd.Timestamp("2024-06-01 10:00:00")
+    fills = {"b_scene": 100, "a_scene": 200, "c_scene": 50}
+    rows = []
+    for iid, fill in fills.items():
+        arr = np.full((2, h, w), fill, dtype=np.uint16)
+        rows.append({"cell_id": cid, "image_id": iid,
+                     "bytes": codec.encode(arr, "raw16"),
+                     "w": w, "h": h, "fmt": "raw16", "nodata": 0.0,
+                     "datetime": ts, "caption": iid})
+    schema_str = ("cell_id long, image_id string, bytes binary, w int, "
+                  "h int, fmt string, nodata double, datetime timestamp, "
+                  "caption string")
+    # expected winners from the stable order key
+    keyed = sorted(fills, key=composite.scene_order_key)
+    mosaic_want = fills[keyed[-1]]   # last in order wins
+    first_want = fills[keyed[0]]     # first in order wins
+    outs = {}
+    for parts in (1, 3):
+        df = spark.createDataFrame(pd.DataFrame(rows), schema_str) \
+            .repartition(parts)
+        for red, mode in (("mosaic", "auto"), ("mosaic", "stack"),
+                          ("first", "auto"), ("qmosaic:0", "stack")):
+            r = composite.composite(df, red, mode=mode).collect()[0]
+            outs[(parts, red, mode)] = bytes(r.bytes)
+    # identical across partitionings, and stack == incremental
+    for key_, blob in outs.items():
+        assert blob == outs[(1, key_[1], key_[2])], key_
+    assert outs[(1, "mosaic", "auto")] == outs[(1, "mosaic", "stack")]
+    dec = codec.decode(outs[(1, "mosaic", "auto")], w, h, "raw16")
+    assert dec[0, 0, 0] == mosaic_want
+    dec_f = codec.decode(outs[(1, "first", "auto")], w, h, "raw16")
+    assert dec_f[0, 0, 0] == first_want
+    # qmosaic: max score wins regardless of order -> a_scene (200)
+    dec_q = codec.decode(outs[(1, "qmosaic:0", "stack")], w, h, "raw16")
+    assert dec_q[0, 0, 0] == 200

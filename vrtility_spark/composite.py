@@ -129,9 +129,9 @@ def qmosaic_t(band: int):
     """Quality mosaic (Earth Engine ``qualityMosaic`` parity): per
     pixel, select the WHOLE observation (all bands from the same
     scene) whose ``band``-indexed quality plane is maximal; ties go to
-    the earliest scene (the stack is (datetime, image_id)-ascending,
-    argmax takes
-    the first maximum). Pixels whose quality plane is invalid in every
+    the first scene in the stack's deterministic (datetime,
+    scene_order_key(image_id))-ascending order — argmax takes the
+    first maximum. Pixels whose quality plane is invalid in every
     scene are nodata. Unlike ``mosaic``/``max`` this keeps bands
     COHERENT — the classic use is scoring by NDVI or cloud distance
     and carrying the spectral bands of the winning scene."""
@@ -543,11 +543,26 @@ DECOMPOSABLE = frozenset(
 _PARTIAL_SCHEMA = (
     "cell_id long, w int, h int, fmt string, nodata double, "
     "band_nodata array<double>, nb int, n_scenes int, "
-    "acc1 binary, acc2 binary, dts array<timestamp>, "
+    "acc1 binary, acc2 binary, acc3 binary, dts array<timestamp>, "
     "caps array<string>, n_caps long"
 )
 
 _TS_NONE = np.int64(np.iinfo(np.int64).min)  # "no valid obs yet" stamp
+
+
+def scene_order_key(image_id) -> np.int64:
+    """Stable 64-bit order key for a scene id — the deterministic
+    tiebreak for same-instant scenes in selection reducers (mosaic /
+    first / qmosaic, xoid ties). md5-based so it is identical across
+    runs, hosts and partitionings; the ORDER it induces is arbitrary
+    but fixed, which is all determinism needs. Missing id → 0 (all
+    such scenes tie, as before)."""
+    if image_id is None or (np.isscalar(image_id)
+                            and codec.pd_isna(image_id)):
+        return np.int64(0)
+    import hashlib
+    h = hashlib.md5(str(image_id).encode()).digest()[:8]
+    return np.int64(int.from_bytes(h, "big", signed=True))
 
 
 def _profile_key(row):
@@ -567,21 +582,23 @@ class _CellAcc:
     """Running accumulator for one cell under a decomposable reducer."""
 
     __slots__ = ("reducer", "profile", "nd", "nb", "shape", "n", "acc1",
-                 "acc2", "dts", "caps", "n_caps", "cap")
+                 "acc2", "acc3", "dts", "caps", "n_caps", "cap")
 
     def __init__(self, reducer, row, cap):
         self.reducer = reducer
         self.profile = _profile_key(row)
         self.nb = None
         self.n = 0
-        self.acc1 = self.acc2 = None
+        self.acc1 = self.acc2 = self.acc3 = None
         self.dts = []
         self.caps = []
         self.n_caps = 0
         self.cap = cap
 
-    def add(self, data, t_ns, dt, caption):
-        """Fold one decoded scene (float64, NaN = invalid) in."""
+    def add(self, data, t_ns, dt, caption, ord_key=np.int64(0)):
+        """Fold one decoded scene (float64, NaN = invalid) in.
+        ``ord_key`` (scene_order_key) breaks same-instant ties for
+        mosaic/first deterministically."""
         r = self.reducer
         if self.acc1 is None:
             self.nb = data.shape[0]
@@ -595,6 +612,7 @@ class _CellAcc:
                 self.acc1 = np.zeros(data.shape)
             if r in ("mosaic", "first"):
                 self.acc2 = np.full(data.shape, _TS_NONE, dtype=np.int64)
+                self.acc3 = np.full(data.shape, _TS_NONE, dtype=np.int64)
             elif r in ("min", "max"):
                 self.acc2 = None
             else:
@@ -627,13 +645,20 @@ class _CellAcc:
             self.acc1 = np.fmin(self.acc1, data)
         elif r == "max":
             self.acc1 = np.fmax(self.acc1, data)
-        else:  # mosaic / first: best-timestamp valid observation wins
+        else:  # mosaic / first: best-timestamp valid observation wins;
+            # same-instant ties break on the stable scene order key
             if r == "mosaic":
-                better = ok & (t_ns > self.acc2)
+                better = ok & ((t_ns > self.acc2)
+                               | ((t_ns == self.acc2)
+                                  & (ord_key > self.acc3)))
             else:
-                better = ok & ((self.acc2 == _TS_NONE) | (t_ns < self.acc2))
+                no_prev = self.acc2 == _TS_NONE
+                better = ok & (no_prev | (t_ns < self.acc2)
+                               | ((t_ns == self.acc2) & ~no_prev
+                                  & (ord_key < self.acc3)))
             self.acc1 = np.where(better, data, self.acc1)
             self.acc2 = np.where(better, t_ns, self.acc2)
+            self.acc3 = np.where(better, ord_key, self.acc3)
         self.n += 1
         self.dts.append(dt)
         self.caps.append(caption)
@@ -664,12 +689,18 @@ class _CellAcc:
             "acc1": self.acc1.astype("<f8").tobytes(),
             "acc2": (b"" if self.acc2 is None
                      else self.acc2.astype("<i8").tobytes()),
+            "acc3": (b"" if self.acc3 is None
+                     else self.acc3.astype("<i8").tobytes()),
             "dts": self.dts, "caps": caps, "n_caps": int(self.n_caps),
         }
 
 
-def _merge_accs(reducer, a1_list, a2_list):
-    """Combine per-partition partial accumulators (same shapes)."""
+def _merge_accs(reducer, a1_list, a2_list, a3_list=None):
+    """Combine per-partition partial accumulators (same shapes).
+    ``a3_list`` (scene order keys) breaks same-instant mosaic/first
+    ties deterministically; without it ties keep list order (the
+    pre-tiebreak behavior, fine for unit tests with distinct
+    stamps)."""
     if reducer in ("mean", "sum", "mean_db", "geomean", "var", "std"):
         return sum(a1_list), sum(a2_list)
     if reducer == "min":
@@ -683,15 +714,20 @@ def _merge_accs(reducer, a1_list, a2_list):
             out = np.fmax(out, a)
         return out, None
     # mosaic / first
-    v, t = a1_list[0], a2_list[0]
-    for vn, tn in zip(a1_list[1:], a2_list[1:]):
+    if a3_list is None:
+        a3_list = [np.full_like(a2, _TS_NONE) for a2 in a2_list]
+    v, t, o = a1_list[0], a2_list[0], a3_list[0]
+    for vn, tn, on in zip(a1_list[1:], a2_list[1:], a3_list[1:]):
         valid_n = tn != _TS_NONE
         if reducer == "mosaic":
-            better = valid_n & (tn > t)
+            better = valid_n & ((tn > t) | ((tn == t) & (on > o)))
         else:
-            better = valid_n & ((t == _TS_NONE) | (tn < t))
+            no_prev = t == _TS_NONE
+            better = valid_n & (no_prev | (tn < t)
+                                | ((tn == t) & ~no_prev & (on < o)))
         v = np.where(better, vn, v)
         t = np.where(better, tn, t)
+        o = np.where(better, on, o)
     return v, t
 
 
@@ -792,7 +828,9 @@ def incremental_partials(
                 data = codec.to_float_masked(arr, nd)
                 dt = row.datetime
                 st.add(data, np.int64(pd.Timestamp(dt).value), dt,
-                       row.caption)
+                       row.caption,
+                       ord_key=scene_order_key(
+                           getattr(row, "image_id", None)))
             tot_bytes = sum(
                 s.acc1.nbytes + (0 if s.acc2 is None else s.acc2.nbytes)
                 for s in states.values() if s.acc1 is not None)
@@ -862,10 +900,12 @@ def composite_incremental(
         shape = (nb, h, w)
         a1_shape = ((2,) + shape) if reducer in ("var", "std") else shape
         a1 = [np.frombuffer(b, "<f8").reshape(a1_shape) for b in pdf.acc1]
-        a2 = None
+        a2 = a3 = None
         if reducer not in ("min", "max"):
             a2 = [np.frombuffer(b, "<i8").reshape(shape) for b in pdf.acc2]
-        m1, m2 = _merge_accs(reducer, a1, a2)
+        if reducer in ("mosaic", "first"):
+            a3 = [np.frombuffer(b, "<i8").reshape(shape) for b in pdf.acc3]
+        m1, m2 = _merge_accs(reducer, a1, a2, a3)
         out = _finalize(reducer, m1, m2).astype(compute_dtype)
         bn = first.band_nodata
         nd = (float(first.nodata) if bn is None
@@ -959,13 +999,18 @@ def composite(df: DataFrame, reducer: str | Callable[[np.ndarray], np.ndarray],
     fn = resolve_reducer(reducer)
 
     def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        # image_id tiebreak: same-instant scenes otherwise keep
+        # scene_order_key tiebreak: same-instant scenes otherwise keep
         # arbitrary partition-arrival order, which selection reducers
         # (mosaic/first/qmosaic, xoid ties) would surface as
-        # run-to-run nondeterminism
-        sort_cols = (["datetime", "image_id"]
-                     if "image_id" in pdf.columns else ["datetime"])
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        # run-to-run nondeterminism; the SAME key orders the
+        # incremental accumulators, so both paths pick one winner
+        if "image_id" in pdf.columns:
+            pdf = (pdf.assign(_ord=[scene_order_key(i)
+                                    for i in pdf.image_id])
+                   .sort_values(["datetime", "_ord"], kind="mergesort")
+                   .drop(columns="_ord"))
+        else:
+            pdf = pdf.sort_values("datetime", kind="mergesort")
         # the vrt_stack invariant: scenes in one stack must share the
         # grid (the reference errors on >1 SRS, R/vrt-stack.R:30; mixed
         # zones are impossible here because cell_id encodes the zone,
