@@ -228,3 +228,76 @@ def test_focal_plan_one_exchange(spark):
         .executedPlan().toString()
     assert plan.count("Exchange") == 1  # halos shuffle once, with tiles
     assert "MapInPandas" in plan and "FlatMapGroupsInPandas" in plan
+
+
+# --------------------------------------------------- named presets ----
+
+def test_gaussian_kernel_properties():
+    for r in (1, 2, 4):
+        k = focal.gaussian_kernel(r)
+        assert k.shape == (2 * r + 1, 2 * r + 1)
+        np.testing.assert_allclose(k.sum(), 1.0, rtol=1e-12)
+        np.testing.assert_allclose(k, k.T)          # symmetric
+        np.testing.assert_allclose(k, k[::-1, ::-1])
+        assert k[r, r] == k.max()
+    # explicit sigma sharpens/flattens the peak
+    assert focal.gaussian_kernel(2, sigma=0.5)[2, 2] > \
+        focal.gaussian_kernel(2, sigma=3.0)[2, 2]
+
+
+def test_preset_closed_forms():
+    # constant field: sharpen/gaussian preserve it, laplacian/sobel = 0
+    C = np.full((1, 8, 8), 41.0)
+    P = np.pad(C, ((0, 0), (1, 1), (1, 1)), constant_values=np.nan)
+    for name, want in (("sharpen", 41.0), ("gaussian", 41.0),
+                       ("laplacian", 0.0), ("sobel", 0.0)):
+        op, wts, norm = focal.expand_preset(name, 1)
+        out = (op(P, {}) if callable(op)
+               else focal.focal_np(P, op, 1, weights=wts, normalize=norm))
+        interior = out[:, 1:-1, 1:-1]
+        np.testing.assert_allclose(interior, want, atol=1e-9), name
+    # x-ramp: sobel magnitude = 8*step on the interior, laplacian = 0
+    ramp = np.tile(np.arange(8, dtype=float) * 3.0, (1, 8, 1))
+    Pr = np.pad(ramp, ((0, 0), (1, 1), (1, 1)), constant_values=np.nan)
+    sob, _, _ = focal.expand_preset("sobel", 1)
+    mag = sob(Pr, {})[:, 1:-1, 1:-1]
+    np.testing.assert_allclose(mag, 8 * 3.0, atol=1e-9)
+    lop, lw, ln = focal.expand_preset("laplacian", 1)
+    lap = focal.focal_np(Pr, lop, 1, weights=lw, normalize=ln)
+    np.testing.assert_allclose(lap[:, 1:-1, 1:-1], 0.0, atol=1e-9)
+
+
+def test_preset_validation():
+    with pytest.raises(ValueError, match="radius=1"):
+        focal.expand_preset("sharpen", 2)
+    with pytest.raises(KeyError, match="unknown preset"):
+        focal.expand_preset("boxcar", 1)
+
+
+@pytest.fixture(scope="module")
+def composited(spark, tiny_images):
+    from vrtility_spark import datagen
+    return (Pipeline(tiny_images)
+            .set_maskfun("int", datagen.S2_MASK_VALUES)
+            .warp(cell_res=datagen.TILE_RES)
+            .composite("median").df.cache())
+
+
+def test_preset_distributed_and_retype(spark, composited):
+    # gaussian keeps the input payload format; sobel re-types rawf32
+    g = focal.focal_filter(composited, op="gaussian", radius=2)
+    s = focal.focal_filter(composited, op="sobel")
+    grow = g.limit(1).collect()[0]
+    srow = s.limit(1).collect()[0]
+    assert grow.fmt == composited.limit(1).collect()[0].fmt
+    assert srow.fmt == "rawf32" and srow.nodata == -9999.0
+    # distributed gaussian == assembled-mosaic conv with the same
+    # kernel on one representative cell (reuses the conv machinery
+    # already mosaic-gated above, so a spot check suffices)
+    from vrtility_spark.pipeline import Pipeline
+    k = focal.gaussian_kernel(2)
+    via_conv = focal.focal_filter(composited, op="conv", radius=2,
+                                  weights=k, normalize=True)
+    a = {r.cell_id: bytes(r.bytes) for r in g.collect()}
+    b = {r.cell_id: bytes(r.bytes) for r in via_conv.collect()}
+    assert a == b

@@ -126,6 +126,72 @@ def focal_np(P: np.ndarray, op: str, radius: int,
     raise KeyError(f"unknown focal op {op!r}; known: {FOCAL_OPS}")
 
 
+# --------------------------------------------- named kernel presets ----
+
+#: fixed 3x3 classics (radius 1); "gaussian" scales to any radius and
+#: "sobel" is the nonlinear two-conv gradient magnitude
+CONV_PRESETS = ("gaussian", "sharpen", "laplacian", "emboss", "sobel")
+
+_K3 = {
+    # unsharp-style sharpen: identity + laplacian-ish high-boost
+    "sharpen": np.array([[0.0, -1.0, 0.0],
+                         [-1.0, 5.0, -1.0],
+                         [0.0, -1.0, 0.0]]),
+    # 4-neighbor laplacian (zero-sum: edge detector, no renorm)
+    "laplacian": np.array([[0.0, 1.0, 0.0],
+                           [1.0, -4.0, 1.0],
+                           [0.0, 1.0, 0.0]]),
+    "emboss": np.array([[-2.0, -1.0, 0.0],
+                        [-1.0, 1.0, 1.0],
+                        [0.0, 1.0, 2.0]]),
+}
+
+_SOBEL_X = np.array([[-1.0, 0.0, 1.0],
+                     [-2.0, 0.0, 2.0],
+                     [-1.0, 0.0, 1.0]])
+_SOBEL_Y = _SOBEL_X.T
+
+
+def gaussian_kernel(radius: int, sigma: float | None = None) -> np.ndarray:
+    """Normalized 2-D Gaussian over a ``(2r+1)²`` window; default
+    ``sigma = radius / 1.5`` (the window covers ±3σ)."""
+    r = int(radius)
+    s = float(sigma) if sigma is not None else max(r / 1.5, 0.3)
+    ax = np.arange(-r, r + 1, dtype=np.float64)
+    g = np.exp(-(ax**2) / (2 * s * s))
+    k = np.outer(g, g)
+    return k / k.sum()
+
+
+def expand_preset(op: str, radius: int, sigma: float | None = None):
+    """Resolve a :data:`CONV_PRESETS` name → ``(op, weights,
+    normalize)`` for :func:`focal_filter`. The 3x3 classics pin
+    radius 1; gaussian takes any radius (and ``sigma``); sobel
+    returns a callable kernel (gradient magnitude = hypot of the two
+    axis convolutions — not a single linear conv)."""
+    if op == "gaussian":
+        return "conv", gaussian_kernel(radius, sigma), True
+    if op in _K3:
+        if int(radius) != 1:
+            raise ValueError(f"preset {op!r} is a 3x3 kernel: radius=1")
+        # sharpen/emboss renormalize over valid samples (sum 1);
+        # laplacian is zero-sum -> raw response
+        return "conv", _K3[op], None
+    if op == "sobel":
+        if int(radius) != 1:
+            raise ValueError("preset 'sobel' is a 3x3 kernel: radius=1")
+
+        def sobel(P: np.ndarray, meta: dict) -> np.ndarray:
+            gx = focal_np(P, "conv", 1, weights=_SOBEL_X,
+                          normalize=False)
+            gy = focal_np(P, "conv", 1, weights=_SOBEL_Y,
+                          normalize=False)
+            return np.hypot(gx, gy)
+
+        return sobel, None, None
+    raise KeyError(f"unknown preset {op!r}; known: {CONV_PRESETS}")
+
+
 # ------------------------------------------------- distributed driver ----
 
 def _neighbor_id(zone: int, res: int, ix: int, iy: int,
@@ -166,8 +232,20 @@ def focal_filter(df: DataFrame, op="mean", radius: int = 1,
     columns pass through from each cell's own row, so the operator is
     chainable with every other cell-keyed stage.
     """
+    if not callable(op) and op in CONV_PRESETS:
+        # named kernels (gaussian/sharpen/laplacian/emboss/sobel)
+        # expand onto the conv / callable machinery — sobel re-types
+        # to rawf32 (gradient magnitude is float) unless overridden
+        if op in ("sobel", "laplacian", "emboss") and out_fmt is None:
+            # signed/unbounded responses: integer re-encode would
+            # clamp negatives to 0 — default to float payloads
+            out_fmt, out_nodata = "rawf32", -9999.0
+        op, pw, pn = expand_preset(op, radius)
+        weights = pw if weights is None else weights
+        normalize = pn if normalize is None else normalize
     if not callable(op) and op not in FOCAL_OPS:
-        raise KeyError(f"unknown focal op {op!r}; known: {FOCAL_OPS}")
+        raise KeyError(f"unknown focal op {op!r}; known: "
+                       f"{FOCAL_OPS} + presets {CONV_PRESETS}")
     r = int(radius)
     if r < 1:
         raise ValueError("radius must be >= 1")
