@@ -86,3 +86,47 @@ def test_validation(spark):
         pca.fit_pca(df, k=5)
     with pytest.raises(ValueError, match="empty"):
         pca.fit_pca(df.filter("doc_id < 0"), k=2)
+
+
+def test_fit_combine_spark_matches_driver(spark):
+    pdf = datagen.embeddings_pandas(n=200, d=9)
+    df = spark.createDataFrame(pdf).repartition(11)
+    a = pca.fit_pca(df, k=3, combine="driver")
+    b = pca.fit_pca(df, k=3, combine="spark", groups=4)
+    # integer-valued fixture: both merge orders are exact -> identical
+    np.testing.assert_array_equal(a.mean, b.mean)
+    np.testing.assert_array_equal(a.eigenvalues, b.eigenvalues)
+    np.testing.assert_array_equal(a.components, b.components)
+    assert a.n == b.n == 200
+    with pytest.raises(ValueError, match="combine"):
+        pca.fit_pca(df, k=3, combine="tree")
+
+
+def test_pca_then_ivf_integration(spark):
+    # the intended composition: shrink d before indexing; exact search
+    # over the projected vectors matches NumPy brute force top-1
+    from vrtility_spark import ann
+    pdf = datagen.embeddings_pandas(n=120, d=16, n_clusters=4)
+    df = spark.createDataFrame(pdf[["doc_id", "embedding"]])
+    m = pca.fit_pca(df, k=4)
+    proj = pca.transform_pca(df, m).select(
+        "doc_id", "pca").withColumnRenamed("pca", "embedding")
+    cents = ann.train_ivf(proj, "embedding", "doc_id", n_clusters=4,
+                          iters=2)
+    indexed = ann.ivf_assign(proj, "embedding", cents).cache()
+    queries = proj.limit(5).withColumnRenamed("doc_id", "q_id")
+    got = ann.ivf_search(indexed, queries, cents, "embedding",
+                         "doc_id", "q_id", k=1,
+                         nprobe=len(cents)).toPandas()
+    X = np.stack(pdf.embedding.to_numpy())
+    Y = (X - m.mean) @ m.components.T
+    Yn = Y / np.linalg.norm(Y, axis=1, keepdims=True)
+    qids = [int(r.q_id) for r in queries.collect()]
+    for qid in qids:
+        sims = Yn @ Yn[qid]
+        sims[qid] = -np.inf            # ivf_search excludes self
+        grow = got[got.q_id == qid]
+        top = int(grow[grow["rank"] == 1].id.iloc[0])
+        # engine-vs-NumPy float noise can flip exact near-ties; the
+        # similarity of the returned id must equal the true max
+        assert abs(sims[top] - sims.max()) < 1e-9

@@ -106,15 +106,29 @@ class PCAModel:
 _PARTIAL_SCHEMA = "pid long, n long, s array<double>, m2 array<double>"
 
 
-def fit_pca(df: DataFrame, k: int, col: str = "embedding") -> PCAModel:
+def fit_pca(df: DataFrame, k: int, col: str = "embedding",
+            combine: str = "driver", groups: int = 16) -> PCAModel:
     """Two-phase distributed fit: per-partition ``(n, Σx, ΣxxT)``
     sufficient-statistics blocks (one narrow Arrow map; the upper
     triangle of ΣxxT is packed, so each block is ``8·d(d+3)/2`` bytes
     regardless of row count), merged on the driver in partition order,
-    then the deterministic Jacobi eigensolve of the covariance."""
+    then the deterministic Jacobi eigensolve of the covariance.
+
+    ``combine="driver"`` collects every partition block — optimal up
+    to ~10³ partitions. ``combine="spark"`` adds one tiny distributed
+    merge level first (blocks grouped by ``pid % groups``, summed in
+    pid order inside each group), so the driver sees at most
+    ``groups`` blocks regardless of partition count — the
+    treeAggregate shape for 10⁴+-partition tables. Both paths merge
+    deterministically (fixed pid order within and across groups);
+    for integer-valued inputs the sums are exact in f64, so the two
+    paths are bit-identical (float inputs may differ by association
+    order at the last ulp)."""
     k = int(k)
     if k < 1:  # d-independent half of the check: fail BEFORE the scan
         raise ValueError(f"k must be in [1, d], got {k}")
+    if combine not in ("driver", "spark"):
+        raise ValueError("combine must be 'driver' or 'spark'")
 
     def partials(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         from pyspark import TaskContext
@@ -136,8 +150,23 @@ def fit_pca(df: DataFrame, k: int, col: str = "embedding") -> PCAModel:
                 "pid": pid, "n": n, "s": s.tolist(),
                 "m2": m2[iu].tolist()}])
 
-    rows = (df.select(col).mapInPandas(partials, schema=_PARTIAL_SCHEMA)
-            .toPandas().sort_values("pid"))
+    part_df = df.select(col).mapInPandas(partials, schema=_PARTIAL_SCHEMA)
+    if combine == "spark":
+        def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("pid")
+            s = np.zeros(len(pdf.s.iloc[0]))
+            m2 = np.zeros(len(pdf.m2.iloc[0]))
+            for r in pdf.itertuples(index=False):
+                s += np.asarray(r.s)
+                m2 += np.asarray(r.m2)
+            return pd.DataFrame([{
+                "pid": int(pdf.pid.min()), "n": int(pdf.n.sum()),
+                "s": s.tolist(), "m2": m2.tolist()}])
+
+        part_df = (part_df
+                   .groupBy(F.pmod("pid", F.lit(int(groups))))
+                   .applyInPandas(merge_group, schema=_PARTIAL_SCHEMA))
+    rows = part_df.toPandas().sort_values("pid")
     if not len(rows):
         raise ValueError("fit_pca: empty input")
     d = len(rows.s.iloc[0])
