@@ -1,0 +1,115 @@
+"""Bigram-LM perplexity: from-scratch reference parity, smoothing and
+cap behavior, determinism under repartitioning, discrimination between
+fluent and shuffled text, and degenerate documents."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from vrtility_spark import textlm
+
+CORPUS = [
+    "the cat sat on the mat",
+    "the dog sat on the rug",
+    "the cat ate the fish",
+    "a dog ate a bone",
+    "the cat and the dog sat",
+]
+
+
+def _ref_model(docs, vocab_size, alpha):
+    """From-scratch reference: pure dict/loop reimplementation."""
+    from collections import Counter
+    uni_c = Counter(w for d in docs for w in d.split(" ") if w)
+    top = sorted(uni_c.items(), key=lambda kv: (-kv[1], kv[0]))
+    vocab = {t: i for i, (t, _) in enumerate(top[:vocab_size])}
+    unk = len(vocab)
+    uni = np.zeros(unk + 1, dtype=np.int64)
+    bi = {}
+    for d in docs:
+        ids = [vocab.get(w, unk) for w in d.split(" ") if w]
+        for i in ids:
+            uni[i] += 1
+        for p, c in zip(ids[:-1], ids[1:]):
+            bi[(p, c)] = bi.get((p, c), 0) + 1
+    return vocab, uni, bi
+
+
+def _ref_perplexity(doc, vocab, uni, bi, alpha):
+    unk = len(vocab)
+    ids = [vocab.get(w, unk) for w in doc.split(" ") if w]
+    if len(ids) < 2:
+        return float("nan")
+    v = len(uni)
+    h = 0.0
+    for p, c in zip(ids[:-1], ids[1:]):
+        h -= math.log2((bi.get((p, c), 0) + alpha)
+                       / (uni[p] + alpha * v))
+    return 2.0 ** (h / (len(ids) - 1))
+
+
+def test_train_matches_reference_and_repartition_invariant(spark):
+    docs = spark.createDataFrame(pd.DataFrame({"text": CORPUS}))
+    m = textlm.train_lm(docs, vocab_size=8, alpha=0.1)
+    vocab, uni, bi = _ref_model(CORPUS, 8, 0.1)
+    assert m.vocab == vocab
+    np.testing.assert_array_equal(m.uni, uni)
+    assert m.bi == bi
+    m2 = textlm.train_lm(docs.repartition(7), vocab_size=8, alpha=0.1)
+    assert m2.vocab == m.vocab and m2.bi == m.bi
+    np.testing.assert_array_equal(m2.uni, m.uni)
+
+
+def test_score_matches_reference(spark):
+    docs = spark.createDataFrame(pd.DataFrame({"text": CORPUS}))
+    m = textlm.train_lm(docs, vocab_size=8, alpha=0.1)
+    vocab, uni, bi = _ref_model(CORPUS, 8, 0.1)
+    probes = ["the cat sat on the mat", "fish bone mat dog a",
+              "completely unseen words here", "single", ""]
+    pdf = pd.DataFrame({"doc_id": range(len(probes)), "text": probes})
+    got = {r.doc_id: r.perplexity for r in textlm.score_lm(
+        spark.createDataFrame(pdf), m).collect()}
+    for i, doc in enumerate(probes):
+        want = _ref_perplexity(doc, vocab, uni, bi, 0.1)
+        if math.isnan(want):
+            assert got[i] is None or math.isnan(got[i]), doc
+        else:
+            assert abs(got[i] - want) < 1e-9, doc
+    # zero shuffle in the scoring pass
+    plan = textlm.score_lm(spark.createDataFrame(pdf), m) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_fluent_text_scores_lower_than_shuffled(spark):
+    docs = spark.createDataFrame(pd.DataFrame({"text": CORPUS}))
+    m = textlm.train_lm(docs, vocab_size=20, alpha=0.05)
+    fluent = "the cat sat on the mat"
+    shuffled = "mat the on sat cat the"
+    p_f = textlm.perplexity_np(fluent.split(" "), m)
+    p_s = textlm.perplexity_np(shuffled.split(" "), m)
+    assert p_f < p_s
+    # an all-OOV doc lands at the unk-uniform ~V (worse than fluent
+    # text; with a real 10^4 vocab that is perplexity 10^4 — here V is
+    # tiny so only the fluent comparison is meaningful)
+    p_o = textlm.perplexity_np("zz yy xx ww".split(" "), m)
+    assert p_f < p_o
+    np.testing.assert_allclose(p_o, m.v)  # uniform over V+1 exactly
+
+
+def test_bigram_cap_keeps_top_pairs(spark):
+    docs = spark.createDataFrame(pd.DataFrame({"text": CORPUS}))
+    full = textlm.train_lm(docs, vocab_size=20, alpha=0.1)
+    capped = textlm.train_lm(docs, vocab_size=20, alpha=0.1,
+                             bigram_cap=3)
+    assert len(capped.bi) == 3
+    kept = sorted(full.bi.items(),
+                  key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert capped.bi == dict(kept)
+    # scores stay finite with the cap (smoothing absorbs the drop)
+    p = textlm.perplexity_np("the cat sat".split(" "), capped)
+    assert np.isfinite(p) and p > 0
