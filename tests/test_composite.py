@@ -469,3 +469,41 @@ def test_same_instant_scenes_deterministic(spark):
     # qmosaic: max score wins regardless of order -> a_scene (200)
     dec_q = codec.decode(outs[(1, "qmosaic:0", "stack")], w, h, "raw16")
     assert dec_q[0, 0, 0] == 200
+
+
+def test_qmosaic_valid_neg_inf_beats_nan():
+    # scene0 score NaN (invalid), scene1 score -inf (VALID): the
+    # winner must be scene1 — -inf is a value, NaN is the absence
+    st = np.zeros((2, 2, 1, 1))
+    st[:, 0, 0, 0] = [np.nan, -np.inf]
+    st[:, 1, 0, 0] = [111.0, 222.0]
+    out = composite.qmosaic_t(0)(st)
+    assert out[1, 0, 0] == 222.0
+    np.testing.assert_array_equal(out, _naive_qmosaic(st, 0))
+
+
+def test_null_datetime_scenes_drop_consistently(spark):
+    import pandas as pd
+    from vrtility_spark import cells
+    h = w = 4
+    cid = int(cells.encode_np(0, datagen.TILE_RES, 0, 0))
+    rows = []
+    for iid, fill, ts in (("s1", 100, pd.Timestamp("2024-06-01")),
+                          ("s2", 200, pd.Timestamp("2024-06-02")),
+                          ("s3", 999, pd.NaT)):
+        arr = np.full((1, h, w), fill, dtype=np.uint16)
+        rows.append({"cell_id": cid, "image_id": iid,
+                     "bytes": codec.encode(arr, "raw16"),
+                     "w": w, "h": h, "fmt": "raw16", "nodata": 0.0,
+                     "datetime": ts, "caption": iid})
+    schema_str = ("cell_id long, image_id string, bytes binary, w int, "
+                  "h int, fmt string, nodata double, datetime timestamp, "
+                  "caption string")
+    df = spark.createDataFrame(pd.DataFrame(rows), schema_str)
+    # the NaT scene (999) contributes to NEITHER path and both agree
+    for red, mode in (("mosaic", "auto"), ("mosaic", "stack"),
+                      ("median", "stack")):
+        r = composite.composite(df, red, mode=mode).collect()[0]
+        dec = codec.decode(r.bytes, r.w, r.h, r.fmt)
+        assert dec.max() <= 200, (red, mode)
+        assert r.n_scenes == 2, (red, mode)

@@ -114,7 +114,10 @@ def test_pca_then_ivf_integration(spark):
     cents = ann.train_ivf(proj, "embedding", "doc_id", n_clusters=4,
                           iters=2)
     indexed = ann.ivf_assign(proj, "embedding", cents).cache()
-    queries = proj.limit(5).withColumnRenamed("doc_id", "q_id")
+    # deterministic query set (an un-ordered limit() may pick
+    # different rows in each of the two actions below)
+    queries = proj.filter("doc_id < 5").withColumnRenamed(
+        "doc_id", "q_id")
     got = ann.ivf_search(indexed, queries, cents, "embedding",
                          "doc_id", "q_id", k=1,
                          nprobe=len(cents)).toPandas()

@@ -113,3 +113,18 @@ def test_bigram_cap_keeps_top_pairs(spark):
     # scores stay finite with the cap (smoothing absorbs the drop)
     p = textlm.perplexity_np("the cat sat".split(" "), capped)
     assert np.isfinite(p) and p > 0
+
+
+def test_null_text_rows_are_safe(spark):
+    pdf = pd.DataFrame({"doc_id": [0, 1, 2],
+                        "text": ["the cat sat", None, "a dog ate"]})
+    docs = spark.createDataFrame(pdf)
+    m = textlm.train_lm(docs, vocab_size=10, alpha=0.1)
+    # null doc contributed nothing to the counts
+    vocab, uni, bi = _ref_model(["the cat sat", "a dog ate"], 10, 0.1)
+    assert m.vocab == vocab and m.bi == bi
+    np.testing.assert_array_equal(m.uni, uni)
+    got = {r.doc_id: r.perplexity
+           for r in textlm.score_lm(docs, m).collect()}
+    assert got[1] is None or math.isnan(got[1])
+    assert np.isfinite(got[0])

@@ -143,12 +143,22 @@ def qmosaic_t(band: int):
                 f"quality band index {b} out of range for "
                 f"{stack.shape[1]}-plane stack")
         s = stack[:, b]                                   # (T, H, W)
-        neg = np.where(np.isnan(s), -np.inf, s)
-        idx = neg.argmax(axis=0)                          # first max
+        # scan with a found-flag: a VALID -inf score must not be
+        # conflated with NaN-invalid (only NaN means invalid)
+        best = np.full(s.shape[1:], -np.inf)
+        found = np.zeros(s.shape[1:], dtype=bool)
+        idx = np.zeros(s.shape[1:], dtype=np.int64)
+        for ti in range(s.shape[0]):
+            v = s[ti]
+            ok = ~np.isnan(v)
+            better = ok & (~found | (v > best))
+            idx[better] = ti
+            best = np.where(better, v, best)
+            found |= ok
         out = np.take_along_axis(
             stack, np.broadcast_to(idx, stack.shape[1:])[None],
             axis=0)[0]      # advanced indexing: already a fresh array
-        out[:, np.isnan(s).all(axis=0)] = np.nan
+        out[:, ~found] = np.nan
         return out
 
     return reduce
@@ -807,6 +817,10 @@ def incremental_partials(
 
         for pdf in batches:
             for row in pdf.itertuples(index=False):
+                if pd.isna(row.datetime):
+                    # null-datetime scenes drop here exactly as on the
+                    # stack path (no deterministic time position)
+                    continue
                 cell = int(getattr(row, key))
                 st = states.get(cell)
                 if st is None:
@@ -833,6 +847,7 @@ def incremental_partials(
                            getattr(row, "image_id", None)))
             tot_bytes = sum(
                 s.acc1.nbytes + (0 if s.acc2 is None else s.acc2.nbytes)
+                + (0 if s.acc3 is None else s.acc3.nbytes)
                 for s in states.values() if s.acc1 is not None)
             if len(states) > max_active_cells or tot_bytes >= max_active_bytes:
                 yield flush()
@@ -1004,6 +1019,14 @@ def composite(df: DataFrame, reducer: str | Callable[[np.ndarray], np.ndarray],
         # (mosaic/first/qmosaic, xoid ties) would surface as
         # run-to-run nondeterminism; the SAME key orders the
         # incremental accumulators, so both paths pick one winner
+        # null-datetime scenes drop (the asof_join precedent): no
+        # deterministic position in time-ordered selection exists for
+        # them, and the incremental accumulators apply the same rule
+        pdf = pdf[pdf.datetime.notna()]
+        if not len(pdf):
+            return pd.DataFrame(
+                columns=[f.split(" ")[0] for f in
+                         COMPOSITE_SCHEMA.split(", ")])
         if "image_id" in pdf.columns:
             pdf = (pdf.assign(_ord=[scene_order_key(i)
                                     for i in pdf.image_id])

@@ -236,10 +236,14 @@ def focal_filter(df: DataFrame, op="mean", radius: int = 1,
         # named kernels (gaussian/sharpen/laplacian/emboss/sobel)
         # expand onto the conv / callable machinery — sobel re-types
         # to rawf32 (gradient magnitude is float) unless overridden
-        if op in ("sobel", "laplacian", "emboss") and out_fmt is None:
-            # signed/unbounded responses: integer re-encode would
-            # clamp negatives to 0 — default to float payloads
-            out_fmt, out_nodata = "rawf32", -9999.0
+        if op in ("sobel", "laplacian", "emboss", "sharpen") \
+                and out_fmt is None:
+            # signed/unbounded responses (sharpen under/overshoots
+            # too): integer re-encode would clamp — default to float
+            # payloads, honoring an explicit out_nodata
+            out_fmt = "rawf32"
+            if out_nodata is None:
+                out_nodata = -9999.0
         op, pw, pn = expand_preset(op, radius)
         weights = pw if weights is None else weights
         normalize = pn if normalize is None else normalize

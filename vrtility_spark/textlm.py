@@ -69,8 +69,8 @@ def train_lm(df: DataFrame, text_col: str = "text",
     def to_ids(texts: pd.Series) -> pd.Series:
         v = vb.value
         u = len(v)
-        return texts.map(lambda s: [v.get(w, u)
-                                    for w in s.split(" ") if w])
+        return texts.map(lambda s: [v.get(w, u) for w in s.split(" ")
+                                    if w] if isinstance(s, str) else [])
 
     ids = df.select(to_ids(F.col(text_col)).alias("ids"))
     uni_rows = (ids.select(F.explode("ids").alias("a"))
@@ -88,8 +88,8 @@ def train_lm(df: DataFrame, text_col: str = "text",
     bi_rows = (pairs.groupBy("a", "b").count()
                .orderBy(F.desc("count"), "a", "b")
                .limit(int(bigram_cap)).toPandas())
-    bi = {(int(r.a), int(r.b)): int(r["count"])
-          for _, r in bi_rows.iterrows()}
+    bi = {(int(a), int(b)): int(c)
+          for a, b, c in zip(bi_rows.a, bi_rows.b, bi_rows["count"])}
     return BigramLM(vocab=vocab, uni=uni, bi=bi, alpha=float(alpha))
 
 
@@ -121,6 +121,8 @@ def score_lm(df: DataFrame, model: BigramLM, text_col: str = "text",
     def perp(texts: pd.Series) -> pd.Series:
         vocab, uni, bi, alpha = mb.value
         m = BigramLM(vocab=vocab, uni=uni, bi=bi, alpha=alpha)
-        return texts.map(lambda s: perplexity_np(s.split(" "), m))
+        return texts.map(
+            lambda s: perplexity_np(s.split(" "), m)
+            if isinstance(s, str) else float("nan"))
 
     return df.withColumn(out_col, perp(F.col(text_col)))
