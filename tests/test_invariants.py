@@ -180,3 +180,88 @@ def test_incremental_merge_algebra_equals_stack(seed, T, B, n_parts, px,
         want = fn(stack)
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9,
                                equal_nan=True)
+
+
+@given(st.integers(1, 2), st.integers(0, 1000),
+       st.lists(st.floats(-1e4, 1e4, allow_nan=False),
+                min_size=36, max_size=36))
+@settings(max_examples=100, deadline=None)
+def test_morphology_properties(r, seed, vals):
+    """Duality erode(-A) = -dilate(A), ordering erode <= dilate, and
+    open/close idempotence — for every generated array, with NaN holes
+    injected by the seed."""
+    from vrtility_spark import morphology
+    A = np.asarray(vals).reshape(1, 6, 6)
+    rng = np.random.default_rng(seed)
+    A[rng.random(A.shape) < 0.2] = np.nan
+    pad = morphology.pad_for("open", r)
+    P = np.pad(A, ((0, 0), (pad, pad), (pad, pad)),
+               constant_values=np.nan)
+    er = morphology.morph_np(P, "erode", r)
+    di = morphology.morph_np(P, "dilate", r)
+    np.testing.assert_array_equal(
+        er, -morphology.morph_np(-P, "dilate", r))
+    both = np.isfinite(er) & np.isfinite(di)
+    assert (er[both] <= di[both]).all()
+    op1 = morphology.morph_np(P, "open", r)
+    P2 = np.pad(op1, ((0, 0), (pad, pad), (pad, pad)),
+                constant_values=np.nan)
+    np.testing.assert_array_equal(morphology.morph_np(P2, "open", r), op1)
+
+
+@given(st.integers(2, 8), st.integers(0, 1000), st.integers(2, 5))
+@settings(max_examples=100, deadline=None)
+def test_mk_matches_naive_property(T, seed, hw):
+    """Vectorized Mann-Kendall/Sen == the per-pixel double loop for
+    random stacks with NaN holes, value ties and time ties."""
+    from tests.test_mktrend import _naive_mk
+    from vrtility_spark import mktrend
+    rng = np.random.default_rng(seed)
+    ts = np.sort(rng.integers(0, max(2, T - 1), T).astype(float))
+    stack = np.round(rng.normal(0, 5, (T, 1, hw, hw)))
+    stack[rng.random(stack.shape) < 0.3] = np.nan
+    np.testing.assert_allclose(
+        mktrend.mk_np(ts, stack), _naive_mk(ts, stack),
+        rtol=1e-10, atol=1e-10, equal_nan=True)
+
+
+@given(st.integers(1, 4), st.integers(0, 1000))
+@settings(max_examples=60, deadline=None)
+def test_chips_lossless_property(chips_per_side, seed):
+    """Chips always reassemble to the exact tile, and valid_frac means
+    the all-bands-valid fraction — for every generated tile."""
+    from vrtility_spark import chips
+    rng = np.random.default_rng(seed)
+    chip = 4
+    n = chips_per_side * chip
+    arr = rng.integers(0, 100, (2, n, n)).astype(np.uint16)
+    got = chips.chip_rows_np(arr, 0.0, chip)
+    assert len(got) == chips_per_side ** 2
+    back = np.zeros_like(arr)
+    for cx, cy, block, vf in got:
+        back[:, cy * chip:(cy + 1) * chip,
+             cx * chip:(cx + 1) * chip] = block
+        want_vf = float((block != 0).all(axis=0).mean())
+        assert vf == want_vf
+    np.testing.assert_array_equal(back, arr)
+
+
+@given(st.floats(0.0, 1.0), st.integers(0, 2**31 - 1))
+@settings(max_examples=200, deadline=None)
+def test_sampling_threshold_membership_property(fraction, key):
+    """The hash-range membership rule agrees between the Column
+    expression's semantics and a direct hashlib recomputation for any
+    fraction and key — incl. the saturated-bound edge."""
+    import hashlib
+    from vrtility_spark import sampling
+    thr = sampling._hex_bound(round(fraction * sampling._BUCKETS))
+    hx = hashlib.md5(f"0|{key}".encode()).hexdigest()[:8]
+    member = hx < thr
+    if fraction == 1.0:
+        assert member          # 'g' sorts above every hex digest
+    if fraction == 0.0:
+        assert not member
+    # membership is monotone in the fraction
+    thr_hi = sampling._hex_bound(
+        round(min(1.0, fraction + 0.25) * sampling._BUCKETS))
+    assert (hx < thr_hi) or not member
