@@ -433,3 +433,35 @@ def test_decontaminate_stream_equals_batch(spark, tmp_path):
     assert got == want
     assert got and got != {d[0] for d in docs}  # both paths exercised
     assert all(i % 5 != 0 for i in got)
+
+
+def test_streaming_chip_export(spark, tiny_images, tmp_path):
+    """Training-chip export is a stateless narrow map, so it runs
+    under Structured Streaming unchanged: stream composite tiles in,
+    slice to chips + hash-split, land parquet — and the streamed chip
+    set is byte-identical to the batch path."""
+    from vrtility_spark import chips, sampling
+    comp = composite(
+        warp.assign_cells(vrt_set_maskfun(tiny_images, "int",
+                                          datagen.S2_MASK_VALUES),
+                          datagen.TILE_RES), "median")
+    tiles_dir = str(tmp_path / "tiles")
+    comp.write.parquet(tiles_dir)
+    out_dir = str(tmp_path / "chips_out")
+    ck = str(tmp_path / "chips_ck")
+    stream = spark.readStream.schema(comp.schema).parquet(tiles_dir)
+    chipped = sampling.assign_splits(
+        chips.make_chips(stream, chip=8),
+        ["cell_id", "chip_x", "chip_y"], {"train": 0.8, "val": 0.2})
+    q = (chipped.writeStream.format("parquet")
+         .option("path", out_dir).option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(240)
+    got = sorted((r.cell_id, r.chip_x, r.chip_y, bytes(r.bytes), r.split)
+                 for r in spark.read.parquet(out_dir).collect())
+    want = sorted((r.cell_id, r.chip_x, r.chip_y, bytes(r.bytes), r.split)
+                  for r in sampling.assign_splits(
+                      chips.make_chips(comp, chip=8),
+                      ["cell_id", "chip_x", "chip_y"],
+                      {"train": 0.8, "val": 0.2}).collect())
+    assert got == want and len(got) == 12 * 4
