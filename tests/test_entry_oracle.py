@@ -187,3 +187,15 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     plan = rel._jdf.queryExecution().analyzed().toString()
     assert "LogicalRDD" in plan or "Checkpoint" in plan
     assert "Join" not in plan
+
+
+def test_every_query_has_an_oracle_and_bench_key():
+    """Surface congruence: every queries() key carries a value-exact
+    oracle twin, and bench.py benches every key (minus the one
+    documented exclusion) so correctness and performance surfaces
+    cannot drift apart."""
+    assert set(ORACLES) == set(QUERIES)
+    import importlib
+    bench = importlib.import_module("bench")
+    assert set(bench.BENCH_QUERIES) == set(QUERIES) - {
+        "image_median_composite"}
