@@ -98,3 +98,61 @@ def test_pipeline_chips_bundle_replay(spark, tiny_images, tmp_path):
     b = sorted((tuple(getattr(r, k) for k in key), bytes(r.bytes), r.split)
                for r in p2.df.collect())
     assert a == b and len(a) == 12 * 16
+
+
+# --------------------------------------------------- augmentation ----
+
+def test_aug_np_exact_permutations():
+    rng = np.random.default_rng(2)
+    a = rng.integers(0, 100, (2, 4, 4)).astype(np.uint16)
+    np.testing.assert_array_equal(chips.aug_np(a, "orig"), a)
+    np.testing.assert_array_equal(chips.aug_np(a, "fliph"),
+                                  a[:, :, ::-1])
+    np.testing.assert_array_equal(chips.aug_np(a, "flipv"),
+                                  a[:, ::-1, :])
+    np.testing.assert_array_equal(chips.aug_np(a, "rot90"),
+                                  np.rot90(a, 1, axes=(1, 2)))
+    # involutions / group structure: rot90 four times = identity
+    b = a
+    for _ in range(4):
+        b = chips.aug_np(b, "rot90")
+    np.testing.assert_array_equal(b, a)
+    with pytest.raises(KeyError, match="unknown augmentation"):
+        chips.aug_np(a, "zoom")
+
+
+def test_augment_chips_all_and_hash(spark, composited):
+    base = chips.make_chips(composited, chip=8)
+    n = base.count()
+    allv = chips.augment_chips(base, ("orig", "fliph", "flipv"),
+                               mode="all")
+    # no new Exchange beyond the upstream lineage (compare FRESH
+    # plans: an executed AQE plan prints final+initial sections and
+    # double-counts its Exchanges)
+    fresh_base = chips.make_chips(composited, chip=8)
+    fresh_aug = chips.augment_chips(fresh_base, ("orig", "fliph"),
+                                    mode="all")
+    assert fresh_aug._jdf.queryExecution().executedPlan().toString() \
+        .count("Exchange") == fresh_base._jdf.queryExecution() \
+        .executedPlan().toString().count("Exchange")
+    got = allv.collect()
+    assert len(got) == 3 * n
+    # variant content is the exact permutation of the original chip
+    orig = {(r.cell_id, r.chip_x, r.chip_y): r for r in base.collect()}
+    for r in got:
+        o = orig[(r.cell_id, r.chip_x, r.chip_y)]
+        a = codec.decode(o.bytes, o.w, o.h, o.fmt)
+        want = codec.encode(
+            np.ascontiguousarray(chips.aug_np(a, r.variant)), o.fmt)
+        assert bytes(r.bytes) == want, r.variant
+    # hash mode: exactly one variant per chip, deterministic under
+    # repartitioning
+    one = chips.augment_chips(base, ("orig", "fliph", "flipv", "rot90"),
+                              mode="hash", seed=3)
+    rows = {(r.cell_id, r.chip_x, r.chip_y): r.variant
+            for r in one.collect()}
+    assert len(rows) == n
+    re = {(r.cell_id, r.chip_x, r.chip_y): r.variant
+          for r in one.repartition(9).collect()}
+    assert re == rows
+    assert len(set(rows.values())) > 1   # the hash actually varies

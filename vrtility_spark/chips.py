@@ -54,6 +54,87 @@ def chip_rows_np(arr: np.ndarray, nd, chip: int):
     return out
 
 
+#: the dihedral-subgroup variants every vision pipeline augments with;
+#: each is an exact pixel permutation (lossless, codec-roundtrip-safe)
+AUG_VARIANTS = ("orig", "fliph", "flipv", "rot90", "rot180", "rot270")
+
+
+def aug_np(arr: np.ndarray, variant: str) -> np.ndarray:
+    """Apply one augmentation to a ``(B, H, W)`` array (rotations are
+    counter-clockwise, matching np.rot90)."""
+    if variant == "orig":
+        return arr
+    if variant == "fliph":
+        return arr[:, :, ::-1]
+    if variant == "flipv":
+        return arr[:, ::-1, :]
+    if variant in ("rot90", "rot180", "rot270"):
+        k = {"rot90": 1, "rot180": 2, "rot270": 3}[variant]
+        return np.rot90(arr, k=k, axes=(1, 2))
+    raise KeyError(f"unknown augmentation {variant!r}; "
+                   f"known: {AUG_VARIANTS}")
+
+
+def augment_chips(df: DataFrame, variants=("orig", "fliph", "flipv"),
+                  mode: str = "all", seed: int = 0,
+                  key_cols=("cell_id", "chip_x", "chip_y")) -> DataFrame:
+    """Augment a chip table with exact flip/rotation variants — the
+    standard vision-training multiplier, as ONE narrow Arrow map with
+    zero shuffle.
+
+    ``mode="all"`` emits every variant per chip (corpus × len(variants),
+    ``variant`` column added). ``mode="hash"`` emits exactly ONE
+    deterministically-chosen variant per chip (md5 of ``seed|key_cols``
+    picks it — reshard-proof like :mod:`sampling`'s splits, so the
+    augmented corpus never flickers between runs). Rotations require
+    square chips."""
+    variants = tuple(variants)
+    for v in variants:
+        if v not in AUG_VARIANTS:
+            raise KeyError(f"unknown augmentation {v!r}; "
+                           f"known: {AUG_VARIANTS}")
+    if mode not in ("all", "hash"):
+        raise ValueError("mode must be 'all' or 'hash'")
+    for c in (*key_cols, "bytes", "w", "h", "fmt"):
+        if c not in df.columns:
+            raise ValueError(f"chip table is missing column {c!r}")
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("variant", T.StringType())])
+    in_cols = list(df.columns)
+
+    def gen(batches):
+        import hashlib
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                arr = codec.decode(rec["bytes"], int(rec["w"]),
+                                   int(rec["h"]), rec["fmt"])
+                if mode == "hash":
+                    hx = hashlib.md5(
+                        ("|".join([str(seed)]
+                                  + [str(rec[c]) for c in key_cols])
+                         ).encode()).hexdigest()[:8]
+                    chosen = (variants[int(hx, 16) % len(variants)],)
+                else:
+                    chosen = variants
+                for v in chosen:
+                    if v.startswith("rot") and v != "rot180" \
+                            and rec["w"] != rec["h"]:
+                        raise ValueError(
+                            f"{v} needs square chips, got "
+                            f"{rec['w']}x{rec['h']}")
+                    row = dict(rec)
+                    row["bytes"] = codec.encode(
+                        np.ascontiguousarray(aug_np(arr, v)), rec["fmt"])
+                    row["variant"] = v
+                    rows.append(row)
+            if rows:
+                yield pd.DataFrame(rows, columns=in_cols + ["variant"])
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
 def make_chips(df: DataFrame, chip: int = 8,
                key: str = "cell_id") -> DataFrame:
     """Explode a tile table into chips: every input column passes
