@@ -777,6 +777,27 @@ def q_repetition_stats(spark, sf_dir):
         F.round("dup3_frac", 6).alias("dup3_frac"))
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """Bigram-LM perplexity corpus scoring (textlm.train_lm/score_lm) —
+    the CCNet/Gopher-style quality filter: fit the capped count model
+    on the corpus itself (two count aggregations, counts shuffle with
+    map-side combine, documents never do), then score every document
+    in one broadcast zero-shuffle Arrow pass. Caps chosen to BIND at
+    sf0.01 so the deterministic count-desc/lexical tie-break is
+    exercised; docs with < 2 tokens drop (undefined perplexity). The
+    oracle replays the identical model in SQL: same vocab/bigram
+    ordering, same add-alpha smoothing denominator alpha*(V+2)."""
+    from vrtility_spark import textlm
+    d = _t(spark, sf_dir, "documents")
+    model = textlm.train_lm(d, vocab_size=2000, bigram_cap=5000,
+                            alpha=0.1)
+    scored = textlm.score_lm(d, model)
+    return scored.where(~F.isnan("perplexity")).select(
+        "doc_id",
+        F.round(F.log2("perplexity"), 4).alias("log2_ppl"),
+        F.round("perplexity", 2).alias("perplexity"))
+
+
 DECONTAM_MOD = 11       # every 11th doc plays the "benchmark" here
 DECONTAM_MIN_OVERLAP = 2
 CROSSDUP_N = 5          # window width for cross-document span dedup
@@ -2571,6 +2592,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
+        "lm_perplexity": q_lm_perplexity,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh": q_embedding_lsh,
         "embedding_dup_clusters": q_embedding_dup_clusters,
@@ -3167,6 +3189,51 @@ def oracle_sql() -> dict[str, str]:
             from words d
             left join top2 t using (doc_id)
             left join a3 a using (doc_id)
+        """,
+        "lm_perplexity": """
+            with words as (
+              select doc_id,
+                     list_filter(string_split(text, ' '),
+                                 x -> x <> '') as w
+              from documents
+            ), toks as (
+              select doc_id, i, w[i] as tok
+              from words, unnest(range(1, len(w) + 1)) as t(i)
+            ), vocab as (
+              select tok,
+                     row_number() over (order by cnt desc, tok) - 1 as vid
+              from (select tok, count(*) as cnt from toks
+                    group by tok order by cnt desc, tok limit 2000)
+            ), nv as (
+              select count(*) as v from vocab
+            ), ids as (
+              select t.doc_id, t.i,
+                     coalesce(v.vid, (select v from nv)) as vid
+              from toks t left join vocab v using (tok)
+            ), uni as (
+              select vid, cast(count(*) as double) as c
+              from ids group by vid
+            ), pairs as (
+              select a.doc_id, a.vid as pa, b.vid as pb
+              from ids a join ids b
+                on a.doc_id = b.doc_id and b.i = a.i + 1
+            ), bi as (
+              select pa, pb, cast(count(*) as double) as c
+              from pairs group by pa, pb
+              order by c desc, pa, pb limit 5000
+            ), scored as (
+              select p.doc_id,
+                     -log2((coalesce(b.c, 0) + 0.1)
+                           / (u.c + 0.1 * ((select v from nv) + 1)))
+                       as nll
+              from pairs p
+              left join bi b on b.pa = p.pa and b.pb = p.pb
+              join uni u on u.vid = p.pa
+            )
+            select doc_id,
+                   round(avg(nll), 4) as log2_ppl,
+                   round(pow(2.0, avg(nll)), 2) as perplexity
+            from scored group by doc_id
         """,
         "decontaminate": shingle_cte + f"""
             , bench as (
