@@ -2470,6 +2470,26 @@ def q_image_hampel(spark, sf_dir):
                       "caption")
 
 
+def q_image_whittaker(spark, sf_dir):
+    """Per-pixel Whittaker–Eilers smoothing + gap interpolation
+    (timeseries.whittaker, Eilers 2003): penalized least squares with a
+    λ-weighted 2nd-difference roughness penalty per pixel series,
+    solved by a deterministic pure-NumPy banded Cholesky inside the
+    same grouped m2m map as hampel/savgol — tile payloads decode only
+    inside the Arrow map, one cell-keyed shuffle, per-timestep rows."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema, timeseries, warp
+    images = schema.images_df(spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    out = timeseries.whittaker(
+        warp.assign_cells(images, datagen.TILE_RES), lam=5.0, d=2)
+    ps = _pix_sum_udf()
+    return out.select("image_id", "cell_id",
+                      F.date_format("datetime", "yyyy-MM-dd").alias("dt"),
+                      F.length("bytes").alias("payload_len"),
+                      ps("bytes", "w", "h", "fmt").alias("pix_sum"),
+                      "caption")
+
+
 # =====================================================================
 # contract surface
 # =====================================================================
@@ -2632,6 +2652,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_hls_composite": q_image_hls_composite,
         "image_regrid_composite": q_image_regrid_composite,
         "image_hampel": q_image_hampel,
+        "image_whittaker": q_image_whittaker,
         "audio_features": q_audio_features,
         "video_features": q_video_features,
         "image_tri": q_image_tri,

@@ -169,3 +169,97 @@ def test_spark_savgol_matches_driver(spark, tiny_images):
                 codec.from_float(want[t], nodata,
                                  codec.dtype_for(r.fmt)), r.fmt)
             assert bytes(og.loc[r.image_id].bytes) == exp
+
+
+# --------------------------------------------------------- whittaker
+
+def _whittaker_dense_oracle(X, lam, d):
+    """From-scratch dense twin: build (W + lam*DtD) per column and
+    np.linalg.solve it — independent of the banded Cholesky path."""
+    T, P = X.shape
+    D = np.diff(np.eye(T), n=d, axis=0)
+    A0 = lam * (D.T @ D)
+    out = X.copy()
+    for p in range(P):
+        f = np.isfinite(X[:, p])
+        if f.sum() < d:
+            continue
+        A = A0 + np.diag(f.astype(float))
+        out[:, p] = np.linalg.solve(A, np.where(f, X[:, p], 0.0))
+    return out
+
+
+def test_whittaker_matches_dense_solve_oracle():
+    rng = np.random.default_rng(7)
+    for d in (1, 2, 3):
+        for T in (d + 1, 9, 48):
+            X = rng.normal(50, 10, (T, 11))
+            X[rng.random(X.shape) < 0.25] = np.nan
+            X[:, 0] = np.nan                    # all-NaN column
+            X[min(d, T - 1):, 1] = np.nan       # < d finite samples
+            got = timeseries.whittaker_np(X, 5.0, d)
+            exp = _whittaker_dense_oracle(X, 5.0, d)
+            # rtol 1e-6: the exactly-d-points column extrapolates a
+            # deg<d polynomial across the whole series — legitimately
+            # ill-conditioned, banded and dense solvers agree to ~1e-8
+            assert np.allclose(got, exp, equal_nan=True,
+                               rtol=1e-6, atol=1e-8), (d, T)
+
+
+def test_whittaker_polynomial_fixed_points_and_gaps():
+    t = np.arange(30.0)
+    const = np.full((30, 1), 7.25)
+    assert np.allclose(timeseries.whittaker_np(const, 100.0, 2), const)
+    lin = (3.0 + 0.5 * t)[:, None]
+    assert np.allclose(timeseries.whittaker_np(lin, 1e4, 2), lin)
+    # a NaN gap in a linear profile interpolates back onto the line
+    gap = lin.copy()
+    gap[10:13, 0] = np.nan
+    sm = timeseries.whittaker_np(gap, 10.0, 2)
+    assert np.allclose(sm, lin, atol=1e-6)
+    # large lambda -> the d=2 smooth approaches the OLS line of a noisy
+    # series; small lambda stays close to the data at observed points
+    rng = np.random.default_rng(1)
+    noisy = lin[:, 0] + rng.normal(0, 0.3, 30)
+    big = timeseries.whittaker_np(noisy[:, None], 1e8, 2)[:, 0]
+    coef = np.polyfit(t, noisy, 1)
+    assert np.allclose(big, np.polyval(coef, t), atol=1e-3)
+    small = timeseries.whittaker_np(noisy[:, None], 1e-6, 2)[:, 0]
+    assert np.allclose(small, noisy, atol=1e-3)
+
+
+def test_whittaker_short_and_degenerate_series():
+    X = np.array([[1.0, np.nan], [2.0, np.nan]])
+    out = timeseries.whittaker_np(X, 5.0, 2)   # T <= d: untouched
+    assert np.array_equal(out, X, equal_nan=True)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        timeseries.whittaker_np(X, 0.0, 2)
+    with _pt.raises(ValueError):
+        timeseries.whittaker_np(X, 1.0, 0)
+
+
+def test_spark_whittaker_matches_driver(spark, tiny_images):
+    """Distributed per-pixel Whittaker == driver-side whittaker_np on
+    every cell's stacked series (same m2m machinery as hampel)."""
+    df = warp.assign_cells(tiny_images, datagen.TILE_RES)
+    out = timeseries.whittaker(df, lam=5.0, d=2).toPandas()
+    src = df.toPandas()
+    assert len(out) == len(src)
+    for cell_id, grp in src.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nodata = float(grp.nodata.iloc[0])
+        stack = np.stack([
+            codec.to_float_masked(
+                codec.decode(r.bytes, r.w, r.h, r.fmt), nodata)
+            for r in grp.itertuples(index=False)])
+        T, B, H, W = stack.shape
+        want = np.stack([
+            timeseries.whittaker_np(stack[:, b].reshape(T, H * W), 5.0, 2)
+            .reshape(T, H, W) for b in range(B)], axis=1)
+        og = out[out.cell_id == cell_id].set_index("image_id")
+        for t, r in enumerate(grp.itertuples(index=False)):
+            exp = codec.encode(
+                codec.from_float(want[t], nodata,
+                                 codec.dtype_for(r.fmt)), r.fmt)
+            assert bytes(og.loc[r.image_id].bytes) == exp

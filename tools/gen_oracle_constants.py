@@ -1304,6 +1304,35 @@ def image_hampel_rows():
     return rows
 
 
+def image_whittaker_rows():
+    pdf = _grouped_fixture()
+    rows = []
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort") \
+            .reset_index(drop=True)
+        nodata = float(grp.nodata.iloc[0])
+        stack = np.stack([
+            codec.to_float_masked(
+                codec.decode(r.bytes, r.w, r.h, r.fmt), nodata)
+            for r in grp.itertuples(index=False)])
+        Tn, B, H, W = stack.shape
+        filt = np.stack([
+            timeseries.whittaker_np(stack[:, b].reshape(Tn, H * W), 5.0, 2)
+            .reshape(Tn, H, W) for b in range(B)], axis=1)
+        for t in range(Tn):
+            payload = codec.encode(
+                codec.from_float(filt[t], nodata, "uint16"), "raw16")
+            rows.append({
+                "image_id": grp.image_id.iloc[t], "cell_id": int(cell_id),
+                "dt": f"{grp.datetime.iloc[t]:%Y-%m-%d}",
+                "payload_len": len(payload),
+                "pix_sum": int(np.frombuffer(payload, "<u2")
+                               .astype(np.int64).sum()),
+                "caption": grp.caption.iloc[t],
+            })
+    return rows
+
+
 def audio_rows():
     pdf = multimodal.audio_pandas(n=24)
     rows = []
@@ -2455,6 +2484,10 @@ def main() -> None:
              "pix_sum"]),
         "image_hampel": values_sql(
             image_hampel_rows(),
+            ["image_id", "cell_id", "dt", "payload_len", "pix_sum",
+             "caption"]),
+        "image_whittaker": values_sql(
+            image_whittaker_rows(),
             ["image_id", "cell_id", "dt", "payload_len", "pix_sum",
              "caption"]),
         "audio_features": values_sql(

@@ -57,7 +57,8 @@ class Pipeline:
         "thin",
         "set_scale", "reproject", "warp", "regrid", "composite",
         "composite_period", "trend", "mk_trend", "harmonic", "gapfill",
-        "hampel", "savgol", "split_cells", "focal", "morphology", "sieve",
+        "hampel", "savgol", "whittaker", "split_cells", "focal",
+        "morphology", "sieve",
         "proximity", "fillnodata", "chips", "overview_level",
         "overviews", "terrain", "color_relief", "stretch", "classify"])
 
@@ -671,6 +672,14 @@ class Pipeline:
         return self._next(_ts.savgol(self.df, window, polyorder), (),
                           "savgol", {"window": int(window),
                                      "polyorder": int(polyorder)})
+
+    def whittaker(self, lam: float = 5.0, d: int = 2) -> "Pipeline":
+        """Per-pixel Whittaker–Eilers smoothing + NaN gap interpolation
+        along the time axis (timeseries.whittaker): penalized
+        least squares with a λ-weighted d-th-difference roughness
+        penalty, solved per pixel by a deterministic banded Cholesky."""
+        return self._next(_ts.whittaker(self.df, lam, d), (),
+                          "whittaker", {"lam": float(lam), "d": int(d)})
 
     def m2m(self, fun: Callable[[np.ndarray], np.ndarray]) -> "Pipeline":
         return self._next(_ts.singleband_m2m(self.df, fun), (),

@@ -155,6 +155,100 @@ def savgol(df: DataFrame, window: int = 5, polyorder: int = 2,
         df, lambda X: savgol_np(X, window, polyorder), key=key)
 
 
+def _dd_bands(T: int, d: int) -> np.ndarray:
+    """Banded representation of ``D_dᵀ D_d`` (the ``d``-th-difference
+    penalty of the Whittaker smoother): ``bands[k, i] = (DᵀD)[i+k, i]``
+    for ``k = 0..d``.  ``D`` has integer entries (binomial signs), so
+    every band value is an exact small integer — host-portable no
+    matter which BLAS computes the product."""
+    D = np.diff(np.eye(T), n=d, axis=0)          # (T-d, T), integers
+    dtd = D.T @ D                                # exact (integer sums)
+    return np.stack([np.concatenate([np.diagonal(dtd, -k),
+                                     np.zeros(k)]) for k in range(d + 1)])
+
+
+def _banded_chol_solve(diag: np.ndarray, bands: np.ndarray,
+                       rhs: np.ndarray, d: int) -> np.ndarray:
+    """Solve ``A z = rhs`` for each column, where per-column
+    ``A = diag(diag[:, p]) + banded(bands)`` is SPD with lower
+    bandwidth ``d``.  Pure-NumPy banded Cholesky + two substitutions,
+    vectorized across columns: O(T·d²) per column, fixed operation
+    order (bit-deterministic on any host, unlike LAPACK ``gesv``)."""
+    T, P = diag.shape
+    ell = np.zeros((d + 1, T, P))
+    for i in range(T):
+        s = diag[i] + bands[0, i]
+        for k in range(1, min(d, i) + 1):
+            s = s - ell[k, i - k] ** 2
+        l0 = np.sqrt(s)
+        ell[0, i] = l0
+        for k in range(1, min(d, T - 1 - i) + 1):
+            s = np.full(P, bands[k, i])
+            for m in range(1, min(d - k, i) + 1):
+                s = s - ell[k + m, i - m] * ell[m, i - m]
+            ell[k, i] = s / l0
+    y = np.zeros((T, P))
+    for i in range(T):
+        s = rhs[i]
+        for k in range(1, min(d, i) + 1):
+            s = s - ell[k, i - k] * y[i - k]
+        y[i] = s / ell[0, i]
+    z = np.zeros((T, P))
+    for i in range(T - 1, -1, -1):
+        s = y[i]
+        for k in range(1, min(d, T - 1 - i) + 1):
+            s = s - ell[k, i] * z[i + k]
+        z[i] = s / ell[0, i]
+    return z
+
+
+def whittaker_np(X: np.ndarray, lam: float = 5.0, d: int = 2) -> np.ndarray:
+    """Weighted Whittaker–Eilers smoother along axis 0 of the (T, P)
+    series matrix — the standard EO time-series smoother/gap-filler
+    (Eilers 2003, "A perfect smoother"): per column solve
+    ``(W + λ DᵀD) z = W y`` with ``W = diag(1 if finite else 0)``, so
+    NaN gaps are smoothly interpolated (never voted on) and the whole
+    profile is denoised with an explicit roughness penalty λ.
+
+    Columns with fewer than ``d`` finite samples keep their original
+    values (the penalized system loses positive-definiteness there);
+    everything else returns the smooth profile at EVERY timestep,
+    including formerly-NaN gaps.
+    """
+    if lam <= 0:
+        raise ValueError(f"lam must be > 0, got {lam}")
+    d = int(d)
+    if d < 1:
+        raise ValueError(f"d must be >= 1, got {d}")
+    Xf = np.asarray(X, dtype=np.float64)
+    T, P = Xf.shape
+    if T <= d:
+        return Xf.copy()
+    finite = np.isfinite(Xf)
+    bad = finite.sum(axis=0) < d
+    w = finite.astype(np.float64)
+    w[:, bad] = 1.0                      # dummy PD system, overwritten
+    rhs = np.where(finite, Xf, 0.0)
+    rhs[:, bad] = 0.0
+    bands = float(lam) * _dd_bands(T, d)
+    diag = w + bands[0][:, None]
+    off = bands.copy()
+    off[0] = 0.0
+    out = _banded_chol_solve(diag, off, rhs, d)
+    out[:, bad] = Xf[:, bad]
+    return out
+
+
+def whittaker(df: DataFrame, lam: float = 5.0, d: int = 2,
+              key: str = "cell_id") -> DataFrame:
+    """Per-pixel Whittaker smoothing (and NaN gap interpolation) of an
+    image time series via :func:`singleband_m2m` — one cell-keyed
+    shuffle, per-timestep output rows, tile payloads decoded only
+    inside the grouped Arrow map."""
+    return singleband_m2m(
+        df, lambda X: whittaker_np(X, lam, d), key=key)
+
+
 M2M_SCHEMA = (
     "image_id string, cell_id long, datetime timestamp, bytes binary, "
     "w int, h int, fmt string, nodata double, caption string"
