@@ -2100,6 +2100,39 @@ def q_image_hillshade(spark, sf_dir):
         nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
 
 
+def q_image_texture(spark, sf_dir):
+    """Masked median composite → GLCM texture (texture.glcm_texture,
+    Haralick 1973 contrast over the symmetric 4-direction
+    co-occurrence matrix; radius-1 window, 8 quantization levels on an
+    explicit [0, 8000) range): rides the focal halo exchange with
+    radius + offset reach so co-occurrence pairs cross tile seams
+    exactly as on one mosaic; all window tallies are integral-image
+    box sums. Output rawf32/-9999, input footprint preserved
+    (fill=False). Pinned against constants computed Spark-free on the
+    assembled per-zone mosaics (tools/gen_oracle_constants.py); the
+    kernel itself is Counter-oracle-gated in tests/test_texture.py.
+    The reference has no texture operator — GEE glcmTexture / Orfeo
+    HaralickTextures parity for the training-feature pipeline."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    out = (Pipeline(images)
+           .set_maskfun("int", datagen.S2_MASK_VALUES)
+           .warp(cell_res=datagen.TILE_RES)
+           .composite("median")
+           .texture("contrast", radius=1, levels=8, lo=0.0, hi=8000.0)
+           .df)
+    fs, nd_px = _float_payload_udfs()
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        F.md5("caption_agg").alias("caption_md5"),
+        fs("bytes", "w", "h", "fmt").alias("tx_sum"),
+        nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
+
+
 def q_image_hillshade_md(spark, sf_dir):
     """Multidirectional hillshade (terrain op 'hillshade_md' — gdaldem
     hillshade -multidirectional, the Mark-1992 sin²-weighted blend of
@@ -2653,6 +2686,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_regrid_composite": q_image_regrid_composite,
         "image_hampel": q_image_hampel,
         "image_whittaker": q_image_whittaker,
+        "image_texture": q_image_texture,
         "audio_features": q_audio_features,
         "video_features": q_video_features,
         "image_tri": q_image_tri,

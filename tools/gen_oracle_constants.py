@@ -468,6 +468,73 @@ def image_hillshade_rows(md: bool = False):
     return sorted(rows, key=lambda d: d["cell_id"])
 
 
+def image_texture_rows(metric="contrast", radius=1, levels=8,
+                       lo=0.0, hi=8000.0):
+    """Masked median composite → GLCM texture (Haralick metric over
+    the symmetric 4-direction co-occurrence matrix, radius-1 window,
+    8 levels on [0, 8000)) replicated without Spark: per-zone mosaics
+    assembled, padded by radius + offset reach, reduced with
+    texture.glcm_np (kernel Counter-oracle-gated in
+    tests/test_texture.py), masked back to the input footprint
+    (fill=False), cropped to tiles and run through the exact
+    rawf32/-9999 encode round-trip — pinning the widened halo
+    exchange byte-for-byte."""
+    from vrtility_spark import texture
+
+    pdf = _grouped_fixture()
+    tiles: dict[int, np.ndarray] = {}
+    meta: dict[int, tuple] = {}
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        with np.errstate(all="ignore"):
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                out = composite.REDUCERS["median"](_masked_stack(grp, nd))
+        tiles[int(cell_id)] = codec.from_float(out, nd, "uint16")
+        meta[int(cell_id)] = (nd, len(grp),
+                              _caption_agg(grp.caption.tolist()))
+    by_zone: dict[int, list] = {}
+    for cid in tiles:
+        zone, _res, ix, iy = (int(v) for v in cells.decode_np(cid))
+        by_zone.setdefault(zone, []).append((cid, ix, iy))
+    h = w = 16
+    reach = int(radius) + 1          # offset reach 1 for OFFSETS_4
+    rows = []
+    for zone, lst in sorted(by_zone.items()):
+        x0 = min(ix for _, ix, _ in lst)
+        y0 = min(iy for _, _, iy in lst)
+        gx = max(ix for _, ix, _ in lst) - x0 + 1
+        gy = max(iy for _, _, iy in lst) - y0 + 1
+        nb = tiles[lst[0][0]].shape[0]
+        G = np.full((nb, gy * h, gx * w), np.nan)
+        for cid, ix, iy in lst:
+            A = codec.to_float_masked(tiles[cid], meta[cid][0])
+            G[:, (iy - y0) * h:(iy - y0 + 1) * h,
+              (ix - x0) * w:(ix - x0 + 1) * w] = A
+        P = np.full((nb, gy * h + 2 * reach, gx * w + 2 * reach), np.nan)
+        P[:, reach:-reach, reach:-reach] = G
+        tx = texture.glcm_np(P, radius, levels, lo, hi, metric)
+        tx = np.where(np.isnan(G), np.nan, tx)  # fill=False footprint
+        for cid, ix, iy in lst:
+            tile = tx[:, (iy - y0) * h:(iy - y0 + 1) * h,
+                      (ix - x0) * w:(ix - x0 + 1) * w]
+            payload = codec.encode(
+                codec.from_float(tile, -9999.0, "float32"), "rawf32")
+            dec = codec.decode(payload, w, h, "rawf32").astype(np.float64)
+            valid = dec[dec != -9999.0]
+            nd_, n_scenes, agg = meta[cid]
+            rows.append({
+                "cell_id": cid, "n_scenes": n_scenes,
+                "payload_len": len(payload),
+                "caption_md5": hashlib.md5(agg.encode()).hexdigest(),
+                "tx_sum": float(np.round(valid, 3).sum()),
+                "nodata_px": int((dec == -9999.0).sum()),
+            })
+    return sorted(rows, key=lambda d: d["cell_id"])
+
+
 def image_topocorrect_rows(azimuth=135.0, altitude=50.0, c=0.5):
     """Masked median composite → topographic C-correction replicated
     without Spark: band 0 of each per-zone mosaic plays the DEM,
@@ -2486,6 +2553,10 @@ def main() -> None:
             image_hampel_rows(),
             ["image_id", "cell_id", "dt", "payload_len", "pix_sum",
              "caption"]),
+        "image_texture": values_sql(
+            image_texture_rows(),
+            ["cell_id", "n_scenes", "payload_len", "caption_md5",
+             "tx_sum", "nodata_px"]),
         "image_whittaker": values_sql(
             image_whittaker_rows(),
             ["image_id", "cell_id", "dt", "payload_len", "pix_sum",

@@ -60,7 +60,8 @@ class Pipeline:
         "hampel", "savgol", "whittaker", "split_cells", "focal",
         "morphology", "sieve",
         "proximity", "fillnodata", "chips", "overview_level",
-        "overviews", "terrain", "color_relief", "stretch", "classify"])
+        "overviews", "terrain", "texture", "color_relief", "stretch",
+        "classify"])
 
     def __init__(self, df: DataFrame, mask_specs: tuple = (),
                  log: tuple = (), mask_dropped: bool = False):
@@ -614,6 +615,31 @@ class Pipeline:
                             "azimuth": float(azimuth),
                             "altitude": float(altitude),
                             "pixel_size": psz, "alg": alg})
+
+    def texture(self, metric: str = "contrast", radius: int = 2,
+                levels: int = 8, lo: float = 0.0, hi: float = 1.0,
+                offsets=None, symmetric: bool = True,
+                fill: bool = False) -> "Pipeline":
+        """GLCM texture metric (texture.glcm_texture — Haralick
+        contrast/dissimilarity/homogeneity/energy/entropy) per band
+        over a one-row-per-cell tile table via the focal halo exchange
+        with radius + offset reach; quantization onto an explicit
+        [lo, hi) range keeps the operator deterministic and
+        tile-independent.  Output rawf32 / -9999 sentinel."""
+        from vrtility_spark import texture as _texture
+        offs = (_texture.OFFSETS_4 if offsets is None
+                else tuple((int(a), int(b)) for a, b in offsets))
+        return self._next(
+            _texture.glcm_texture(self.df, metric, radius=radius,
+                                  levels=levels, lo=lo, hi=hi,
+                                  offsets=offs, symmetric=symmetric,
+                                  fill=fill),
+            (), "texture", {"metric": metric, "radius": int(radius),
+                            "levels": int(levels), "lo": float(lo),
+                            "hi": float(hi),
+                            "offsets": [list(o) for o in offs],
+                            "symmetric": bool(symmetric),
+                            "fill": bool(fill)})
 
     def color_relief(self, ramp, band: int = 0,
                      interpolate: bool = True,
