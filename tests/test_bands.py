@@ -254,3 +254,59 @@ def test_mlmask_vendored_weights_torch_parity(spark, tiny_images):
         planes = arr[[names.index(b) for b in ("B04", "B03", "B08")]]
         a, b = np_pred(planes), t_pred(planes)
         assert (a == b).mean() >= 0.999, "torch/numpy forward disagree"
+
+
+# ---------------------------------------------------- spectral indices
+
+def test_index_formula_renders_and_validates():
+    from vrtility_spark import bands
+    f = bands.index_formula("ndvi", nir="B08", red="B04")
+    assert f == "((B08) - (B04)) / ((B08) + (B04))"
+    # every template renders into an AST-valid formula
+    roles = dict(nir="B08", red="B04", green="B03", blue="B02",
+                 swir1="B11", swir2="B12", rededge="B05")
+    for idx in bands.SPECTRAL_INDICES:
+        bands.compile_formula(bands.index_formula(idx, **roles))
+    import pytest as _pt
+    with _pt.raises(KeyError):
+        bands.index_formula("nope", nir="B08")
+    with _pt.raises(ValueError):
+        bands.index_formula("ndvi", nir="B08")          # missing red
+    with _pt.raises(ValueError):
+        bands.index_formula("ndvi", nir="B08", red="B04-bad")
+
+
+def test_spectral_index_matches_hand_formula(spark, tiny_images):
+    from vrtility_spark import bands
+    via_preset = bands.spectral_index(
+        tiny_images, "ndvi", nir="B08", red="B04").toPandas()
+    via_formula = bands.derived_band(
+        tiny_images, "ndvi",
+        "((B08) - (B04)) / ((B08) + (B04))").toPandas()
+    assert list(via_preset.bands.iloc[0]) == list(via_formula.bands.iloc[0])
+    a = {r.image_id: bytes(r.bytes) for r in via_preset.itertuples()}
+    b = {r.image_id: bytes(r.bytes) for r in via_formula.itertuples()}
+    assert a == b
+    # savi closed form on a known pixel pair: nir=.8, red=.2 -> 0.6
+    import numpy as np
+    f = bands.compile_formula(bands.index_formula(
+        "savi", nir="N", red="R"))
+    v = f({"N": np.array([0.8]), "R": np.array([0.2])})
+    np.testing.assert_allclose(v, 1.5 * 0.6 / 1.5)
+    f2 = bands.compile_formula(bands.index_formula(
+        "msavi", nir="N", red="R"))
+    v2 = f2({"N": np.array([0.8]), "R": np.array([0.2])})
+    want = (2 * 0.8 + 1 - np.sqrt((2 * 0.8 + 1) ** 2
+                                  - 8 * (0.8 - 0.2))) / 2
+    np.testing.assert_allclose(v2, want)
+
+
+def test_spectral_index_pipeline_bundles(spark, tiny_images, tmp_path):
+    from vrtility_spark.pipeline import Pipeline
+    p = Pipeline(tiny_images).spectral_index("ndvi", nir="B08", red="B04")
+    bpath = str(tmp_path / "ndvi_bundle.json")
+    p.to_bundle(bpath)
+    replay = Pipeline.from_bundle(bpath, tiny_images)
+    a = {r.image_id: bytes(r.bytes) for r in p.df.collect()}
+    b = {r.image_id: bytes(r.bytes) for r in replay.df.collect()}
+    assert a == b and len(a) > 0

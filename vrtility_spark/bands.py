@@ -210,6 +210,76 @@ def compile_formula(expr: str) -> Callable[[dict], np.ndarray]:
     return f
 
 
+#: named spectral-index templates over band ROLES (nir/red/green/blue/
+#: swir1/swir2/rededge) — render with :func:`index_formula` by mapping
+#: roles onto the collection's actual band names.  Formulas assume
+#: physical/reflectance units, which is exactly what
+#: :func:`derived_band` hands the formula (scale/offset applied,
+#: nodata already NaN).
+SPECTRAL_INDICES = {
+    "ndvi": ("(({nir}) - ({red})) / (({nir}) + ({red}))",
+             ("nir", "red")),
+    "gndvi": ("(({nir}) - ({green})) / (({nir}) + ({green}))",
+              ("nir", "green")),
+    "ndwi": ("(({green}) - ({nir})) / (({green}) + ({nir}))",
+             ("green", "nir")),
+    "mndwi": ("(({green}) - ({swir1})) / (({green}) + ({swir1}))",
+              ("green", "swir1")),
+    "ndmi": ("(({nir}) - ({swir1})) / (({nir}) + ({swir1}))",
+             ("nir", "swir1")),
+    "nbr": ("(({nir}) - ({swir2})) / (({nir}) + ({swir2}))",
+            ("nir", "swir2")),
+    "ndre": ("(({nir}) - ({rededge})) / (({nir}) + ({rededge}))",
+             ("nir", "rededge")),
+    "evi": ("2.5 * (({nir}) - ({red})) / (({nir}) + 6.0 * ({red}) "
+            "- 7.5 * ({blue}) + 1.0)", ("nir", "red", "blue")),
+    "evi2": ("2.5 * (({nir}) - ({red})) / (({nir}) + 2.4 * ({red}) "
+             "+ 1.0)", ("nir", "red")),
+    "savi": ("1.5 * (({nir}) - ({red})) / (({nir}) + ({red}) + 0.5)",
+             ("nir", "red")),
+    "msavi": ("(2.0 * ({nir}) + 1.0 - sqrt((2.0 * ({nir}) + 1.0) ** 2 "
+              "- 8.0 * (({nir}) - ({red})))) / 2.0", ("nir", "red")),
+    "bsi": ("((({swir1}) + ({red})) - (({nir}) + ({blue}))) "
+            "/ ((({swir1}) + ({red})) + (({nir}) + ({blue})))",
+            ("swir1", "red", "nir", "blue")),
+}
+
+
+def index_formula(index: str, **roles: str) -> str:
+    """Render a :data:`SPECTRAL_INDICES` template into a plain
+    band-math formula string by mapping its ROLES onto actual band
+    names — ``index_formula("ndvi", nir="B08", red="B04")`` →
+    ``"((B08) - (B04)) / ((B08) + (B04))"``.  The result is an
+    ordinary :func:`compile_formula` string, so it bundles and
+    AST-validates like any hand-written formula."""
+    if index not in SPECTRAL_INDICES:
+        raise KeyError(f"unknown spectral index {index!r}; known: "
+                       f"{sorted(SPECTRAL_INDICES)}")
+    template, required = SPECTRAL_INDICES[index]
+    missing = [r for r in required if r not in roles]
+    if missing:
+        raise ValueError(
+            f"spectral index {index!r} needs band roles {missing} "
+            f"(required: {list(required)})")
+    for role, band in roles.items():
+        if not str(band).isidentifier():
+            raise ValueError(
+                f"band name {band!r} for role {role!r} is not a valid "
+                "identifier (formulas resolve bands by name)")
+    return template.format(**{r: roles[r] for r in required})
+
+
+def spectral_index(df: DataFrame, index: str, name: str | None = None,
+                   replace: bool = False, **roles: str) -> DataFrame:
+    """Append a named spectral index (NDVI/EVI/NBR/NDWI/… — see
+    :data:`SPECTRAL_INDICES`) as a derived band:
+    ``spectral_index(images, "ndvi", nir="B08", red="B04")``.
+    Sugar over :func:`derived_band` with :func:`index_formula` — same
+    Float32 storage, physical-units inputs, NaN nodata."""
+    return derived_band(df, name or index,
+                        index_formula(index, **roles), replace=replace)
+
+
 def derived_band(df: DataFrame, name: str,
                  formula: Callable[[dict], np.ndarray] | str,
                  replace: bool = False,

@@ -164,6 +164,19 @@ class Pipeline:
                                           keep_mask_plane), (),
                           "derived_band", params)
 
+    def spectral_index(self, index: str, name: str | None = None,
+                       replace: bool = False, **roles: str) -> "Pipeline":
+        """Append a named spectral index (bands.SPECTRAL_INDICES —
+        NDVI/EVI/NBR/NDWI/SAVI/…) by mapping its band roles onto this
+        collection's band names: ``.spectral_index("ndvi", nir="B08",
+        red="B04")``.  Logs as a plain derived_band verb (the rendered
+        formula string), so bundles replay it with zero extra
+        machinery."""
+        from vrtility_spark import bands as _b
+        return self.derived_band(name or index,
+                                 _b.index_formula(index, **roles),
+                                 replace=replace)
+
     def set_scale(self, scale, offset=0.0) -> "Pipeline":
         from vrtility_spark import bands as _b
         to_j = (lambda v: v if np.isscalar(v) else list(v))
