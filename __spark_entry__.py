@@ -2133,6 +2133,37 @@ def q_image_texture(spark, sf_dir):
         nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
 
 
+def q_image_kmeans(spark, sf_dir):
+    """Masked median composite → unsupervised per-pixel k-means
+    classification (cluster.fit_kmeans + classify_kmeans — the GEE
+    ee.Clusterer.wekaKMeans / .cluster() pattern): train on a bounded
+    deterministic hash-permuted pixel sample, broadcast the tiny
+    codebook, assign every pixel in one zero-shuffle Arrow map (raw16
+    class plane, 65535 nodata sentinel).  uint16 features make Lloyd's
+    sums exact, so the fit is partitioning-invariant and the constants
+    oracle (tools/gen_oracle_constants.py, sharing cluster.py's
+    kernels) pins the whole fit+assign byte-for-byte.  The reference
+    has no clusterer; this is the unsupervised-classification verb of
+    the GEE/terra family."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    out = (Pipeline(images)
+           .set_maskfun("int", datagen.S2_MASK_VALUES)
+           .warp(cell_res=datagen.TILE_RES)
+           .composite("median")
+           .kmeans(k=4, n_per_tile=64, iters=10, seed=0)
+           .df)
+    ps = _pix_sum_udf()
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        F.md5("caption_agg").alias("caption_md5"),
+        ps("bytes", "w", "h", "fmt").alias("pix_sum"))
+
+
 def q_image_hillshade_md(spark, sf_dir):
     """Multidirectional hillshade (terrain op 'hillshade_md' — gdaldem
     hillshade -multidirectional, the Mark-1992 sin²-weighted blend of
@@ -2687,6 +2718,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_hampel": q_image_hampel,
         "image_whittaker": q_image_whittaker,
         "image_texture": q_image_texture,
+        "image_kmeans": q_image_kmeans,
         "audio_features": q_audio_features,
         "video_features": q_video_features,
         "image_tri": q_image_tri,

@@ -535,6 +535,53 @@ def image_texture_rows(metric="contrast", radius=1, levels=8,
     return sorted(rows, key=lambda d: d["cell_id"])
 
 
+def image_kmeans_rows(k=4, n_per_tile=64, iters=10, seed=0):
+    """Masked median composite → unsupervised k-means classification
+    replicated without Spark via cluster.py's OWN kernels (sampling,
+    Lloyd, assignment — each loop-/property-gated in
+    tests/test_cluster.py): sample every composite tile in
+    (cell_id, draw) order exactly as cluster.sample_pixels sorts its
+    collected rows, train the deterministic codebook, classify each
+    tile — pinning the broadcast-assign plumbing byte-for-byte.
+    uint16 features make Lloyd's sums exact, so the fit is
+    partitioning-invariant by construction."""
+    from vrtility_spark import cluster
+
+    pdf = _grouped_fixture()
+    tiles: dict[int, np.ndarray] = {}
+    meta: dict[int, tuple] = {}
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        with np.errstate(all="ignore"):
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                out = composite.REDUCERS["median"](_masked_stack(grp, nd))
+        tiles[int(cell_id)] = codec.from_float(out, nd, "uint16")
+        meta[int(cell_id)] = (nd, len(grp),
+                              _caption_agg(grp.caption.tolist()))
+    samp = []
+    for cid in sorted(tiles):
+        A = codec.to_float_masked(tiles[cid], meta[cid][0])
+        samp.append(cluster.sample_tile_np(A, cid, n_per_tile, seed))
+    X = np.concatenate(samp)
+    C = cluster.train_kmeans_np(X, k, iters=iters, seed=seed)
+    rows = []
+    for cid in sorted(tiles):
+        A = codec.to_float_masked(tiles[cid], meta[cid][0])
+        payload = codec.encode(cluster.classify_tile_np(A, C), "raw16")
+        nd_, n_scenes, agg = meta[cid]
+        rows.append({
+            "cell_id": cid, "n_scenes": n_scenes,
+            "payload_len": len(payload),
+            "caption_md5": hashlib.md5(agg.encode()).hexdigest(),
+            "pix_sum": int(np.frombuffer(payload, "<u2")
+                           .astype(np.int64).sum()),
+        })
+    return rows
+
+
 def image_topocorrect_rows(azimuth=135.0, altitude=50.0, c=0.5):
     """Masked median composite → topographic C-correction replicated
     without Spark: band 0 of each per-zone mosaic plays the DEM,
@@ -2553,6 +2600,10 @@ def main() -> None:
             image_hampel_rows(),
             ["image_id", "cell_id", "dt", "payload_len", "pix_sum",
              "caption"]),
+        "image_kmeans": values_sql(
+            image_kmeans_rows(),
+            ["cell_id", "n_scenes", "payload_len", "caption_md5",
+             "pix_sum"]),
         "image_texture": values_sql(
             image_texture_rows(),
             ["cell_id", "n_scenes", "payload_len", "caption_md5",

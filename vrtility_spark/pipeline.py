@@ -61,7 +61,7 @@ class Pipeline:
         "morphology", "sieve",
         "proximity", "fillnodata", "chips", "overview_level",
         "overviews", "terrain", "texture", "color_relief", "stretch",
-        "classify"])
+        "classify", "kmeans"])
 
     def __init__(self, df: DataFrame, mask_specs: tuple = (),
                  log: tuple = (), mask_dropped: bool = False):
@@ -653,6 +653,30 @@ class Pipeline:
                             "offsets": [list(o) for o in offs],
                             "symmetric": bool(symmetric),
                             "fill": bool(fill)})
+
+    def kmeans(self, k: int, n_per_tile: int = 64,
+               max_cells: int | None = None, iters: int = 20,
+               seed: int = 0) -> "Pipeline":
+        """Unsupervised per-pixel k-means classification
+        (cluster.fit_kmeans + classify_kmeans — the GEE
+        ee.Clusterer.wekaKMeans / .cluster() pattern): train on a
+        bounded deterministic pixel sample (hash-selected cells ×
+        n_per_tile hash-permuted pixels each), then broadcast the tiny
+        codebook and assign every pixel in one zero-shuffle Arrow map.
+        Output is a single raw16 class plane (0..k-1,
+        cluster.NODATA_CLASS sentinel).  Fitting is deterministic
+        given the input table, so bundle replay reproduces the exact
+        classes."""
+        from vrtility_spark import cluster as _cluster
+        C = _cluster.fit_kmeans(self.df, k, n_per_tile=n_per_tile,
+                                max_cells=max_cells, iters=iters,
+                                seed=seed)
+        return self._next(
+            _cluster.classify_kmeans(self.df, C), (),
+            "kmeans", {"k": int(k), "n_per_tile": int(n_per_tile),
+                       "max_cells": (None if max_cells is None
+                                     else int(max_cells)),
+                       "iters": int(iters), "seed": int(seed)})
 
     def color_relief(self, ramp, band: int = 0,
                      interpolate: bool = True,
