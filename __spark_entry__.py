@@ -2133,6 +2133,39 @@ def q_image_texture(spark, sf_dir):
         nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
 
 
+SEMDEDUP_TAU = 0.9995
+SEMDEDUP_DUPS = 6
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) — semantic deduplication of an
+    embedding corpus: fit k-means on a bounded hash-ranked sample
+    (cluster.fit_kmeans_vectors), bucket by nearest centroid with a
+    PURE-EXPRESSION broadcast argmin (zero shuffle, zero Python), drop
+    within-cluster cosine near-duplicates (cos ≥ τ) through the shared
+    connected-components keep-min-id dedup.  Pair cost is Σc_i²
+    — never n² — and oversized clusters fail loudly.  Integer fixture
+    embeddings + 6 planted exact copies; the constants oracle
+    (tools/gen_oracle_constants.py) replays fit/assign/pairs/CC with
+    cluster.py's own kernels and bit-exact fold-order twins of the
+    expression math."""
+    _ensure_shipped(spark)
+    from vrtility_spark import cluster, datagen, dedup
+    pdf = datagen.embeddings_pandas(n=240, d=12, n_clusters=3, seed=7)
+    rows = pdf[["doc_id", "embedding"]].to_dict("records")
+    for i in range(SEMDEDUP_DUPS):
+        rows.append({"doc_id": 240 + i,
+                     "embedding": list(rows[i]["embedding"])})
+    df = spark.createDataFrame(
+        pd.DataFrame(rows), "doc_id long, embedding array<double>")
+    C = cluster.fit_kmeans_vectors(df, 3, max_rows=1000, iters=15,
+                                   seed=0)
+    pairs = cluster.semantic_dup_pairs(df, C, threshold=SEMDEDUP_TAU)
+    kept = dedup.drop_near_duplicates(df, pairs)
+    return (cluster.assign_vectors(kept, C)
+            .select("doc_id", "cluster"))
+
+
 def q_image_kmeans(spark, sf_dir):
     """Masked median composite → unsupervised per-pixel k-means
     classification (cluster.fit_kmeans + classify_kmeans — the GEE
@@ -2719,6 +2752,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_whittaker": q_image_whittaker,
         "image_texture": q_image_texture,
         "image_kmeans": q_image_kmeans,
+        "semantic_dedup": q_semantic_dedup,
         "audio_features": q_audio_features,
         "video_features": q_video_features,
         "image_tri": q_image_tri,

@@ -172,3 +172,87 @@ def test_kmeans_pipeline_verb_and_bundle(spark, tmp_path):
     replay = Pipeline.from_bundle(bpath, df)
     got2 = {r.cell_id: bytes(r.bytes) for r in replay.df.collect()}
     assert got == got2 and len(got) == len(rows)
+
+
+# ------------------------------------------- embeddings / SemDeDup ----
+
+def _emb_df(spark, n=60, dup_of=(0, 1, 2), seed=11):
+    """Integer clustered embeddings + planted near-exact duplicates of
+    the given doc ids (id = n + i)."""
+    from vrtility_spark import datagen
+    pdf = datagen.embeddings_pandas(n=n, d=8, n_clusters=3, seed=seed)
+    rows = pdf[["doc_id", "embedding"]].to_dict("records")
+    for i, src in enumerate(dup_of):
+        v = list(rows[src]["embedding"])
+        rows.append({"doc_id": n + i, "embedding": v})  # exact copy
+    return spark.createDataFrame(
+        pd.DataFrame(rows), "doc_id long, embedding array<double>")
+
+
+def test_assign_vectors_matches_numpy_and_is_expression_only(spark):
+    df = _emb_df(spark)
+    C = cluster.fit_kmeans_vectors(df, 3, max_rows=1000, iters=15,
+                                   seed=2)
+    got = {r.doc_id: r.cluster
+           for r in cluster.assign_vectors(df, C).collect()}
+    pdf = df.toPandas()
+    X = np.asarray(pdf.embedding.tolist(), dtype=np.float64)
+    want = cluster.assign_np(X, C)
+    assert [got[i] for i in pdf.doc_id] == want.tolist()
+    # zero Python in the assign hot path: no Arrow/Python eval nodes
+    plan = cluster.assign_vectors(df, C)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_fit_kmeans_vectors_reshard_and_cap(spark):
+    df = _emb_df(spark)
+    a = cluster.fit_kmeans_vectors(df, 3, max_rows=1000, seed=5)
+    b = cluster.fit_kmeans_vectors(df.repartition(7), 3, max_rows=1000,
+                                   seed=5)
+    assert np.array_equal(a, b)
+    # the cap really bounds the sample (trains fine on 10 rows)
+    c = cluster.fit_kmeans_vectors(df, 3, max_rows=10, seed=5)
+    assert c.shape == a.shape
+
+
+def test_semantic_dedup_drops_planted_duplicates(spark):
+    n = 60
+    df = _emb_df(spark, n=n, dup_of=(0, 1, 2))
+    C = cluster.fit_kmeans_vectors(df, 3, max_rows=1000, iters=15,
+                                   seed=3)
+    pairs = cluster.semantic_dup_pairs(df, C, threshold=0.999999)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    # every planted exact copy pairs with its source (cos == 1)
+    assert {(0, n), (1, n + 1), (2, n + 2)} <= got
+    kept = cluster.semantic_dedup(df, 3, threshold=0.999999,
+                                  max_rows=1000, iters=15, seed=3)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert {n, n + 1, n + 2}.isdisjoint(ids)     # copies dropped
+    assert {0, 1, 2} <= ids                      # keep-min-id survives
+    # python oracle: exact pair set within clusters
+    pdf = df.toPandas()
+    X = np.asarray(pdf.embedding.tolist(), dtype=np.float64)
+    lab = cluster.assign_np(X, C)
+    ids_all = pdf.doc_id.to_numpy()
+    want = set()
+    for i in range(len(X)):
+        for j in range(i + 1, len(X)):
+            if lab[i] != lab[j]:
+                continue
+            na, nb = np.sqrt((X[i] ** 2).sum()), np.sqrt((X[j] ** 2).sum())
+            if na * nb <= 0:
+                continue
+            if (X[i] @ X[j]) / (na * nb) >= 0.999999:
+                a, b = sorted((int(ids_all[i]), int(ids_all[j])))
+                want.add((a, b))
+    assert got == want
+
+
+def test_semantic_dup_pairs_cluster_size_guard(spark):
+    df = _emb_df(spark)
+    C = cluster.fit_kmeans_vectors(df, 2, max_rows=1000, seed=1)
+    with pytest.raises(Exception, match="max_cluster_size"):
+        cluster.semantic_dup_pairs(df, C, threshold=0.5,
+                                   max_cluster_size=3).collect()

@@ -535,6 +535,57 @@ def image_texture_rows(metric="contrast", radius=1, levels=8,
     return sorted(rows, key=lambda d: d["cell_id"])
 
 
+def semantic_dedup_rows(k=3, tau=0.9995, n_dups=6, iters=15, seed=0):
+    """SemDeDup replayed Spark-free with cluster.py's own kernels:
+    md5-hash-ranked training sample (the fit_kmeans_vectors order),
+    deterministic Lloyd, FOLD-ORDER assignment / cosine twins of the
+    distributed expression math (cluster.assign_fold_np / fold_dot_np
+    — F.aggregate folds sequentially, np.sum is pairwise), union-find
+    keep-min-id — pinning the whole fit/assign/pair/CC pipeline."""
+    import hashlib as _hl
+    from vrtility_spark import cluster
+
+    pdf = datagen.embeddings_pandas(n=240, d=12, n_clusters=3, seed=7)
+    recs = pdf[["doc_id", "embedding"]].to_dict("records")
+    for i in range(n_dups):
+        recs.append({"doc_id": 240 + i,
+                     "embedding": list(recs[i]["embedding"])})
+    ids = np.array([r["doc_id"] for r in recs], dtype=np.int64)
+    X = np.asarray([r["embedding"] for r in recs], dtype=np.float64)
+
+    # fit sample: md5("seed:doc_id")[:8 hex] rank, (rank, id) order
+    ranks = np.array([int(_hl.md5(f"{seed}:{i}".encode())
+                          .hexdigest()[:8], 16) for i in ids])
+    order = np.lexsort((ids, ranks))
+    C = cluster.train_kmeans_np(X[order], k, iters=iters, seed=seed)
+
+    lab = cluster.assign_fold_np(X, C)
+    norms = np.array([cluster.fold_norm_np(v) for v in X])
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n = len(ids)
+    for a in range(n):
+        for b in range(a + 1, n):
+            if lab[a] != lab[b]:
+                continue
+            den = norms[a] * norms[b]
+            if den <= 0:
+                continue
+            if cluster.fold_dot_np(X[a], X[b]) / den >= tau:
+                ra, rb = find(int(ids[a])), find(int(ids[b]))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    losers = {i for i in parent if find(i) != i}
+    return [{"doc_id": int(i), "cluster": int(lab[j])}
+            for j, i in enumerate(ids) if int(i) not in losers]
+
+
 def image_kmeans_rows(k=4, n_per_tile=64, iters=10, seed=0):
     """Masked median composite → unsupervised k-means classification
     replicated without Spark via cluster.py's OWN kernels (sampling,
@@ -2600,6 +2651,8 @@ def main() -> None:
             image_hampel_rows(),
             ["image_id", "cell_id", "dt", "payload_len", "pix_sum",
              "caption"]),
+        "semantic_dedup": values_sql(
+            semantic_dedup_rows(), ["doc_id", "cluster"]),
         "image_kmeans": values_sql(
             image_kmeans_rows(),
             ["cell_id", "n_scenes", "payload_len", "caption_md5",

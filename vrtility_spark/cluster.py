@@ -211,6 +211,155 @@ def fit_kmeans(df: DataFrame, k: int, n_per_tile: int = 64,
     return train_kmeans_np(X, k, iters=iters, seed=seed)
 
 
+def fold_d2_np(X: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Squared distance accumulated in INDEX ORDER — the bit-exact
+    twin of :func:`assign_vectors`' ``F.aggregate`` fold (NumPy's
+    ``.sum`` is pairwise, which can differ in the last ulp)."""
+    acc = np.zeros(X.shape[0])
+    for t in range(X.shape[1]):
+        acc = acc + (X[:, t] - c[t]) ** 2
+    return acc
+
+
+def assign_fold_np(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """argmin over :func:`fold_d2_np` distances, lowest index on ties
+    — replicates the distributed expression assignment exactly."""
+    D = np.stack([fold_d2_np(X, c) for c in C], axis=1)
+    return D.argmin(axis=1)
+
+
+def fold_dot_np(a: np.ndarray, b: np.ndarray) -> float:
+    """Index-order dot product (twin of the pair-cosine fold)."""
+    acc = 0.0
+    for t in range(len(a)):
+        acc = acc + a[t] * b[t]
+    return acc
+
+
+def fold_norm_np(a: np.ndarray) -> float:
+    return float(np.sqrt(fold_dot_np(a, a)))
+
+
+def fit_kmeans_vectors(df: DataFrame, k: int,
+                       vec_col: str = "embedding",
+                       id_col: str = "doc_id",
+                       max_rows: int = 100_000, iters: int = 20,
+                       seed: int = 0) -> np.ndarray:
+    """k-means codebook over an embedding column: the training sample
+    is the ``max_rows`` lowest md5-hash-ranked rows (one bounded top-k,
+    never a full collect), sorted canonically before the deterministic
+    NumPy Lloyd — so the fit is identical under any partitioning and
+    bounded no matter the corpus."""
+    rank = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.lit(int(seed)), F.col(id_col).cast("string"))), 1, 8),
+        16, 10).cast("long")
+    rows = (df.select(F.col(id_col).alias("_id"),
+                      F.col(vec_col).alias("_v"), rank.alias("_r"))
+            .orderBy("_r", "_id").limit(int(max_rows)).toPandas())
+    if not len(rows):
+        raise ValueError("empty training sample")
+    X = np.asarray(rows._v.tolist(), dtype=np.float64)
+    return train_kmeans_np(X, k, iters=iters, seed=seed)
+
+
+def assign_vectors(df: DataFrame, centroids: np.ndarray,
+                   vec_col: str = "embedding",
+                   out_col: str = "cluster") -> DataFrame:
+    """Append the nearest-centroid cluster id: the ``(k, d)`` codebook
+    broadcasts as literal columns and the argmin is PURE EXPRESSIONS
+    (one squared-distance aggregate per centroid, ``least`` + a
+    first-match scan for the lowest-index tie-break) — zero shuffle,
+    zero Python in the hot path, whole-stage codegen end to end."""
+    C = np.asarray(centroids, dtype=np.float64)
+    if C.ndim != 2:
+        raise ValueError(f"centroids must be (k, d), got {C.shape}")
+
+    def d2(c: np.ndarray):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda a, b: (a - b) ** 2),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    dists = [d2(c) for c in C]
+    best = F.least(*dists) if len(dists) > 1 else dists[0]
+    lab = F.lit(None).cast("int")
+    for j in range(len(dists) - 1, -1, -1):   # first minimum wins
+        lab = F.when(dists[j] == best, F.lit(j)).otherwise(lab)
+    return df.withColumn(out_col, lab)
+
+
+def semantic_dup_pairs(df: DataFrame, centroids: np.ndarray,
+                       threshold: float = 0.99,
+                       vec_col: str = "embedding",
+                       id_col: str = "doc_id",
+                       max_cluster_size: int = 50_000) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) candidate pairs: assign every
+    embedding to its k-means cluster, then compare cosines ONLY within
+    clusters — the self-join key is the cluster id, so pair cost is
+    ``Σ c_i²`` instead of n², and the cosine itself is pure
+    expressions (precomputed norms + one zip_with dot per pair).
+    Pairs with ``cos ≥ threshold`` survive, ``(doc_a < doc_b)``.
+
+    A cluster larger than ``max_cluster_size`` fails LOUDLY (inside
+    the pair count, via a fused guard expression) instead of silently
+    exploding the join — raise ``k`` (SemDeDup uses k ~ √n) or the
+    cap."""
+    norm = F.sqrt(F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x * x),
+        F.lit(0.0), lambda acc, x: acc + x))
+    tagged = (assign_vectors(df, centroids, vec_col=vec_col)
+              .select(F.col(id_col).alias("_id"),
+                      F.col(vec_col).alias("_v"),
+                      norm.alias("_n"), "cluster"))
+    csize = tagged.groupBy("cluster").agg(F.count("*").alias("_cs"))
+    # fused guard: Catalyst may reorder separate filters, so the size
+    # check and the pass-through live in ONE expression
+    guard = F.when(
+        F.col("_cs") > int(max_cluster_size),
+        F.raise_error(F.concat(
+            F.lit("semantic_dup_pairs: cluster "),
+            F.col("cluster").cast("string"),
+            F.lit(" holds "), F.col("_cs").cast("string"),
+            F.lit(f" > max_cluster_size={int(max_cluster_size)} "
+                  "embeddings; raise k (SemDeDup uses k ~ sqrt(n)) "
+                  "or max_cluster_size")))).otherwise(F.lit(True))
+    tagged = (tagged.join(csize, "cluster").where(guard)
+              .drop("_cs"))
+    a = tagged.select(F.col("cluster"), F.col("_id").alias("doc_a"),
+                      F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    b = tagged.select(F.col("cluster"), F.col("_id").alias("doc_b"),
+                      F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    den = F.col("_na") * F.col("_nb")
+    cos = F.when(den > 0, dot / den)
+    return (a.join(b, "cluster")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .withColumn("cos", cos)
+            .where(F.col("cos") >= float(threshold))
+            .select("doc_a", "doc_b", "cluster", "cos"))
+
+
+def semantic_dedup(df: DataFrame, k: int, threshold: float = 0.99,
+                   vec_col: str = "embedding", id_col: str = "doc_id",
+                   max_rows: int = 100_000, iters: int = 20,
+                   seed: int = 0,
+                   max_cluster_size: int = 50_000) -> DataFrame:
+    """SemDeDup end to end: fit k-means on a bounded sample, bucket by
+    cluster, drop near-identical embeddings (cos ≥ threshold) with
+    keep-min-id semantics via the shared connected-components dedup
+    (:func:`vrtility_spark.dedup.drop_near_duplicates` — transitive
+    closure, same as every other near-dup family here)."""
+    from vrtility_spark import dedup
+    C = fit_kmeans_vectors(df, k, vec_col=vec_col, id_col=id_col,
+                           max_rows=max_rows, iters=iters, seed=seed)
+    pairs = semantic_dup_pairs(df, C, threshold=threshold,
+                               vec_col=vec_col, id_col=id_col,
+                               max_cluster_size=max_cluster_size)
+    return dedup.drop_near_duplicates(df, pairs, id_col=id_col)
+
+
 def classify_kmeans(df: DataFrame, centroids: np.ndarray,
                     key: str = "cell_id") -> DataFrame:
     """Assign every pixel to its nearest centroid: broadcast the tiny
