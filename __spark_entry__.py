@@ -824,6 +824,98 @@ def q_decontaminate(spark, sf_dir):
         F.col("contaminated").cast("int").alias("contaminated"))
 
 
+def _pii_enriched(d):
+    """The documents fixture is PII-free word soup, so the query plants
+    deterministic PII spans keyed on doc_id (email on %3==0, phone on
+    %4==1, IPv4 on %5==2 — ids carry 0-2 categories each); the oracle
+    SQL builds the IDENTICAL strings, so detection/redaction is
+    exercised on real matches, not vacuous zero counts."""
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 3 == 0, F.concat(
+                F.lit(" contact u"), s(did),
+                F.lit("@example.com now"))).otherwise(F.lit("")),
+            F.when(did % 4 == 1, F.concat(
+                F.lit(" call (555) 123-"),
+                F.lpad(s(did % 10000), 4, "0"))).otherwise(F.lit("")),
+            F.when(did % 5 == 2, F.concat(
+                F.lit(" host 10."), s(did % 256),
+                F.lit("."), s((did * 7) % 256),
+                F.lit("."), s((did * 13) % 256),
+                F.lit(" up"))).otherwise(F.lit("")),
+        ).alias("text"))
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB twin of q_pii_scrub: the SAME regex strings (Java ∩ RE2
+    subset) run under RE2 with explicit 'g' flags (Spark's
+    regexp_replace is global by default, DuckDB's is not), over the
+    identically-constructed enriched text."""
+    from vrtility_spark.pii import PII_PATTERNS
+    pats = {name: pat for name, pat, _tok in PII_PATTERNS}
+    red = "t"
+    stripped = "t"
+    for name, pat, tok in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+        stripped = f"regexp_replace({stripped}, '{pat}', '', 'g')"
+    return f"""
+        with e as (
+          select doc_id,
+                 text
+                 || case when doc_id % 3 = 0 then ' contact u'
+                      || cast(doc_id as varchar) || '@example.com now'
+                    else '' end
+                 || case when doc_id % 4 = 1 then ' call (555) 123-'
+                      || lpad(cast(doc_id % 10000 as varchar), 4, '0')
+                    else '' end
+                 || case when doc_id % 5 = 2 then ' host 10.'
+                      || cast(doc_id % 256 as varchar) || '.'
+                      || cast((doc_id * 7) % 256 as varchar) || '.'
+                      || cast((doc_id * 13) % 256 as varchar) || ' up'
+                    else '' end as t
+          from documents
+        ), m as (
+          select doc_id, t,
+                 len(regexp_extract_all(t, '{pats["email"]}')) as n_email,
+                 len(regexp_extract_all(t, '{pats["phone"]}')) as n_phone,
+                 len(regexp_extract_all(t, '{pats["ipv4"]}')) as n_ipv4,
+                 {red} as red,
+                 {stripped} as stripped
+          from e
+        )
+        select doc_id, n_email, n_phone, n_ipv4,
+               n_email + n_phone + n_ipv4 as n_pii,
+               length(t) - length(stripped) as pii_chars,
+               round(cast(length(t) - length(stripped) as double)
+                     / length(t), 6) as pii_char_frac,
+               length(red) as redacted_len,
+               md5(red) as redacted_md5
+        from m
+    """
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detection + redaction (pii.pii_report): per-document
+    category counts, matched-character fraction, and the
+    placeholder-redacted text — the ROOTS/StarCoder-style regex scrub
+    stage. Pure regexp_count/regexp_replace expressions fused into the
+    scan projection: JVM-side, zero shuffle, zero Python — the plan a
+    100-TB corpus rewrite needs. Patterns live in the Java-regex ∩ RE2
+    common subset so the SQL oracle runs the exact same strings."""
+    from vrtility_spark import pii
+    d = _pii_enriched(_t(spark, sf_dir, "documents"))
+    rep = pii.pii_report(d)
+    return rep.select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "n_pii", "pii_chars",
+        F.round("pii_char_frac", 6).alias("pii_char_frac"),
+        F.length("redacted").alias("redacted_len"),
+        F.md5("redacted").alias("redacted_md5"))
+
+
 # =====================================================================
 # similarity search over embeddings
 # =====================================================================
@@ -2710,6 +2802,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "lm_perplexity": q_lm_perplexity,
+        "pii_scrub": q_pii_scrub,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh": q_embedding_lsh,
         "embedding_dup_clusters": q_embedding_dup_clusters,
@@ -3380,6 +3473,7 @@ def oracle_sql() -> dict[str, str]:
             left join hits h using (doc_id)
             where d.doc_id % {DECONTAM_MOD} <> 0
         """,
+        "pii_scrub": _pii_oracle_sql(),
         "bm25_search": __import__(
             "vrtility_spark.bm25", fromlist=["bm25_sql"]
         ).bm25_sql(list(BM25_QUERY)),
