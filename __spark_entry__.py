@@ -2366,6 +2366,75 @@ def q_image_flowdir(spark, sf_dir):
               F.lit(-9999.0)).alias("nodata_px"))
 
 
+def q_image_flowacc(spark, sf_dir):
+    """Masked median composite → D8 flowdir → flow accumulation
+    (hydrology.flow_accumulation): per-pixel upstream-drainage counts
+    via the local frontier push + cross-tile boundary-mass rounds —
+    the whole-DEM hydrology transform no fixed-radius halo can
+    express; only perimeter mass records and per-touched-tile receipt
+    planes shuffle, tile bytes never do. Pinned against constants
+    computed Spark-free on assembled per-zone mosaics with the
+    walk-oracle-gated kernel (tools/gen_oracle_constants.py); the
+    reference delegates hydrology to external GDAL/SAGA tooling
+    (R/gdal-options.R)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    out = (Pipeline(images)
+           .set_maskfun("int", datagen.S2_MASK_VALUES)
+           .warp(cell_res=datagen.TILE_RES)
+           .composite("median")
+           .terrain("flowdir")
+           .flow_accumulation()
+           .df)
+
+    @F.pandas_udf("long")
+    def acc_sum(b: pd.Series, w: pd.Series, h: pd.Series,
+                fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f in zip(b, w, h, fmt):
+            dec = codec.decode(x, int(wi), int(hi), f).astype(np.float64)
+            res.append(int(dec[dec != -9999.0].sum()))
+        return pd.Series(res)
+
+    @F.pandas_udf("long")
+    def acc_max(b: pd.Series, w: pd.Series, h: pd.Series,
+                fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f in zip(b, w, h, fmt):
+            dec = codec.decode(x, int(wi), int(hi), f).astype(np.float64)
+            v = dec[dec != -9999.0]
+            res.append(int(v.max()) if v.size else 0)
+        return pd.Series(res)
+
+    @F.pandas_udf("long")
+    def px_cmp(b: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series,
+               target: pd.Series, ge: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f, t, g in zip(b, w, h, fmt, target, ge):
+            dec = codec.decode(x, int(wi), int(hi), f).astype(np.float64)
+            if g:
+                res.append(int(((dec != -9999.0) & (dec >= t)).sum()))
+            else:
+                res.append(int((dec == t).sum()))
+        return pd.Series(res)
+
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        acc_sum("bytes", "w", "h", "fmt").alias("acc_sum"),
+        acc_max("bytes", "w", "h", "fmt").alias("acc_max"),
+        px_cmp("bytes", "w", "h", "fmt", F.lit(5.0),
+               F.lit(True)).alias("stream_px"),
+        px_cmp("bytes", "w", "h", "fmt", F.lit(-9999.0),
+               F.lit(False)).alias("nodata_px"))
+
+
 def q_image_tri(spark, sf_dir):
     """Masked median composite → the 3x3 neighborhood-index terrain
     products (terrain.terrain ops 'tri' Riley, 'tpi', 'roughness' —
@@ -2827,6 +2896,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_hillshade": q_image_hillshade,
         "image_stretch": q_image_stretch,
         "image_flowdir": q_image_flowdir,
+        "image_flowacc": q_image_flowacc,
         "image_change": q_image_change,
         "image_quarterly_composite": q_image_quarterly_composite,
         "image_trend": q_image_trend,

@@ -210,3 +210,40 @@ def brute_force_knn(images_pdf, queries_pdf):
         cands.sort()
         out[q.query_id] = cands[: q.k]
     return out
+
+
+# ---------------------------------------------------------- hydrology ----
+
+_D8 = {1: (0, 1), 2: (-1, 1), 4: (-1, 0), 8: (-1, -1),
+       16: (0, -1), 32: (1, -1), 64: (1, 0), 128: (1, 1)}
+
+
+def flow_accumulation_walk(codes: np.ndarray) -> np.ndarray:
+    """Naive D8 flow accumulation: for every valid pixel, WALK its
+    drainage path step by step, incrementing every pixel it reaches
+    (ESRI upstream-count convention, self excluded). Pointers off the
+    array edge or onto a nodata-code pixel stop the walk after the
+    final receipt; sinks (code 0) absorb."""
+    codes = np.asarray(codes, np.float64)
+    B, H, W = codes.shape
+    acc = np.full((B, H, W), np.nan)
+    for b in range(B):
+        c = codes[b]
+        a = np.zeros((H, W))
+        for sy in range(H):
+            for sx in range(W):
+                if not np.isfinite(c[sy, sx]):
+                    continue
+                y, x = sy, sx
+                for _ in range(H * W + 1):
+                    code = c[y, x]
+                    if not np.isfinite(code) or code == 0:
+                        break  # nodata-code / sink: absorbed
+                    dy, dx = _D8[int(code)]
+                    y, x = y + dy, x + dx
+                    if not (0 <= y < H and 0 <= x < W):
+                        break  # off the DEM: the void absorbs
+                    a[y, x] += 1.0  # receipt at every pixel reached
+        a[~np.isfinite(c)] = np.nan
+        acc[b] = a
+    return acc

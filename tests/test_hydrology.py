@@ -1,0 +1,196 @@
+"""D8 flow accumulation: the vectorized frontier kernel vs the naive
+path-walking oracle, closed forms on constructed terrain, and the
+distributed cross-tile product vs one assembled mosaic (including
+multi-round seam crossings and convergence guards)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import oracle
+from vrtility_spark import cells, codec, hydrology, terrain
+
+RNG = np.random.default_rng(47)
+
+ZONE, RES = 51, 3
+FMT, NODATA = "raw16", 0.0
+TILE_SCHEMA = ("cell_id long, bytes binary, w int, h int, fmt string, "
+               "nodata double")
+
+
+def _pad(G):
+    B, H, W = G.shape
+    P = np.full((B, H + 2, W + 2), np.nan)
+    P[:, 1:-1, 1:-1] = G
+    return P
+
+
+# ------------------------------------------------------ kernel oracle ----
+
+def test_kernel_matches_walk_on_random_terrain():
+    G = np.round(RNG.uniform(0, 500, size=(2, 12, 14)))
+    G[RNG.random(G.shape) < 0.08] = np.nan
+    codes = terrain.flow_direction_np(_pad(G), 2.0, 3.0)
+    got = hydrology.flow_accumulation_np(codes)
+    want = oracle.flow_accumulation_walk(codes)
+    np.testing.assert_allclose(got, want, rtol=0, atol=0, equal_nan=True)
+
+
+def test_east_flowing_plane_counts_upstream_columns():
+    # z = -x: every pixel flows E; acc at column j counts the j pixels
+    # west of it (edge ring is nodata through the strict flowdir
+    # window, so the count starts at the first valid column)
+    H = W = 8
+    x = np.arange(W, dtype=np.float64)
+    G = np.tile(-x, (H, 1))[None]
+    codes = terrain.flow_direction_np(_pad(G), 1.0, 1.0)
+    acc = hydrology.flow_accumulation_np(codes)[0]
+    interior = slice(1, -1)
+    for j in range(1, W - 1):
+        np.testing.assert_allclose(acc[interior, j], j - 1)
+    assert np.isnan(acc[0]).all() and np.isnan(acc[:, 0]).all()
+
+
+def test_single_sink_collects_everything():
+    # a bowl: one central sink receives every other valid pixel
+    H = W = 9
+    y, x = np.mgrid[0:H, 0:W]
+    G = ((y - H // 2) ** 2 + (x - W // 2) ** 2).astype(np.float64)[None]
+    codes = terrain.flow_direction_np(_pad(G), 1.0, 1.0)
+    acc = hydrology.flow_accumulation_np(codes)[0]
+    n_valid = int(np.isfinite(codes[0]).sum())
+    assert acc[H // 2, W // 2] == n_valid - 1
+    walk = oracle.flow_accumulation_walk(codes)[0]
+    np.testing.assert_allclose(acc, walk, equal_nan=True)
+
+
+def test_cycle_raises():
+    codes = np.full((1, 4, 4), np.nan)
+    codes[0, 1, 1], codes[0, 1, 2] = 1.0, 16.0  # E then W: a 2-cycle
+    with pytest.raises(ValueError, match="cycle"):
+        hydrology.flow_accumulation_np(codes)
+
+
+# ------------------------------------------- distributed vs the mosaic ----
+
+def _dem_tiles(h, w, positions, seed=23, tilt=None):
+    rng = np.random.default_rng(seed)
+    nx = max(p[0] for p in positions) + 1
+    ny = max(p[1] for p in positions) + 1
+    G = np.full((1, ny * h, nx * w), np.nan)
+    rows = []
+    for ix, iy in positions:
+        if tilt == "east":
+            # strictly east-draining ramp spanning tile seams
+            xs = np.arange(ix * w, (ix + 1) * w, dtype=np.float64)
+            arr = np.tile(5000.0 - 3.0 * xs, (h, 1))[None]
+        else:
+            arr = np.round(rng.uniform(1, 500, size=(1, h, w)))
+            arr[rng.random(arr.shape) < 0.06] = NODATA
+        cid = int(cells.encode_np(ZONE, RES, ix, iy))
+        rows.append({"cell_id": cid,
+                     "bytes": codec.encode(arr.astype(np.uint16), FMT),
+                     "w": w, "h": h, "fmt": FMT, "nodata": NODATA})
+        A = arr.astype(np.float64)
+        A[A == NODATA] = np.nan
+        G[:, iy * h:(iy + 1) * h, ix * w:(ix + 1) * w] = A
+    return rows, G
+
+
+def _mosaic_want(G, h, w):
+    size = cells.cell_size(RES)
+    codes = terrain.flow_direction_np(_pad(G), size / w, size / h)
+    return hydrology.flow_accumulation_np(codes)
+
+
+def _run_distributed(spark, rows):
+    df = spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+    codes = terrain.terrain(df, "flowdir")
+    return {r.cell_id: r
+            for r in hydrology.flow_accumulation(codes).collect()}
+
+
+def _assert_matches(out, positions, want_all, h, w):
+    assert len(out) == len(positions)
+    for ix, iy in positions:
+        cid = int(cells.encode_np(ZONE, RES, ix, iy))
+        r = out[cid]
+        assert r.fmt == "rawf32" and r.nodata == hydrology.OUT_NODATA
+        got = codec.to_float_masked(
+            codec.decode(r.bytes, r.w, r.h, r.fmt), r.nodata)
+        want = want_all[:, iy * h:(iy + 1) * h, ix * w:(ix + 1) * w]
+        np.testing.assert_allclose(got, want.astype(np.float32),
+                                   rtol=0, atol=0, equal_nan=True)
+
+
+def test_distributed_matches_global_mosaic(spark):
+    h = w = 16
+    positions = [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0)]
+    rows, G = _dem_tiles(h, w, positions)
+    out = _run_distributed(spark, rows)
+    _assert_matches(out, positions, _mosaic_want(G, h, w), h, w)
+
+
+def test_multi_seam_drainage_needs_rounds(spark):
+    # a 4-tile-wide east ramp: mass from the west tile must cross 3
+    # seams, exercising >= 3 cross-tile rounds
+    h = w = 8
+    positions = [(0, 0), (1, 0), (2, 0), (3, 0)]
+    rows, G = _dem_tiles(h, w, positions, tilt="east")
+    out = _run_distributed(spark, rows)
+    _assert_matches(out, positions, _mosaic_want(G, h, w), h, w)
+    # and a too-small round budget fails LOUDLY, not silently short
+    sdf = spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+    codes = terrain.terrain(sdf, "flowdir")
+    with pytest.raises(ValueError, match="did not converge"):
+        hydrology.flow_accumulation(codes, max_rounds=1)
+
+
+def test_stream_mask_thresholds(spark):
+    h = w = 8
+    positions = [(0, 0), (1, 0)]
+    rows, G = _dem_tiles(h, w, positions, tilt="east")
+    sdf = spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+    acc = hydrology.flow_accumulation(terrain.terrain(sdf, "flowdir"))
+    t = 5.0
+    out = {r.cell_id: r
+           for r in hydrology.stream_mask(acc, threshold=t).collect()}
+    want_all = _mosaic_want(G, h, w)
+    for ix, iy in positions:
+        cid = int(cells.encode_np(ZONE, RES, ix, iy))
+        r = out[cid]
+        got = codec.to_float_masked(
+            codec.decode(r.bytes, r.w, r.h, r.fmt), r.nodata)
+        want = want_all[:, iy * h:(iy + 1) * h, ix * w:(ix + 1) * w]
+        exp = np.where(np.isnan(want), np.nan,
+                       (want >= t).astype(np.float64))
+        np.testing.assert_allclose(got, exp.astype(np.float32),
+                                   equal_nan=True)
+
+
+def test_missing_column_raises(spark):
+    df = spark.createDataFrame(pd.DataFrame({"cell_id": [1]}),
+                               "cell_id long")
+    with pytest.raises(ValueError, match="missing column"):
+        hydrology.flow_accumulation(df)
+
+
+def test_pipeline_verb_and_bundle(spark, tmp_path, tiny_images):
+    from vrtility_spark import datagen
+    from vrtility_spark.pipeline import Pipeline
+    p = (Pipeline(tiny_images)
+         .set_maskfun("int", datagen.S2_MASK_VALUES)
+         .warp(cell_res=datagen.TILE_RES)
+         .composite("median")
+         .terrain("flowdir")
+         .flow_accumulation())
+    rows = p.df.collect()
+    assert len(rows) == 12 and rows[0].fmt == "rawf32"
+    bp = str(tmp_path / "flowacc.json")
+    p.to_bundle(bp)
+    replay = Pipeline.from_bundle(bp, tiny_images)
+    a = {r.cell_id: bytes(r.bytes) for r in rows}
+    b = {r.cell_id: bytes(r.bytes) for r in replay.df.collect()}
+    assert a == b

@@ -1590,6 +1590,72 @@ def image_flowdir_rows():
     return sorted(rows, key=lambda d: d["cell_id"])
 
 
+def image_flowacc_rows(stream_threshold: float = 5.0):
+    """Masked median composite → D8 flowdir → flow accumulation
+    replicated without Spark: per-zone mosaics padded, coded with
+    terrain.flow_direction_np, and accumulated with
+    hydrology.flow_accumulation_np (walk-oracle-gated in
+    tests/test_hydrology.py), cropped back to tiles through the exact
+    rawf32/-9999 round trip. Counts are exact small integers, so the
+    checksums are their plain sum, the max, the stream-pixel count at
+    the threshold, and the nodata count."""
+    from vrtility_spark import hydrology, terrain
+
+    pdf = _grouped_fixture()
+    tiles: dict[int, np.ndarray] = {}
+    meta: dict[int, tuple] = {}
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        with np.errstate(all="ignore"):
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                out = composite.REDUCERS["median"](_masked_stack(grp, nd))
+        tiles[int(cell_id)] = codec.from_float(out, nd, "uint16")
+        meta[int(cell_id)] = (nd, len(grp))
+    by_zone: dict[int, list] = {}
+    for cid in tiles:
+        zone, _res, ix, iy = (int(v) for v in cells.decode_np(cid))
+        by_zone.setdefault(zone, []).append((cid, ix, iy))
+    h = w = 16
+    size = cells.cell_size(datagen.TILE_RES)
+    sx, sy = size / w, size / h
+    rows = []
+    for zone, lst in sorted(by_zone.items()):
+        x0 = min(ix for _, ix, _ in lst)
+        y0 = min(iy for _, _, iy in lst)
+        gx = max(ix for _, ix, _ in lst) - x0 + 1
+        gy = max(iy for _, _, iy in lst) - y0 + 1
+        nb = tiles[lst[0][0]].shape[0]
+        G = np.full((nb, gy * h, gx * w), np.nan)
+        for cid, ix, iy in lst:
+            A = codec.to_float_masked(tiles[cid], meta[cid][0])
+            G[:, (iy - y0) * h:(iy - y0 + 1) * h,
+              (ix - x0) * w:(ix - x0 + 1) * w] = A
+        P = np.full((nb, gy * h + 2, gx * w + 2), np.nan)
+        P[:, 1:-1, 1:-1] = G
+        acc = hydrology.flow_accumulation_np(
+            terrain.flow_direction_np(P, sx, sy))
+        for cid, ix, iy in lst:
+            tile = acc[:, (iy - y0) * h:(iy - y0 + 1) * h,
+                       (ix - x0) * w:(ix - x0 + 1) * w]
+            payload = codec.encode(
+                codec.from_float(tile, -9999.0, "float32"), "rawf32")
+            dec = codec.decode(payload, w, h, "rawf32").astype(np.float64)
+            valid = dec[dec != -9999.0]
+            _nd, n_scenes = meta[cid]
+            rows.append({
+                "cell_id": cid, "n_scenes": n_scenes,
+                "payload_len": len(payload),
+                "acc_sum": int(valid.sum()),
+                "acc_max": int(valid.max()) if valid.size else 0,
+                "stream_px": int((valid >= stream_threshold).sum()),
+                "nodata_px": int((dec == -9999.0).sum()),
+            })
+    return sorted(rows, key=lambda d: d["cell_id"])
+
+
 def image_tri_rows():
     """Masked median composite → TRI (Riley) / TPI / roughness
     replicated without Spark: per-zone mosaics padded and reduced with
@@ -2448,6 +2514,12 @@ def main() -> None:
             image_flowdir_rows(),
             ["cell_id", "n_scenes", "payload_len", "code_sum",
              "sink_px", "nodata_px"]),
+        # composite -> flowdir -> flow accumulation: pins the
+        # cross-tile boundary-mass rounds against the mosaic kernel
+        "image_flowacc": values_sql(
+            image_flowacc_rows(),
+            ["cell_id", "n_scenes", "payload_len", "acc_sum",
+             "acc_max", "stream_px", "nodata_px"]),
         # composite -> TRI/TPI/roughness: pins the 3x3 neighborhood
         # indices (the rest of the gdaldem menu) through the exchange
         "image_tri": values_sql(

@@ -61,7 +61,7 @@ class Pipeline:
         "morphology", "sieve",
         "proximity", "fillnodata", "chips", "overview_level",
         "overviews", "terrain", "texture", "color_relief", "stretch",
-        "classify", "kmeans"])
+        "classify", "kmeans", "flow_accumulation"])
 
     def __init__(self, df: DataFrame, mask_specs: tuple = (),
                  log: tuple = (), mask_dropped: bool = False):
@@ -628,6 +628,24 @@ class Pipeline:
                             "azimuth": float(azimuth),
                             "altitude": float(altitude),
                             "pixel_size": psz, "alg": alg})
+
+    def flow_accumulation(self, max_rounds: int = 128,
+                          reliable: bool = False,
+                          checkpoint_dir: str | None = None) -> "Pipeline":
+        """D8 flow accumulation (hydrology.flow_accumulation) over a
+        flow-direction tile table (chain ``.terrain('flowdir')``
+        first): per-pixel upstream counts via the local frontier push
+        + cross-tile boundary-mass rounds — only perimeter mass
+        records and per-touched-tile receipt planes ever shuffle.
+        Output rawf32 with the -9999 sentinel. Bundleable (the
+        durability knobs are runtime policy, not plan semantics).
+        Pending masks flush first."""
+        from vrtility_spark import hydrology as _hydro
+        return self._next(
+            _hydro.flow_accumulation(self.df, max_rounds=int(max_rounds),
+                                     reliable=bool(reliable),
+                                     checkpoint_dir=checkpoint_dir),
+            (), "flow_accumulation", {"max_rounds": int(max_rounds)})
 
     def texture(self, metric: str = "contrast", radius: int = 2,
                 levels: int = 8, lo: float = 0.0, hi: float = 1.0,
