@@ -2435,6 +2435,55 @@ def q_image_flowacc(spark, sf_dir):
                F.lit(False)).alias("nodata_px"))
 
 
+CLOUDSHADOW_BREAK = 5500.0
+CLOUDSHADOW_GEOM = dict(azimuth=135.0, elevation=30.0,
+                        cloud_height=(5000.0, 14000.0))
+
+
+def q_image_cloudshadow(spark, sf_dir):
+    """Masked median composite → bright-pixel cloud classification
+    (algebra.classify, one break) → geometric cloud-shadow projection
+    (masks.cloud_shadow): the s2cloudless/Fmask displacement sweep —
+    sun at azimuth 135°/elevation 30°, cloud-base range swept at ~1 px
+    steps, shadows OR'd with the clouds into the combined invalid
+    mask. Rides the focal halo exchange (displacement strips shuffle,
+    tiles don't). Pinned against constants computed Spark-free on
+    assembled per-zone mosaics with the walk-oracle-gated kernel
+    (tools/gen_oracle_constants.py); the reference's masking stops at
+    cloud classes (R/zvrt-pixel-funs-mask.R) — shadow geometry extends
+    the family."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    out = (Pipeline(images)
+           .set_maskfun("int", datagen.S2_MASK_VALUES)
+           .warp(cell_res=datagen.TILE_RES)
+           .composite("median")
+           .classify([CLOUDSHADOW_BREAK], band=0)
+           .cloud_shadow(union=True, **CLOUDSHADOW_GEOM)
+           .df)
+
+    @F.pandas_udf("long")
+    def px_eq(b: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series,
+              target: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f, t in zip(b, w, h, fmt, target):
+            dec = codec.decode(x, int(wi), int(hi), f)
+            res.append(int((dec == np.float32(t)).sum()))
+        return pd.Series(res)
+
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        px_eq("bytes", "w", "h", "fmt", F.lit(1.0)).alias("invalid_px"),
+        px_eq("bytes", "w", "h", "fmt", F.lit(0.0)).alias("clear_px"),
+        px_eq("bytes", "w", "h", "fmt",
+              F.lit(-9999.0)).alias("nodata_px"))
+
+
 def q_image_tri(spark, sf_dir):
     """Masked median composite → the 3x3 neighborhood-index terrain
     products (terrain.terrain ops 'tri' Riley, 'tpi', 'roughness' —
@@ -2897,6 +2946,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_stretch": q_image_stretch,
         "image_flowdir": q_image_flowdir,
         "image_flowacc": q_image_flowacc,
+        "image_cloudshadow": q_image_cloudshadow,
         "image_change": q_image_change,
         "image_quarterly_composite": q_image_quarterly_composite,
         "image_trend": q_image_trend,

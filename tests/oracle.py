@@ -247,3 +247,29 @@ def flow_accumulation_walk(codes: np.ndarray) -> np.ndarray:
         a[~np.isfinite(c)] = np.nan
         acc[b] = a
     return acc
+
+
+def cloud_shadow_walk(cloud: np.ndarray, shifts, union=False) -> np.ndarray:
+    """Naive shadow projection on an UNPADDED (B, H, W) 0/1 cloud
+    array (NaN = nodata): per pixel, scan every shift; a source
+    outside the array or NaN counts as clear; output NaN where the
+    input was NaN."""
+    B, H, W = cloud.shape
+    out = np.zeros((B, H, W))
+    for b in range(B):
+        for y in range(H):
+            for x in range(W):
+                hit = False
+                for dy, dx in shifts:
+                    sy_, sx_ = y - dy, x - dx
+                    if 0 <= sy_ < H and 0 <= sx_ < W:
+                        v = cloud[b, sy_, sx_]
+                        if np.isfinite(v) and v > 0:
+                            hit = True
+                            break
+                if union and not hit:
+                    v = cloud[b, y, x]
+                    hit = bool(np.isfinite(v) and v > 0)
+                out[b, y, x] = 1.0 if hit else 0.0
+        out[b][~np.isfinite(cloud[b])] = np.nan
+    return out

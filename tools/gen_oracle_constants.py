@@ -1656,6 +1656,81 @@ def image_flowacc_rows(stream_threshold: float = 5.0):
     return sorted(rows, key=lambda d: d["cell_id"])
 
 
+def image_cloudshadow_rows():
+    """Masked median composite → one-break bright-pixel cloud
+    classification → geometric cloud-shadow sweep replicated without
+    Spark: per-zone band-0 mosaics classified with algebra.classify_np,
+    NaN-padded by the displacement radius, and projected with
+    masks.cloud_shadow_np (walk-oracle-gated in
+    tests/test_cloudshadow.py), cropped back to tiles through the
+    exact rawf32/-9999 round trip. Values are {0, 1, -9999}, so the
+    checksums are the three exact counts."""
+    import __spark_entry__ as entry
+    from vrtility_spark import masks
+    from vrtility_spark.algebra import classify_np
+
+    pdf = _grouped_fixture()
+    tiles: dict[int, np.ndarray] = {}
+    meta: dict[int, tuple] = {}
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        with np.errstate(all="ignore"):
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                out = composite.REDUCERS["median"](_masked_stack(grp, nd))
+        tiles[int(cell_id)] = codec.from_float(out, nd, "uint16")
+        meta[int(cell_id)] = (nd, len(grp))
+    by_zone: dict[int, list] = {}
+    for cid in tiles:
+        zone, _res, ix, iy = (int(v) for v in cells.decode_np(cid))
+        by_zone.setdefault(zone, []).append((cid, ix, iy))
+    h = w = 16
+    size = cells.cell_size(datagen.TILE_RES)
+    sx, sy = size / w, size / h
+    geom = entry.CLOUDSHADOW_GEOM
+    shifts = masks.shadow_shifts(geom["azimuth"], geom["elevation"],
+                                 geom["cloud_height"], sx, sy)
+    r = max(1, max(max(abs(a), abs(b)) for a, b in shifts))
+    rows = []
+    for zone, lst in sorted(by_zone.items()):
+        x0 = min(ix for _, ix, _ in lst)
+        y0 = min(iy for _, _, iy in lst)
+        gx = max(ix for _, ix, _ in lst) - x0 + 1
+        gy = max(iy for _, _, iy in lst) - y0 + 1
+        G = np.full((1, gy * h, gx * w), np.nan)
+        for cid, ix, iy in lst:
+            A = codec.to_float_masked(tiles[cid], meta[cid][0])[:1]
+            G[:, (iy - y0) * h:(iy - y0 + 1) * h,
+              (ix - x0) * w:(ix - x0 + 1) * w] = A
+        # the distributed path round-trips the classify output through
+        # rawf32 before the shadow stage — replicate exactly
+        cls = classify_np(G, [entry.CLOUDSHADOW_BREAK])
+        cls = codec.to_float_masked(
+            codec.from_float(cls, -9999.0, "float32").astype(np.float64),
+            -9999.0)
+        P = np.full((1, gy * h + 2 * r, gx * w + 2 * r), np.nan)
+        P[:, r:-r, r:-r] = cls
+        sh = masks.cloud_shadow_np(P, shifts, r, union=True)
+        sh = np.where(np.isnan(cls), np.nan, sh)
+        for cid, ix, iy in lst:
+            tile = sh[:, (iy - y0) * h:(iy - y0 + 1) * h,
+                      (ix - x0) * w:(ix - x0 + 1) * w]
+            payload = codec.encode(
+                codec.from_float(tile, -9999.0, "float32"), "rawf32")
+            dec = codec.decode(payload, w, h, "rawf32")
+            _nd, n_scenes = meta[cid]
+            rows.append({
+                "cell_id": cid, "n_scenes": n_scenes,
+                "payload_len": len(payload),
+                "invalid_px": int((dec == np.float32(1.0)).sum()),
+                "clear_px": int((dec == np.float32(0.0)).sum()),
+                "nodata_px": int((dec == np.float32(-9999.0)).sum()),
+            })
+    return sorted(rows, key=lambda d: d["cell_id"])
+
+
 def image_tri_rows():
     """Masked median composite → TRI (Riley) / TPI / roughness
     replicated without Spark: per-zone mosaics padded and reduced with
@@ -2520,6 +2595,12 @@ def main() -> None:
             image_flowacc_rows(),
             ["cell_id", "n_scenes", "payload_len", "acc_sum",
              "acc_max", "stream_px", "nodata_px"]),
+        # composite -> classify -> shadow sweep: pins the sun-geometry
+        # displacement kernel through the halo exchange
+        "image_cloudshadow": values_sql(
+            image_cloudshadow_rows(),
+            ["cell_id", "n_scenes", "payload_len", "invalid_px",
+             "clear_px", "nodata_px"]),
         # composite -> TRI/TPI/roughness: pins the 3x3 neighborhood
         # indices (the rest of the gdaldem menu) through the exchange
         "image_tri": values_sql(

@@ -181,3 +181,112 @@ def vrt_set_maskfun(df: DataFrame, maskfun: str, mask_values: Sequence[int],
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------- cloud shadows ----
+#
+# Geometric cloud-shadow projection (the s2cloudless / Fmask
+# cloud-shadow-displacement step; reference masking stops at the cloud
+# classes themselves — R/zvrt-pixel-funs-mask.R — so shadow geometry
+# extends the family): a cloud at height h with the sun at (azimuth,
+# elevation) casts its shadow displaced d = h / tan(elevation) metres
+# AWAY from the sun. A cloud-BASE height range sweeps the displacement
+# along the shadow ray; a pixel is shadow if any sampled height maps a
+# cloud pixel onto it. Rides the focal halo exchange as a callable
+# kernel — the displacement bounds the radius, strips shuffle, cloud
+# tiles do not.
+
+def shadow_shifts(azimuth: float, elevation: float, cloud_height,
+                  sx: float, sy: float,
+                  max_steps: int = 64) -> list[tuple[int, int]]:
+    """Integer ``(dy, dx)`` pixel displacements of the shadow across
+    the cloud-base height range (scalar or ``(hmin, hmax)`` metres),
+    sampled at most ~1 px apart along the ray (deduplicated, sorted —
+    deterministic). ``+dy`` is north (+row on this grid)."""
+    el = float(np.radians(elevation))
+    if not 0.0 < float(elevation) < 90.0:
+        raise ValueError(
+            f"sun elevation must be in (0, 90) degrees, got {elevation}")
+    az = float(np.radians(azimuth))
+    if np.isscalar(cloud_height):
+        hmin = hmax = float(cloud_height)
+    else:
+        hmin, hmax = sorted(float(h) for h in cloud_height)
+    if hmin < 0:
+        raise ValueError(f"cloud height must be >= 0, got {hmin}")
+    t = np.tan(el)
+    d_min, d_max = hmin / t, hmax / t
+    n = min(int(max_steps),
+            max(1, int(np.ceil((d_max - d_min) / min(sx, sy))) + 1))
+    shifts = set()
+    for k in range(n):
+        h_k = hmin + (hmax - hmin) * (k / (n - 1) if n > 1 else 0.0)
+        d = h_k / t
+        east, north = -d * np.sin(az), -d * np.cos(az)
+        shifts.add((int(np.round(north / sy)), int(np.round(east / sx))))
+    return sorted(shifts)
+
+
+def cloud_shadow_np(P: np.ndarray, shifts, r: int,
+                    union: bool = False) -> np.ndarray:
+    """Shadow plane(s) from a NaN-padded ``(B, H+2r, W+2r)`` 0/1 cloud
+    array: 1 where any shift maps a cloud pixel here, else 0 (NaN and
+    beyond-coverage neighbors count as clear — absence of evidence;
+    the focal driver re-imposes the center nodata mask afterwards).
+    ``union=True`` ORs the cloud itself in — the combined
+    cloud-or-shadow invalid mask most pipelines feed to set_mask."""
+    B, Hp, Wp = P.shape
+    H, W = Hp - 2 * r, Wp - 2 * r
+    cld = np.where(np.isnan(P), 0.0, P) > 0
+    out = np.zeros((B, H, W))
+    for dy, dx in shifts:
+        if max(abs(int(dy)), abs(int(dx))) > r:
+            raise ValueError(
+                f"shift ({dy},{dx}) exceeds halo radius {r}")
+        src = cld[:, r - dy:r - dy + H, r - dx:r - dx + W]
+        out = np.maximum(out, src.astype(np.float64))
+    if union:
+        out = np.maximum(out, cld[:, r:r + H, r:r + W].astype(np.float64))
+    return out
+
+
+def cloud_shadow(df: DataFrame, azimuth: float, elevation: float,
+                 cloud_height, pixel_size=None, union: bool = False,
+                 max_steps: int = 64, key: str = "cell_id") -> DataFrame:
+    """Distributed shadow projection over a one-row-per-cell 0/1
+    cloud-mask tile table (e.g. ``algebra.classify`` output, or a
+    mask plane): output schema == input schema with the payload
+    replaced by ``rawf32`` 0/1 shadow (or cloud-or-shadow with
+    ``union=True``) planes, ``-9999`` sentinel nodata.
+
+    ``pixel_size`` (metres, scalar or ``(sx, sy)``) defaults to the
+    grid's ground sample distance derived from ONE driver-inspected
+    row (the table must share a single warp grid — every cell-keyed
+    composite output does). The halo radius is the largest sampled
+    displacement, so tiles must be at least that many pixels wide —
+    at 10 m pixels and a 2 km cloud base that is a ~350 px halo:
+    project shadows on overview levels or coarse grids, exactly as
+    the single-node tools do."""
+    from vrtility_spark import cells
+    if pixel_size is None:
+        probe = df.select(key, "w", "h").limit(1).collect()
+        if not probe:
+            raise ValueError("cloud_shadow: empty input table")
+        _, res, _, _ = (int(v) for v in
+                        cells.decode_np(probe[0][key]))
+        size = cells.cell_size(res)
+        sx, sy = size / int(probe[0].w), size / int(probe[0].h)
+    elif np.isscalar(pixel_size):
+        sx = sy = float(pixel_size)
+    else:
+        sx, sy = (float(v) for v in pixel_size)
+    shifts = shadow_shifts(azimuth, elevation, cloud_height, sx, sy,
+                           max_steps=max_steps)
+    r = max(1, max(max(abs(dy), abs(dx)) for dy, dx in shifts))
+
+    def kernel(P: np.ndarray, meta: dict) -> np.ndarray:
+        return cloud_shadow_np(P, shifts, r, union=union)
+
+    from vrtility_spark.focal import focal_filter
+    return focal_filter(df, op=kernel, radius=r, fill=False, key=key,
+                        out_fmt="rawf32", out_nodata=-9999.0)

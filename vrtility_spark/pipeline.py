@@ -61,7 +61,7 @@ class Pipeline:
         "morphology", "sieve",
         "proximity", "fillnodata", "chips", "overview_level",
         "overviews", "terrain", "texture", "color_relief", "stretch",
-        "classify", "kmeans", "flow_accumulation"])
+        "classify", "kmeans", "flow_accumulation", "cloud_shadow"])
 
     def __init__(self, df: DataFrame, mask_specs: tuple = (),
                  log: tuple = (), mask_dropped: bool = False):
@@ -628,6 +628,33 @@ class Pipeline:
                             "azimuth": float(azimuth),
                             "altitude": float(altitude),
                             "pixel_size": psz, "alg": alg})
+
+    def cloud_shadow(self, azimuth: float, elevation: float,
+                     cloud_height, pixel_size=None,
+                     union: bool = False,
+                     max_steps: int = 64) -> "Pipeline":
+        """Geometric cloud-shadow projection (masks.cloud_shadow) over
+        a 0/1 cloud-mask tile table (chain ``.classify`` or a mask
+        plane first): the sun-geometry displacement sweep riding the
+        focal halo exchange — displacement strips shuffle, cloud
+        tiles never do. ``union=True`` emits the combined
+        cloud-or-shadow invalid mask. Output rawf32 0/1 with the
+        -9999 sentinel. Pending masks flush first."""
+        from vrtility_spark import masks as _masks
+        ch = (float(cloud_height) if np.isscalar(cloud_height)
+              else [float(v) for v in cloud_height])
+        psz = pixel_size if (pixel_size is None or np.isscalar(pixel_size)) \
+            else list(pixel_size)
+        return self._next(
+            _masks.cloud_shadow(self.df, float(azimuth),
+                                float(elevation), cloud_height,
+                                pixel_size=pixel_size,
+                                union=bool(union),
+                                max_steps=int(max_steps)),
+            (), "cloud_shadow",
+            {"azimuth": float(azimuth), "elevation": float(elevation),
+             "cloud_height": ch, "pixel_size": psz,
+             "union": bool(union), "max_steps": int(max_steps)})
 
     def flow_accumulation(self, max_rounds: int = 128,
                           reliable: bool = False,
