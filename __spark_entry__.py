@@ -890,8 +890,10 @@ def _pii_oracle_sql() -> str:
         select doc_id, n_email, n_phone, n_ipv4,
                n_email + n_phone + n_ipv4 as n_pii,
                length(t) - length(stripped) as pii_chars,
-               round(cast(length(t) - length(stripped) as double)
-                     / length(t), 6) as pii_char_frac,
+               round(case when length(t) > 0
+                     then cast(length(t) - length(stripped) as double)
+                          / length(t)
+                     else 0.0 end, 6) as pii_char_frac,
                length(red) as redacted_len,
                md5(red) as redacted_md5
         from m

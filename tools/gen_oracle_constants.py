@@ -1528,15 +1528,15 @@ def video_rows():
     return rows
 
 
-def image_flowdir_rows():
-    """Masked median composite → D8 flow direction replicated without
-    Spark: per-zone mosaics padded and reduced with
-    terrain.flow_direction_np (loop-/closed-form-gated in
-    tests/test_terrain.py), cropped back to tiles through the exact
-    rawf32/-9999 round trip. Codes are small exact floats, so the
-    checksum is their plain sum plus sink and nodata counts."""
-    from vrtility_spark import terrain
-
+def _median_zone_mosaics(h: int = 16, w: int = 16):
+    """Shared preamble of the terrain/hydrology/shadow constants: the
+    masked-median composite tiles assembled into per-zone mosaics.
+    Returns ``(zones, meta)`` where ``zones`` is a sorted list of
+    ``(zone, cells, G)`` — ``cells`` = ``[(cell_id, jx, jy), ...]``
+    with zone-normalized tile offsets, ``G`` the (nb, gy*h, gx*w)
+    NaN-masked mosaic — and ``meta[cell_id] = (band_nodata,
+    n_scenes)``. One home for the composite convention, so every
+    mosaic-replicated oracle stays consistent by construction."""
     pdf = _grouped_fixture()
     tiles: dict[int, np.ndarray] = {}
     meta: dict[int, tuple] = {}
@@ -1554,10 +1554,7 @@ def image_flowdir_rows():
     for cid in tiles:
         zone, _res, ix, iy = (int(v) for v in cells.decode_np(cid))
         by_zone.setdefault(zone, []).append((cid, ix, iy))
-    h = w = 16
-    size = cells.cell_size(datagen.TILE_RES)
-    sx, sy = size / w, size / h
-    rows = []
+    zones = []
     for zone, lst in sorted(by_zone.items()):
         x0 = min(ix for _, ix, _ in lst)
         y0 = min(iy for _, _, iy in lst)
@@ -1565,16 +1562,37 @@ def image_flowdir_rows():
         gy = max(iy for _, _, iy in lst) - y0 + 1
         nb = tiles[lst[0][0]].shape[0]
         G = np.full((nb, gy * h, gx * w), np.nan)
+        cells_norm = []
         for cid, ix, iy in lst:
             A = codec.to_float_masked(tiles[cid], meta[cid][0])
             G[:, (iy - y0) * h:(iy - y0 + 1) * h,
               (ix - x0) * w:(ix - x0 + 1) * w] = A
-        P = np.full((nb, gy * h + 2, gx * w + 2), np.nan)
+            cells_norm.append((cid, ix - x0, iy - y0))
+        zones.append((zone, cells_norm, G))
+    return zones, meta
+
+
+def image_flowdir_rows():
+    """Masked median composite → D8 flow direction replicated without
+    Spark: per-zone mosaics padded and reduced with
+    terrain.flow_direction_np (loop-/closed-form-gated in
+    tests/test_terrain.py), cropped back to tiles through the exact
+    rawf32/-9999 round trip. Codes are small exact floats, so the
+    checksum is their plain sum plus sink and nodata counts."""
+    from vrtility_spark import terrain
+
+    h = w = 16
+    size = cells.cell_size(datagen.TILE_RES)
+    sx, sy = size / w, size / h
+    zones, meta = _median_zone_mosaics(h, w)
+    rows = []
+    for _zone, lst, G in zones:
+        nb = G.shape[0]
+        P = np.full((nb, G.shape[1] + 2, G.shape[2] + 2), np.nan)
         P[:, 1:-1, 1:-1] = G
         fd = terrain.flow_direction_np(P, sx, sy)
-        for cid, ix, iy in lst:
-            tile = fd[:, (iy - y0) * h:(iy - y0 + 1) * h,
-                      (ix - x0) * w:(ix - x0 + 1) * w]
+        for cid, jx, jy in lst:
+            tile = fd[:, jy * h:(jy + 1) * h, jx * w:(jx + 1) * w]
             payload = codec.encode(
                 codec.from_float(tile, -9999.0, "float32"), "rawf32")
             dec = codec.decode(payload, w, h, "rawf32").astype(np.float64)
@@ -1601,45 +1619,19 @@ def image_flowacc_rows(stream_threshold: float = 5.0):
     the threshold, and the nodata count."""
     from vrtility_spark import hydrology, terrain
 
-    pdf = _grouped_fixture()
-    tiles: dict[int, np.ndarray] = {}
-    meta: dict[int, tuple] = {}
-    for cell_id, grp in pdf.groupby("cell_id"):
-        grp = grp.sort_values("datetime", kind="mergesort")
-        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
-        with np.errstate(all="ignore"):
-            import warnings
-            with warnings.catch_warnings():
-                warnings.simplefilter("ignore", RuntimeWarning)
-                out = composite.REDUCERS["median"](_masked_stack(grp, nd))
-        tiles[int(cell_id)] = codec.from_float(out, nd, "uint16")
-        meta[int(cell_id)] = (nd, len(grp))
-    by_zone: dict[int, list] = {}
-    for cid in tiles:
-        zone, _res, ix, iy = (int(v) for v in cells.decode_np(cid))
-        by_zone.setdefault(zone, []).append((cid, ix, iy))
     h = w = 16
     size = cells.cell_size(datagen.TILE_RES)
     sx, sy = size / w, size / h
+    zones, meta = _median_zone_mosaics(h, w)
     rows = []
-    for zone, lst in sorted(by_zone.items()):
-        x0 = min(ix for _, ix, _ in lst)
-        y0 = min(iy for _, _, iy in lst)
-        gx = max(ix for _, ix, _ in lst) - x0 + 1
-        gy = max(iy for _, _, iy in lst) - y0 + 1
-        nb = tiles[lst[0][0]].shape[0]
-        G = np.full((nb, gy * h, gx * w), np.nan)
-        for cid, ix, iy in lst:
-            A = codec.to_float_masked(tiles[cid], meta[cid][0])
-            G[:, (iy - y0) * h:(iy - y0 + 1) * h,
-              (ix - x0) * w:(ix - x0 + 1) * w] = A
-        P = np.full((nb, gy * h + 2, gx * w + 2), np.nan)
+    for _zone, lst, G in zones:
+        nb = G.shape[0]
+        P = np.full((nb, G.shape[1] + 2, G.shape[2] + 2), np.nan)
         P[:, 1:-1, 1:-1] = G
         acc = hydrology.flow_accumulation_np(
             terrain.flow_direction_np(P, sx, sy))
-        for cid, ix, iy in lst:
-            tile = acc[:, (iy - y0) * h:(iy - y0 + 1) * h,
-                       (ix - x0) * w:(ix - x0 + 1) * w]
+        for cid, jx, jy in lst:
+            tile = acc[:, jy * h:(jy + 1) * h, jx * w:(jx + 1) * w]
             payload = codec.encode(
                 codec.from_float(tile, -9999.0, "float32"), "rawf32")
             dec = codec.decode(payload, w, h, "rawf32").astype(np.float64)
@@ -1669,23 +1661,6 @@ def image_cloudshadow_rows():
     from vrtility_spark import masks
     from vrtility_spark.algebra import classify_np
 
-    pdf = _grouped_fixture()
-    tiles: dict[int, np.ndarray] = {}
-    meta: dict[int, tuple] = {}
-    for cell_id, grp in pdf.groupby("cell_id"):
-        grp = grp.sort_values("datetime", kind="mergesort")
-        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
-        with np.errstate(all="ignore"):
-            import warnings
-            with warnings.catch_warnings():
-                warnings.simplefilter("ignore", RuntimeWarning)
-                out = composite.REDUCERS["median"](_masked_stack(grp, nd))
-        tiles[int(cell_id)] = codec.from_float(out, nd, "uint16")
-        meta[int(cell_id)] = (nd, len(grp))
-    by_zone: dict[int, list] = {}
-    for cid in tiles:
-        zone, _res, ix, iy = (int(v) for v in cells.decode_np(cid))
-        by_zone.setdefault(zone, []).append((cid, ix, iy))
     h = w = 16
     size = cells.cell_size(datagen.TILE_RES)
     sx, sy = size / w, size / h
@@ -1693,30 +1668,22 @@ def image_cloudshadow_rows():
     shifts = masks.shadow_shifts(geom["azimuth"], geom["elevation"],
                                  geom["cloud_height"], sx, sy)
     r = max(1, max(max(abs(a), abs(b)) for a, b in shifts))
+    zones, meta = _median_zone_mosaics(h, w)
     rows = []
-    for zone, lst in sorted(by_zone.items()):
-        x0 = min(ix for _, ix, _ in lst)
-        y0 = min(iy for _, _, iy in lst)
-        gx = max(ix for _, ix, _ in lst) - x0 + 1
-        gy = max(iy for _, _, iy in lst) - y0 + 1
-        G = np.full((1, gy * h, gx * w), np.nan)
-        for cid, ix, iy in lst:
-            A = codec.to_float_masked(tiles[cid], meta[cid][0])[:1]
-            G[:, (iy - y0) * h:(iy - y0 + 1) * h,
-              (ix - x0) * w:(ix - x0 + 1) * w] = A
+    for _zone, lst, Gall in zones:
+        G = Gall[:1]  # band 0, like the distributed classify(band=0)
         # the distributed path round-trips the classify output through
         # rawf32 before the shadow stage — replicate exactly
         cls = classify_np(G, [entry.CLOUDSHADOW_BREAK])
         cls = codec.to_float_masked(
             codec.from_float(cls, -9999.0, "float32").astype(np.float64),
             -9999.0)
-        P = np.full((1, gy * h + 2 * r, gx * w + 2 * r), np.nan)
+        P = np.full((1, G.shape[1] + 2 * r, G.shape[2] + 2 * r), np.nan)
         P[:, r:-r, r:-r] = cls
         sh = masks.cloud_shadow_np(P, shifts, r, union=True)
         sh = np.where(np.isnan(cls), np.nan, sh)
-        for cid, ix, iy in lst:
-            tile = sh[:, (iy - y0) * h:(iy - y0 + 1) * h,
-                      (ix - x0) * w:(ix - x0 + 1) * w]
+        for cid, jx, jy in lst:
+            tile = sh[:, jy * h:(jy + 1) * h, jx * w:(jx + 1) * w]
             payload = codec.encode(
                 codec.from_float(tile, -9999.0, "float32"), "rawf32")
             dec = codec.decode(payload, w, h, "rawf32")

@@ -202,11 +202,17 @@ def shadow_shifts(azimuth: float, elevation: float, cloud_height,
     """Integer ``(dy, dx)`` pixel displacements of the shadow across
     the cloud-base height range (scalar or ``(hmin, hmax)`` metres),
     sampled at most ~1 px apart along the ray (deduplicated, sorted —
-    deterministic). ``+dy`` is north (+row on this grid)."""
+    deterministic). ``+dy`` is north (+row on this grid). A sweep
+    needing more than ``max_steps`` samples RAISES rather than
+    silently leaving gaps in the shadow swath — project on a coarser
+    grid / overview level (the displacement would exceed any sane
+    halo radius anyway) or raise ``max_steps`` explicitly."""
     el = float(np.radians(elevation))
     if not 0.0 < float(elevation) < 90.0:
         raise ValueError(
             f"sun elevation must be in (0, 90) degrees, got {elevation}")
+    if int(max_steps) < 1:
+        raise ValueError(f"max_steps must be >= 1, got {max_steps}")
     az = float(np.radians(azimuth))
     if np.isscalar(cloud_height):
         hmin = hmax = float(cloud_height)
@@ -216,8 +222,13 @@ def shadow_shifts(azimuth: float, elevation: float, cloud_height,
         raise ValueError(f"cloud height must be >= 0, got {hmin}")
     t = np.tan(el)
     d_min, d_max = hmin / t, hmax / t
-    n = min(int(max_steps),
-            max(1, int(np.ceil((d_max - d_min) / min(sx, sy))) + 1))
+    n = max(1, int(np.ceil((d_max - d_min) / min(sx, sy))) + 1)
+    if n > int(max_steps):
+        raise ValueError(
+            f"cloud-height sweep needs {n} ~1-px samples but max_steps"
+            f"={max_steps}: an undersampled ray would leave gaps in "
+            "the shadow mask. Project on a coarser grid/overview "
+            "level, or raise max_steps.")
     shifts = set()
     for k in range(n):
         h_k = hmin + (hmax - hmin) * (k / (n - 1) if n > 1 else 0.0)

@@ -71,13 +71,13 @@ def pii_report(df: DataFrame, text_col: str = "text",
     UDF; chain ``.drop("redacted")`` if only the counts are needed.
     """
     text = F.col(text_col)
-    counts = {name: F.regexp_count(text, F.lit(pat)).alias(f"n_{name}")
+    counts = {name: F.regexp_count(text, F.lit(pat))
               for name, pat, _tok in PII_PATTERNS}
     pii_chars = (F.length(text) - F.length(_strip_expr(text)))
-    total = sum((F.regexp_count(text, F.lit(p)) for _n, p, _t
-                 in PII_PATTERNS), F.lit(0))
+    total = sum(counts.values(), F.lit(0))
     return df.select(
-        id_col, *counts.values(),
+        id_col,
+        *(c.alias(f"n_{name}") for name, c in counts.items()),
         total.alias("n_pii"),
         pii_chars.alias("pii_chars"),
         F.when(F.length(text) > 0,
