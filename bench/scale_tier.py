@@ -99,6 +99,24 @@ def polygonize_shape(spark, nx: int, ny: int):
     return images, n, run
 
 
+def flowacc_shape(spark, nx: int, ny: int):
+    """Composite → flowdir → flow accumulation at a given grid size:
+    scales the CROSS-TILE boundary-mass rounds with the grid (more
+    tiles = potentially longer tile-crossing drainage chains), which
+    is exactly the O-claim to check with data."""
+    images = datagen.images_spark(spark, zones=(30, 31, 27), nx=nx,
+                                  ny=ny, n_dates=5, w=64, h=64).cache()
+    n = images.count()
+
+    def run():
+        return (Pipeline(images)
+                .warp(cell_res=datagen.TILE_RES)
+                .composite("first")
+                .terrain("flowdir")
+                .flow_accumulation().df)
+    return images, n, run
+
+
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
@@ -144,6 +162,21 @@ def main() -> None:
         "wall_ratio": round(big / base, 3),
         "wall_per_input": round(big / base / ratio, 3),
     }
+    imgs_b, n_b, run_b = flowacc_shape(spark, 8, 8)
+    base = time_key(run_b, reps)
+    imgs_b.unpersist()
+    imgs_s, n_s, run_s = flowacc_shape(spark, 25, 25)
+    big = time_key(run_s, reps)
+    imgs_s.unpersist()
+    ratio = n_s / n_b
+    results["image_flowacc_pipeline"] = {
+        "base_sec": base, "scaled_sec": big,
+        "base_scenes": n_b, "scaled_scenes": n_s,
+        "input_ratio": round(ratio, 3),
+        "wall_ratio": round(big / base, 3),
+        "wall_per_input": round(big / base / ratio, 3),
+    }
+
     spark.stop()
     probe1 = kernel_probe()
 

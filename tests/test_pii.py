@@ -18,6 +18,9 @@ DOCS = [
     (5, "mixed bob@x.yz then (123) 456-7890 then 1.2.3.4 end"),
     (6, ""),
     (7, "not-an-ip 1234.5.6.7 half (55) 123-4567 no@tld a@b"),
+    (8, "dashed 555-123-4567 dotted 555.123.4567 end"),
+    (9, "trunk +1 555-123-4567 or 1-555-123-4567 ok"),
+    (10, "date 2026-08-19 zip 12345-6789 agent 41 555-123-4567"),
 ]
 
 
@@ -68,6 +71,20 @@ def test_negative_cases_stay_clean():
     TLD-less mails — none may match under any of the three engines."""
     exp = _py_counts(DOCS[7][1])
     assert exp == {"email": 0, "phone": 0, "ipv4": 0}
+
+
+def test_phone_forms_and_traps(spark, docs):
+    """Fixed expectations (not just three-engine parity, which could
+    share one wrong pattern): dashed/dotted/trunk-prefixed NANP forms
+    all redact; dates, ZIP+4 and a digit-adjacent trunk digit do not."""
+    got = {r.doc_id: r for r in pii.pii_report(docs).collect()}
+    assert got[8].n_phone == 2
+    assert got[8].redacted == "dashed <PHONE> dotted <PHONE> end"
+    assert got[9].n_phone == 2
+    assert got[9].redacted == "trunk <PHONE> or <PHONE> ok"
+    assert got[10].n_phone == 1
+    assert got[10].redacted == (
+        "date 2026-08-19 zip 12345-6789 agent 41 <PHONE>")
 
 
 def test_scrub_in_place_and_out_col(spark, docs):

@@ -36,7 +36,15 @@ from pyspark.sql import functions as F
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
      "<EMAIL>"),
-    ("phone", r"\(\d{3}\) \d{3}-\d{4}", "<PHONE>"),
+    # NANP forms: (555) 123-4567, 555-123-4567, 555.123.4567, with an
+    # optional +1 / 1 trunk prefix. Separators stay restricted to
+    # "-"/"." (plus the parenthesized area code) so running digit
+    # prose, dates (2026-08-19) and dotted quads can't be swallowed:
+    # a dotted quad never satisfies the trailing \d{4}\b because IPv4
+    # octets are <= 3 digits.
+    ("phone",
+     r"(\+1[-. ]|\b1[-. ])?(\(\d{3}\) ?|\b\d{3}[-.])\d{3}[-.]\d{4}\b",
+     "<PHONE>"),
     ("ipv4", r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>"),
 )
 
