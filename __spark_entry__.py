@@ -3513,9 +3513,9 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(t.gram, '') as top2_gram,
                    coalesce(t.cnt, 0) as top2_count,
                    round(case when d.n_chars > 0
-                         then coalesce(t.cnt, 0)
+                         then least(1.0, coalesce(t.cnt, 0)
                               * length(coalesce(t.gram, '')) * 1.0
-                              / d.n_chars
+                              / d.n_chars)
                          else 0.0 end, 6) as top2_char_frac,
                    coalesce(a.total_3grams, 0) as total_3grams,
                    coalesce(a.distinct_3grams, 0) as distinct_3grams,

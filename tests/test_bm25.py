@@ -76,3 +76,27 @@ def test_validation_and_empty_results(spark):
     with pytest.raises(ValueError, match="empty query"):
         bm25_scores(docs, [])
     assert bm25_scores(docs, ["zzzznotaword"]).count() == 0
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty corpus"):
+        bm25_scores(empty, ["spark"])
+
+
+def test_sql_twin_escapes_quotes(spark):
+    """Apostrophe-bearing terms must produce parseable oracle SQL that
+    matches the operator (review finding: the unescaped literal was a
+    DuckDB ParserException)."""
+    duckdb = pytest.importorskip("duckdb")
+    from vrtility_spark.bm25 import bm25_sql
+    corpus = dict(CORPUS)
+    corpus[6] = "call o'brien about the spark join"
+    docs = spark.createDataFrame(list(corpus.items()),
+                                 "doc_id long, text string")
+    q = ["o'brien", "join"]
+    got = {r.doc_id: round(r.score, 6)
+           for r in bm25_scores(docs, q, k1=K1, b=B).collect()}
+    con = duckdb.connect()
+    con.register("documents", __import__("pandas").DataFrame(
+        {"doc_id": list(corpus), "text": list(corpus.values())}))
+    want = {int(r[0]): float(r[1])
+            for r in con.execute(bm25_sql(q, k1=K1, b=B)).fetchall()}
+    assert {d: round(v, 6) for d, v in want.items()} == got

@@ -152,8 +152,15 @@ def test_distributed_matches_mosaic(spark, positions, smoothing):
            for r in fillnodata.fillnodata(
                df, md, smoothing=smoothing).collect()}
     pad = required_pad(md, smoothing)
+    # mosaic reference with the honest coverage mask: True only where
+    # a tile EXISTS — the pad ring and the missing-tile quadrant are
+    # void, never filled, never feeding a smoothing mean
+    cov = np.zeros((G.shape[1] + 2 * pad, G.shape[2] + 2 * pad), bool)
+    for ix, iy in positions:
+        cov[pad + iy * h:pad + (iy + 1) * h,
+            pad + ix * w:pad + (ix + 1) * w] = True
     full = fillnodata_np(_padded(G, pad), md, smoothing=smoothing,
-                         pad=pad)
+                         pad=pad, coverage=cov)
     for ix, iy in positions:
         cid = int(cells.encode_np(ZONE, RES, ix, iy))
         arr, row = got[cid]
@@ -170,6 +177,32 @@ def test_distributed_matches_mosaic(spark, positions, smoothing):
                              ix * w:(ix + 1) * w]), np.nan,
                   G[:, iy * h:(iy + 1) * h, ix * w:(ix + 1) * w]))
         [:, :, 0].any() for ix, iy in positions if ix > 0)
+
+
+def test_void_never_feeds_smoothing(spark):
+    """Coverage-edge regression (review finding): with smoothing >= 1
+    the old kernel IDW-filled the void halo past the coverage edge and
+    let those fabricated values enter boundary pixels' 3x3 means. Now
+    a lone tile's output must equal filling that tile as its OWN
+    raster (coverage = the tile only) — NOT the old fill-the-pad-ring
+    reference, which must now disagree somewhere on the boundary."""
+    h = w = 12
+    md, smoothing = 3.5, 2
+    rows, G = _tiles(h, w, [(0, 0)], hole_frac=0.35, seed=11)
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=TILE_SCHEMA)
+    [r] = fillnodata.fillnodata(df, md, smoothing=smoothing).collect()
+    arr = codec.decode(r["bytes"], r["w"], r["h"], r["fmt"])
+    pad = required_pad(md, smoothing)
+    cov = np.zeros((h + 2 * pad, w + 2 * pad), bool)
+    cov[pad:-pad, pad:-pad] = True
+    want = fillnodata_np(_padded(G, pad), md, smoothing=smoothing,
+                         pad=pad, coverage=cov)
+    np.testing.assert_array_equal(
+        arr, codec.from_float(want, float(NODATA), "uint16"))
+    old = fillnodata_np(_padded(G, pad), md, smoothing=smoothing,
+                        pad=pad)  # no coverage: pad ring fillable
+    assert not np.array_equal(
+        codec.from_float(old, float(NODATA), "uint16"), arr)
 
 
 def test_pipeline_verb_and_bundle(spark, tmp_path, tiny_images):

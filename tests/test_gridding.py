@@ -97,6 +97,20 @@ def test_chunking_is_invariant(monkeypatch):
     np.testing.assert_array_equal(full, chunked)
 
 
+def test_chunk_adapts_to_tile_area():
+    """Review finding: a fixed 4096-point chunk made (P, h, w)
+    temporaries multi-GB on big tiles. The chunk now shrinks with tile
+    area (deterministically — it depends only on the dims), keeping the
+    historical 4096 for the 256-px fixture tiles so constants stand."""
+    assert gridding._chunk_points(16, 16) == 4096
+    assert gridding._chunk_points(256, 256) == \
+        gridding._CHUNK_ELEMS // (256 * 256) == 64
+    assert gridding._chunk_points(4096, 4096) == 1  # floor, never 0
+    big = gridding.grid_np(XS, YS, VS, 0.0, 0.0, SIZE, 128, 128,
+                           "invdist", RADIUS)
+    assert big.shape == (1, 128, 128)  # runs under the shrunk chunk
+
+
 def test_bad_params():
     with pytest.raises(KeyError):
         gridding.grid_np(XS, YS, VS, 0, 0, SIZE, W, H, "kriging", RADIUS)

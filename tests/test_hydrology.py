@@ -194,3 +194,23 @@ def test_pipeline_verb_and_bundle(spark, tmp_path, tiny_images):
     a = {r.cell_id: bytes(r.bytes) for r in rows}
     b = {r.cell_id: bytes(r.bytes) for r in replay.df.collect()}
     assert a == b
+
+
+def test_cross_tile_cycle_diagnosed(spark):
+    """A cross-tile 2-cycle (A's edge pixel drains east into B, whose
+    entry pixel drains straight back west) can never converge; the
+    bounded loop must raise a diagnostic that names the inter-tile
+    cycle hypothesis and samples the pending inflows — not just tell
+    the user to raise max_rounds (review finding)."""
+    h = w = 8
+    A = np.zeros((1, h, w), np.float32)
+    B = np.zeros((1, h, w), np.float32)
+    A[0, 3, 7], B[0, 3, 0] = 1.0, 16.0  # E into B, W back into A
+    rows = [
+        {"cell_id": int(cells.encode_np(ZONE, RES, ix, 0)),
+         "bytes": codec.encode(arr, "rawf32"), "w": w, "h": h,
+         "fmt": "rawf32", "nodata": -9999.0}
+        for ix, arr in ((0, A), (1, B))]
+    sdf = spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+    with pytest.raises(ValueError, match="CROSS-TILE cycle"):
+        hydrology.flow_accumulation(sdf, max_rounds=6).count()

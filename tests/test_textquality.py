@@ -70,8 +70,13 @@ def test_report_top_char_frac(spark, docs):
         if grams:
             c = Counter(grams)
             best = min(c, key=lambda g: (-c[g], g))
+            # capped at 1.0: overlapping top-gram occurrences double-
+            # count shared characters (doc 0 is the repro: 5 x 'spam
+            # spam' = 45 chars over a 29-char text) — a fraction
+            # column must stay in [0, 1]
             assert r["top2_char_frac"] == pytest.approx(
-                c[best] * len(best) / len(t))
+                min(1.0, c[best] * len(best) / len(t)))
+            assert 0.0 <= r["top2_char_frac"] <= 1.0
         else:
             assert r["top2_char_frac"] == 0.0
         # dup_n=3 columns present alongside
@@ -97,10 +102,15 @@ def test_chars_col_override(spark, docs):
     d2 = docs.withColumn("n_chars", F.length("text") * 2)
     r = {x["doc_id"]: x for x in tq.repetition_report(
         d2, chars_col="n_chars").collect()}
-    base = {x["doc_id"]: x for x in tq.repetition_report(docs).collect()}
-    for did in base:
+    for did, t in DOCS:
+        grams = _py_ngrams(t, 2)
+        if not grams:
+            continue
+        c = Counter(grams)
+        best = min(c, key=lambda g: (-c[g], g))
+        # cap applies AFTER the overridden denominator
         assert r[did]["top2_char_frac"] == pytest.approx(
-            base[did]["top2_char_frac"] / 2)
+            min(1.0, c[best] * len(best) / (2 * len(t))))
 
 
 def test_word_stats_no_exchange(spark, docs):

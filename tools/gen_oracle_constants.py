@@ -1975,8 +1975,16 @@ def image_fillnodata_rows():
               (ix - x0) * w:(ix - x0 + 1) * w] = A
         P = np.full((nb, gy * h + 2 * pad, gx * w + 2 * pad), np.nan)
         P[:, pad:-pad, pad:-pad] = G
+        # coverage = exactly the tile slots that exist (matches the
+        # halo exchange's meta["coverage"]): the pad ring and any
+        # missing grid positions are void, never filled, never feeding
+        # a smoothing mean
+        cov = np.zeros(P.shape[1:], bool)
+        for _cid, ix, iy in lst:
+            cov[pad + (iy - y0) * h:pad + (iy - y0 + 1) * h,
+                pad + (ix - x0) * w:pad + (ix - x0 + 1) * w] = True
         filled = FN.fillnodata_np(P, max_dist, smoothing=smoothing,
-                                  pad=pad)
+                                  pad=pad, coverage=cov)
         for cid, ix, iy in lst:
             tile = filled[:, (iy - y0) * h:(iy - y0 + 1) * h,
                           (ix - x0) * w:(ix - x0 + 1) * w]

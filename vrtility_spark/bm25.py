@@ -68,9 +68,17 @@ def bm25_scores(df: DataFrame, query: Sequence[str],
     terms = sorted({t for t in query if t})
     if not terms:
         raise ValueError("bm25: empty query")
-    n_docs, avgdl = corpus_stats(df, text_col)
+    if df.isEmpty():
+        raise ValueError("bm25: empty corpus")
     qlit = F.array(*[F.lit(t) for t in terms])
     toks = F.split(F.col(text_col), " ")
+    # everything below is ONE lazy plan: corpus stats and per-term df
+    # are tiny aggregates broadcast-joined into the score expression —
+    # no driver collect, and the tf exchange feeds both its consumers
+    # in a single job (Spark's exchange reuse) instead of re-running
+    # the corpus filter+explode per driver round-trip
+    stats = df.agg(F.count("*").alias("_n"),
+                   F.avg(F.size(toks)).alias("_avgdl"))
     cand = (df.select(F.col(id_col),
                       toks.alias("_w"),
                       F.size(toks).alias("_dl"))
@@ -79,17 +87,16 @@ def bm25_scores(df: DataFrame, query: Sequence[str],
               .where(F.col("_t").isin(terms))
               .groupBy(id_col, "_t")
               .agg(F.count("*").alias("_tf"), F.first("_dl").alias("_dl")))
-    dfreq = {r._t: r.n for r in
-             tf.groupBy("_t").agg(F.count("*").alias("n")).collect()}
-    idf = F.create_map(*[x for t in terms
-                         for x in (F.lit(t),
-                                   F.lit(bm25_idf(n_docs,
-                                                  dfreq.get(t, 0))))])
+    dfreq = tf.groupBy("_t").agg(F.count("*").alias("_df"))
+    idf = F.log((F.col("_n") - F.col("_df") + F.lit(0.5)) /
+                (F.col("_df") + F.lit(0.5)) + F.lit(1.0))
     norm = F.lit(float(k1)) * (F.lit(1.0 - float(b)) +
                                F.lit(float(b)) * F.col("_dl") /
-                               F.lit(avgdl))
-    contrib = idf[F.col("_t")] * F.col("_tf") / (F.col("_tf") + norm)
-    return (tf.select(id_col, contrib.alias("_c"))
+                               F.col("_avgdl"))
+    contrib = idf * F.col("_tf") / (F.col("_tf") + norm)
+    return (tf.join(F.broadcast(dfreq), "_t")
+              .crossJoin(F.broadcast(stats))
+              .select(id_col, contrib.alias("_c"))
               .groupBy(id_col).agg(F.sum("_c").alias("score"))
               .orderBy(F.desc("score"), F.asc(id_col)))
 
@@ -110,7 +117,9 @@ def bm25_sql(query: Sequence[str], k1: float = 1.2, b: float = 0.75,
     """DuckDB twin generated from the SAME formula constants — the
     oracle string lives beside the operator so they cannot drift."""
     terms = sorted({t for t in query if t})
-    tlist = ", ".join(f"'{t}'" for t in terms)
+    # SQL-literal escape: a term with an apostrophe must not break (or
+    # inject into) the oracle string
+    tlist = ", ".join("'{}'".format(t.replace("'", "''")) for t in terms)
     return f"""
         with stats as (
           select count(*) as n,

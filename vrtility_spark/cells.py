@@ -132,6 +132,16 @@ def xy_to_cell_col(zone: Column, x: Column, y: Column, res: int) -> Column:
     return ((zone.cast("long") * 16 + F.lit(res)) * _B + iy) * _B + ix
 
 
+def encode_cols(zone: Column, res: int, ix: Column, iy: Column) -> Column:
+    """Cell id from already-computed integer tile indices as a pure
+    ``Column`` expression — the Column twin of :func:`encode_np` (and
+    the single place, with :func:`xy_to_cell_col`, that spells the
+    radix layout in Catalyst; operators must NOT inline ``8192``/``16``
+    literals)."""
+    return ((zone.cast("long") * 16 + F.lit(int(res))) * _B
+            + iy.cast("long")) * _B + ix.cast("long")
+
+
 def res_col(cell_id: Column) -> Column:
     """Resolution field of a cell id as a Column expression — the
     single place that knows the radix layout (keep operators off

@@ -195,7 +195,14 @@ def row_band_meta(row, nb: int, col: str, fallback) -> np.ndarray | float:
     whose plane count diverged from the recorded arrays — e.g. an
     appended ML mask plane without metadata — fall back to the scalar
     convention)."""
-    v = getattr(row, col, None)
+    return band_meta_or_scalar(getattr(row, col, None), nb, fallback)
+
+
+def band_meta_or_scalar(v, nb: int, fallback) -> np.ndarray | float:
+    """The array-vs-scalar fallback of :func:`row_band_meta` on a raw
+    value instead of a row attribute — the ONE definition of the
+    per-band-metadata convention, for callers that already hold the
+    cell (zipped columns, struct fields)."""
     if v is None or (np.isscalar(v) and pd_isna(v)):
         return fallback
     v = np.asarray(v, dtype=np.float64)

@@ -25,7 +25,12 @@ pixels, so tiles need ``r + smoothing`` neighbor rows, exactly what
 shuffle of edge strips; tile payloads never shuffle).  Smoothing
 iterations run INSIDE the padded window — each eats one pad ring, so
 the halo is sized ``ceil(max_dist) + smoothing`` and the result is
-byte-identical to filling one assembled mosaic.  The kernel itself is
+byte-identical to filling one assembled mosaic whose void (pixels
+past the zone edge or under a missing neighbor tile) is marked by the
+``coverage`` mask: void pixels are not holes — they are never filled
+and never feed a smoothing mean, exactly as pixels beyond a raster's
+edge don't exist for gdal_fillnodata.  (The halo exchange reports
+per-window coverage via ``meta["coverage"]``.)  The kernel itself is
 an offset-loop accumulation (one vectorized pass per window offset,
 O(K^2) passes of O(B*H*W)) — no (B,H,W,K,K) materialization, bounded
 memory at any tile size.
@@ -45,7 +50,8 @@ from vrtility_spark.focal import focal_filter
 
 
 def fillnodata_np(P: np.ndarray, max_dist: float, power: float = 2.0,
-                  smoothing: int = 0, pad: int | None = None) -> np.ndarray:
+                  smoothing: int = 0, pad: int | None = None,
+                  coverage: np.ndarray | None = None) -> np.ndarray:
     """Fill NaNs of a padded ``(B, Hp, Wp)`` array in place of the
     crop: returns the ``(B, Hp-2*pad, Wp-2*pad)`` interior after IDW
     filling every NaN from the valid pixels within ``max_dist`` and
@@ -53,7 +59,15 @@ def fillnodata_np(P: np.ndarray, max_dist: float, power: float = 2.0,
     defaults to ``required_pad(max_dist, smoothing)`` (the halo the
     distributed driver ships); the fill itself runs over the WHOLE
     padded array so relaxation near the crop boundary sees its
-    neighbors' filled values — the mosaic-exactness invariant."""
+    neighbors' filled values — the mosaic-exactness invariant.
+
+    ``coverage`` (optional ``(Hp, Wp)`` bool) marks pixels that belong
+    to the data footprint: NaNs OUTSIDE it are the void past the
+    raster/zone edge (or a missing neighbor tile), not holes — they
+    are never filled and never feed a smoothing mean, exactly as
+    pixels beyond a single raster's edge don't exist for
+    gdal_fillnodata.  Default ``None`` = everything covered (the
+    standalone-kernel case)."""
     if not float(max_dist) >= 1.0:
         raise ValueError("max_dist must be >= 1 pixel")
     if smoothing < 0:
@@ -63,10 +77,15 @@ def fillnodata_np(P: np.ndarray, max_dist: float, power: float = 2.0,
         pad = required_pad(max_dist, smoothing)
     B, Hp, Wp = P.shape
     holes = np.isnan(P)
+    if coverage is not None:
+        holes &= np.asarray(coverage, bool)[None, :, :]
     num = np.zeros((B, Hp, Wp))
     den = np.zeros((B, Hp, Wp))
-    Pz = np.where(holes, 0.0, P)
-    val = (~holes).astype(np.float64)
+    # donors are the FINITE pixels (never void NaNs, which `holes`
+    # already excludes from the fill targets when coverage is given)
+    fin0 = np.isfinite(P)
+    Pz = np.where(fin0, P, 0.0)
+    val = fin0.astype(np.float64)
     for dy in range(-r, r + 1):
         for dx in range(-r, r + 1):
             if dy == 0 and dx == 0:
@@ -141,6 +160,7 @@ def fillnodata(df: DataFrame, max_dist: float, power: float = 2.0,
 
     def kernel(P: np.ndarray, meta: dict) -> np.ndarray:
         return fillnodata_np(P, max_dist, power=power,
-                             smoothing=smoothing, pad=pad)
+                             smoothing=smoothing, pad=pad,
+                             coverage=meta.get("coverage"))
 
     return focal_filter(df, op=kernel, radius=pad, fill=True, key=key)

@@ -211,8 +211,13 @@ def focal_filter(df: DataFrame, op="mean", radius: int = 1,
     ``op`` is a name from :data:`FOCAL_OPS`, or a CALLABLE custom
     kernel ``(P, meta) -> (B, H, W)`` receiving the NaN-padded
     ``(B, H+2r, W+2r)`` window array and ``meta = {"cell_id", "w",
-    "h"}`` (how :mod:`terrain` plugs Horn-gradient kernels into the
-    same halo exchange).
+    "h", "coverage"}`` (how :mod:`terrain` plugs Horn-gradient kernels
+    into the same halo exchange). ``meta["coverage"]`` is an
+    ``(H+2r, W+2r)`` bool plane marking padded pixels that belong to a
+    tile that EXISTS (the center, or a received neighbor strip) —
+    False on void padding past the data footprint, so kernels that
+    fabricate values (:mod:`fillnodata`) can refuse to invent data
+    outside coverage.
 
     ``fill=False`` (default) keeps the input's nodata mask: output
     pixels that were nodata stay nodata (a smoothing filter must not
@@ -340,6 +345,12 @@ def focal_filter(df: DataFrame, op="mean", radius: int = 1,
         A = codec.to_float_masked(arr, nd)
         P = np.full((nb, h + 2 * r, w + 2 * r), np.nan, dtype=np.float64)
         P[:, r:r + h, r:r + w] = A
+        # coverage: which padded pixels belong to a tile that EXISTS
+        # (center or a received strip) — void padding beyond the data
+        # footprint stays False so kernels that fabricate values
+        # (fillnodata) can refuse to invent data outside coverage
+        cov = np.zeros((h + 2 * r, w + 2 * r), dtype=bool)
+        cov[r:r + h, r:r + w] = True
         halos = pdf[(pdf[_H_SX] != 0) | (pdf[_H_SY] != 0)]
         # NOTE: itertuples would mangle the dunder helper columns
         # (namedtuple fields cannot start with "_") — zip the columns
@@ -363,8 +374,10 @@ def focal_filter(df: DataFrame, op="mean", radius: int = 1,
                     f"match tile grid {h}x{w} at radius {r}; tiles at "
                     "one res must share pixel dimensions")
             P[:, y0:y0 + sh, x0:x0 + sw] = strip
+            cov[y0:y0 + sh, x0:x0 + sw] = True
         if callable(op):
-            out = op(P, {"cell_id": int(c[key]), "w": w, "h": h})
+            out = op(P, {"cell_id": int(c[key]), "w": w, "h": h,
+                         "coverage": cov})
         else:
             wts = None if wk is None else np.asarray(wk, dtype=np.float64)
             out = focal_np(P, op, r, weights=wts, normalize=normalize)

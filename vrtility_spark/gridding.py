@@ -28,8 +28,10 @@ EXPANDED by the radius, contains it:
 No halo exchange exists here at all — the cover explosion IS the
 communication, and it shuffles (point, cell-key) rows, never tiles.
 Skew (a point cloud concentrated in one cell) is bounded by chunked
-accumulation inside the kernel (``_CHUNK`` points at a time), so
-executor memory never scales with the cell's point count.
+accumulation inside the kernel — at most :data:`_CHUNK` points at a
+time, shrunk further for big tiles so one ``(points, h, w)``
+temporary never exceeds :data:`_CHUNK_ELEMS` elements — so executor
+memory scales with neither the cell's point count nor the tile area.
 
 Algorithms (gdal_grid names): ``invdist`` (weight ``1/d^power``,
 ``smoothing`` regularizes, exact hits dominate at smoothing 0),
@@ -51,7 +53,21 @@ ALGORITHMS = ("invdist", "average", "nearest", "count", "min", "max")
 OUT_NODATA = -9999.0
 GRID_SCHEMA = ("cell_id long, bytes binary, w int, h int, fmt string, "
                "nodata double, n_points int")
-_CHUNK = 4096  # points per vectorized accumulation block
+_CHUNK = 4096  # max points per vectorized accumulation block
+#: element budget for one (P, h, w) accumulation temporary — the chunk
+#: shrinks with tile area so per-task peak memory stays ~tens of MB at
+#: any tile size (4096 points x 256 px tiles = the historical shape;
+#: a 256x256 tile gets 64-point chunks instead of 2 GB temporaries)
+_CHUNK_ELEMS = 1 << 22
+
+
+def _chunk_points(h: int, w: int) -> int:
+    """Points per accumulation block for an ``h x w`` tile: bounded by
+    both :data:`_CHUNK` and the :data:`_CHUNK_ELEMS` temp budget.
+    Depends only on the tile dims (constant per operator call), so
+    chunk boundaries — and therefore float accumulation order — stay
+    deterministic under any partitioning of the point set."""
+    return max(1, min(_CHUNK, _CHUNK_ELEMS // max(1, h * w)))
 
 
 def grid_np(xs, ys, vs, x0: float, y0: float, size: float, w: int, h: int,
@@ -86,10 +102,11 @@ def grid_np(xs, ys, vs, x0: float, y0: float, size: float, w: int, h: int,
     nearest_v = np.full((h, w), np.nan)
     hit0 = np.zeros((h, w), dtype=np.int64)      # exact-hit count
     hitv = np.zeros((h, w))                      # exact-hit value sum
-    for i0 in range(0, len(xs), _CHUNK):
-        X = xs[i0:i0 + _CHUNK]
-        Y = ys[i0:i0 + _CHUNK]
-        V = vs[i0:i0 + _CHUNK]
+    chunk = _chunk_points(h, w)
+    for i0 in range(0, len(xs), chunk):
+        X = xs[i0:i0 + chunk]
+        Y = ys[i0:i0 + chunk]
+        V = vs[i0:i0 + chunk]
         dx = cx[None, None, :] - X[:, None, None]      # (P, 1, w)
         dy = cy[None, :, None] - Y[:, None, None]      # (P, h, 1)
         d2 = dx * dx + dy * dy                          # (P, h, w)
@@ -126,6 +143,10 @@ def grid_np(xs, ys, vs, x0: float, y0: float, size: float, w: int, h: int,
             idx = d2m.argmin(axis=0)
             nearest_v = np.where(better, V[idx], nearest_v)
             nearest_d2 = np.where(better, am, nearest_d2)
+    if algorithm == "count":
+        # count is defined everywhere — the min_points gate is an
+        # interpolation-quality knob and doesn't apply to a density
+        return cnt.astype(np.float64)[None]
     out = np.full((h, w), np.nan)
     enough = cnt >= int(min_points)
     if algorithm == "invdist":
@@ -136,8 +157,6 @@ def grid_np(xs, ys, vs, x0: float, y0: float, size: float, w: int, h: int,
     elif algorithm == "average":
         with np.errstate(invalid="ignore"):
             out = vsum / np.where(cnt > 0, cnt, np.nan)
-    elif algorithm == "count":
-        out = cnt.astype(np.float64)
     elif algorithm == "min":
         out = np.where(np.isinf(vmin), np.nan, vmin)
     elif algorithm == "max":
@@ -145,8 +164,6 @@ def grid_np(xs, ys, vs, x0: float, y0: float, size: float, w: int, h: int,
     else:  # nearest
         out = nearest_v
     out = np.where(enough, out, np.nan)
-    if algorithm == "count":  # count is defined everywhere
-        out = cnt.astype(np.float64)
     return out[None]
 
 

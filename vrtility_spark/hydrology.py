@@ -305,11 +305,22 @@ def flow_accumulation(df: DataFrame, key: str = "cell_id",
     while pending:
         rounds += 1
         if rounds > max_rounds:
+            sample = [(int(r.cell), int(r.band), int(r.py), int(r.px),
+                       float(r.mass))
+                      for r in flows.select("cell", "band", "py", "px",
+                                            "mass").limit(5).collect()]
             raise ValueError(
                 f"flow_accumulation did not converge in {max_rounds} "
-                "rounds — a drainage path crosses more tiles than "
-                "max_rounds; raise it (rounds are cheap: only touched "
-                "tiles re-process)")
+                f"rounds ({pending} boundary-flow records still "
+                "pending). EITHER a drainage path crosses more tiles "
+                "than max_rounds — raise it (rounds are cheap: only "
+                "touched tiles re-process) — OR the code planes "
+                "contain a CROSS-TILE cycle (tile A's edge pixel "
+                "points into tile B and B's entry drains back into "
+                "A), which can never converge at any bound: "
+                "flowdir-derived codes cannot cycle, so inspect how "
+                "these planes were produced. Sample pending inflows "
+                f"(cell, band, py, px, mass): {sample}")
         # map-side combinable pre-sum: parallel inflows to one pixel
         # collapse before the collect_list
         inflows = (flows.groupBy("cell", "band", "py", "px")

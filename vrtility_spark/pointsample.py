@@ -54,8 +54,6 @@ from pyspark.sql import functions as F
 
 from vrtility_spark import cells, codec
 
-_B = 8192  # cell radix (cells.py encoding)
-
 PARTIAL_SCHEMA = "point_id long, band int, wv double, wvalid double"
 
 
@@ -208,7 +206,7 @@ def point_sample(tiles: DataFrame, points: DataFrame,
           .where(F.col("_wt") > 0))
     cix = F.floor(F.col("_gpx") / w).cast("long")
     ciy = F.floor(F.col("_gpy") / w).cast("long")
-    cell = ((F.col("_zone") * 16 + F.lit(res)) * _B + ciy) * _B + cix
+    cell = cells.encode_cols(F.col("_zone"), res, cix, ciy)
     per_cell = (st.withColumn(key, cell)
                 .groupBy(key)
                 .agg(F.collect_list(F.struct(
@@ -239,9 +237,8 @@ def point_sample(tiles: DataFrame, points: DataFrame,
                     f"{r_res}, probe said {exp_w}x{exp_h} res "
                     f"{exp_res}; regrid to one grid first")
             arr = codec.decode(buf, exp_w, exp_h, fmt)
-            nd = (np.asarray(bn, dtype=np.float64)
-                  if bn is not None and len(bn) == arr.shape[0]
-                  else codec.nodata_scalar(nod))
+            nd = codec.band_meta_or_scalar(bn, len(arr),
+                                           codec.nodata_scalar(nod))
             A = codec.to_float_masked(arr, nd)
             if A.shape[0] != exp_nb:
                 raise ValueError(

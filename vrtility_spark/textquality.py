@@ -57,10 +57,6 @@ def word_ngrams(n: int, words_col: str = "w"):
         "else array() end")
 
 
-def _grams(text_col: str, n: int):
-    return word_ngrams(n)
-
-
 def word_stats(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """``(id, n_words, n_distinct_words, dup_word_frac)`` — expression
@@ -83,7 +79,7 @@ def ngram_stats(df: DataFrame, n: int, text_col: str = "text",
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     occ = (df.withColumn("w", F.split(F.col(text_col), " "))
-             .select(id_col, F.explode(_grams(text_col, n)).alias("gram")))
+             .select(id_col, F.explode(word_ngrams(n)).alias("gram")))
     per_gram = occ.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
     win = Window.partitionBy(id_col).orderBy(F.desc("cnt"), F.asc("gram"))
     top = (per_gram.withColumn("rn", F.row_number().over(win))
@@ -132,9 +128,15 @@ def repetition_report(df: DataFrame, text_col: str = "text",
             id_col)
     share = (F.col(f"top{top_n}_count")
              * F.length(F.col(f"top{top_n}_gram")).cast("double"))
+    # capped at 1.0: overlapping occurrences of the top gram double-
+    # count shared characters (count * len(gram) can exceed the text
+    # length on exactly the repetitive docs the metric targets), and a
+    # "fraction" column must stay a fraction for downstream consumers
     rep = rep.withColumn(
         f"top{top_n}_char_frac",
-        F.when(F.col("_nc") > 0, share / F.col("_nc")).otherwise(F.lit(0.0)))
+        F.when(F.col("_nc") > 0,
+               F.least(F.lit(1.0), share / F.col("_nc")))
+         .otherwise(F.lit(0.0)))
     return rep.drop("_nc")
 
 
