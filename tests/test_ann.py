@@ -170,3 +170,29 @@ def test_kmeans_parallel_init_improves_recall(spark):
     b = ann.init_kmeans_parallel(emb, "embedding", "vec_id", 8, seed=42)
     assert (a == b).all()
     emb.unpersist()
+
+
+def test_train_cache_is_bit_identical(spark):
+    """cache=True persists the training projection but must not change
+    results at all: persist materializes the SAME scan partitioning,
+    so every init/Lloyd pass sees identical partitions in identical
+    order (the driver merge is (cluster, pid)-keyed)."""
+    from vrtility_spark import pq
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pinned_before = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+    c_cached = ann.train_ivf(e, "embedding", "vec_id", n_clusters=6,
+                             iters=2, cache=True)
+    c_plain = ann.train_ivf(e, "embedding", "vec_id", n_clusters=6,
+                            iters=2, cache=False)
+    assert np.array_equal(c_cached, c_plain)
+
+    b_cached = pq.train_pq(e, "embedding", "vec_id", m=8, ksub=8,
+                           iters=2, cache=True)
+    b_plain = pq.train_pq(e, "embedding", "vec_id", m=8, ksub=8,
+                          iters=2, cache=False)
+    assert np.array_equal(b_cached, b_plain)
+    # the projections must not stay pinned after training returns
+    # (other tests may hold their own caches in the shared session)
+    pinned_after = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+    assert pinned_after <= pinned_before

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -210,7 +211,8 @@ def _count_nearest_udf(cands: np.ndarray, vec_col: str):
 
 def train_ivf(df: DataFrame, vec_col: str, id_col: str, n_clusters: int,
               iters: int = 3, combine: str = "driver",
-              init: str = "kmeans||", seed: int = 42) -> np.ndarray:
+              init: str = "kmeans||", seed: int = 42,
+              cache: bool = True) -> np.ndarray:
     """Deterministic distributed k-means (cosine/spherical).
 
     The update step is MAP-SIDE: per-partition partial centroid sums
@@ -236,51 +238,73 @@ def train_ivf(df: DataFrame, vec_col: str, id_col: str, n_clusters: int,
     recall baseline in test_ann). Exact search (``nprobe =
     n_clusters``) is init-independent; pruned-search recall at fixed
     nprobe is what the better init buys.
+
+    ``cache=True`` (default) persists the narrow ``(id, vector)``
+    projection ONCE (memory-and-disk) and reuses it across every
+    init/Lloyd pass — the MLlib-KMeans pattern for iterative training
+    over an immutable input. Values and partition boundaries are
+    unchanged (persist materializes the same scan), so the result is
+    bit-identical to ``cache=False``. What it buys depends on where
+    the input lives: at local bench scale passes are job-overhead- and
+    Arrow-conversion-bound and caching is a wash (measured), but when
+    the corpus scans from remote object storage every avoided re-read
+    is a full network pass. Pass ``cache=False`` when the projection
+    exceeds cluster storage (compressed-parquet re-scans can beat a
+    spilled cache there — or train on a
+    :mod:`~vrtility_spark.sampling` subset instead).
     """
     if combine not in ("driver", "spark"):
         raise ValueError(f"unknown combine {combine!r}")
-    if init == "kmeans||":
-        centroids = init_kmeans_parallel(df, vec_col, id_col, n_clusters,
-                                         seed=seed)
-    elif init == "first":
-        # legacy deterministic init: first-k rows by id — clustering-
-        # quality-naive (correlated ids seed one region), kept for
-        # comparisons and as the recall-test baseline
-        rows = (df.orderBy(id_col).limit(n_clusters)
-                .select(vec_col).toPandas()[vec_col].tolist())
-        centroids = np.asarray(rows, dtype=np.float64)
-    else:
+    if init not in ("kmeans||", "first"):
         raise ValueError(f"unknown init {init!r}")
-    d = centroids.shape[1]
-    for _ in range(iters):
-        partials = df.select(vec_col).mapInPandas(
-            _partial_sums_udf(centroids, vec_col),
-            "pid long, cluster long, vecsum array<double>, n long")
-        new = centroids.copy()
-        if combine == "spark":
-            zero = F.array(*[F.lit(0.0)] * d)
-            rows = (partials.groupBy("cluster")
-                    .agg(F.aggregate(
-                            F.collect_list("vecsum"), zero,
-                            lambda acc, v: F.zip_with(
-                                acc, v, lambda a, b: a + b)).alias("s"),
-                         F.sum("n").alias("n"))
-                    .collect())
-            for row in rows:
-                new[row.cluster] = (np.asarray(row.s, dtype=np.float64)
-                                    / max(row.n, 1))
+    proj = df.select(id_col, vec_col)
+    if cache:
+        proj = proj.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        if init == "kmeans||":
+            centroids = init_kmeans_parallel(proj, vec_col, id_col,
+                                             n_clusters, seed=seed)
         else:
-            rows = sorted(partials.collect(),
-                          key=lambda r: (r.cluster, r.pid))
-            agg: dict[int, np.ndarray] = {}
-            cnt: dict[int, int] = {}
-            for row in rows:
-                agg.setdefault(row.cluster, np.zeros(d))
-                agg[row.cluster] += np.asarray(row.vecsum, dtype=np.float64)
-                cnt[row.cluster] = cnt.get(row.cluster, 0) + row.n
-            for k, v in agg.items():
-                new[k] = v / max(cnt[k], 1)
-        centroids = new
+            # legacy deterministic init: first-k rows by id — clustering-
+            # quality-naive (correlated ids seed one region), kept for
+            # comparisons and as the recall-test baseline
+            rows = (proj.orderBy(id_col).limit(n_clusters)
+                    .select(vec_col).toPandas()[vec_col].tolist())
+            centroids = np.asarray(rows, dtype=np.float64)
+        d = centroids.shape[1]
+        for _ in range(iters):
+            partials = proj.select(vec_col).mapInPandas(
+                _partial_sums_udf(centroids, vec_col),
+                "pid long, cluster long, vecsum array<double>, n long")
+            new = centroids.copy()
+            if combine == "spark":
+                zero = F.array(*[F.lit(0.0)] * d)
+                rows = (partials.groupBy("cluster")
+                        .agg(F.aggregate(
+                                F.collect_list("vecsum"), zero,
+                                lambda acc, v: F.zip_with(
+                                    acc, v, lambda a, b: a + b)).alias("s"),
+                             F.sum("n").alias("n"))
+                        .collect())
+                for row in rows:
+                    new[row.cluster] = (np.asarray(row.s, dtype=np.float64)
+                                        / max(row.n, 1))
+            else:
+                rows = sorted(partials.collect(),
+                              key=lambda r: (r.cluster, r.pid))
+                agg: dict[int, np.ndarray] = {}
+                cnt: dict[int, int] = {}
+                for row in rows:
+                    agg.setdefault(row.cluster, np.zeros(d))
+                    agg[row.cluster] += np.asarray(row.vecsum,
+                                                   dtype=np.float64)
+                    cnt[row.cluster] = cnt.get(row.cluster, 0) + row.n
+                for k, v in agg.items():
+                    new[k] = v / max(cnt[k], 1)
+            centroids = new
+    finally:
+        if cache:
+            proj.unpersist()
     return centroids
 
 

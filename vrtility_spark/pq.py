@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -248,7 +249,8 @@ def init_pq_kmeans_parallel(df: DataFrame, vec_col: str, id_col: str,
 
 def train_pq(df: DataFrame, vec_col: str, id_col: str, m: int = 8,
              ksub: int = 16, iters: int = 3, normalize: bool = True,
-             init: str = "kmeans||", seed: int = 42) -> np.ndarray:
+             init: str = "kmeans||", seed: int = 42,
+             cache: bool = True) -> np.ndarray:
     """Per-subspace k-means codebooks, ``(m, ksub, dsub)`` float64.
 
     ``init="kmeans||"`` (default) seeds every subspace with the
@@ -258,7 +260,15 @@ def train_pq(df: DataFrame, vec_col: str, id_col: str, m: int = 8,
     first-``ksub``-rows-by-id seeding (the recall baseline in
     test_pq). Each Lloyd iteration is ONE Arrow pass emitting map-side
     partial sums for every (subspace, code); the driver merges in
-    (subspace, code, partition) order — bit-reproducible."""
+    (subspace, code, partition) order — bit-reproducible.
+
+    ``cache=True`` (default) persists the narrow ``(id, vector)``
+    projection once and reuses it across every init/Lloyd pass —
+    values and partition boundaries are unchanged, so codebooks are
+    bit-identical to ``cache=False``; the win is avoided input
+    re-reads (material when the corpus scans from remote storage, a
+    measured wash at local bench scale); disable when the projection
+    exceeds cluster storage (see :func:`ann.train_ivf`)."""
     if not 1 <= int(ksub) <= 256:
         raise ValueError(
             f"ksub={ksub} out of range: codes are stored as uint8, so "
@@ -266,6 +276,20 @@ def train_pq(df: DataFrame, vec_col: str, id_col: str, m: int = 8,
             "ksub, for more capacity)")
     if init not in ("kmeans||", "first"):
         raise ValueError(f"unknown init {init!r}: kmeans|| | first")
+    proj = df.select(id_col, vec_col)
+    if cache:
+        proj = proj.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return _train_pq_passes(proj, vec_col, id_col, m, int(ksub),
+                                int(iters), normalize, init, seed)
+    finally:
+        if cache:
+            proj.unpersist()
+
+
+def _train_pq_passes(df: DataFrame, vec_col: str, id_col: str, m: int,
+                     ksub: int, iters: int, normalize: bool, init: str,
+                     seed: int) -> np.ndarray:
     if init == "kmeans||":
         books = init_pq_kmeans_parallel(df, vec_col, id_col, m, int(ksub),
                                         seed=seed, normalize=normalize)
