@@ -19,6 +19,10 @@ synthesized DETERMINISTICALLY:
   cap would instead EMPTY the pair graph.
 * polygonize: the same datagen pipeline at a 625-tile grid per zone
   (25x25 vs 8x8 — 9.77x the scenes).
+* ann_training: train_ivf + train_pq wall at 10x vs 100x replicated
+  embeddings (20k → 200k rows, input ratio 10) — per-row assignment /
+  partial-sum cost should grow linearly; the base tier is already 10x
+  so Spark fixed costs don't masquerade as sublinearity.
 
 Each (key, tier) is timed best-of-``SPARK_GRAFT_BENCH_REPS`` (default
 2) with the noop sink; the kernel probe annotates the window. Prints
@@ -76,11 +80,41 @@ def build_scaled_documents(spark) -> str:
     return out
 
 
+def build_scaled_embeddings(spark, repl: int) -> str:
+    """embeddings.parquet at ``repl`` x sf0.1, deterministic: each
+    vector replicated with a distinct vec_id. Exact copies are the
+    right scaling input for TRAINING wall (assignment + partial-sum
+    cost is per-row; the cluster structure is preserved, so iteration
+    counts can't drift between tiers)."""
+    from pyspark.sql import functions as F
+    src = spark.read.parquet(os.path.join(BASE_SF, "embeddings.parquet"))
+    n = src.count()
+    reps = spark.range(repl).withColumnRenamed("id", "_r")
+    scaled = (src.crossJoin(reps)
+              .select((F.col("vec_id") + F.col("_r") * F.lit(n * 4))
+                      .alias("vec_id"), "embedding")
+              .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))))
+    out = os.path.join(SCALED_DIR, f"emb_x{repl}", "embeddings.parquet")
+    scaled.write.mode("overwrite").parquet(out)
+    return out
+
+
 def time_key(fn, reps: int) -> float:
     best = None
     for _ in range(reps):
         t0 = time.perf_counter()
         _force(fn())
+        t = time.perf_counter() - t0
+        best = t if best is None or t < best else best
+    return round(best, 3)
+
+
+def time_call(fn, reps: int) -> float:
+    """best-of-reps for calls that do their own actions (trainers)."""
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
         t = time.perf_counter() - t0
         best = t if best is None or t < best else best
     return round(best, 3)
@@ -162,6 +196,35 @@ def main() -> None:
         "wall_ratio": round(big / base, 3),
         "wall_per_input": round(big / base / ratio, 3),
     }
+    # ANN training family: train_ivf + train_pq wall vs corpus size.
+    # Base is already 10x sf0.1 (20k rows) so the base tier is not
+    # fixed-cost-dominated; the scaled tier is 100x (200k rows) —
+    # input ratio 10, same as the other families. Both tiers scan a
+    # real parquet table, so the cached-projection path (one scan,
+    # then in-memory passes) is what's being measured.
+    from vrtility_spark import ann as _ann, pq as _pq
+    emb_b = spark.read.parquet(build_scaled_embeddings(spark, 10))
+    emb_s = spark.read.parquet(build_scaled_embeddings(spark, 100))
+    nb, ns = emb_b.count(), emb_s.count()
+
+    def train_both(df):
+        def run():
+            _ann.train_ivf(df, "embedding", "vec_id", n_clusters=16,
+                           iters=2)
+            _pq.train_pq(df, "embedding", "vec_id", m=8, ksub=32,
+                         iters=2)
+        return run
+    base = time_call(train_both(emb_b), reps)
+    big = time_call(train_both(emb_s), reps)
+    ratio = ns / nb
+    results["ann_training"] = {
+        "base_sec": base, "scaled_sec": big,
+        "base_rows": nb, "scaled_rows": ns,
+        "input_ratio": round(ratio, 3),
+        "wall_ratio": round(big / base, 3),
+        "wall_per_input": round(big / base / ratio, 3),
+    }
+
     imgs_b, n_b, run_b = flowacc_shape(spark, 8, 8)
     base = time_key(run_b, reps)
     imgs_b.unpersist()
