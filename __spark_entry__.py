@@ -798,6 +798,41 @@ def q_lm_perplexity(spark, sf_dir):
         F.round("perplexity", 2).alias("perplexity"))
 
 
+PACK_SEQ_LEN = 512      # LM packing window for the driver queries
+
+
+def q_pack_sequences(spark, sf_dir):
+    """LM sequence packing (packing.pack_documents): concat-and-chunk
+    every document into 512-token training windows via the two-phase
+    distributed prefix sum — range shuffle of (doc_id, n_tokens) longs
+    (text never shuffles), per-partition totals collected (~one long
+    per partition), offsets broadcast back, window cumsum PARTITIONED
+    BY the physical partition so no single-partition bottleneck. One
+    row per document: its global token offset and the sequence span it
+    lands in. The oracle replays the identical arithmetic as one SQL
+    window cumsum."""
+    from vrtility_spark import packing
+    d = _t(spark, sf_dir, "documents")
+    return packing.pack_documents(d, PACK_SEQ_LEN).select(
+        "doc_id", "n_tokens", "tok_start", "seq_first", "seq_last",
+        "pos_in_seq", "n_seqs")
+
+
+def q_pack_fill(spark, sf_dir):
+    """Per-sequence packing audit (packing.pack_spans +
+    sequence_fill): explode each document's [seq_first, seq_last] span
+    with F.sequence (pure expression, no Python), then aggregate
+    docs-per-sequence, tokens-per-sequence and fill fraction. Pins the
+    conservation property the packer guarantees — every sequence but
+    the last is exactly full. Span rows are (long, long, long, long):
+    the explosion never touches text payloads."""
+    from vrtility_spark import packing
+    d = _t(spark, sf_dir, "documents")
+    packed = packing.pack_documents(d, PACK_SEQ_LEN)
+    spans = packing.pack_spans(packed, PACK_SEQ_LEN)
+    return packing.sequence_fill(spans, PACK_SEQ_LEN)
+
+
 DECONTAM_MOD = 11       # every 11th doc plays the "benchmark" here
 DECONTAM_MIN_OVERLAP = 2
 CROSSDUP_N = 5          # window width for cross-document span dedup
@@ -2827,12 +2862,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver, tools/check_oracle.py, and pytest all see the same order
 # within one round.
 _PINNED = (
-    # 9 core keys re-verified every round; "knn" left to rotation since
-    # knn_distributed (same two-phase machinery, same oracle shape)
-    # occupies a window slot as a never-covered key this round
-    "pricing_summary", "mosaic_latest", "cell_assign", "spatial_join",
-    "hampel", "near_dup_clusters", "dedup_corpus", "ann_ivf",
-    "image_median_composite",
+    # FINAL ROUND: nothing pinned. Every formerly-pinned core key
+    # already holds a green CORRECTNESS_r04 row, so all 50 window
+    # slots go to keys the committed artifacts have never covered —
+    # the stale-first sort below puts exactly those first. (Earlier
+    # rounds pinned 9 core keys so the hot paths re-verified every
+    # round; with the surface now ~2x the window, final-round slots
+    # are worth more on never-covered keys, and the full-surface
+    # sweep artifact BENCH/ORACLE_SWEEP_r05.md covers the rest at the
+    # same HEAD.)
 )
 _WINDOW = 50  # the grading driver oracle-checks the first 50 entries
 
@@ -2922,6 +2960,8 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "lm_perplexity": q_lm_perplexity,
+        "pack_sequences": q_pack_sequences,
+        "pack_fill": q_pack_fill,
         "pii_scrub": q_pii_scrub,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh": q_embedding_lsh,
@@ -3570,6 +3610,61 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(nll), 4) as log2_ppl,
                    round(pow(2.0, avg(nll)), 2) as perplexity
             from scored group by doc_id
+        """,
+        "pack_sequences": f"""
+            with c as (
+              select doc_id,
+                     cast(len(string_split(text, ' ')) as bigint)
+                       as n_tokens
+              from documents
+            ), p as (
+              select doc_id, n_tokens,
+                     cast(coalesce(sum(n_tokens) over (
+                         order by doc_id rows between unbounded
+                         preceding and 1 preceding), 0) as bigint)
+                       as tok_start
+              from c
+            )
+            select doc_id, n_tokens, tok_start,
+                   tok_start // {PACK_SEQ_LEN} as seq_first,
+                   (tok_start + greatest(n_tokens, 1) - 1)
+                     // {PACK_SEQ_LEN} as seq_last,
+                   tok_start % {PACK_SEQ_LEN} as pos_in_seq,
+                   (tok_start + greatest(n_tokens, 1) - 1)
+                     // {PACK_SEQ_LEN} - tok_start // {PACK_SEQ_LEN}
+                     + 1 as n_seqs
+            from p
+        """,
+        "pack_fill": f"""
+            with c as (
+              select doc_id,
+                     cast(len(string_split(text, ' ')) as bigint)
+                       as n_tokens
+              from documents
+            ), p as (
+              select doc_id, n_tokens,
+                     cast(coalesce(sum(n_tokens) over (
+                         order by doc_id rows between unbounded
+                         preceding and 1 preceding), 0) as bigint)
+                       as tok_start
+              from c
+            ), spans as (
+              select u.seq_id,
+                     greatest(least(p.tok_start + p.n_tokens,
+                                    (u.seq_id + 1) * {PACK_SEQ_LEN})
+                              - greatest(p.tok_start,
+                                         u.seq_id * {PACK_SEQ_LEN}),
+                              0) as span_len
+              from p, unnest(range(p.tok_start // {PACK_SEQ_LEN},
+                       (p.tok_start + greatest(p.n_tokens, 1) - 1)
+                         // {PACK_SEQ_LEN} + 1)) u(seq_id)
+            )
+            select seq_id,
+                   count(*) as n_docs,
+                   cast(sum(span_len) as bigint) as n_tokens,
+                   round(sum(span_len) / {PACK_SEQ_LEN}.0, 6)
+                     as fill_frac
+            from spans group by seq_id
         """,
         "decontaminate": shingle_cte + f"""
             , bench as (
