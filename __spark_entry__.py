@@ -2116,6 +2116,36 @@ def q_image_change(spark, sf_dir):
         nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
 
 
+def q_image_unmix(spark, sf_dir):
+    """Linear spectral unmixing (unmix.unmix): masked median composite
+    → per-pixel endmember fractions + RMSE against the documented
+    EXAMPLE_ENDMEMBERS set over the data planes (trailing SCL plane
+    dropped via bands=(0,1,2,3)). The fraction solve is ONE shared
+    LAPACK-free K×K normal system (harmonic.solve_normal_np) applied
+    as a (K×B)·(B×N) matmul — a zero-shuffle Arrow map; the reference
+    would express this as a user pixel function over a VRT stack
+    (/root/reference/R/zvrt-pixel-funs.R). Pinned against constants
+    computed Spark-free from the same per-cell medians + unmix_np
+    (tools/gen_oracle_constants.py)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema, unmix
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    out = (Pipeline(images)
+           .set_maskfun("int", datagen.S2_MASK_VALUES)
+           .warp(cell_res=datagen.TILE_RES)
+           .composite("median")
+           .unmix(unmix.EXAMPLE_ENDMEMBERS, bands=(0, 1, 2, 3))
+           .df)
+    fs, nd_px = _float_payload_udfs()
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        fs("bytes", "w", "h", "fmt").alias("frac_sum"),
+        nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
+
+
 def q_image_stretch(spark, sf_dir):
     """Masked median composite → percent-cut stretch (stretch.stretch,
     SURVEY §2 F7 — the reference's plotting normalization,
@@ -2990,6 +3020,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_flowacc": q_image_flowacc,
         "image_cloudshadow": q_image_cloudshadow,
         "image_change": q_image_change,
+        "image_unmix": q_image_unmix,
         "image_quarterly_composite": q_image_quarterly_composite,
         "image_trend": q_image_trend,
         "image_mk_trend": q_image_mk_trend,

@@ -1192,6 +1192,44 @@ def image_change_rows():
     return sorted(rows, key=lambda d: d["cell_id"])
 
 
+def image_unmix_rows():
+    """Masked median composite → linear spectral unmixing against the
+    documented EXAMPLE_ENDMEMBERS set (data planes 0-3, the trailing
+    SCL plane dropped), replicated Spark-free: per-cell medians over
+    the masked stack, uint16 round-trip, unmix.unmix_np (kernel gated
+    against a per-pixel lstsq loop in tests/test_unmix.py),
+    float32/-9999 round-trip, shared rawf32 checksums."""
+    from vrtility_spark import unmix
+
+    E = np.asarray(unmix.EXAMPLE_ENDMEMBERS, dtype=np.float64)
+    pdf = _grouped_fixture()
+    rows = []
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        with np.errstate(all="ignore"):
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                comp = composite.REDUCERS["median"](
+                    _masked_stack(grp, nd))
+        A = codec.to_float_masked(
+            codec.from_float(comp, nd, "uint16"), nd)
+        out = unmix.unmix_np(A[:4], E)
+        payload = codec.encode(
+            codec.from_float(out, -9999.0, "float32"), "rawf32")
+        dec = codec.decode(payload, 16, 16, "rawf32").astype(np.float64)
+        valid = dec[dec != -9999.0]
+        rows.append({
+            "cell_id": int(cell_id),
+            "n_scenes": len(grp),
+            "payload_len": len(payload),
+            "frac_sum": float(np.round(valid, 3).sum()),
+            "nodata_px": int((dec == -9999.0).sum()),
+        })
+    return sorted(rows, key=lambda d: d["cell_id"])
+
+
 def zonal_rows():
     """Masked median composite → zonal statistics per AOI polygon,
     replicated without Spark: each fixture AOI part is reduced over
@@ -2748,6 +2786,12 @@ def main() -> None:
         "image_change": values_sql(
             image_change_rows(),
             ["cell_id", "n_scenes", "payload_len", "ch_sum",
+             "nodata_px"]),
+        # composite -> spectral unmixing: pins the LAPACK-free
+        # normal-equation fraction solve + clip/renorm projection
+        "image_unmix": values_sql(
+            image_unmix_rows(),
+            ["cell_id", "n_scenes", "payload_len", "frac_sum",
              "nodata_px"]),
         # vector->raster: AOI polygons burned into cover-cell tiles
         "rasterize_aoi": values_sql(

@@ -61,7 +61,8 @@ class Pipeline:
         "morphology", "sieve",
         "proximity", "fillnodata", "chips", "overview_level",
         "overviews", "terrain", "texture", "color_relief", "stretch",
-        "classify", "kmeans", "flow_accumulation", "cloud_shadow"])
+        "classify", "kmeans", "flow_accumulation", "cloud_shadow",
+        "unmix"])
 
     def __init__(self, df: DataFrame, mask_specs: tuple = (),
                  log: tuple = (), mask_dropped: bool = False):
@@ -493,6 +494,24 @@ class Pipeline:
         from vrtility_spark import regions as _regions
         return _regions.polygonize(self._flushed().df, band=band,
                                    values=values, reliable=reliable)
+
+    def unmix(self, endmembers, clip: bool = True, renorm: bool = True,
+              bands=None) -> "Pipeline":
+        """Linear spectral unmixing (unmix.unmix): per-pixel endmember
+        fraction planes + RMSE against a fixed (bands, K) endmember
+        matrix — one zero-shuffle Arrow map (the tiny matrix rides the
+        closure); validates rank eagerly on the driver. ``bands``
+        picks plane indices (drop a mask plane a composite carried).
+        Output rawf32 with the -9999 sentinel. Pending masks flush
+        first."""
+        from vrtility_spark import unmix as _unmix
+        E = [[float(v) for v in row] for row in endmembers]
+        sel = None if bands is None else [int(b) for b in bands]
+        return self._next(
+            _unmix.unmix(self._flushed().df, E, clip=bool(clip),
+                         renorm=bool(renorm), bands=sel),
+            (), "unmix", {"endmembers": E, "clip": bool(clip),
+                          "renorm": bool(renorm), "bands": sel})
 
     def classify(self, breaks, band: int = 0) -> "Pipeline":
         """Digitize a continuous band into level indices
