@@ -1937,6 +1937,52 @@ def q_image_gapfill(spark, sf_dir):
         "nodata_px_after", "pix_sum")
 
 
+def q_image_breaks(spark, sf_dir):
+    """Per-pixel structural break detection (breaks.breaks_stack):
+    single most-likely breakpoint by piecewise OLS over the masked
+    scene stack — break_t/magnitude/score/n_obs planes per band
+    (band-major), the change-DETECTION twin of image_trend's
+    change-RATE product. The candidate search needs per-scene
+    prefixes, so this is the composite-shaped grouped-stack shuffle
+    (scenes move ONCE on the spatial key, trend's RAM guard applies);
+    kernel gated by a naive per-candidate lstsq loop
+    (tests/test_breaks.py), pinned here against constants computed
+    Spark-free (tools/gen_oracle_constants.py) with per-plane-family
+    checksums."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    out = (Pipeline(images)
+           .set_maskfun("int", datagen.S2_MASK_VALUES)
+           .warp(cell_res=datagen.TILE_RES)
+           .break_detect(min_seg=2)
+           .df)
+
+    def family_sum(which: int):
+        @F.pandas_udf("double")
+        def fsum(b: pd.Series, w: pd.Series, h: pd.Series,
+                 fmt: pd.Series) -> pd.Series:
+            from vrtility_spark import codec
+            res = []
+            for x, wi, hi, f in zip(b, w, h, fmt):
+                dec = codec.decode(x, int(wi), int(hi), f)
+                pl = dec[which::4].astype(np.float64)
+                valid = pl[pl != -9999.0]
+                res.append(float(np.round(valid, 3).sum()))
+            return pd.Series(res)
+        return fsum
+
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        family_sum(0)("bytes", "w", "h", "fmt").alias("bt_sum"),
+        family_sum(1)("bytes", "w", "h", "fmt").alias("mag_sum"),
+        family_sum(2)("bytes", "w", "h", "fmt").alias("score_sum"),
+        family_sum(3)("bytes", "w", "h", "fmt").alias("nobs_sum"))
+
+
 def q_image_trend(spark, sf_dir):
     """Per-pixel OLS temporal trend (trend.trend): slope/intercept/
     n_obs planes per band over the masked scene stack — the EO
@@ -3023,6 +3069,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_unmix": q_image_unmix,
         "image_quarterly_composite": q_image_quarterly_composite,
         "image_trend": q_image_trend,
+        "image_breaks": q_image_breaks,
         "image_mk_trend": q_image_mk_trend,
         "image_topocorrect": q_image_topocorrect,
         "image_quality_mosaic": q_image_quality_mosaic,

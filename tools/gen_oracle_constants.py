@@ -963,6 +963,52 @@ def image_gapfill_rows():
     return sorted(rows, key=lambda d: (d["cell_id"], d["period"]))
 
 
+def image_breaks_rows():
+    """Per-pixel break detection replicated Spark-free: the masked
+    fixture stack in FLOAT64, time in years since trend.TREND_EPOCH,
+    breaks.breaks_np (independently gated by the naive per-candidate
+    lstsq loop in tests/test_breaks.py), rawf32/-9999 round trip.
+    Planes are BAND-major [break_t, magnitude, score, n_obs] x B;
+    checksums stride plane families across bands."""
+    from vrtility_spark import breaks
+    from vrtility_spark import trend
+    pdf = _grouped_fixture()
+    rows = []
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        stack = []
+        for r in grp.itertuples(index=False):
+            arr = codec.decode(r.bytes, r.w, r.h, r.fmt)
+            m01 = masks.build_intmask_np(arr[-1], datagen.S2_MASK_VALUES)
+            data = masks.apply_mask_np(arr[:-1], m01, nd[:-1])
+            full = np.concatenate([data, arr[-1:]])
+            stack.append(codec.to_float_masked(full, nd))  # f64
+        stack = np.stack(stack)
+        ts = trend.t_years(grp.datetime.values.astype("datetime64[ns]")
+                           .astype(np.int64))
+        planes = breaks.breaks_np(ts, stack, min_seg=2)
+        payload = codec.encode(
+            codec.from_float(planes, trend.OUT_NODATA, "float32"),
+            "rawf32")
+        dec = codec.decode(payload, 16, 16, "rawf32")
+        nb = dec.shape[0] // 4
+        sums = []
+        for which in range(4):
+            pl = dec[which::4].astype(np.float64)
+            assert pl.shape[0] == nb
+            valid = pl[pl != -9999.0]
+            sums.append(float(np.round(valid, 3).sum()))
+        rows.append({
+            "cell_id": int(cell_id),
+            "n_scenes": len(grp),
+            "payload_len": len(payload),
+            "bt_sum": sums[0], "mag_sum": sums[1],
+            "score_sum": sums[2], "nobs_sum": sums[3],
+        })
+    return sorted(rows, key=lambda d: d["cell_id"])
+
+
 def image_trend_rows():
     """Per-pixel OLS trend replicated Spark-free: the masked fixture
     stack in FLOAT64 (trend accumulates f64, unlike the composites'
@@ -2759,6 +2805,12 @@ def main() -> None:
             image_trend_rows(),
             ["cell_id", "n_scenes", "payload_len", "dt_min", "dt_max",
              "slope_sum", "icept_sum", "nobs_sum"]),
+        # composite-free break detection: pins the grouped-stack
+        # piecewise-OLS breakpoint search (band-major plane layout)
+        "image_breaks": values_sql(
+            image_breaks_rows(),
+            ["cell_id", "n_scenes", "payload_len", "bt_sum",
+             "mag_sum", "score_sum", "nobs_sum"]),
         # quality mosaic (GEE qualityMosaic parity): per-pixel argmax
         # of the quality plane carries the whole coherent observation
         "image_quality_mosaic": values_sql(

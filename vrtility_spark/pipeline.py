@@ -56,7 +56,8 @@ class Pipeline:
         "set_maskfun", "create_mlmask", "subset_bands", "derived_band",
         "thin",
         "set_scale", "reproject", "warp", "regrid", "composite",
-        "composite_period", "trend", "mk_trend", "harmonic", "gapfill",
+        "composite_period", "trend", "mk_trend", "break_detect",
+        "harmonic", "gapfill",
         "hampel", "savgol", "whittaker", "split_cells", "focal",
         "morphology", "sieve",
         "proximity", "fillnodata", "chips", "overview_level",
@@ -343,6 +344,21 @@ class Pipeline:
         return self._next(
             _trend.trend(self._df, scene_fn=self._scene_fn(), mode=mode),
             (), "trend", {"mode": mode})
+
+    def break_detect(self, min_seg: int = 3) -> "Pipeline":
+        """Per-pixel structural break detection (breaks.breaks_stack):
+        single most-likely breakpoint by piecewise OLS — break_t
+        (years since trend.TREND_EPOCH), magnitude (level shift at the
+        break), score (1 − SSE_split/SSE_null) and n_obs, four planes
+        per input band in a ``rawf32`` tile — the change-DETECTION
+        twin of :meth:`trend`. The candidate search needs per-scene
+        prefixes, so this is a grouped-stack (holistic) operator with
+        the composite RAM guard; masks fuse into the scene decode."""
+        from vrtility_spark import breaks as _breaks
+        return self._next(
+            _breaks.breaks_stack(self._df, min_seg=int(min_seg),
+                                 scene_fn=self._scene_fn()),
+            (), "break_detect", {"min_seg": int(min_seg)})
 
     def mk_trend(self) -> "Pipeline":
         """Per-pixel Mann–Kendall trend test + Theil–Sen slope
