@@ -1313,6 +1313,35 @@ def q_image_regrid_composite(spark, sf_dir):
         ps("bytes", "w", "h", "fmt").alias("pix_sum"))
 
 
+def q_image_feather(spark, sf_dir):
+    """Feathered (seamline-blended) mosaic (feather.feather_mosaic):
+    the offset-footprint fixture regridded and blended with ANALYTIC
+    distance-to-footprint-edge weights (cap 4 px, 0.25-px valid
+    floor) — seams become ramps, interiors blend at equal weight. The
+    gdalwarp-cutline-blend product the reference ecosystem gets from
+    GDAL, re-expressed as footprint-snapshot columns + the regrid
+    cover explode + ONE cell-keyed grouped blend (the composite
+    shuffle; weights recomputed per tile from six scalars — no weight
+    plane ever shuffles). Pinned against constants replicated
+    Spark-free with the loop-gated weight/blend kernels
+    (tools/gen_oracle_constants.py)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(spark, datagen.offset_images_pandas())
+    out = (Pipeline(images)
+           .set_maskfun("int", datagen.S2_MASK_VALUES)
+           .feather(datagen.TILE_RES, 16, cap_px=4.0,
+                    resampling="nearest")
+           .df)
+    ps = _pix_sum_udf()
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        F.md5("caption_agg").alias("caption_md5"),
+        ps("bytes", "w", "h", "fmt").alias("pix_sum"))
+
+
 def q_image_focal_mean(spark, sf_dir):
     """Masked median composite → focal mean (radius 1) with distributed
     halo exchange (focal.focal_filter): neighbor tiles ship their edge
@@ -3081,6 +3110,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_medoid_composite": q_image_medoid_composite,
         "image_hls_composite": q_image_hls_composite,
         "image_regrid_composite": q_image_regrid_composite,
+        "image_feather": q_image_feather,
         "image_hampel": q_image_hampel,
         "image_whittaker": q_image_whittaker,
         "image_texture": q_image_texture,

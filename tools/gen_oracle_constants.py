@@ -1524,6 +1524,78 @@ def image_regrid_rows():
     return rows
 
 
+def image_feather_rows():
+    """Offset-footprint fixture → mask → regrid (nearest) → FEATHERED
+    blend (feather.feather_weights_np / feather_blend_np, both gated
+    by per-pixel loops in tests/test_feather.py): analytic
+    distance-to-footprint-edge weights (cap 4 px), float64 blend,
+    uint16 round-trip. Scene order (datetime, image_id) matches the
+    distributed sort so float accumulation order is identical."""
+    from vrtility_spark import feather
+    from vrtility_spark.cells import cover_bbox_np, decode_np
+    from vrtility_spark.warp import sample_plane_masked
+
+    pdf = datagen.offset_images_pandas()
+    size = datagen.TILE_SPAN
+    cap = 4.0
+    tiles: dict[int, list] = {}
+    for r in pdf.itertuples(index=False):
+        arr = codec.decode(r.bytes, r.w, r.h, r.fmt)
+        nd = np.asarray(r.band_nodata, dtype=np.float64)
+        m01 = masks.build_intmask_np(arr[-1], datagen.S2_MASK_VALUES)
+        data = masks.apply_mask_np(arr[:-1], m01, nd[:-1])
+        masked = np.concatenate([data, arr[-1:]])
+        res_x = (r.xmax - r.xmin) / r.w
+        for cid in cover_bbox_np(r.zone, r.xmin, r.ymin, r.xmax, r.ymax,
+                                 datagen.TILE_RES):
+            _, _, ix, iy = decode_np(cid)
+            cx0, cy0 = float(ix) * size, float(iy) * size
+            if not (cx0 < r.xmax and cx0 + size > r.xmin
+                    and cy0 < r.ymax and cy0 + size > r.ymin):
+                continue
+            fx = (cx0 + (np.arange(16) + 0.5) * (size / 16)
+                  - r.xmin) / res_x - 0.5
+            fy = (cy0 + (np.arange(16) + 0.5) * (size / 16)
+                  - r.ymin) / res_x - 0.5
+            planes = []
+            for b in range(len(masked)):
+                if b == len(masked) - 1:  # class plane: nearest raw
+                    p = sample_plane_masked(
+                        masked[b].astype(np.float64), fy, fx, "nearest")
+                else:
+                    p = sample_plane_masked(
+                        codec.to_float_masked(masked[b][None],
+                                              float(nd[b]))[0],
+                        fy, fx, "nearest")
+                planes.append(codec.from_float(p[None], float(nd[b]),
+                                               "uint16")[0])
+            wts = feather.feather_weights_np(
+                cx0, cy0, size, 16, 16,
+                (r.xmin, r.ymin, r.xmax, r.ymax), cap)
+            tiles.setdefault(int(cid), []).append(
+                (r.datetime, r.image_id, r.caption,
+                 np.stack(planes), nd, wts))
+    rows = []
+    for cid, entries in tiles.items():
+        entries.sort(key=lambda e: (e[0], e[1]))
+        nd = entries[0][4]
+        stack = np.stack([codec.to_float_masked(e[3], nd)
+                          for e in entries])  # f64 — the blend dtype
+        wts = np.stack([e[5] for e in entries])
+        out = feather.feather_blend_np(stack, wts)
+        payload = codec.encode(codec.from_float(out, nd, "uint16"),
+                               "raw16")
+        agg = _caption_agg([e[2] for e in entries])
+        rows.append({
+            "cell_id": cid, "n_scenes": len(entries),
+            "payload_len": len(payload),
+            "caption_md5": hashlib.md5(agg.encode()).hexdigest(),
+            "pix_sum": int(np.frombuffer(payload, "<u2")
+                           .astype(np.int64).sum()),
+        })
+    return rows
+
+
 def image_hampel_rows():
     pdf = _grouped_fixture()
     rows = []
@@ -2869,6 +2941,12 @@ def main() -> None:
              "pix_sum"]),
         "image_regrid_composite": values_sql(
             image_regrid_rows(),
+            ["cell_id", "n_scenes", "payload_len", "caption_md5",
+             "pix_sum"]),
+        # regrid -> analytic feathered blend: pins the seamline
+        # distance weights + weighted-mean mosaic
+        "image_feather": values_sql(
+            image_feather_rows(),
             ["cell_id", "n_scenes", "payload_len", "caption_md5",
              "pix_sum"]),
         "image_hampel": values_sql(

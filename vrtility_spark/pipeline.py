@@ -55,7 +55,8 @@ class Pipeline:
         "cloud_filter", "orbit_filter", "drop_duplicates", "date_range",
         "set_maskfun", "create_mlmask", "subset_bands", "derived_band",
         "thin",
-        "set_scale", "reproject", "warp", "regrid", "composite",
+        "set_scale", "reproject", "warp", "regrid", "feather",
+        "composite",
         "composite_period", "trend", "mk_trend", "break_detect",
         "harmonic", "gapfill",
         "hampel", "savgol", "whittaker", "split_cells", "focal",
@@ -244,6 +245,28 @@ class Pipeline:
              "mask_plane": mask_plane})
 
     # -------------------------------------------------- spatial (J4-J6)
+    def feather(self, cell_res: int, out_w: int, out_h: int | None = None,
+                cap_px: float = 8.0,
+                resampling: str | dict = "bilinear") -> "Pipeline":
+        """Feathered mosaic (feather.feather_mosaic): regrid arbitrary
+        footprints onto the cell grid and blend overlapping scenes
+        with analytic distance-to-footprint-edge weights clipped to
+        ``cap_px`` — seams become cap_px-wide ramps instead of hard
+        switches; interior pixels blend with equal weights (plain
+        mean). One cover explode + narrow Arrow map + ONE cell-keyed
+        grouped blend (the composite shuffle). Pending masks fuse into
+        the regrid decode; output is COMPOSITE_SCHEMA."""
+        from vrtility_spark import feather as _feather
+        return self._next(
+            _feather.feather_mosaic(
+                self._df, cell_res, out_w, out_h,
+                cap_px=float(cap_px), resampling=resampling,
+                scene_fn=self._scene_fn(),
+                mask_plane=not self._mask_dropped),
+            (), "feather",
+            {"cell_res": cell_res, "out_w": out_w, "out_h": out_h,
+             "cap_px": float(cap_px), "resampling": resampling})
+
     def intersecting(self, aoi: DataFrame, **kw) -> "Pipeline":
         return self._next(_join.spatial_semi_join(self._df, aoi, **kw),
                           self._mask_specs, "intersecting",
