@@ -1313,6 +1313,43 @@ def q_image_regrid_composite(spark, sf_dir):
         ps("bytes", "w", "h", "fmt").alias("pix_sum"))
 
 
+def q_image_coregister(spark, sf_dir):
+    """Scene co-registration (coregister.coregister): every masked
+    scene gets a PLANTED deterministic (dy, dx) misalignment (derived
+    from its acquisition month, applied with coregister.apply_shifts),
+    then is registered against the collection's own median composite
+    by windowed normalized cross-correlation — direct candidate sweep
+    (bit-deterministic, no FFT) + parabolic subpixel refinement. Plan:
+    one BROADCAST equi join of scene tiles against the one-row-per-
+    cell reference + a narrow Arrow map emitting metadata rows only
+    (payloads never shuffle). The AROSICS-style registration step the
+    reference's gdalwarp pipeline assumes away (R/vrt-warp.R). Pinned
+    against constants replicated Spark-free with the loop-gated
+    register_np/shift_np kernels (tools/gen_oracle_constants.py)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import coregister, datagen, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    scenes = (Pipeline(images)
+              .set_maskfun("int", datagen.S2_MASK_VALUES)
+              .warp(cell_res=datagen.TILE_RES)
+              .df)
+    reference = Pipeline(scenes).composite("median").df
+    month = F.substring("image_id", -4, 2).cast("int")
+    plant = scenes.select(
+        "image_id", "cell_id",
+        (-(month % 5 - 2)).cast("double").alias("dy"),
+        (-((month * 3) % 5 - 2)).cast("double").alias("dx"))
+    planted = coregister.apply_shifts(scenes, plant)
+    est = coregister.coregister(planted, reference, band=0,
+                                max_shift=3)
+    return est.select(
+        "image_id", "cell_id",
+        F.round("dy", 4).alias("dy"), F.round("dx", 4).alias("dx"),
+        F.round("peak", 4).alias("peak"), "n_overlap")
+
+
 def q_image_feather(spark, sf_dir):
     """Feathered (seamline-blended) mosaic (feather.feather_mosaic):
     the offset-footprint fixture regridded and blended with ANALYTIC
@@ -3111,6 +3148,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_hls_composite": q_image_hls_composite,
         "image_regrid_composite": q_image_regrid_composite,
         "image_feather": q_image_feather,
+        "image_coregister": q_image_coregister,
         "image_hampel": q_image_hampel,
         "image_whittaker": q_image_whittaker,
         "image_texture": q_image_texture,

@@ -1524,6 +1524,52 @@ def image_regrid_rows():
     return rows
 
 
+def image_coregister_rows():
+    """Planted-misalignment co-registration replicated Spark-free:
+    masked scenes (uint16, the vrt_set_maskfun payload), planted
+    month-derived (dy, dx) rolls via coregister.shift_np through the
+    uint16 round trip (apply_shifts' encode), median-composite
+    reference (f32 compute like the distributed composite), then
+    coregister.register_np (both kernels loop-gated in
+    tests/test_coregister.py)."""
+    from vrtility_spark import coregister
+
+    pdf = _grouped_fixture()
+    rows = []
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        with np.errstate(all="ignore"):
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                comp = composite.REDUCERS["median"](_masked_stack(grp, nd))
+        ref = codec.to_float_masked(
+            codec.from_float(comp, nd, "uint16"), nd)[0]
+        for r in grp.itertuples(index=False):
+            arr = codec.decode(r.bytes, r.w, r.h, r.fmt)
+            m01 = masks.build_intmask_np(arr[-1], datagen.S2_MASK_VALUES)
+            data = masks.apply_mask_np(arr[:-1], m01, nd[:-1])
+            full = np.concatenate([data, arr[-1:]])
+            A = codec.to_float_masked(full, nd)
+            month = int(r.image_id[-4:-2])
+            pdy = month % 5 - 2
+            pdx = (month * 3) % 5 - 2
+            S = coregister.shift_np(A, pdy, pdx)
+            # apply_shifts' payload round trip
+            A2 = codec.to_float_masked(
+                codec.from_float(S, nd, "uint16"), nd)
+            dy, dx, peak, n = coregister.register_np(ref, A2[0], 3)
+            rows.append({
+                "image_id": r.image_id, "cell_id": int(cell_id),
+                "dy": _round_half_up(dy, 4),
+                "dx": _round_half_up(dx, 4),
+                "peak": _round_half_up(peak, 4),
+                "n_overlap": int(n),
+            })
+    return sorted(rows, key=lambda d: (d["cell_id"], d["image_id"]))
+
+
 def image_feather_rows():
     """Offset-footprint fixture → mask → regrid (nearest) → FEATHERED
     blend (feather.feather_weights_np / feather_blend_np, both gated
@@ -2943,6 +2989,11 @@ def main() -> None:
             image_regrid_rows(),
             ["cell_id", "n_scenes", "payload_len", "caption_md5",
              "pix_sum"]),
+        # planted-shift co-registration: pins the NCC candidate sweep
+        # + subpixel refinement + shift application round trip
+        "image_coregister": values_sql(
+            image_coregister_rows(),
+            ["image_id", "cell_id", "dy", "dx", "peak", "n_overlap"]),
         # regrid -> analytic feathered blend: pins the seamline
         # distance weights + weighted-mean mosaic
         "image_feather": values_sql(
