@@ -1313,6 +1313,35 @@ def q_image_regrid_composite(spark, sf_dir):
         ps("bytes", "w", "h", "fmt").alias("pix_sum"))
 
 
+def q_image_psnr(spark, sf_dir):
+    """Distributed fidelity gate (quality.tile_psnr): per-(scene,
+    band) MSE/PSNR of every masked scene against the collection's own
+    median composite — outlier-scene screening (residual cloud/haze
+    scenes score low; nominal scenes high), and the brief's own
+    acceptance language (decoded-pixel PSNR thresholds) as a
+    first-class verb. Plan: one BROADCAST equi join of scene tiles
+    against the one-row-per-cell reference + a narrow Arrow map
+    emitting metric rows only — payloads never shuffle past the join.
+    Pinned against constants replicating the composite and psnr_np
+    Spark-free (tools/gen_oracle_constants.py)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, quality, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    scenes = (Pipeline(images)
+              .set_maskfun("int", datagen.S2_MASK_VALUES)
+              .warp(cell_res=datagen.TILE_RES)
+              .df)
+    reference = Pipeline(scenes).composite("median").df
+    out = quality.tile_psnr(scenes, reference, broadcast_right=True,
+                            passthrough=("image_id",))
+    return out.select(
+        "image_id", "cell_id", "band", "n",
+        F.round("mse", 4).alias("mse"),
+        F.round("psnr", 4).alias("psnr"), "identical")
+
+
 def q_image_coregister(spark, sf_dir):
     """Scene co-registration (coregister.coregister): every masked
     scene gets a PLANTED deterministic (dy, dx) misalignment (derived
@@ -3149,6 +3178,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_regrid_composite": q_image_regrid_composite,
         "image_feather": q_image_feather,
         "image_coregister": q_image_coregister,
+        "image_psnr": q_image_psnr,
         "image_hampel": q_image_hampel,
         "image_whittaker": q_image_whittaker,
         "image_texture": q_image_texture,

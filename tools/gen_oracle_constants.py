@@ -1524,6 +1524,46 @@ def image_regrid_rows():
     return rows
 
 
+def image_psnr_rows():
+    """Per-scene-vs-median fidelity replicated Spark-free: masked
+    scenes (the vrt_set_maskfun uint16 payloads), the f32-compute
+    median composite through the uint16 round trip, scored per band
+    with quality.psnr_np (loop-gated in tests/test_quality.py)."""
+    from vrtility_spark import quality
+
+    pdf = _grouped_fixture()
+    rows = []
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        with np.errstate(all="ignore"):
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                comp = composite.REDUCERS["median"](_masked_stack(grp, nd))
+        ref = codec.to_float_masked(
+            codec.from_float(comp, nd, "uint16"), nd)
+        for r in grp.itertuples(index=False):
+            arr = codec.decode(r.bytes, r.w, r.h, r.fmt)
+            m01 = masks.build_intmask_np(arr[-1], datagen.S2_MASK_VALUES)
+            data = masks.apply_mask_np(arr[:-1], m01, nd[:-1])
+            full = np.concatenate([data, arr[-1:]])
+            A = codec.to_float_masked(full, nd)
+            for bi, (n, mse, psnr, ident) in enumerate(
+                    quality.psnr_np(A, ref)):
+                rows.append({
+                    "image_id": r.image_id,
+                    "cell_id": int(cell_id), "band": bi, "n": int(n),
+                    "mse": _round_half_up(mse, 4) if np.isfinite(mse)
+                    else float("nan"),
+                    "psnr": _round_half_up(psnr, 4)
+                    if np.isfinite(psnr) else float("nan"),
+                    "identical": int(ident),
+                })
+    return sorted(rows, key=lambda d: (d["cell_id"], d["image_id"],
+                                       d["band"]))
+
+
 def image_coregister_rows():
     """Planted-misalignment co-registration replicated Spark-free:
     masked scenes (uint16, the vrt_set_maskfun payload), planted
@@ -2989,6 +3029,12 @@ def main() -> None:
             image_regrid_rows(),
             ["cell_id", "n_scenes", "payload_len", "caption_md5",
              "pix_sum"]),
+        # per-scene-vs-median fidelity: the brief's PSNR acceptance
+        # language as a pinned artifact (outlier-scene screening)
+        "image_psnr": values_sql(
+            image_psnr_rows(),
+            ["image_id", "cell_id", "band", "n", "mse", "psnr",
+             "identical"]),
         # planted-shift co-registration: pins the NCC candidate sweep
         # + subpixel refinement + shift application round trip
         "image_coregister": values_sql(
