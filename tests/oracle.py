@@ -273,3 +273,85 @@ def cloud_shadow_walk(cloud: np.ndarray, shifts, union=False) -> np.ndarray:
                 out[b, y, x] = 1.0 if hit else 0.0
         out[b][~np.isfinite(cloud[b])] = np.nan
     return out
+
+
+def fill_sinks_jacobi(dem: np.ndarray, eps: float = 0.0) -> np.ndarray:
+    """Naive depression filling as the obviously-correct Jacobi
+    fixpoint: W starts at Z on outlet pixels (array border or
+    8-adjacent to nodata) and +inf elsewhere, then sweeps
+    ``W = max(Z, min_8nb(W) + eps)`` until nothing changes — a
+    genuinely different algorithm from the engine's priority-flood."""
+    dem = np.asarray(dem, np.float64)
+    B, H, W_ = dem.shape
+    out = np.full((B, H, W_), np.nan)
+    for b in range(B):
+        Z = dem[b]
+        valid = np.isfinite(Z)
+        seed = np.zeros((H, W_), bool)
+        for y in range(H):
+            for x in range(W_):
+                if not valid[y, x]:
+                    continue
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        if dy == 0 and dx == 0:
+                            continue
+                        ny, nx = y + dy, x + dx
+                        if (not (0 <= ny < H and 0 <= nx < W_)
+                                or not valid[ny, nx]):
+                            seed[y, x] = True
+        lvl = np.where(seed, Z, np.inf)
+        lvl[~valid] = np.nan
+        changed = True
+        while changed:
+            changed = False
+            new = lvl.copy()
+            for y in range(H):
+                for x in range(W_):
+                    if not valid[y, x] or seed[y, x]:
+                        continue
+                    lo = np.inf
+                    for dy in (-1, 0, 1):
+                        for dx in (-1, 0, 1):
+                            if dy == 0 and dx == 0:
+                                continue
+                            ny, nx = y + dy, x + dx
+                            if (0 <= ny < H and 0 <= nx < W_
+                                    and valid[ny, nx]):
+                                lo = min(lo, lvl[ny, nx] + eps)
+                    cand = max(Z[y, x], lo)
+                    if cand < new[y, x]:
+                        new[y, x] = cand
+                        changed = True
+            lvl = new
+        out[b] = lvl
+    return out
+
+
+def basins_walk(codes: np.ndarray, oy: int = 0, ox: int = 0,
+                span: int = 1 << 26) -> np.ndarray:
+    """Naive watershed labeling: WALK every valid pixel's D8 path step
+    by step until a sink (code 0), a nodata target, or the array edge;
+    label = ``(oy + ty) * span + (ox + tx)`` of the stopping pixel."""
+    codes = np.asarray(codes, np.float64)
+    B, H, W_ = codes.shape
+    out = np.full((B, H, W_), np.nan)
+    for b in range(B):
+        c = codes[b]
+        for sy in range(H):
+            for sx in range(W_):
+                if not np.isfinite(c[sy, sx]):
+                    continue
+                y, x = sy, sx
+                for _ in range(H * W_ + 1):
+                    code = c[y, x]
+                    if code == 0:
+                        break
+                    dy, dx = _D8[int(code)]
+                    ny, nx = y + dy, x + dx
+                    if (not (0 <= ny < H and 0 <= nx < W_)
+                            or not np.isfinite(c[ny, nx])):
+                        break  # off-map / into nodata: outlet HERE
+                    y, x = ny, nx
+                out[b, sy, sx] = float((oy + y) * span + (ox + x))
+    return out

@@ -17,6 +17,9 @@ Formats (the ``fmt`` column):
 - ``rawf32`` — band-sequential little-endian **float32** planes with
   NaN nodata — the storage of derived bands (the reference forces
   derived bands to Float32, /root/reference/R/vrt-derived-block.R:123).
+- ``rawf64`` — band-sequential little-endian **float64** planes: the
+  label/identifier payload (watershed basin ids encode global pixel
+  coordinates, exact only up to 2**53 — past float32).
 
 All encoders/decoders are deterministic.
 """
@@ -100,6 +103,8 @@ def encode(arr: np.ndarray, fmt: str) -> bytes:
         return arr.astype("<i2").tobytes()
     if fmt == "rawf32":
         return arr.astype("<f4").tobytes()
+    if fmt == "rawf64":
+        return arr.astype("<f8").tobytes()
     b, h, w = arr.shape
     stacked = arr.reshape(b * h, w)
     if fmt == "png":
@@ -120,6 +125,9 @@ def decode(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         return a.reshape(-1, h, w)
     if fmt == "rawf32":
         a = np.frombuffer(buf, dtype="<f4")
+        return a.reshape(-1, h, w)
+    if fmt == "rawf64":
+        a = np.frombuffer(buf, dtype="<f8")
         return a.reshape(-1, h, w)
     if fmt not in ("png", "png8"):
         raise ValueError(f"unknown fmt {fmt!r}")
@@ -164,7 +172,7 @@ def from_float(arr: np.ndarray, nodata, dtype: str) -> np.ndarray:
     return np.clip(np.round(out), info.min, info.max).astype(dtype)
 
 
-_RAW_ITEMSIZE = {"raw16": 2, "raw16s": 2, "rawf32": 4}
+_RAW_ITEMSIZE = {"raw16": 2, "raw16s": 2, "rawf32": 4, "rawf64": 8}
 
 
 def plane_count(buf: bytes, w: int, h: int, fmt: str) -> int | None:
@@ -243,4 +251,6 @@ def psnr(a: np.ndarray, b: np.ndarray, peak: float = 65535.0) -> float:
 def dtype_for(fmt: str) -> str:
     if fmt == "rawf32":
         return "float32"
+    if fmt == "rawf64":
+        return "float64"
     return "int16" if fmt == "raw16s" else "uint16"

@@ -386,3 +386,731 @@ def stream_mask(df: DataFrame, threshold: float, band: int = 0,
     vectorize the channel network."""
     from vrtility_spark.algebra import classify
     return classify(df, [float(threshold)], band=band, key=key)
+
+
+# ------------------------------------------------------- sink filling ----
+
+#: halo marker: this padded position is nodata/off-mosaic — an OUTLET
+#: (strictly below any real elevation, so a plain min-merge keeps it)
+_H_VOID = -np.inf
+#: halo marker: neighbor exists but its spill level is not yet known
+_H_UNKNOWN = np.inf
+
+
+def _pf_local(Z: np.ndarray, halo: np.ndarray, eps: float) -> np.ndarray:
+    """Priority-flood (Barnes et al. 2014, the gdal/WhiteboxTools
+    ``FillDepressions`` algorithm) for ONE ``(H, W)`` elevation plane
+    under a FIXED boundary: ``halo`` is the padded ``(H+2, W+2)`` ring
+    of spill levels — ``-inf`` = outlet (off-mosaic / nodata: water
+    escapes freely), ``+inf`` = unknown (no constraint yet), finite =
+    the neighbor tile's current water level. Returns the minimal
+    ``W >= Z`` with ``W(p) <= min_8nb(W(nb)) + eps`` given that
+    boundary — the exact local fixpoint, so the cross-tile rounds only
+    ever exchange boundary values, never iterate inside a tile."""
+    import heapq
+    H, W_ = Z.shape
+    valid = np.isfinite(Z)
+    lvl = np.full((H, W_), np.inf)
+    heap: list[tuple[float, int, int]] = []
+    # in-tile nodata is an outlet for its 8 neighbors, same as the ring
+    pad = np.full((H + 2, W_ + 2), np.nan)
+    pad[1:-1, 1:-1] = np.where(valid, np.inf, _H_VOID)
+    ring = np.where(np.isnan(halo), _H_VOID, halo)
+    pad[0, :], pad[-1, :] = ring[0, :], ring[-1, :]
+    pad[:, 0], pad[:, -1] = ring[:, 0], ring[:, -1]
+    # vectorized seed scan: min over each pixel's 8 padded neighbors
+    # (+inf center is the min-identity, so the full 3x3 window works)
+    from numpy.lib.stride_tricks import sliding_window_view
+    lo = sliding_window_view(pad, (3, 3)).min(axis=(-2, -1))
+    cand = np.where(lo == -np.inf, Z, np.maximum(Z, lo + eps))
+    seed = valid & (lo < np.inf)
+    lvl[seed] = cand[seed]
+    ys, xs = np.nonzero(seed)
+    for y, x in zip(ys.tolist(), xs.tolist()):
+        heapq.heappush(heap, (float(lvl[y, x]), y, x))
+    while heap:
+        v, y, x = heapq.heappop(heap)
+        if v > lvl[y, x]:
+            continue                        # stale lazy-deletion entry
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                ny, nx = y + dy, x + dx
+                if not (0 <= ny < H and 0 <= nx < W_) or not valid[ny, nx]:
+                    continue
+                cand = max(float(Z[ny, nx]), v + eps)
+                if cand < lvl[ny, nx]:
+                    lvl[ny, nx] = cand
+                    heapq.heappush(heap, (cand, ny, nx))
+    return np.where(valid, lvl, np.nan)
+
+
+def fill_sinks_np(dem: np.ndarray, eps: float = 0.0) -> np.ndarray:
+    """Whole-mosaic reference kernel: ``(B, H, W)`` elevation planes
+    (NaN = nodata) → depression-filled planes (NaN preserved). Water
+    drains off the array border and into nodata; every interior
+    depression fills to its spill level (+``eps`` per step away from
+    the outlet when ``eps > 0`` — the Planchon–Darboux gradient that
+    keeps filled areas drainable). Bands fill independently. The
+    obviously-correct Jacobi-fixpoint twin lives in tests/oracle.py;
+    the distributed operator is pinned against THIS kernel run on the
+    assembled mosaic."""
+    dem = np.asarray(dem, np.float64)
+    if dem.ndim != 3:
+        raise ValueError("expected (bands, h, w) elevation planes")
+    B, H, W_ = dem.shape
+    border = np.full((H + 2, W_ + 2), _H_VOID)   # off-array = outlet
+    out = np.empty_like(dem)
+    for b in range(B):
+        out[b] = _pf_local(dem[b], border, float(eps))
+    return out
+
+
+_FS_STATE, _FS_STRIP = 0, 1
+
+
+def fill_sinks(df: DataFrame, key: str = "cell_id", eps: float = 0.0,
+               max_rounds: int = 128, reliable: bool = False,
+               checkpoint_dir: str | None = None) -> DataFrame:
+    """Distributed depression filling over a one-row-per-cell DEM tile
+    table — the whole-DEM preconditioner before ``terrain('flowdir')``
+    (gdal ``FillNodata``'s hydrology cousin; GRASS ``r.fill.dir``,
+    WhiteboxTools ``FillDepressions``). Output schema == input schema
+    with the payload replaced by ``rawf32`` filled elevations,
+    ``-9999`` sentinel nodata.
+
+    Spark-first plan — like :func:`flow_accumulation`, a depression's
+    spill level may be set by terrain arbitrarily far away, so no
+    fixed-radius halo suffices. Chaotic relaxation of a monotone map:
+
+    1. **Seed** (one ``mapInPandas``): every tile runs priority-flood
+       to its LOCAL fixpoint under the boundary it can prove — the
+       zone edge and neighbors absent from the table are outlets
+       (``-inf``), existing neighbors are unknown (``+inf``) — then
+       emits its state (water-level plane) plus 1-pixel boundary
+       strips addressed into each existing neighbor's padded frame
+       (nodata boundary pixels ship as ``-inf`` so the receiver seeds
+       its nodata-adjacent outlets; unknown ``+inf`` pixels don't ship).
+    2. **Rounds**: strips min-merge per halo position (map-side
+       combinable); ONLY tiles whose halo strictly lowered re-run the
+       local solve (an inner join against the strip table — untouched
+       tiles are never rescanned) and re-emit strips for boundary
+       pixels that lowered. Water levels only ever decrease toward the
+       global fixpoint, so the rounds terminate; convergence is the
+       scalar strip count hitting zero; round count is bounded by the
+       tile-grid diameter, not pixel path length.
+    3. **Assembly**: final states join the original tiles once to emit
+       payloads.
+
+    At 100 TB each round shuffles boundary strips (≤ ``2(w+h)+4``
+    values per touched tile per band) plus one state plane per TOUCHED
+    tile — the DEM itself is scanned once at seed and once at
+    assembly. ``eps > 0`` adds the classic Planchon–Darboux drainage
+    gradient per step (units of elevation)."""
+    names = df.columns
+    for req in (key, "bytes", "w", "h", "fmt", "nodata"):
+        if req not in names:
+            raise ValueError(f"fill_sinks input is missing column "
+                             f"{req!r}")
+    eps = float(eps)
+
+    def _ckpt(d, eager):
+        return truncate_lineage(d, eager=eager, reliable=reliable,
+                                checkpoint_dir=checkpoint_dir)
+
+    slim_cols = [F.col(key).alias("cell"), "bytes", "w", "h", "fmt",
+                 "nodata"]
+    if "band_nodata" in names:
+        slim_cols.append("band_nodata")
+    tiles_slim = _ckpt(df.select(*slim_cols), True)
+
+    # which of the 8 neighbors exist: one slim self-join, 8 rows/cell
+    spark = df.sparkSession
+    cell_ids = tiles_slim.select("cell").distinct()
+
+    def _nb_rows(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            rows = []
+            for cid in pdf["cell"].tolist():
+                zone, res, ix, iy = (int(v) for v in
+                                     cells.decode_np(int(cid)))
+                for k, (dy, dx) in enumerate(_NB_OFFSETS):
+                    nb = cells.neighbor_cell(zone, res, ix, iy, dx, dy)
+                    if nb is not None:
+                        rows.append({"cell": int(cid), "k": k,
+                                     "nb": int(nb)})
+            yield pd.DataFrame(rows, columns=["cell", "k", "nb"])
+
+    cand = cell_ids.mapInPandas(_nb_rows, schema="cell long, k int, "
+                                                 "nb long")
+    exists = (cand.join(cell_ids.withColumnRenamed("cell", "nb"), "nb")
+              .groupBy("cell")
+              .agg(F.sum(F.expr("shiftleft(1L, k)")).alias("nbmask")))
+    work0 = tiles_slim.join(exists, "cell", "left") \
+                      .fillna(0, subset=["nbmask"])
+
+    step_schema = T.StructType([
+        T.StructField("cell", T.LongType()),
+        T.StructField("kind", T.IntegerType()),
+        T.StructField("state", T.BinaryType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("hy", T.IntegerType()),
+        T.StructField("hx", T.IntegerType()),
+        T.StructField("val", T.DoubleType()),
+    ])
+    _step_cols = [f.name for f in step_schema.fields]
+
+    def _decode_dem(row) -> np.ndarray:
+        arr = codec.decode(row.bytes, int(row.w), int(row.h), row.fmt)
+        nd = codec.row_band_meta(row, len(arr), "band_nodata",
+                                 row.nodata)
+        return codec.to_float_masked(arr, nd)
+
+    def _halo_init(nbmask: int, B: int, H: int, W_: int) -> np.ndarray:
+        """Padded ring per band: ``-inf`` where no neighbor exists (the
+        void is an outlet), ``+inf`` where one does (unknown)."""
+        halo = np.full((B, H + 2, W_ + 2), _H_VOID)
+        for k, (dy, dx) in enumerate(_NB_OFFSETS):
+            if not (nbmask >> k) & 1:
+                continue
+            sl_y = {-1: slice(0, 1), 0: slice(1, H + 1),
+                    1: slice(H + 1, H + 2)}[dy]
+            sl_x = {-1: slice(0, 1), 0: slice(1, W_ + 1),
+                    1: slice(W_ + 1, W_ + 2)}[dx]
+            halo[:, sl_y, sl_x] = _H_UNKNOWN
+        return halo
+
+    def _solve_emit(row, halo: np.ndarray, prev: np.ndarray | None):
+        """Solve every band to its local fixpoint under ``halo`` and
+        emit the state row + strips for boundary pixels that LOWERED
+        vs ``prev`` (``None`` = seed round: everything proven ships,
+        including nodata as ``-inf``)."""
+        Z = _decode_dem(row)
+        B, H, W_ = Z.shape
+        zone, res, ix, iy = (int(v) for v in cells.decode_np(row.cell))
+        lvl = np.empty_like(Z)
+        for b in range(B):
+            lvl[b] = _pf_local(Z[b], halo[b], eps)
+        rows = []
+        # boundary strips, addressed into the NEIGHBOR's padded frame
+        send = np.where(np.isnan(lvl), _H_VOID, lvl)
+        base = (np.where(np.isnan(prev), _H_VOID, prev)
+                if prev is not None
+                else np.full_like(send, _H_UNKNOWN))
+        for k, (dy, dx) in enumerate(_NB_OFFSETS):
+            dest = cells.neighbor_cell(zone, res, ix, iy, dx, dy)
+            if dest is None:
+                continue
+            sl_y = slice(H - 1, H) if dy > 0 else \
+                slice(0, 1) if dy < 0 else slice(0, H)
+            sl_x = slice(W_ - 1, W_) if dx > 0 else \
+                slice(0, 1) if dx < 0 else slice(0, W_)
+            # receiver halo coords for this strip
+            hy0 = 0 if dy > 0 else H + 1 if dy < 0 else 1
+            hx0 = 0 if dx > 0 else W_ + 1 if dx < 0 else 1
+            for b in range(B):
+                cut, old = send[b, sl_y, sl_x], base[b, sl_y, sl_x]
+                py, px = np.nonzero(cut < old)
+                for yy, xx in zip(py.tolist(), px.tolist()):
+                    v = float(cut[yy, xx])
+                    rows.append({
+                        "cell": int(dest), "kind": _FS_STRIP,
+                        "state": None, "band": b,
+                        "hy": hy0 + (yy if dy == 0 else 0),
+                        "hx": hx0 + (xx if dx == 0 else 0),
+                        "val": v})
+        packed = np.concatenate(
+            [np.where(np.isnan(lvl), _H_VOID, lvl).ravel(),
+             halo.ravel()])
+        rows.append({"cell": int(row.cell), "kind": _FS_STATE,
+                     "state": packed.astype("<f8").tobytes(),
+                     "band": B, "hy": None, "hx": None, "val": None})
+        return rows
+
+    def _unpack_state(buf: bytes, B: int, H: int, W_: int):
+        flat = np.frombuffer(buf, "<f8")
+        n = B * H * W_
+        lvl = flat[:n].reshape(B, H, W_).copy()
+        halo = flat[n:].reshape(B, H + 2, W_ + 2).copy()
+        return lvl, halo
+
+    def _step_pdf(rows: list[dict]) -> pd.DataFrame:
+        pdf = pd.DataFrame(rows, columns=_step_cols)
+        pdf["cell"] = pd.array(pdf["cell"], dtype="Int64")
+        for c in ("kind", "band", "hy", "hx"):
+            pdf[c] = pd.array(pdf[c], dtype="Int32")
+        return pdf
+
+    def seed_round(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                B = codec.plane_count(row.bytes, int(row.w),
+                                      int(row.h), row.fmt)
+                if B is None:
+                    B = len(codec.decode(row.bytes, int(row.w),
+                                         int(row.h), row.fmt))
+                halo = _halo_init(int(row.nbmask), B, int(row.h),
+                                  int(row.w))
+                out.extend(_solve_emit(row, halo, None))
+            if out:
+                yield _step_pdf(out)
+
+    def update_round(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                B = codec.plane_count(row.bytes, int(row.w),
+                                      int(row.h), row.fmt)
+                if B is None:
+                    B = len(codec.decode(row.bytes, int(row.w),
+                                         int(row.h), row.fmt))
+                prev, halo = _unpack_state(row.state, B, int(row.h),
+                                           int(row.w))
+                lowered = False
+                for s in row.inj:
+                    b, hy, hx = int(s["band"]), int(s["hy"]), int(s["hx"])
+                    if not (0 <= b < B and 0 <= hy < int(row.h) + 2
+                            and 0 <= hx < int(row.w) + 2):
+                        raise ValueError(
+                            f"fill_sinks: halo strip at band {b} "
+                            f"({hy},{hx}) is outside the padded "
+                            f"{B}x{int(row.h) + 2}x{int(row.w) + 2} "
+                            f"frame of cell {row.cell} — mixed tile "
+                            "dims are not supported")
+                    v = float(s["val"])
+                    if v < halo[b, hy, hx]:
+                        halo[b, hy, hx] = v
+                        lowered = True
+                if lowered:
+                    out.extend(_solve_emit(row, halo, prev))
+                else:       # strips were stale: keep the state as-is
+                    out.append({"cell": int(row.cell),
+                                "kind": _FS_STATE, "state": row.state,
+                                "band": B, "hy": None, "hx": None,
+                                "val": None})
+            if out:
+                yield _step_pdf(out)
+
+    step = _ckpt(work0.mapInPandas(seed_round, schema=step_schema),
+                 False)
+    states = step.where(F.col("kind") == _FS_STATE) \
+                 .select("cell", "state")
+    strips = step.where(F.col("kind") == _FS_STRIP)
+    pending = strips.count()
+    rounds = 0
+    while pending:
+        rounds += 1
+        if rounds > max_rounds:
+            raise ValueError(
+                f"fill_sinks did not converge in {max_rounds} rounds "
+                f"({pending} boundary strips still pending). Spill "
+                "levels propagate one tile per round, so a depression "
+                "spanning more tiles than max_rounds needs a higher "
+                "bound (rounds are cheap: only touched tiles re-run).")
+        inflows = (strips.groupBy("cell", "band", "hy", "hx")
+                   .agg(F.min("val").alias("val"))
+                   .groupBy("cell")
+                   .agg(F.collect_list(F.struct("band", "hy", "hx",
+                                                "val")).alias("inj")))
+        work = tiles_slim.join(states, "cell").join(inflows, "cell")
+        step = _ckpt(work.mapInPandas(update_round, schema=step_schema),
+                     False)
+        new_states = step.where(F.col("kind") == _FS_STATE) \
+                         .select("cell", "state")
+        states = _ckpt(
+            states.join(inflows.select("cell"), "cell", "left_anti")
+                  .unionByName(new_states), False)
+        strips = step.where(F.col("kind") == _FS_STRIP)
+        pending = strips.count()
+
+    in_fields = [T.StructField(f.name, f.dataType, True)
+                 for f in df.schema.fields]
+    out_schema = T.StructType(in_fields)
+    meta_null = [c for c in ("band_scale", "band_offset", "band_nodata")
+                 if c in names]
+
+    def assemble(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                Z = _decode_dem(row)
+                B, H, W_ = Z.shape
+                lvl, _halo = _unpack_state(row.state, B, H, W_)
+                if np.isposinf(lvl).any():  # -inf = packed nodata marker
+                    raise ValueError(
+                        "fill_sinks: unresolved (+inf) water level "
+                        f"after convergence in cell {row.cell} — a "
+                        "valid region with no path to any outlet; "
+                        "this cannot happen on a connected mosaic")
+                plane = np.where(np.isfinite(Z),
+                                 np.where(lvl == _H_VOID, np.nan, lvl),
+                                 np.nan)
+                d = {c: getattr(row, c) for c in names if c != key}
+                d[key] = int(row.cell)
+                d["bytes"] = codec.encode(
+                    codec.from_float(plane, OUT_NODATA, np.float32),
+                    "rawf32")
+                d["fmt"] = "rawf32"
+                d["nodata"] = OUT_NODATA
+                for c in meta_null:
+                    d[c] = None
+                out.append(d)
+            if out:
+                yield pd.DataFrame(out, columns=names)
+
+    return (df.withColumnRenamed(key, "cell")
+            .join(states, "cell")
+            .mapInPandas(assemble, schema=out_schema))
+
+
+#: the 8-neighborhood in (dy, dx) order shared by seed/update/halo-init
+_NB_OFFSETS = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
+               (1, -1), (1, 0), (1, 1))
+
+
+# --------------------------------------------------- watershed basins ----
+
+#: basin labels encode the terminal pixel's ZONE-GLOBAL coordinates as
+#: ``gy * BASIN_SPAN + gx`` — exact in the rawf64 payload (< 2**53)
+#: for mosaics up to 2**26 pixels on a side (6.7 million km at 100 m)
+BASIN_SPAN = 1 << 26
+
+
+def _resolve_reps(c: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-pixel walk representative for one ``(H, W)`` D8 code plane
+    via vectorized pointer doubling: every valid pixel's chain is
+    followed to the pixel where it STOPS inside this plane — a sink
+    (code 0), a pixel whose target is nodata, or a pixel whose target
+    leaves the plane. Returns ``(rep, dest)``: ``rep[p]`` the flat
+    index of p's stopping pixel, plus the raw :func:`_dest_tables`
+    ``dest`` array so callers can classify the stop (terminal vs
+    off-plane exit). O(n log n) work, no Python-level pixel loop."""
+    H, W_ = c.shape
+    n = H * W_
+    dest, _off = _dest_tables(c)
+    valid = np.isfinite(c).ravel()
+    nxt = np.arange(n)
+    inb = (dest >= 0) & valid
+    follow = inb.copy()
+    follow[inb] = valid[dest[inb]]     # a nodata target stops the walk
+    nxt[follow] = dest[follow]
+    # off-plane markers and absorbers stay self-loops; doubling leaves
+    # them fixed, so every chain contracts onto its stopping pixel
+    while True:
+        nxt2 = nxt[nxt]
+        if np.array_equal(nxt2, nxt):
+            return nxt, dest
+        nxt = nxt2
+
+
+def _basin_label(gy: np.ndarray, gx: np.ndarray) -> np.ndarray:
+    if np.any(gy >= BASIN_SPAN) or np.any(gx >= BASIN_SPAN):
+        raise ValueError(
+            f"basin label overflow: global pixel coordinates exceed "
+            f"BASIN_SPAN={BASIN_SPAN}; labels would not be exact in "
+            "float64")
+    return gy.astype(np.int64) * BASIN_SPAN + gx.astype(np.int64)
+
+
+def basins_np(codes: np.ndarray, oy: int = 0, ox: int = 0) -> np.ndarray:
+    """Whole-mosaic reference kernel: ``(B, H, W)`` D8 code planes
+    (NaN = nodata) → float64 basin-label planes (NaN where the code
+    was nodata). Every valid pixel is labeled with the id of the
+    terminal pixel its D8 drainage path stops at — a sink (code 0), a
+    pixel draining into nodata, or a pixel draining off the mosaic
+    edge (the outlet convention of GRASS ``r.watershed`` basins).
+    ``(oy, ox)`` place the plane in zone-global pixel coordinates so
+    labels agree with the distributed operator; the naive per-pixel
+    walking twin lives in tests/oracle.py."""
+    codes = np.asarray(codes, np.float64)
+    if codes.ndim != 3:
+        raise ValueError("expected (bands, h, w) code planes")
+    B, H, W_ = codes.shape
+    out = np.full((B, H, W_), np.nan)
+    for b in range(B):
+        c = codes[b]
+        rep, _dest = _resolve_reps(c)
+        gy = oy + rep // W_
+        gx = ox + rep % W_
+        lab = _basin_label(gy, gx).astype(np.float64).reshape(H, W_)
+        out[b] = np.where(np.isfinite(c), lab, np.nan)
+    return out
+
+
+def basins(df: DataFrame, key: str = "cell_id",
+           max_rounds: int = 64, reliable: bool = False,
+           checkpoint_dir: str | None = None) -> DataFrame:
+    """Distributed D8 watershed labeling over a one-row-per-cell tile
+    table of flow-direction codes (the output of
+    ``terrain(df, 'flowdir')``): every valid pixel gets the id of the
+    terminal pixel its drainage path stops at — GRASS ``r.watershed``
+    basins / ESRI Basin, distributed. Output schema == input schema
+    with the payload replaced by ``rawf64`` labels (``gy * BASIN_SPAN
+    + gx`` of the terminal pixel in zone-global coordinates — exact
+    integers in float64), ``-9999`` sentinel nodata.
+
+    Spark-first plan — a drainage path crosses arbitrarily many tiles,
+    so instead of walking pixels across rounds (path-length rounds,
+    like :func:`flow_accumulation` mass), the cross-tile walk runs on
+    the TILE-BOUNDARY FUNCTIONAL GRAPH with pointer jumping:
+
+    1. **Seed** (one ``mapInPandas``): each tile contracts every
+       pixel's in-tile chain onto its stopping pixel with vectorized
+       pointer doubling (:func:`_resolve_reps`). Edge pixels — the
+       only possible entry points from neighbors — become graph NODES:
+       resolved (label known: the chain stops in this tile) or an edge
+       to the neighbor entry pixel it exits into, carrying the exit
+       pixel's own label as the FALLBACK (used when the target tile or
+       target pixel doesn't exist or is nodata — flow off the mapped
+       mosaic outlets at the last valid pixel). Tiles also emit one
+       slim REF row per distinct exit they need resolved. Node + ref
+       rows are O(perimeter · bands) per tile; tile bytes never
+       shuffle.
+    2. **Pointer jumping**: unresolved nodes repeatedly jump to their
+       target's target (one self-join per round, lineage-truncated) —
+       a missing target resolves to the fallback, a resolved target
+       donates its label. O(log longest-chain-in-tiles) rounds.
+    3. **Paint**: resolved labels group per referencing tile
+       (≤ perimeter rows each), tiles re-run the deterministic local
+       contraction and write ``rawf64`` payloads.
+    """
+    names = df.columns
+    for req in (key, "bytes", "w", "h", "fmt", "nodata"):
+        if req not in names:
+            raise ValueError(f"basins input is missing column {req!r}")
+
+    def _ckpt(d, eager):
+        return truncate_lineage(d, eager=eager, reliable=reliable,
+                                checkpoint_dir=checkpoint_dir)
+
+    slim_cols = [F.col(key).alias("cell"), "bytes", "w", "h", "fmt",
+                 "nodata"]
+    if "band_nodata" in names:
+        slim_cols.append("band_nodata")
+    tiles_slim = _ckpt(df.select(*slim_cols), True)
+
+    seed_schema = T.StructType([
+        T.StructField("cell", T.LongType()),
+        T.StructField("kind", T.IntegerType()),   # 0 node / 1 ref
+        T.StructField("band", T.IntegerType()),
+        T.StructField("flat", T.LongType()),
+        T.StructField("done", T.BooleanType()),
+        T.StructField("label", T.LongType()),     # label or fallback
+        T.StructField("nxt_cell", T.LongType()),
+        T.StructField("nxt_flat", T.LongType()),
+    ])
+    _K_NODE, _K_REF = 0, 1
+
+    def _decode_codes(row) -> np.ndarray:
+        arr = codec.decode(row.bytes, int(row.w), int(row.h), row.fmt)
+        nd = codec.row_band_meta(row, len(arr), "band_nodata",
+                                 row.nodata)
+        return codec.to_float_masked(arr, nd)
+
+    def _contract(row):
+        """Shared seed/paint contraction for one tile: per band, the
+        rep array plus the classification of every DISTINCT rep —
+        ``term_label[rep]`` for stops, ``(nxt_cell, nxt_flat,
+        fb_label)`` for off-tile exits."""
+        C = _decode_codes(row)
+        B, H, W_ = C.shape
+        zone, res, ix, iy = (int(v) for v in cells.decode_np(row.cell))
+        oy, ox = iy * H, ix * W_
+        per_band = []
+        for b in range(B):
+            c = C[b]
+            rep, dest = _resolve_reps(c)
+            _dest, off_flat = _dest_tables(c)
+            uniq = np.unique(rep[np.isfinite(c).ravel()])
+            term: dict[int, int] = {}
+            exits: dict[int, tuple[int, int, int]] = {}
+            for r in uniq.tolist():
+                fy, fx = divmod(int(r), W_)
+                own = int(_basin_label(np.array([oy + fy]),
+                                       np.array([ox + fx]))[0])
+                d = int(dest[r])
+                if d <= _OFF_BASE:
+                    k = int(_OFF_BASE - d)
+                    cdy, cdx = k // 3 - 1, k % 3 - 1
+                    ncell = cells.neighbor_cell(zone, res, ix, iy,
+                                                cdx, cdy)
+                    if ncell is None:      # zone edge: outlet here
+                        term[r] = own
+                    else:
+                        exits[r] = (int(ncell), int(off_flat[r]), own)
+                else:
+                    term[r] = own
+            per_band.append((c, rep, term, exits))
+        return per_band, (B, H, W_)
+
+    def seed(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                per_band, (B, H, W_) = _contract(row)
+                edge = np.zeros((H, W_), bool)
+                edge[0, :] = edge[-1, :] = True
+                edge[:, 0] = edge[:, -1] = True
+                eflat = np.flatnonzero(edge.ravel())
+                for b, (c, rep, term, exits) in enumerate(per_band):
+                    vmask = np.isfinite(c).ravel()
+                    for e in eflat.tolist():
+                        if not vmask[e]:
+                            continue       # nodata entry: absent node
+                        r = int(rep[e])
+                        if r in term:
+                            out.append({
+                                "cell": int(row.cell), "kind": _K_NODE,
+                                "band": b, "flat": int(e), "done": True,
+                                "label": term[r], "nxt_cell": None,
+                                "nxt_flat": None})
+                        else:
+                            nc, nf, fb = exits[r]
+                            out.append({
+                                "cell": int(row.cell), "kind": _K_NODE,
+                                "band": b, "flat": int(e),
+                                "done": False, "label": fb,
+                                "nxt_cell": nc, "nxt_flat": nf})
+                    # one REF per distinct TARGET — fallbacks stay
+                    # per-rep on the paint side (two chains may exit
+                    # into the same missing pixel yet outlet at
+                    # different last-valid pixels of THIS tile)
+                    for nc, nf in {(v[0], v[1]) for v in exits.values()}:
+                        out.append({
+                            "cell": int(row.cell), "kind": _K_REF,
+                            "band": b, "flat": None, "done": False,
+                            "label": None, "nxt_cell": nc,
+                            "nxt_flat": nf})
+            if out:
+                pdf2 = pd.DataFrame(
+                    out, columns=[f.name for f in seed_schema.fields])
+                for col, dt in (("cell", "Int64"), ("kind", "Int32"),
+                                ("band", "Int32"), ("flat", "Int64"),
+                                ("label", "Int64"),
+                                ("nxt_cell", "Int64"),
+                                ("nxt_flat", "Int64")):
+                    pdf2[col] = pd.array(pdf2[col], dtype=dt)
+                yield pdf2
+
+    seeded = _ckpt(tiles_slim.mapInPandas(seed, schema=seed_schema),
+                   False)
+    nodes = seeded.where(F.col("kind") == _K_NODE) \
+        .select("cell", "band", "flat", "done", "label",
+                "nxt_cell", "nxt_flat")
+    refs = seeded.where(F.col("kind") == _K_REF) \
+        .select(F.col("cell").alias("src"), "band",
+                F.col("nxt_cell").alias("tcell"),
+                F.col("nxt_flat").alias("tflat"),
+                F.col("label").alias("fb"))
+
+    # pointer jumping on the boundary graph
+    rounds = 0
+    pending = nodes.where(~F.col("done")).count()
+    while pending:
+        rounds += 1
+        if rounds > max_rounds:
+            raise ValueError(
+                f"basins did not converge in {max_rounds} pointer-"
+                f"jumping rounds ({pending} boundary nodes pending) — "
+                "chains double per round, so this means a CROSS-TILE "
+                "CYCLE in the D8 codes (steepest-descent flowdir "
+                "cannot cycle; inspect how these planes were made).")
+        tgt = nodes.select(
+            F.col("cell").alias("t_cell"), F.col("band").alias("t_band"),
+            F.col("flat").alias("t_flat"), F.col("done").alias("t_done"),
+            F.col("label").alias("t_label"),
+            F.col("nxt_cell").alias("t_nxt_cell"),
+            F.col("nxt_flat").alias("t_nxt_flat"))
+        und = nodes.where(~F.col("done"))
+        jumped = (und.join(
+            tgt, (und.nxt_cell == tgt.t_cell) & (und.band == tgt.t_band)
+            & (und.nxt_flat == tgt.t_flat), "left")
+            .select(
+                "cell", "band", "flat",
+                F.when(F.col("t_cell").isNull() | F.col("t_done"),
+                       F.lit(True)).otherwise(F.lit(False))
+                 .alias("done"),
+                F.when(F.col("t_cell").isNull(), F.col("label"))
+                 .when(F.col("t_done"), F.col("t_label"))
+                 .otherwise(F.col("t_label")).alias("label"),
+                F.when(F.col("t_cell").isNotNull() & ~F.col("t_done"),
+                       F.col("t_nxt_cell")).alias("nxt_cell"),
+                F.when(F.col("t_cell").isNotNull() & ~F.col("t_done"),
+                       F.col("t_nxt_flat")).alias("nxt_flat")))
+        nodes = _ckpt(nodes.where(F.col("done")).unionByName(jumped),
+                      False)
+        pending = nodes.where(~F.col("done")).count()
+
+    resolved = nodes.select(
+        F.col("cell").alias("tcell"), F.col("band").alias("band"),
+        F.col("flat").alias("tflat"), F.col("label").alias("rlabel"))
+    # rlabel stays NULL when the target node doesn't exist (entry is
+    # nodata or the tile is absent from the table): paint substitutes
+    # each rep's OWN last-valid-pixel fallback there
+    ref_labels = (refs.join(resolved, ["tcell", "band", "tflat"],
+                            "left")
+                  .select(F.col("src").alias("cell"), "band", "tcell",
+                          "tflat", F.col("rlabel").alias("label")))
+    per_cell = ref_labels.groupBy("cell").agg(
+        F.collect_list(F.struct("band", "tcell", "tflat",
+                                "label")).alias("lut"))
+
+    in_fields = [T.StructField(f.name, f.dataType, True)
+                 for f in df.schema.fields]
+    out_schema = T.StructType(in_fields)
+    meta_null = [c for c in ("band_scale", "band_offset", "band_nodata")
+                 if c in names]
+
+    def paint(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            out = []
+            has_lut = "lut" in pdf.columns
+            for row in pdf.itertuples(index=False):
+                per_band, (B, H, W_) = _contract(row)
+                lut: dict[tuple[int, int, int], int | None] = {}
+                if has_lut and isinstance(row.lut, (list, np.ndarray)):
+                    for s in row.lut:
+                        v = s["label"]
+                        lut[(int(s["band"]), int(s["tcell"]),
+                             int(s["tflat"]))] = (
+                            None if v is None or codec.pd_isna(v)
+                            else int(v))
+                plane = np.full((B, H, W_), np.nan)
+                for b, (c, rep, term, exits) in enumerate(per_band):
+                    lab = np.full(H * W_, np.nan)
+                    res_map: dict[int, float] = {}
+                    for r, own in term.items():
+                        res_map[r] = float(own)
+                    for r, (nc, nf, fb) in exits.items():
+                        if (b, nc, nf) not in lut:
+                            raise ValueError(
+                                f"basins: exit ({nc},{nf}) band {b} in "
+                                f"cell {row.cell} has no REF row after "
+                                "pointer jumping — internal invariant "
+                                "violated")
+                        got = lut[(b, nc, nf)]
+                        # NULL = target node absent (nodata entry or
+                        # missing tile): outlet at the last valid pixel
+                        res_map[r] = float(fb if got is None else got)
+                    vsel = np.isfinite(c).ravel()
+                    for r, v in res_map.items():
+                        lab[vsel & (rep == r)] = v
+                    plane[b] = lab.reshape(H, W_)
+                d = {c2: getattr(row, c2) for c2 in names if c2 != key}
+                d[key] = int(row.cell)
+                d["bytes"] = codec.encode(
+                    codec.from_float(plane, OUT_NODATA, np.float64),
+                    "rawf64")
+                d["fmt"] = "rawf64"
+                d["nodata"] = OUT_NODATA
+                for c2 in meta_null:
+                    d[c2] = None
+                out.append(d)
+            if out:
+                yield pd.DataFrame(out, columns=names)
+
+    return (df.withColumnRenamed(key, "cell")
+            .join(per_cell, "cell", "left")
+            .mapInPandas(paint, schema=out_schema))

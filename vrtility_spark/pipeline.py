@@ -63,8 +63,8 @@ class Pipeline:
         "morphology", "sieve",
         "proximity", "fillnodata", "chips", "overview_level",
         "overviews", "terrain", "texture", "color_relief", "stretch",
-        "classify", "kmeans", "flow_accumulation", "cloud_shadow",
-        "unmix"])
+        "classify", "kmeans", "flow_accumulation", "fill_sinks",
+        "basins", "cloud_shadow", "unmix"])
 
     def __init__(self, df: DataFrame, mask_specs: tuple = (),
                  log: tuple = (), mask_dropped: bool = False):
@@ -731,6 +731,43 @@ class Pipeline:
                                      reliable=bool(reliable),
                                      checkpoint_dir=checkpoint_dir),
             (), "flow_accumulation", {"max_rounds": int(max_rounds)})
+
+    def fill_sinks(self, eps: float = 0.0, max_rounds: int = 128,
+                   reliable: bool = False,
+                   checkpoint_dir: str | None = None) -> "Pipeline":
+        """Depression filling (hydrology.fill_sinks) over a DEM tile
+        table — the whole-DEM preconditioner before
+        ``.terrain('flowdir')``: every interior pit fills to its spill
+        level (+``eps`` per step for the Planchon–Darboux drainage
+        gradient) via chaotic relaxation rounds that shuffle only
+        1-pixel boundary strips and per-touched-tile state planes.
+        Output rawf32 with the -9999 sentinel. Bundleable (durability
+        knobs are runtime policy). Pending masks flush first."""
+        from vrtility_spark import hydrology as _hydro
+        return self._next(
+            _hydro.fill_sinks(self.df, eps=float(eps),
+                              max_rounds=int(max_rounds),
+                              reliable=bool(reliable),
+                              checkpoint_dir=checkpoint_dir),
+            (), "fill_sinks", {"eps": float(eps),
+                               "max_rounds": int(max_rounds)})
+
+    def basins(self, max_rounds: int = 64, reliable: bool = False,
+               checkpoint_dir: str | None = None) -> "Pipeline":
+        """D8 watershed labeling (hydrology.basins) over a
+        flow-direction tile table (chain ``.terrain('flowdir')``
+        first): every valid pixel gets the zone-global id of the
+        terminal pixel its drainage path stops at, via in-tile
+        vectorized pointer doubling + cross-tile pointer jumping on
+        the boundary graph (O(log chain) rounds, only perimeter-sized
+        node rows shuffle). Output rawf64 labels with the -9999
+        sentinel. Bundleable. Pending masks flush first."""
+        from vrtility_spark import hydrology as _hydro
+        return self._next(
+            _hydro.basins(self.df, max_rounds=int(max_rounds),
+                          reliable=bool(reliable),
+                          checkpoint_dir=checkpoint_dir),
+            (), "basins", {"max_rounds": int(max_rounds)})
 
     def texture(self, metric: str = "contrast", radius: int = 2,
                 levels: int = 8, lo: float = 0.0, hi: float = 1.0,
