@@ -2643,6 +2643,121 @@ def q_image_flowacc(spark, sf_dir):
                F.lit(False)).alias("nodata_px"))
 
 
+def q_image_fillsinks(spark, sf_dir):
+    """Masked median composite → distributed depression filling
+    (hydrology.fill_sinks): chaotic relaxation of per-tile
+    priority-flood fixpoints — only 1-pixel boundary strips and
+    touched-tile states shuffle, tile bytes are scanned once at seed
+    and once at assembly; rounds are bounded by the tile-grid
+    diameter. Pinned against constants computed Spark-free with the
+    Jacobi-oracle-gated fill_sinks_np on assembled per-zone mosaics
+    (tools/gen_oracle_constants.py); the reference delegates DEM
+    conditioning to external GDAL/SAGA tooling (R/gdal-options.R)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    out = (Pipeline(images)
+           .set_maskfun("int", datagen.S2_MASK_VALUES)
+           .warp(cell_res=datagen.TILE_RES)
+           .composite("median")
+           .fill_sinks()
+           .df)
+
+    @F.pandas_udf("long")
+    def px4_sum(b: pd.Series, w: pd.Series, h: pd.Series,
+                fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f in zip(b, w, h, fmt):
+            dec = codec.decode(x, int(wi), int(hi), f).astype(np.float64)
+            res.append(int(np.asarray(dec * 4.0, np.int64).sum()))
+        return pd.Series(res)
+
+    @F.pandas_udf("long")
+    def nd_px(b: pd.Series, w: pd.Series, h: pd.Series,
+              fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f in zip(b, w, h, fmt):
+            dec = codec.decode(x, int(wi), int(hi), f)
+            res.append(int((dec == np.float32(-9999.0)).sum()))
+        return pd.Series(res)
+
+    ps = _pix_sum_udf()
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        ps("bytes", "w", "h", "fmt").alias("pix_sum"),
+        px4_sum("bytes", "w", "h", "fmt").alias("pix4_sum"),
+        nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
+
+
+def q_image_basins(spark, sf_dir):
+    """Masked median composite → D8 flowdir → distributed watershed
+    basins (hydrology.basins): per-tile drainage chains contract with
+    vectorized pointer doubling, cross-tile resolution runs pointer
+    jumping on the tile-boundary functional graph (O(perimeter) node
+    rows per tile, O(log chain-length-in-tiles) rounds) — tile bytes
+    never shuffle. Every valid pixel is labeled with its terminal
+    pixel's zone-global id, exact in the rawf64 payload. Pinned
+    against constants computed Spark-free with the walk-oracle-gated
+    basins_np on assembled per-zone mosaics
+    (tools/gen_oracle_constants.py); the reference delegates watershed
+    analysis to external GDAL/SAGA tooling (R/gdal-options.R)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    out = (Pipeline(images)
+           .set_maskfun("int", datagen.S2_MASK_VALUES)
+           .warp(cell_res=datagen.TILE_RES)
+           .composite("median")
+           .terrain("flowdir")
+           .basins()
+           .df)
+
+    @F.pandas_udf("long")
+    def lab_sum(b: pd.Series, w: pd.Series, h: pd.Series,
+                fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f in zip(b, w, h, fmt):
+            dec = codec.decode(x, int(wi), int(hi), f)
+            v = dec[dec != -9999.0]
+            res.append(int(v.astype(np.int64).sum()))
+        return pd.Series(res)
+
+    @F.pandas_udf("long")
+    def n_basins(b: pd.Series, w: pd.Series, h: pd.Series,
+                 fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f in zip(b, w, h, fmt):
+            dec = codec.decode(x, int(wi), int(hi), f)
+            res.append(int(np.unique(dec[dec != -9999.0]).size))
+        return pd.Series(res)
+
+    @F.pandas_udf("long")
+    def nd_px(b: pd.Series, w: pd.Series, h: pd.Series,
+              fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f in zip(b, w, h, fmt):
+            dec = codec.decode(x, int(wi), int(hi), f)
+            res.append(int((dec == -9999.0).sum()))
+        return pd.Series(res)
+
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        lab_sum("bytes", "w", "h", "fmt").alias("lab_sum"),
+        n_basins("bytes", "w", "h", "fmt").alias("n_basins"),
+        nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
+
+
 CLOUDSHADOW_BREAK = 5500.0
 CLOUDSHADOW_GEOM = dict(azimuth=135.0, elevation=30.0,
                         cloud_height=(5000.0, 14000.0))
@@ -3159,6 +3274,8 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_stretch": q_image_stretch,
         "image_flowdir": q_image_flowdir,
         "image_flowacc": q_image_flowacc,
+        "image_fillsinks": q_image_fillsinks,
+        "image_basins": q_image_basins,
         "image_cloudshadow": q_image_cloudshadow,
         "image_change": q_image_change,
         "image_unmix": q_image_unmix,

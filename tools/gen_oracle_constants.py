@@ -1890,6 +1890,83 @@ def image_flowacc_rows(stream_threshold: float = 5.0):
     return sorted(rows, key=lambda d: d["cell_id"])
 
 
+def image_fillsinks_rows():
+    """Masked median composite → depression filling replicated without
+    Spark: per-zone mosaics filled with hydrology.fill_sinks_np
+    (Jacobi-oracle-gated in tests/test_fillsinks_basins.py) — water
+    drains off the mosaic border and into nodata, exactly the
+    distributed operator's zone-edge/missing-neighbor outlet
+    convention — cropped back to tiles through the exact rawf32/-9999
+    round trip. Fill levels inherit the composite's .5 medians, so the
+    checksums are the truncated sum AND the quarter-scaled truncated
+    sum (pins the fractional part) plus the nodata count."""
+    from vrtility_spark import hydrology
+
+    h = w = 16
+    zones, meta = _median_zone_mosaics(h, w)
+    rows = []
+    for _zone, lst, G in zones:
+        filled = hydrology.fill_sinks_np(G)
+        for cid, jx, jy in lst:
+            tile = filled[:, jy * h:(jy + 1) * h, jx * w:(jx + 1) * w]
+            payload = codec.encode(
+                codec.from_float(tile, -9999.0, "float32"), "rawf32")
+            dec = codec.decode(payload, w, h, "rawf32").astype(np.float64)
+            _nd, n_scenes = meta[cid]
+            rows.append({
+                "cell_id": cid, "n_scenes": n_scenes,
+                "payload_len": len(payload),
+                "pix_sum": int(np.asarray(dec, np.int64).sum()),
+                "pix4_sum": int(np.asarray(dec * 4.0, np.int64).sum()),
+                "nodata_px": int((dec == -9999.0).sum()),
+            })
+    return sorted(rows, key=lambda d: d["cell_id"])
+
+
+def image_basins_rows():
+    """Masked median composite → D8 flowdir → watershed basins
+    replicated without Spark: per-zone mosaics NaN-padded and coded
+    with terrain.flow_direction_np, labeled with hydrology.basins_np
+    (walk-oracle-gated in tests/test_fillsinks_basins.py) anchored at
+    the zone's ABSOLUTE tile offsets — the distributed operator labels
+    each pixel with its terminal pixel's zone-global ``gy * BASIN_SPAN
+    + gx`` — cropped back to tiles through the exact rawf64/-9999
+    round trip. Labels are exact integers, so the checksums are their
+    plain sum, the distinct-basin count per tile, and the nodata
+    count."""
+    from vrtility_spark import hydrology, terrain
+
+    h = w = 16
+    size = cells.cell_size(datagen.TILE_RES)
+    sx, sy = size / w, size / h
+    zones, meta = _median_zone_mosaics(h, w)
+    rows = []
+    for _zone, lst, G in zones:
+        nb = G.shape[0]
+        P = np.full((nb, G.shape[1] + 2, G.shape[2] + 2), np.nan)
+        P[:, 1:-1, 1:-1] = G
+        codes = terrain.flow_direction_np(P, sx, sy)
+        cid0, jx0, jy0 = lst[0]
+        _z, _res, aix, aiy = (int(v) for v in cells.decode_np(cid0))
+        x0, y0 = aix - jx0, aiy - jy0
+        lab = hydrology.basins_np(codes, oy=y0 * h, ox=x0 * w)
+        for cid, jx, jy in lst:
+            tile = lab[:, jy * h:(jy + 1) * h, jx * w:(jx + 1) * w]
+            payload = codec.encode(
+                codec.from_float(tile, -9999.0, "float64"), "rawf64")
+            dec = codec.decode(payload, w, h, "rawf64")
+            valid = dec[dec != -9999.0]
+            _nd, n_scenes = meta[cid]
+            rows.append({
+                "cell_id": cid, "n_scenes": n_scenes,
+                "payload_len": len(payload),
+                "lab_sum": int(valid.astype(np.int64).sum()),
+                "n_basins": int(np.unique(valid).size),
+                "nodata_px": int((dec == -9999.0).sum()),
+            })
+    return sorted(rows, key=lambda d: d["cell_id"])
+
+
 def image_cloudshadow_rows():
     """Masked median composite → one-break bright-pixel cloud
     classification → geometric cloud-shadow sweep replicated without
@@ -2812,6 +2889,18 @@ def main() -> None:
             image_flowacc_rows(),
             ["cell_id", "n_scenes", "payload_len", "acc_sum",
              "acc_max", "stream_px", "nodata_px"]),
+        # composite -> depression filling: pins the cross-tile
+        # strip-exchange relaxation against priority-flood on the mosaic
+        "image_fillsinks": values_sql(
+            image_fillsinks_rows(),
+            ["cell_id", "n_scenes", "payload_len", "pix_sum",
+             "pix4_sum", "nodata_px"]),
+        # composite -> flowdir -> watershed basins: pins the
+        # boundary-graph pointer jumping against the mosaic kernel
+        "image_basins": values_sql(
+            image_basins_rows(),
+            ["cell_id", "n_scenes", "payload_len", "lab_sum",
+             "n_basins", "nodata_px"]),
         # composite -> classify -> shadow sweep: pins the sun-geometry
         # displacement kernel through the halo exchange
         "image_cloudshadow": values_sql(
