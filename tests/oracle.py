@@ -249,6 +249,53 @@ def flow_accumulation_walk(codes: np.ndarray) -> np.ndarray:
     return acc
 
 
+def stream_order_recursive(codes: np.ndarray) -> np.ndarray:
+    """Naive Strahler order: for every valid pixel, gather its direct
+    upstream neighbors by inspecting all eight codes and evaluate the
+    textbook recurrence (no upstream -> 1; else max upstream order m,
+    +1 when two or more attain m) with an explicit memo stack."""
+    codes = np.asarray(codes, np.float64)
+    B, H, W = codes.shape
+    out = np.full((B, H, W), np.nan)
+    for b in range(B):
+        c = codes[b]
+        ups: dict = {}
+        for y in range(H):
+            for x in range(W):
+                code = c[y, x]
+                if not np.isfinite(code) or code == 0:
+                    continue
+                dy, dx = _D8[int(code)]
+                ny, nx = y + dy, x + dx
+                if 0 <= ny < H and 0 <= nx < W and np.isfinite(c[ny, nx]):
+                    ups.setdefault((ny, nx), []).append((y, x))
+        memo: dict = {}
+        for sy in range(H):
+            for sx in range(W):
+                if not np.isfinite(c[sy, sx]):
+                    continue
+                stack = [(sy, sx)]
+                while stack:
+                    p = stack[-1]
+                    if p in memo:
+                        stack.pop()
+                        continue
+                    u = ups.get(p, [])
+                    missing = [q for q in u if q not in memo]
+                    if missing:
+                        stack.extend(missing)
+                        continue
+                    if not u:
+                        memo[p] = 1
+                    else:
+                        os_ = [memo[q] for q in u]
+                        m = max(os_)
+                        memo[p] = m + (os_.count(m) >= 2)
+                    stack.pop()
+                out[b, sy, sx] = float(memo[(sy, sx)])
+    return out
+
+
 def cloud_shadow_walk(cloud: np.ndarray, shifts, union=False) -> np.ndarray:
     """Naive shadow projection on an UNPADDED (B, H, W) 0/1 cloud
     array (NaN = nodata): per pixel, scan every shift; a source

@@ -1114,3 +1114,380 @@ def basins(df: DataFrame, key: str = "cell_id",
     return (df.withColumnRenamed(key, "cell")
             .join(per_cell, "cell", "left")
             .mapInPandas(paint, schema=out_schema))
+
+
+# --------------------------------------------- Strahler stream order ----
+
+def _order_solve(c: np.ndarray,
+                 ext_need: np.ndarray | None = None,
+                 ext_best: np.ndarray | None = None,
+                 ext_cnt: np.ndarray | None = None):
+    """Kahn-style topological propagation of Strahler orders over one
+    ``(H, W)`` D8 code plane. A pixel's order is 1 with no upstream,
+    else ``m`` when exactly one upstream attains the max upstream
+    order ``m``, else ``m + 1`` (two or more attain it) — the classic
+    Strahler confluence rule applied per pixel, evaluated with a
+    running ``(best, cnt)`` merge that is associative, so external
+    contributions fold in as an initial state. ``ext_need`` holds the
+    count of NOT-yet-arrived external upstreams per flat pixel (such
+    pixels — and everything downstream of them — stay unresolved at
+    order 0); ``ext_best``/``ext_cnt`` the running merge over arrived
+    external orders. Returns ``(order, dest, off_flat)`` with
+    ``order`` a flat int64 array, 0 = unresolved. Vectorized wave
+    sweep: no per-pixel Python in the hot path."""
+    H, W_ = c.shape
+    n = H * W_
+    dest, off_flat = _dest_tables(c)
+    valid = np.isfinite(c).ravel()
+    indeg = np.zeros(n, np.int64)
+    src = np.flatnonzero(valid & (dest >= 0))
+    tgt = dest[src]
+    ok = valid[tgt]                 # draining into nodata: dropped
+    np.add.at(indeg, tgt[ok], 1)
+    best = (np.zeros(n, np.int64) if ext_best is None
+            else ext_best.astype(np.int64, copy=True))
+    cnt = (np.zeros(n, np.int64) if ext_cnt is None
+           else ext_cnt.astype(np.int64, copy=True))
+    if ext_need is not None:
+        indeg = indeg + ext_need.astype(np.int64)
+    order = np.zeros(n, np.int64)
+    frontier = np.flatnonzero(valid & (indeg == 0))
+    guard = 0
+    while frontier.size:
+        o = np.where(best[frontier] == 0, 1,
+                     best[frontier] + (cnt[frontier] >= 2))
+        order[frontier] = o
+        mv = dest[frontier] >= 0
+        q = dest[frontier[mv]]
+        op = o[mv]
+        vq = valid[q]
+        q, op = q[vq], op[vq]
+        if q.size:
+            wave_max = np.zeros(n, np.int64)
+            np.maximum.at(wave_max, q, op)
+            sel = op == wave_max[q]
+            wave_cnt = np.zeros(n, np.int64)
+            np.add.at(wave_cnt, q[sel], 1)
+            arr = np.zeros(n, np.int64)
+            np.add.at(arr, q, 1)
+            uq = np.unique(q)
+            gt = wave_max[uq] > best[uq]
+            eq = ~gt & (wave_max[uq] == best[uq])
+            bu = uq[gt]
+            best[bu] = wave_max[bu]
+            cnt[bu] = wave_cnt[bu]
+            eu = uq[eq]
+            cnt[eu] += wave_cnt[eu]
+            indeg[uq] -= arr[uq]
+            frontier = uq[(indeg[uq] == 0) & (order[uq] == 0)]
+        else:
+            frontier = np.empty(0, np.int64)
+        guard += 1
+        if guard > n + 8:
+            raise ValueError(
+                "stream_order: cycle detected in D8 codes — input is "
+                "not a flowdir product (steepest descent cannot "
+                "cycle); fix the code plane before ordering")
+    return order, dest, off_flat
+
+
+def stream_order_np(codes: np.ndarray) -> np.ndarray:
+    """Whole-mosaic reference kernel: ``(B, H, W)`` D8 code planes
+    (NaN = nodata) → float64 Strahler order planes (NaN where the code
+    was nodata). Headwater pixels (no upstream) are order 1; a
+    confluence where two or more upstreams share the max order ``m``
+    yields ``m + 1``, otherwise the max passes through — GRASS
+    ``r.stream.order`` / WhiteboxTools ``StrahlerStreamOrder``
+    semantics applied to the full valid-pixel drainage forest (mask
+    with :func:`stream_mask` for network-only orders). The naive
+    per-pixel recursive twin lives in tests/oracle.py; the distributed
+    operator is pinned against THIS kernel run on the assembled
+    mosaic."""
+    codes = np.asarray(codes, np.float64)
+    if codes.ndim != 3:
+        raise ValueError("expected (bands, h, w) code planes")
+    B, H, W_ = codes.shape
+    out = np.full((B, H, W_), np.nan)
+    for b in range(B):
+        c = codes[b]
+        order, _dest, _off = _order_solve(c)
+        valid = np.isfinite(c).ravel()
+        if np.any(valid & (order == 0)):
+            raise ValueError(
+                "stream_order: cycle detected in D8 codes — input is "
+                "not a flowdir product")
+        out[b] = np.where(valid, order.astype(np.float64),
+                          np.nan).reshape(H, W_)
+    return out
+
+
+_SO_DECL, _SO_ORD = 0, 1
+
+
+def stream_order(df: DataFrame, key: str = "cell_id",
+                 max_rounds: int = 128, reliable: bool = False,
+                 checkpoint_dir: str | None = None) -> DataFrame:
+    """Distributed Strahler stream order over a one-row-per-cell tile
+    table of D8 flow-direction codes (the output of
+    ``terrain(df, 'flowdir')``) — GRASS ``r.stream.order`` /
+    WhiteboxTools ``StrahlerStreamOrder``, distributed. Output schema
+    == input schema with the payload replaced by ``rawf32`` orders
+    (small exact integers), ``-9999`` sentinel nodata.
+
+    Spark-first plan — like :func:`flow_accumulation` a pixel's order
+    depends on arbitrarily distant upstream terrain, but unlike mass
+    the Strahler merge needs ALL upstream contributions before a pixel
+    can resolve, so the rounds run a cross-tile TOPOLOGICAL WAVEFRONT:
+
+    1. **Declare** (one ``mapInPandas``, zero tile-byte shuffle): every
+       tile reads its own codes and emits one slim DECL record per
+       valid edge pixel draining into an existing neighbor tile —
+       grouped by destination, these give each tile its exact external
+       in-degree per entry pixel, so no tile ever resolves early.
+    2. **Rounds**: every tile runs the same vectorized Kahn sweep as
+       the mosaic kernel (:func:`_order_solve`), with arrived external
+       orders folded into the associative ``(best, cnt)`` merge and
+       un-arrived externals blocking their entry pixels; resolved
+       edge-exits emit ORD records (dest, entry pixel, order, source
+       identity). New arrivals are separated with one anti-join
+       against the accumulated-arrivals table (re-runs re-emit
+       deterministically; duplicates die there), and ONLY tiles that
+       received genuinely-new arrivals re-solve (inner join against
+       the slim codes table). Convergence = zero new arrivals; round
+       count = tile-graph depth of the drainage DAG, not path length
+       in pixels.
+    3. **Assembly**: one final per-tile solve against the complete
+       arrival set paints payloads; any valid pixel still unresolved
+       is a cross-tile CYCLE and raises loudly.
+
+    At 100 TB each round shuffles O(perimeter · bands) DECL/ORD rows
+    per touched tile; tile bytes are read only by touched-tile
+    re-solves and the final assembly join."""
+    names = df.columns
+    for req in (key, "bytes", "w", "h", "fmt", "nodata"):
+        if req not in names:
+            raise ValueError(f"stream_order input is missing column "
+                             f"{req!r}")
+
+    def _ckpt(d, eager):
+        return truncate_lineage(d, eager=eager, reliable=reliable,
+                                checkpoint_dir=checkpoint_dir)
+
+    slim_cols = [F.col(key).alias("cell"), "bytes", "w", "h", "fmt",
+                 "nodata"]
+    if "band_nodata" in names:
+        slim_cols.append("band_nodata")
+    tiles_slim = _ckpt(df.select(*slim_cols), True)
+
+    rec_schema = T.StructType([
+        T.StructField("cell", T.LongType()),    # destination tile
+        T.StructField("kind", T.IntegerType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("py", T.IntegerType()),   # entry pixel in dest
+        T.StructField("px", T.IntegerType()),
+        T.StructField("src", T.LongType()),     # source tile
+        T.StructField("sflat", T.LongType()),   # source pixel flat idx
+        T.StructField("ord", T.IntegerType()),
+    ])
+    _rec_cols = [f.name for f in rec_schema.fields]
+
+    def _rec_pdf(rows: list[dict]) -> pd.DataFrame:
+        pdf = pd.DataFrame(rows, columns=_rec_cols)
+        for col, dt in (("cell", "Int64"), ("kind", "Int32"),
+                        ("band", "Int32"), ("py", "Int32"),
+                        ("px", "Int32"), ("src", "Int64"),
+                        ("sflat", "Int64"), ("ord", "Int32")):
+            pdf[col] = pd.array(pdf[col], dtype=dt)
+        return pdf
+
+    def _decode_codes(row) -> np.ndarray:
+        arr = codec.decode(row.bytes, int(row.w), int(row.h), row.fmt)
+        nd = codec.row_band_meta(row, len(arr), "band_nodata",
+                                 row.nodata)
+        return codec.to_float_masked(arr, nd)
+
+    def _fold_ext(row, B: int, n: int, W_: int):
+        """need/arrival struct lists → (ext_need, ext_best, ext_cnt)."""
+        ext_need = np.zeros((B, n), np.int64)
+        ext_best = np.zeros((B, n), np.int64)
+        ext_cnt = np.zeros((B, n), np.int64)
+        nd = getattr(row, "need", None)
+        if isinstance(nd, (list, np.ndarray)):
+            for s in nd:
+                b, f = int(s["band"]), int(s["py"]) * W_ + int(s["px"])
+                if not (0 <= b < B and 0 <= f < n):
+                    raise ValueError(
+                        f"stream_order: declared inflow at band {b} "
+                        f"flat {f} is outside the tile of cell "
+                        f"{row.cell} — mixed tile dims are not "
+                        "supported")
+                ext_need[b, f] += 1
+        ar = getattr(row, "arr", None)
+        if isinstance(ar, (list, np.ndarray)):
+            for s in ar:
+                b, f = int(s["band"]), int(s["py"]) * W_ + int(s["px"])
+                o = int(s["ord"])
+                ext_need[b, f] -= 1
+                if o > ext_best[b, f]:
+                    ext_best[b, f] = o
+                    ext_cnt[b, f] = 1
+                elif o == ext_best[b, f]:
+                    ext_cnt[b, f] += 1
+        return ext_need, ext_best, ext_cnt
+
+    def _tile_solve(row) -> tuple[np.ndarray, np.ndarray, list[dict]]:
+        """One tile against its current external state: returns the
+        (B, n) order array, the decoded codes, and resolved-exit ORD
+        emission rows."""
+        C = _decode_codes(row)
+        B, H, W_ = C.shape
+        n = H * W_
+        zone, res, ix, iy = (int(v) for v in cells.decode_np(row.cell))
+        ext_need, ext_best, ext_cnt = _fold_ext(row, B, n, W_)
+        ords = np.zeros((B, n), np.int64)
+        emits: list[dict] = []
+        for b in range(B):
+            order, dest, off_flat = _order_solve(
+                C[b], ext_need[b], ext_best[b], ext_cnt[b])
+            ords[b] = order
+            ex = np.flatnonzero((order > 0) & (dest <= _OFF_BASE))
+            for p in ex.tolist():
+                k = int(_OFF_BASE - dest[p])
+                cdy, cdx = k // 3 - 1, k % 3 - 1
+                ncell = cells.neighbor_cell(zone, res, ix, iy, cdx, cdy)
+                if ncell is None:
+                    continue       # zone edge: the void absorbs
+                f = int(off_flat[p])
+                emits.append({"cell": int(ncell), "kind": _SO_ORD,
+                              "band": b, "py": f // W_, "px": f % W_,
+                              "src": int(row.cell), "sflat": int(p),
+                              "ord": int(order[p])})
+        return ords, C, emits
+
+    def declare(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                C = _decode_codes(row)
+                B, H, W_ = C.shape
+                zone, res, ix, iy = (int(v)
+                                     for v in cells.decode_np(row.cell))
+                for b in range(B):
+                    dest, off_flat = _dest_tables(C[b])
+                    valid = np.isfinite(C[b]).ravel()
+                    ex = np.flatnonzero(valid & (dest <= _OFF_BASE))
+                    for p in ex.tolist():
+                        k = int(_OFF_BASE - dest[p])
+                        cdy, cdx = k // 3 - 1, k % 3 - 1
+                        ncell = cells.neighbor_cell(zone, res, ix, iy,
+                                                    cdx, cdy)
+                        if ncell is None:
+                            continue
+                        f = int(off_flat[p])
+                        out.append({"cell": int(ncell),
+                                    "kind": _SO_DECL, "band": b,
+                                    "py": f // W_, "px": f % W_,
+                                    "src": int(row.cell),
+                                    "sflat": int(p), "ord": None})
+            if out:
+                yield _rec_pdf(out)
+
+    def solve_round(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                _ords, _C, emits = _tile_solve(row)
+                out.extend(emits)
+            if out:
+                yield _rec_pdf(out)
+
+    decls = _ckpt(tiles_slim.mapInPandas(declare, schema=rec_schema),
+                  False)
+    need = (decls.groupBy("cell")
+            .agg(F.collect_list(F.struct("band", "py", "px"))
+                 .alias("need")))
+
+    arrive_key = ["cell", "band", "py", "px", "src", "sflat"]
+    arrived = None           # accumulated ORD rows
+    arr_grouped = None       # cell -> list of (band, py, px, ord)
+    # round 1: every tile solves with its declared in-degree
+    work = tiles_slim.join(need, "cell", "left")
+    step = _ckpt(work.mapInPandas(solve_round, schema=rec_schema),
+                 False)
+    new = step.select(*arrive_key, "ord")
+    n_new = new.count()
+    rounds = 0
+    while n_new:
+        rounds += 1
+        if rounds > max_rounds:
+            sample = [(int(r.cell), int(r.band), int(r.py), int(r.px))
+                      for r in new.limit(5).collect()]
+            raise ValueError(
+                f"stream_order did not converge in {max_rounds} "
+                f"rounds ({n_new} boundary-order records still "
+                "arriving). EITHER a drainage path crosses more tiles "
+                "than max_rounds — raise it (rounds are cheap: only "
+                "touched tiles re-solve) — OR the code planes contain "
+                "a CROSS-TILE cycle, which can never converge: "
+                "flowdir-derived codes cannot cycle, so inspect how "
+                "these planes were produced. Sample arrivals (cell, "
+                f"band, py, px): {sample}")
+        arrived = _ckpt(new if arrived is None
+                        else arrived.unionByName(new), False)
+        arr_grouped = (arrived.groupBy("cell")
+                       .agg(F.collect_list(
+                           F.struct("band", "py", "px", "ord"))
+                           .alias("arr")))
+        touched = new.select("cell").distinct()
+        work = (tiles_slim.join(touched, "cell")
+                .join(need, "cell", "left")
+                .join(arr_grouped, "cell", "left"))
+        step = work.mapInPandas(solve_round, schema=rec_schema)
+        new = _ckpt(step.select(*arrive_key, "ord")
+                    .join(arrived, arrive_key, "left_anti"), False)
+        n_new = new.count()
+
+    in_fields = [T.StructField(f.name, f.dataType, True)
+                 for f in df.schema.fields]
+    out_schema = T.StructType(in_fields)
+    meta_null = [c for c in ("band_scale", "band_offset", "band_nodata")
+                 if c in names]
+
+    def paint(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                ords, C, _emits = _tile_solve(row)
+                B, H, W_ = C.shape
+                valid = np.isfinite(C).reshape(B, -1)
+                if np.any(valid & (ords == 0)):
+                    b, f = [int(v[0]) for v in
+                            np.nonzero(valid & (ords == 0))]
+                    raise ValueError(
+                        f"stream_order: pixel ({f // W_},{f % W_}) "
+                        f"band {b} of cell {row.cell} never resolved "
+                        "after convergence — the code planes contain "
+                        "a CROSS-TILE CYCLE (tile A's edge pixel "
+                        "drains into tile B and B's entry drains back "
+                        "into A); flowdir-derived codes cannot cycle, "
+                        "so inspect how these planes were produced")
+                plane = np.where(valid, ords.astype(np.float64),
+                                 np.nan).reshape(B, H, W_)
+                d = {c2: getattr(row, c2) for c2 in names if c2 != key}
+                d[key] = int(row.cell)
+                d["bytes"] = codec.encode(
+                    codec.from_float(plane, OUT_NODATA, np.float32),
+                    "rawf32")
+                d["fmt"] = "rawf32"
+                d["nodata"] = OUT_NODATA
+                for c2 in meta_null:
+                    d[c2] = None
+                out.append(d)
+            if out:
+                yield pd.DataFrame(out, columns=names)
+
+    work_final = (df.withColumnRenamed(key, "cell")
+                  .join(need, "cell", "left"))
+    if arr_grouped is not None:
+        work_final = work_final.join(arr_grouped, "cell", "left")
+    return work_final.mapInPandas(paint, schema=out_schema)

@@ -64,7 +64,7 @@ class Pipeline:
         "proximity", "fillnodata", "chips", "overview_level",
         "overviews", "terrain", "texture", "color_relief", "stretch",
         "classify", "kmeans", "flow_accumulation", "fill_sinks",
-        "basins", "cloud_shadow", "unmix"])
+        "basins", "stream_order", "cloud_shadow", "unmix"])
 
     def __init__(self, df: DataFrame, mask_specs: tuple = (),
                  log: tuple = (), mask_dropped: bool = False):
@@ -768,6 +768,24 @@ class Pipeline:
                           reliable=bool(reliable),
                           checkpoint_dir=checkpoint_dir),
             (), "basins", {"max_rounds": int(max_rounds)})
+
+    def stream_order(self, max_rounds: int = 128,
+                     reliable: bool = False,
+                     checkpoint_dir: str | None = None) -> "Pipeline":
+        """Strahler stream order (hydrology.stream_order) over a
+        flow-direction tile table (chain ``.terrain('flowdir')``
+        first): headwaters are order 1, a confluence of two equal
+        orders promotes — propagated as a cross-tile topological
+        wavefront where only perimeter-sized DECL/ORD records shuffle
+        and only tiles receiving new arrivals re-solve. Output rawf32
+        orders with the -9999 sentinel. Bundleable. Pending masks
+        flush first."""
+        from vrtility_spark import hydrology as _hydro
+        return self._next(
+            _hydro.stream_order(self.df, max_rounds=int(max_rounds),
+                                reliable=bool(reliable),
+                                checkpoint_dir=checkpoint_dir),
+            (), "stream_order", {"max_rounds": int(max_rounds)})
 
     def texture(self, metric: str = "contrast", radius: int = 2,
                 levels: int = 8, lo: float = 0.0, hi: float = 1.0,
