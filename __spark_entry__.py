@@ -2643,6 +2643,57 @@ def q_image_flowacc(spark, sf_dir):
                F.lit(False)).alias("nodata_px"))
 
 
+def q_image_streamorder(spark, sf_dir):
+    """Masked median composite → D8 flowdir → Strahler stream order
+    (hydrology.stream_order): cross-tile TOPOLOGICAL WAVEFRONT over
+    the drainage DAG — every tile runs the same vectorized Kahn sweep
+    as the mosaic kernel, external in-degrees are declared up front so
+    no tile resolves early, and only O(perimeter·bands) DECL/ORD
+    records shuffle per round (tile bytes never do). Pinned against
+    constants computed Spark-free with the recursive-oracle-gated
+    stream_order_np on assembled per-zone mosaics
+    (tools/gen_oracle_constants.py); the reference delegates stream
+    analysis to external GDAL/SAGA tooling (R/gdal-options.R)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    out = (Pipeline(images)
+           .set_maskfun("int", datagen.S2_MASK_VALUES)
+           .warp(cell_res=datagen.TILE_RES)
+           .composite("median")
+           .terrain("flowdir")
+           .stream_order()
+           .df)
+
+    @F.pandas_udf("long")
+    def vstat(b: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series,
+              which: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f, k in zip(b, w, h, fmt, which):
+            dec = codec.decode(x, int(wi), int(hi), f).astype(np.float64)
+            v = dec[dec != -9999.0]
+            if k == 0:
+                res.append(int(v.sum()))
+            elif k == 1:
+                res.append(int(v.max()) if v.size else 0)
+            elif k == 2:
+                res.append(int((v == 1.0).sum()))
+            else:
+                res.append(int((dec == -9999.0).sum()))
+        return pd.Series(res)
+
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        vstat("bytes", "w", "h", "fmt", F.lit(0)).alias("ord_sum"),
+        vstat("bytes", "w", "h", "fmt", F.lit(1)).alias("ord_max"),
+        vstat("bytes", "w", "h", "fmt", F.lit(2)).alias("head_px"),
+        vstat("bytes", "w", "h", "fmt", F.lit(3)).alias("nodata_px"))
+
+
 def q_image_fillsinks(spark, sf_dir):
     """Masked median composite → distributed depression filling
     (hydrology.fill_sinks): chaotic relaxation of per-tile
@@ -3276,6 +3327,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_flowacc": q_image_flowacc,
         "image_fillsinks": q_image_fillsinks,
         "image_basins": q_image_basins,
+        "image_streamorder": q_image_streamorder,
         "image_cloudshadow": q_image_cloudshadow,
         "image_change": q_image_change,
         "image_unmix": q_image_unmix,

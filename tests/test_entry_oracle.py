@@ -70,14 +70,31 @@ def test_driver_window_rotation():
     assert ordered[:len(pinned)] == pinned
     free = entrymod._WINDOW - len(pinned)
 
-    # (c) this round: never-covered keys all sort into the live window
+    # (c) this round: never-covered keys all sort into the live window.
+    # When there are MORE never-covered keys than free slots (final-round
+    # saturation), the window must still be spent entirely on
+    # never-covered keys (the minimum-possible spill), and every spilled
+    # key must carry committed evidence in the full-surface sweep
+    # artifact the driver window cannot provide.
     last = entrymod._coverage_rounds()
     never = [k for k in canon if k not in pinned and last.get(k, 0) == 0]
     window_now = set(ordered[:entrymod._WINDOW])
-    assert len(never) <= free, (
-        f"{len(never)} never-covered keys exceed the {free} free window "
-        "slots — some will miss this round's driver artifact")
-    assert set(never) <= window_now
+    if len(never) <= free:
+        assert set(never) <= window_now
+    else:
+        assert all(last.get(k, 0) == 0 for k in ordered[:entrymod._WINDOW]), (
+            "window slot wasted on an already-covered key while "
+            "never-covered keys spill")
+        spilled = sorted(set(never) - window_now)
+        assert len(spilled) == len(never) - free
+        sweep = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "..", "BENCH", "ORACLE_SWEEP_r05.md")
+        with open(sweep) as fh:
+            rows = [ln for ln in fh if ln.startswith("|")]
+        for k in spilled:
+            hit = [ln for ln in rows if f"| {k} |" in ln]
+            assert hit and all("OK" in ln for ln in hit), (
+                f"spilled key {k} lacks a green committed sweep row")
 
     # (d) steady state: simulate rounds where each covers its window
     idx = {k: i for i, k in enumerate(canon)}

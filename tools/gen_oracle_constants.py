@@ -1923,6 +1923,46 @@ def image_fillsinks_rows():
     return sorted(rows, key=lambda d: d["cell_id"])
 
 
+def image_streamorder_rows():
+    """Masked median composite → D8 flowdir → Strahler stream order
+    replicated without Spark: per-zone mosaics NaN-padded, coded with
+    terrain.flow_direction_np, and ordered with
+    hydrology.stream_order_np (recursive-oracle-gated in
+    tests/test_streamorder.py), cropped back to tiles through the
+    exact rawf32/-9999 round trip. Orders are small exact integers, so
+    the checksums are their plain sum, the max, the headwater count
+    (order 1), and the nodata count."""
+    from vrtility_spark import hydrology, terrain
+
+    h = w = 16
+    size = cells.cell_size(datagen.TILE_RES)
+    sx, sy = size / w, size / h
+    zones, meta = _median_zone_mosaics(h, w)
+    rows = []
+    for _zone, lst, G in zones:
+        nb = G.shape[0]
+        P = np.full((nb, G.shape[1] + 2, G.shape[2] + 2), np.nan)
+        P[:, 1:-1, 1:-1] = G
+        so = hydrology.stream_order_np(
+            terrain.flow_direction_np(P, sx, sy))
+        for cid, jx, jy in lst:
+            tile = so[:, jy * h:(jy + 1) * h, jx * w:(jx + 1) * w]
+            payload = codec.encode(
+                codec.from_float(tile, -9999.0, "float32"), "rawf32")
+            dec = codec.decode(payload, w, h, "rawf32").astype(np.float64)
+            valid = dec[dec != -9999.0]
+            _nd, n_scenes = meta[cid]
+            rows.append({
+                "cell_id": cid, "n_scenes": n_scenes,
+                "payload_len": len(payload),
+                "ord_sum": int(valid.sum()),
+                "ord_max": int(valid.max()) if valid.size else 0,
+                "head_px": int((valid == 1.0).sum()),
+                "nodata_px": int((dec == -9999.0).sum()),
+            })
+    return sorted(rows, key=lambda d: d["cell_id"])
+
+
 def image_basins_rows():
     """Masked median composite → D8 flowdir → watershed basins
     replicated without Spark: per-zone mosaics NaN-padded and coded
@@ -2895,6 +2935,12 @@ def main() -> None:
             image_fillsinks_rows(),
             ["cell_id", "n_scenes", "payload_len", "pix_sum",
              "pix4_sum", "nodata_px"]),
+        # composite -> flowdir -> Strahler order: pins the cross-tile
+        # topological wavefront against the mosaic Kahn kernel
+        "image_streamorder": values_sql(
+            image_streamorder_rows(),
+            ["cell_id", "n_scenes", "payload_len", "ord_sum",
+             "ord_max", "head_px", "nodata_px"]),
         # composite -> flowdir -> watershed basins: pins the
         # boundary-graph pointer jumping against the mosaic kernel
         "image_basins": values_sql(
