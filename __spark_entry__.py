@@ -2694,6 +2694,58 @@ def q_image_streamorder(spark, sf_dir):
         vstat("bytes", "w", "h", "fmt", F.lit(3)).alias("nodata_px"))
 
 
+def q_image_ssim(spark, sf_dir):
+    """Masked median composite vs its gaussian-smoothed twin →
+    windowed SSIM map (quality.tile_ssim_map): the two collections
+    join per cell into ONE stacked 2B-plane payload, so the single
+    focal halo exchange ships strips carrying both sides at once —
+    windows crossing tile seams are exact without a second shuffle.
+    Pinned against constants computed Spark-free with the
+    loop-oracle-gated quality.ssim_np on assembled per-zone mosaics
+    (tools/gen_oracle_constants.py); the reference's fidelity checks
+    are pointwise testthat fixture compares (tests/testthat/) — SSIM
+    is the structural twin, distributed."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, quality, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    comp = (Pipeline(images)
+            .set_maskfun("int", datagen.S2_MASK_VALUES)
+            .warp(cell_res=datagen.TILE_RES)
+            .composite("median"))
+    smoothed = comp.focal("gaussian", radius=1)
+    out = quality.tile_ssim_map(smoothed.df, comp.df)
+
+    @F.pandas_udf("double")
+    def vsum(b: pd.Series, w: pd.Series, h: pd.Series,
+             fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f in zip(b, w, h, fmt):
+            dec = codec.decode(x, int(wi), int(hi), f).astype(np.float64)
+            res.append(round(float(dec[dec != -9999.0].sum()), 4))
+        return pd.Series(res)
+
+    @F.pandas_udf("long")
+    def vcnt(b: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series,
+             which: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f, k in zip(b, w, h, fmt, which):
+            dec = codec.decode(x, int(wi), int(hi), f).astype(np.float64)
+            res.append(int((dec != -9999.0).sum()) if k == 0
+                       else int((dec == -9999.0).sum()))
+        return pd.Series(res)
+
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        vsum("bytes", "w", "h", "fmt").alias("ssim_sum"),
+        vcnt("bytes", "w", "h", "fmt", F.lit(0)).alias("valid_px"),
+        vcnt("bytes", "w", "h", "fmt", F.lit(1)).alias("nodata_px"))
+
+
 def q_image_fillsinks(spark, sf_dir):
     """Masked median composite → distributed depression filling
     (hydrology.fill_sinks): chaotic relaxation of per-tile
@@ -3328,6 +3380,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_fillsinks": q_image_fillsinks,
         "image_basins": q_image_basins,
         "image_streamorder": q_image_streamorder,
+        "image_ssim": q_image_ssim,
         "image_cloudshadow": q_image_cloudshadow,
         "image_change": q_image_change,
         "image_unmix": q_image_unmix,

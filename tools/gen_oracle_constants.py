@@ -1963,6 +1963,59 @@ def image_streamorder_rows():
     return sorted(rows, key=lambda d: d["cell_id"])
 
 
+def image_ssim_rows():
+    """Masked median composite → gaussian-smoothed twin → windowed
+    SSIM map replicated without Spark: per-zone mosaics smoothed with
+    focal_np exactly as Pipeline.focal('gaussian', radius=1) (incl.
+    the per-tile uint16 re-encode round trip), then the stacked-pair
+    halo exchange replayed as one ssim_np call (loop-oracle-gated in
+    tests/test_quality.py) on the NaN-ring-padded mosaics, cropped
+    back to tiles through the exact rawf32/-9999 round trip. SSIM
+    values are deterministic f32, so the checksum is their rounded
+    sum plus valid/nodata counts."""
+    from vrtility_spark import focal, quality
+
+    h = w = 16
+    r = quality.SSIM_RADIUS
+    zones, meta = _median_zone_mosaics(h, w)
+    rows = []
+    for _zone, lst, G in zones:
+        nb = G.shape[0]
+        # gaussian smoothing exactly as the engine's focal verb
+        P1 = np.full((nb, G.shape[1] + 2, G.shape[2] + 2), np.nan)
+        P1[:, 1:-1, 1:-1] = G
+        sm = focal.focal_np(P1, "conv", 1, focal.gaussian_kernel(1),
+                            normalize=True)
+        sm = np.where(np.isnan(G), np.nan, sm)  # fill=False
+        Gs = np.full_like(G, np.nan)
+        for cid, jx, jy in lst:
+            nd = meta[cid][0]
+            t = sm[:, jy * h:(jy + 1) * h, jx * w:(jx + 1) * w]
+            q = codec.from_float(t, nd, "uint16")
+            Gs[:, jy * h:(jy + 1) * h, jx * w:(jx + 1) * w] = \
+                codec.to_float_masked(q, nd)
+        PA = np.full((nb, G.shape[1] + 2 * r, G.shape[2] + 2 * r), np.nan)
+        PB = np.full_like(PA, np.nan)
+        PA[:, r:-r, r:-r] = Gs
+        PB[:, r:-r, r:-r] = G
+        smap = quality.ssim_np(PA, PB, r)
+        for cid, jx, jy in lst:
+            tile = smap[:, jy * h:(jy + 1) * h, jx * w:(jx + 1) * w]
+            payload = codec.encode(
+                codec.from_float(tile, -9999.0, "float32"), "rawf32")
+            dec = codec.decode(payload, w, h, "rawf32").astype(np.float64)
+            valid = dec[dec != -9999.0]
+            _nd, n_scenes = meta[cid]
+            rows.append({
+                "cell_id": cid, "n_scenes": n_scenes,
+                "payload_len": len(payload),
+                "ssim_sum": round(float(valid.sum()), 4),
+                "valid_px": int(valid.size),
+                "nodata_px": int((dec == -9999.0).sum()),
+            })
+    return sorted(rows, key=lambda d: d["cell_id"])
+
+
 def image_basins_rows():
     """Masked median composite → D8 flowdir → watershed basins
     replicated without Spark: per-zone mosaics NaN-padded and coded
@@ -2941,6 +2994,12 @@ def main() -> None:
             image_streamorder_rows(),
             ["cell_id", "n_scenes", "payload_len", "ord_sum",
              "ord_max", "head_px", "nodata_px"]),
+        # composite vs its gaussian-smoothed twin -> windowed SSIM:
+        # pins the stacked-pair halo exchange against the mosaic kernel
+        "image_ssim": values_sql(
+            image_ssim_rows(),
+            ["cell_id", "n_scenes", "payload_len", "ssim_sum",
+             "valid_px", "nodata_px"]),
         # composite -> flowdir -> watershed basins: pins the
         # boundary-graph pointer jumping against the mosaic kernel
         "image_basins": values_sql(
