@@ -2746,6 +2746,92 @@ def q_image_ssim(spark, sf_dir):
         vcnt("bytes", "w", "h", "fmt", F.lit(1)).alias("nodata_px"))
 
 
+def q_autocorr_global(spark, sf_dir):
+    """Masked median composite → global Moran's I / Geary's C per band
+    (autocorr.global_autocorr): a zero-shuffle moments pass plus ONE
+    radius-1 halo exchange whose kernel emits per-pixel contribution
+    planes, both reduced to B-row aggregates of EXACT integer partials
+    (bit-deterministic regardless of partition order) joined by a tiny
+    Catalyst expression — no payload shuffles twice, nothing collects.
+    Pinned against constants combined from the per-zone mosaics with
+    the identical closed forms (tools/gen_oracle_constants.py); the
+    reference delegates raster statistics beyond compositing to
+    external tooling (R/gdal-options.R) — this is the PySAL
+    esda.Moran/esda.Geary capability family, distributed."""
+    _ensure_shipped(spark)
+    from vrtility_spark import autocorr, datagen, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    comp = (Pipeline(images)
+            .set_maskfun("int", datagen.S2_MASK_VALUES)
+            .warp(cell_res=datagen.TILE_RES)
+            .composite("median"))
+    out = autocorr.global_autocorr(comp.df)
+    return out.select(
+        "band", "n", "s0",
+        F.round("moran_i", 6).alias("moran_i"),
+        F.round("geary_c", 6).alias("geary_c"),
+        F.round("e_i", 6).alias("e_i"))
+
+
+def q_image_hotspots(spark, sf_dir):
+    """Masked median composite → Getis-Ord Gi* hot-spot z-score map
+    (Pipeline.hotspots): the B-row global moments table is collected
+    (a few floats, never payloads) and closed over one radius-1
+    halo-exchange kernel; output is a chainable rawf32/-9999 tile
+    table ready for a |z| ≥ 1.96 threshold predicate. Pinned against
+    constants computed Spark-free with the loop-oracle-gated
+    gi_star_np on assembled per-zone mosaics
+    (tools/gen_oracle_constants.py); this is the ESRI Hot Spot
+    Analysis capability family, distributed."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    out = (Pipeline(images)
+           .set_maskfun("int", datagen.S2_MASK_VALUES)
+           .warp(cell_res=datagen.TILE_RES)
+           .composite("median")
+           .hotspots()
+           .df)
+
+    @F.pandas_udf("double")
+    def zsum(b: pd.Series, w: pd.Series, h: pd.Series,
+             fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f in zip(b, w, h, fmt):
+            dec = codec.decode(x, int(wi), int(hi), f).astype(np.float64)
+            res.append(round(float(dec[dec != -9999.0].sum()), 4))
+        return pd.Series(res)
+
+    @F.pandas_udf("long")
+    def zcnt(b: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series,
+             which: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f, k in zip(b, w, h, fmt, which):
+            dec = codec.decode(x, int(wi), int(hi), f).astype(np.float64)
+            v = dec[dec != -9999.0]
+            if k == 0:
+                res.append(int((np.abs(v) >= 1.96).sum()))
+            elif k == 1:
+                res.append(int(v.size))
+            else:
+                res.append(int((dec == -9999.0).sum()))
+        return pd.Series(res)
+
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        zsum("bytes", "w", "h", "fmt").alias("z_sum"),
+        zcnt("bytes", "w", "h", "fmt", F.lit(0)).alias("hot_px"),
+        zcnt("bytes", "w", "h", "fmt", F.lit(1)).alias("valid_px"),
+        zcnt("bytes", "w", "h", "fmt", F.lit(2)).alias("nodata_px"))
+
+
 def q_image_fillsinks(spark, sf_dir):
     """Masked median composite → distributed depression filling
     (hydrology.fill_sinks): chaotic relaxation of per-tile
@@ -3381,6 +3467,8 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_basins": q_image_basins,
         "image_streamorder": q_image_streamorder,
         "image_ssim": q_image_ssim,
+        "autocorr_global": q_autocorr_global,
+        "image_hotspots": q_image_hotspots,
         "image_cloudshadow": q_image_cloudshadow,
         "image_change": q_image_change,
         "image_unmix": q_image_unmix,

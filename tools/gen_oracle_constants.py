@@ -2016,6 +2016,114 @@ def image_ssim_rows():
     return sorted(rows, key=lambda d: d["cell_id"])
 
 
+def image_autocorr_rows():
+    """Masked median composite → global Moran's I / Geary's C
+    replicated without Spark: the per-zone mosaics feed
+    autocorr._neighbor_sums (loop-oracle-gated in tests/
+    test_autocorr.py) and the per-zone integer partials are combined
+    globally with the EXACT Catalyst expression tree of
+    autocorr.global_autocorr — every partial is an exact integer sum
+    below 2⁵³, so the distributed result is bit-deterministic and the
+    final doubles match bitwise before rounding."""
+    from vrtility_spark import autocorr
+
+    zones, _meta = _median_zone_mosaics()
+    agg: dict[int, list] = {}
+    for _zone, _lst, G in zones:
+        P = np.full((G.shape[0], G.shape[1] + 2, G.shape[2] + 2), np.nan)
+        P[:, 1:-1, 1:-1] = G
+        C, S1, S2 = autocorr._neighbor_sums(P)
+        A = P[:, 1:-1, 1:-1]
+        for bi in range(P.shape[0]):
+            m = np.isfinite(A[bi])
+            x = A[bi][m]
+            c, s1, s2 = C[bi][m], S1[bi][m], S2[bi][m]
+            p = agg.setdefault(bi, [0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+                                    0.0, 0.0])
+            p[0] += int(m.sum())
+            p[1] += float(x.sum())
+            p[2] += float((x * x).sum())
+            p[3] += float(c.sum())                 # s0
+            p[4] += float((c * x).sum())           # scx
+            p[5] += float((x * s1).sum())          # sxs1
+            p[6] += float(s1.sum())                # ss1
+            p[7] += float(s2.sum())                # ss2
+            p[8] += float((c * x * x).sum())       # scx2
+    rows = []
+    for bi in sorted(agg):
+        n, sm, sumsq, s0, scx, sxs1, ss1, ss2, scx2 = agg[bi]
+        # mirror global_autocorr's Catalyst expressions term for term
+        mu = sm / n
+        zz = sumsq - n * mu * mu
+        num_i = sxs1 - mu * (scx + ss1) + mu * mu * s0
+        num_c = scx2 - 2.0 * sxs1 + ss2
+        ok = s0 > 0 and zz > 0 and n > 1
+        rows.append({
+            "band": bi, "n": n, "s0": int(s0),
+            "moran_i": (_round_half_up((n / s0) * num_i / zz, 6)
+                        if ok else None),
+            "geary_c": (_round_half_up(((n - 1.0) * num_c)
+                                       / (2.0 * s0 * zz), 6)
+                        if ok else None),
+            "e_i": (_round_half_up(-1.0 / (n - 1.0), 6)
+                    if n > 1 else None),
+        })
+    return rows
+
+
+def image_hotspots_rows():
+    """Masked median composite → Getis-Ord Gi* hot-spot z-score map
+    replicated without Spark: global per-band moments combined over
+    ALL zone mosaics exactly as autocorr.hotspots' driver-side closure
+    (mean = Σx/n, population std), then gi_star_np (loop-oracle-gated
+    in tests/test_autocorr.py) on each NaN-ring-padded mosaic, cropped
+    back to tiles through the exact rawf32/-9999 round trip. Gi* is
+    deterministic f32, so the checksum is the rounded sum of valid
+    z-scores plus valid/nodata/hot counts (|z| ≥ 1.96)."""
+    from vrtility_spark import autocorr
+
+    h = w = 16
+    zones, meta = _median_zone_mosaics(h, w)
+    nb = zones[0][2].shape[0]
+    n = np.zeros(nb)
+    sm = np.zeros(nb)
+    sq = np.zeros(nb)
+    for _zone, _lst, G in zones:
+        for bi in range(nb):
+            v = G[bi][np.isfinite(G[bi])]
+            n[bi] += v.size
+            sm[bi] += float(v.sum())
+            sq[bi] += float((v * v).sum())
+    mean = np.zeros(nb)
+    std = np.zeros(nb)
+    for bi in range(nb):
+        if n[bi] > 0:
+            mean[bi] = sm[bi] / n[bi]
+            std[bi] = float(np.sqrt(max(
+                sq[bi] / n[bi] - (sm[bi] / n[bi]) ** 2, 0.0)))
+    rows = []
+    for _zone, lst, G in zones:
+        P = np.full((nb, G.shape[1] + 2, G.shape[2] + 2), np.nan)
+        P[:, 1:-1, 1:-1] = G
+        Z = autocorr.gi_star_np(P, n, mean, std)
+        for cid, jx, jy in lst:
+            tile = Z[:, jy * h:(jy + 1) * h, jx * w:(jx + 1) * w]
+            payload = codec.encode(
+                codec.from_float(tile, -9999.0, "float32"), "rawf32")
+            dec = codec.decode(payload, w, h, "rawf32").astype(np.float64)
+            valid = dec[dec != -9999.0]
+            _nd, n_scenes = meta[cid]
+            rows.append({
+                "cell_id": cid, "n_scenes": n_scenes,
+                "payload_len": len(payload),
+                "z_sum": round(float(valid.sum()), 4),
+                "hot_px": int((np.abs(valid) >= 1.96).sum()),
+                "valid_px": int(valid.size),
+                "nodata_px": int((dec == -9999.0).sum()),
+            })
+    return sorted(rows, key=lambda d: d["cell_id"])
+
+
 def image_basins_rows():
     """Masked median composite → D8 flowdir → watershed basins
     replicated without Spark: per-zone mosaics NaN-padded and coded
@@ -2999,6 +3107,17 @@ def main() -> None:
         "image_ssim": values_sql(
             image_ssim_rows(),
             ["cell_id", "n_scenes", "payload_len", "ssim_sum",
+             "valid_px", "nodata_px"]),
+        # composite -> global Moran/Geary: pins the two-pass partial
+        # aggregation against the mosaic-replayed closed forms
+        "autocorr_global": values_sql(
+            image_autocorr_rows(),
+            ["band", "n", "s0", "moran_i", "geary_c", "e_i"]),
+        # composite -> Gi* hot-spot map: pins the moments closure +
+        # halo-exchange kernel against the mosaic kernel
+        "image_hotspots": values_sql(
+            image_hotspots_rows(),
+            ["cell_id", "n_scenes", "payload_len", "z_sum", "hot_px",
              "valid_px", "nodata_px"]),
         # composite -> flowdir -> watershed basins: pins the
         # boundary-graph pointer jumping against the mosaic kernel

@@ -64,7 +64,7 @@ class Pipeline:
         "proximity", "fillnodata", "chips", "overview_level",
         "overviews", "terrain", "texture", "color_relief", "stretch",
         "classify", "kmeans", "flow_accumulation", "fill_sinks",
-        "basins", "stream_order", "cloud_shadow", "unmix"])
+        "basins", "stream_order", "cloud_shadow", "unmix", "hotspots"])
 
     def __init__(self, df: DataFrame, mask_specs: tuple = (),
                  log: tuple = (), mask_dropped: bool = False):
@@ -786,6 +786,17 @@ class Pipeline:
                                 reliable=bool(reliable),
                                 checkpoint_dir=checkpoint_dir),
             (), "stream_order", {"max_rounds": int(max_rounds)})
+
+    def hotspots(self) -> "Pipeline":
+        """Getis-Ord Gi* hot-spot z-score map (autocorr.hotspots) over
+        a one-row-per-cell tile table: a tiny per-band global-moments
+        agg (collected — a few floats, never payloads) closed over one
+        radius-1 halo-exchange kernel. Output rawf32 z-scores with the
+        -9999 sentinel, ready for a |z| >= 1.96 threshold predicate.
+        Bundleable. Pending masks flush first."""
+        from vrtility_spark import autocorr as _autocorr
+        return self._next(_autocorr.hotspots(self.df), (),
+                          "hotspots", {})
 
     def texture(self, metric: str = "contrast", radius: int = 2,
                 levels: int = 8, lo: float = 0.0, hi: float = 1.0,
