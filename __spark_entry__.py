@@ -2832,6 +2832,67 @@ def q_image_hotspots(spark, sf_dir):
         zcnt("bytes", "w", "h", "fmt", F.lit(2)).alias("nodata_px"))
 
 
+def q_image_local_moran(spark, sf_dir):
+    """Masked median composite → local Moran's I cluster/outlier map
+    (Pipeline.local_moran, Anselin 1995 LISA): the B-row global
+    moments table is collected (a few floats, never payloads) and
+    closed over one radius-1 halo-exchange kernel; the output payload
+    stacks 2B rawf32/-9999 planes — I_i values then HH/LL/HL/LH
+    quadrant codes — ready for plain cluster/outlier predicates.
+    Pinned against constants computed Spark-free with the
+    loop-oracle-gated local_moran_np on assembled per-zone mosaics
+    (tools/gen_oracle_constants.py); this is the ESRI Cluster &
+    Outlier Analysis / PySAL esda.Moran_Local capability family,
+    distributed."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    out = (Pipeline(images)
+           .set_maskfun("int", datagen.S2_MASK_VALUES)
+           .warp(cell_res=datagen.TILE_RES)
+           .composite("median")
+           .local_moran()
+           .df)
+
+    @F.pandas_udf("double")
+    def lisum(b: pd.Series, w: pd.Series, h: pd.Series,
+              fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f in zip(b, w, h, fmt):
+            dec = codec.decode(x, int(wi), int(hi), f).astype(np.float64)
+            nb = dec.shape[0] // 2
+            v = dec[:nb][dec[:nb] != -9999.0]
+            res.append(round(float(v.sum()), 4))
+        return pd.Series(res)
+
+    @F.pandas_udf("long")
+    def qcnt(b: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series,
+             which: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f, k in zip(b, w, h, fmt, which):
+            dec = codec.decode(x, int(wi), int(hi), f).astype(np.float64)
+            nb = dec.shape[0] // 2
+            if k == 0:
+                res.append(int((dec == -9999.0).sum()))
+            else:
+                res.append(int((dec[nb:] == float(k)).sum()))
+        return pd.Series(res)
+
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        lisum("bytes", "w", "h", "fmt").alias("li_sum"),
+        qcnt("bytes", "w", "h", "fmt", F.lit(1)).alias("hh_px"),
+        qcnt("bytes", "w", "h", "fmt", F.lit(2)).alias("ll_px"),
+        qcnt("bytes", "w", "h", "fmt", F.lit(3)).alias("hl_px"),
+        qcnt("bytes", "w", "h", "fmt", F.lit(4)).alias("lh_px"),
+        qcnt("bytes", "w", "h", "fmt", F.lit(0)).alias("nodata_px"))
+
+
 def q_image_fillsinks(spark, sf_dir):
     """Masked median composite → distributed depression filling
     (hydrology.fill_sinks): chaotic relaxation of per-tile
@@ -3469,6 +3530,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ssim": q_image_ssim,
         "autocorr_global": q_autocorr_global,
         "image_hotspots": q_image_hotspots,
+        "image_local_moran": q_image_local_moran,
         "image_cloudshadow": q_image_cloudshadow,
         "image_change": q_image_change,
         "image_unmix": q_image_unmix,

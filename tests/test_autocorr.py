@@ -71,6 +71,31 @@ def _loop_gi_star(A, n, mu, s):
     return out
 
 
+def _loop_local_moran(A, n, mu, m2):
+    li = np.full(A.shape, np.nan)
+    quad = np.full(A.shape, np.nan)
+    for bi in range(A.shape[0]):
+        X = A[bi]
+        H, W = X.shape
+        for y in range(H):
+            for x in range(W):
+                if not np.isfinite(X[y, x]) or m2[bi] <= 0:
+                    continue
+                vals = [X[y + dy, x + dx]
+                        for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+                        if (dy, dx) != (0, 0)
+                        and 0 <= y + dy < H and 0 <= x + dx < W
+                        and np.isfinite(X[y + dy, x + dx])]
+                if not vals:
+                    continue
+                z = X[y, x] - mu[bi]
+                lag = sum(v - mu[bi] for v in vals)
+                li[bi, y, x] = z * lag / m2[bi]
+                quad[bi, y, x] = (1 if lag > 0 else 3) if z > 0 \
+                    else (4 if lag > 0 else 2)
+    return li, quad
+
+
 def test_kernels_match_loops():
     A = np.round(RNG.uniform(0, 200, (2, 7, 9)))
     A[0, 2, 3] = np.nan
@@ -88,6 +113,17 @@ def test_kernels_match_loops():
     np.testing.assert_allclose(
         autocorr.gi_star_np(_pad(A), n, mu, s),
         _loop_gi_star(A, n, mu, s), rtol=1e-10, equal_nan=True)
+    m2 = s * s
+    L = autocorr.local_moran_np(_pad(A), n, mu, m2)
+    li, quad = _loop_local_moran(A, n, mu, m2)
+    np.testing.assert_allclose(L[:2], li, rtol=1e-10, equal_nan=True)
+    np.testing.assert_array_equal(np.isnan(L[2:]), np.isnan(quad))
+    np.testing.assert_allclose(L[2:], quad, equal_nan=True)
+    # local <-> global consistency: sum of I_i equals S0 * global I
+    for bi in range(2):
+        s0, i_g = got[bi][1], got[bi][2]
+        np.testing.assert_allclose(np.nansum(L[bi]), s0 * i_g,
+                                   rtol=1e-10)
 
 
 def test_closed_forms():
@@ -121,6 +157,31 @@ def test_closed_forms():
     s = np.array([X[0].std()])
     z = autocorr.gi_star_np(_pad(X), n, mu, s)
     assert z[0, 6, 6] > 3.0 and abs(z[0, 0, 0]) < 1.0
+    # LISA on the same plant: HH (code 1) at the block center, strong
+    # positive I_i there; the pixels ringing the block are LH (low
+    # value whose lag is pulled high by the block) — code 4
+    L = autocorr.local_moran_np(_pad(X), n, mu, s * s)
+    assert L[0, 6, 6] > 1.0 and L[1, 6, 6] == 1.0
+    assert L[1, 4, 6] == 4.0
+    # checkerboard closed form under QUEEN weights: interior lag is
+    # EXACTLY zero (4 rook opponents cancel 4 diagonal allies), so
+    # interior I_i == 0; at each corner the 2 rook opponents outvote
+    # the 1 diagonal ally -> lag = ∓50, I_i = -1 exactly (outlier)
+    yy, xx = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    board = (((yy + xx) % 2) * 100.0)[None]
+    nb = np.array([64.0])
+    mub = np.array([50.0])
+    Lb = autocorr.local_moran_np(_pad(board), nb, mub,
+                                 np.array([2500.0]))
+    assert (Lb[0, 1:-1, 1:-1] == 0.0).all()
+    for cy, cx in ((0, 0), (0, 7), (7, 0), (7, 7)):
+        np.testing.assert_allclose(Lb[0, cy, cx], -1.0)
+        assert Lb[1, cy, cx] in (3.0, 4.0)
+    # zero variance -> all-NaN planes
+    Lc = autocorr.local_moran_np(_pad(np.full((1, 4, 4), 9.0)),
+                                 np.array([16.0]), np.array([9.0]),
+                                 np.array([0.0]))
+    assert np.isnan(Lc).all()
 
 
 def _tile_rows(G, zone, res, w, h):
@@ -183,6 +244,47 @@ def test_distributed_matches_mosaic_twin(spark):
         autocorr.moments(df.drop("nodata"))
     with pytest.raises(ValueError, match="empty"):
         autocorr.hotspots(df.filter("cell_id < 0"))
+
+
+def test_local_moran_distributed(spark, tmp_path):
+    """LISA map ≡ kernel on the assembled mosaic through the
+    rawf32/-9999 round trip (2B stacked planes, cross-seam lags), and
+    the Pipeline verb bundles/replays byte-identically."""
+    from vrtility_spark.pipeline import Pipeline
+
+    zone, res, w, h = 70, 3, 8, 8
+    G = np.round(RNG.uniform(1, 60000, (2, 2 * h, 2 * w)))
+    G[RNG.random(G.shape) < 0.07] = 0.0
+    df = spark.createDataFrame(
+        pd.DataFrame(_tile_rows(G, zone, res, w, h)), TILE_SCHEMA)
+    Gf = G.astype(np.float64)
+    Gf[Gf == 0] = np.nan
+    n = np.array([np.isfinite(Gf[b]).sum() for b in range(2)], float)
+    mu = np.array([np.nanmean(Gf[b]) for b in range(2)])
+    m2 = np.array([np.nanvar(Gf[b]) for b in range(2)])
+    zmap = autocorr.local_moran_np(_pad(Gf), n, mu, m2)
+    out = {r.cell_id: r for r in autocorr.local_moran(df).collect()}
+    for ix in range(2):
+        for iy in range(2):
+            cid = int(cells.encode_np(zone, res, ix, iy))
+            row = out[cid]
+            assert row.fmt == "rawf32" and row.nodata == -9999.0
+            dec = codec.decode(row.bytes, w, h, "rawf32")
+            assert dec.shape[0] == 4  # 2 bands -> I planes + quadrants
+            exp = zmap[:, iy * h:(iy + 1) * h,
+                       ix * w:(ix + 1) * w].astype(np.float32)
+            exp = np.where(np.isnan(exp), np.float32(-9999.0), exp)
+            np.testing.assert_array_equal(dec, exp)
+    # bundle replay
+    p = Pipeline(df).local_moran()
+    path = str(tmp_path / "lisa.json")
+    p.to_bundle(path)
+    replay = Pipeline.from_bundle(path, df)
+    a = {r.cell_id: bytes(r.bytes) for r in p.df.collect()}
+    b = {r.cell_id: bytes(r.bytes) for r in replay.df.collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="empty"):
+        autocorr.local_moran(df.filter("cell_id < 0"))
 
 
 def test_constant_and_empty_band_guards(spark):

@@ -2124,6 +2124,62 @@ def image_hotspots_rows():
     return sorted(rows, key=lambda d: d["cell_id"])
 
 
+def image_local_moran_rows():
+    """Masked median composite → local Moran's I (LISA) cluster/outlier
+    map replicated without Spark: global per-band moments combined over
+    ALL zone mosaics exactly as autocorr.local_moran's driver-side
+    closure (mean = Σx/n, population variance m2), then local_moran_np
+    (loop-oracle-gated in tests/test_autocorr.py) on each NaN-ring-
+    padded mosaic, cropped back to tiles through the exact
+    rawf32/-9999 round trip. The payload stacks 2B planes (I_i values
+    then quadrant codes), so the checksums are the rounded I sum, the
+    four quadrant pixel counts, and the nodata count."""
+    from vrtility_spark import autocorr
+
+    h = w = 16
+    zones, meta = _median_zone_mosaics(h, w)
+    nb = zones[0][2].shape[0]
+    n = np.zeros(nb)
+    sm = np.zeros(nb)
+    sq = np.zeros(nb)
+    for _zone, _lst, G in zones:
+        for bi in range(nb):
+            v = G[bi][np.isfinite(G[bi])]
+            n[bi] += v.size
+            sm[bi] += float(v.sum())
+            sq[bi] += float((v * v).sum())
+    mean = np.zeros(nb)
+    m2 = np.zeros(nb)
+    for bi in range(nb):
+        if n[bi] > 0:
+            mean[bi] = sm[bi] / n[bi]
+            m2[bi] = max(sq[bi] / n[bi] - (sm[bi] / n[bi]) ** 2, 0.0)
+    rows = []
+    for _zone, lst, G in zones:
+        P = np.full((nb, G.shape[1] + 2, G.shape[2] + 2), np.nan)
+        P[:, 1:-1, 1:-1] = G
+        Z = autocorr.local_moran_np(P, n, mean, m2)
+        for cid, jx, jy in lst:
+            tile = Z[:, jy * h:(jy + 1) * h, jx * w:(jx + 1) * w]
+            payload = codec.encode(
+                codec.from_float(tile, -9999.0, "float32"), "rawf32")
+            dec = codec.decode(payload, w, h, "rawf32").astype(np.float64)
+            li = dec[:nb][dec[:nb] != -9999.0]
+            quad = dec[nb:]
+            _nd, n_scenes = meta[cid]
+            rows.append({
+                "cell_id": cid, "n_scenes": n_scenes,
+                "payload_len": len(payload),
+                "li_sum": round(float(li.sum()), 4),
+                "hh_px": int((quad == 1.0).sum()),
+                "ll_px": int((quad == 2.0).sum()),
+                "hl_px": int((quad == 3.0).sum()),
+                "lh_px": int((quad == 4.0).sum()),
+                "nodata_px": int((dec == -9999.0).sum()),
+            })
+    return sorted(rows, key=lambda d: d["cell_id"])
+
+
 def image_basins_rows():
     """Masked median composite → D8 flowdir → watershed basins
     replicated without Spark: per-zone mosaics NaN-padded and coded
@@ -3119,6 +3175,12 @@ def main() -> None:
             image_hotspots_rows(),
             ["cell_id", "n_scenes", "payload_len", "z_sum", "hot_px",
              "valid_px", "nodata_px"]),
+        # composite -> LISA cluster/outlier map: pins the moments
+        # closure + halo-exchange kernel against the mosaic kernel
+        "image_local_moran": values_sql(
+            image_local_moran_rows(),
+            ["cell_id", "n_scenes", "payload_len", "li_sum", "hh_px",
+             "ll_px", "hl_px", "lh_px", "nodata_px"]),
         # composite -> flowdir -> watershed basins: pins the
         # boundary-graph pointer jumping against the mosaic kernel
         "image_basins": values_sql(

@@ -140,6 +140,36 @@ def gi_star_np(P: np.ndarray, n: np.ndarray, mean: np.ndarray,
     return out
 
 
+def local_moran_np(P: np.ndarray, n: np.ndarray, mean: np.ndarray,
+                   m2: np.ndarray) -> np.ndarray:
+    """Local Moran's I (Anselin 1995 LISA) planes of a padded
+    NaN-masked ``(B, H+2, W+2)`` array given the GLOBAL per-band valid
+    count / mean / population variance ``m2 = Σz²/n`` — returns
+    ``(2B, H, W)``: first the ``I_i = z_i · lag_i / m2`` value planes,
+    then the cluster/outlier quadrant codes (1 = HH high surrounded by
+    high, 2 = LL, 3 = HL high outlier in low neighborhood, 4 = LH; the
+    deterministic boundary rule is ``z > 0`` → H else L, same for the
+    lag). NaN where the center is invalid, has no valid neighbor
+    (``C_i == 0``), or the band variance degenerates. By construction
+    ``Σ_i I_i = S0 · I_global`` — pinned in tests as the local↔global
+    consistency invariant."""
+    C, S1, _ = _neighbor_sums(P)
+    A = P[:, 1:-1, 1:-1]
+    V = np.isfinite(A)
+    mu = np.asarray(mean, dtype=np.float64).reshape(-1, 1, 1)
+    v2 = np.asarray(m2, dtype=np.float64).reshape(-1, 1, 1)
+    z = A - mu
+    lag = S1 - C * mu
+    with np.errstate(invalid="ignore", divide="ignore"):
+        li = z * lag / v2
+    ok = V & (C > 0) & np.broadcast_to(v2 > 0, V.shape)
+    li = np.where(ok, li, np.nan)
+    quad = np.where(z > 0, np.where(lag > 0, 1.0, 3.0),
+                    np.where(lag > 0, 4.0, 2.0))
+    quad = np.where(ok, quad, np.nan)
+    return np.concatenate([li, quad], axis=0)
+
+
 # ------------------------------------------------- distributed driver ----
 
 def moments(df: DataFrame, key: str = "cell_id") -> DataFrame:
@@ -276,6 +306,40 @@ def hotspots(df: DataFrame, key: str = "cell_id") -> DataFrame:
                 f"hotspots: tile has {P.shape[0]} bands, moments have "
                 f"{nb}; normalize band layout first")
         return gi_star_np(P, n, mean, std)
+
+    return focal_filter(df, op=kernel, radius=1, fill=True, key=key,
+                        out_fmt="rawf32", out_nodata=-9999.0)
+
+
+def local_moran(df: DataFrame, key: str = "cell_id") -> DataFrame:
+    """Local Moran's I cluster/outlier map (Anselin 1995 LISA — the
+    ESRI Cluster & Outlier Analysis twin) as a chainable tile table:
+    same plan shape as :func:`hotspots` (B-row moments collect → one
+    radius-1 halo-exchange kernel), but the output payload stacks 2B
+    bands — the ``I_i`` value planes then the HH/LL/HL/LH quadrant
+    codes (rawf32, -9999 sentinel). Threshold/choropleth downstream
+    with plain predicates (e.g. quadrant code ∈ {1, 2} for clusters,
+    {3, 4} for outliers)."""
+    rows = moments(df, key=key).collect()
+    if not rows:
+        raise ValueError("local_moran: empty input collection")
+    nb = max(r["band"] for r in rows) + 1
+    n = np.zeros(nb)
+    mean = np.zeros(nb)
+    m2 = np.zeros(nb)
+    for r in rows:
+        n[r["band"]] = r["n"]
+        if r["n"] > 0:
+            mean[r["band"]] = r["sum"] / r["n"]
+            m2[r["band"]] = max(
+                r["sumsq"] / r["n"] - (r["sum"] / r["n"]) ** 2, 0.0)
+
+    def kernel(P: np.ndarray, meta: dict) -> np.ndarray:
+        if P.shape[0] != nb:
+            raise ValueError(
+                f"local_moran: tile has {P.shape[0]} bands, moments "
+                f"have {nb}; normalize band layout first")
+        return local_moran_np(P, n, mean, m2)
 
     return focal_filter(df, op=kernel, radius=1, fill=True, key=key,
                         out_fmt="rawf32", out_nodata=-9999.0)

@@ -64,7 +64,8 @@ class Pipeline:
         "proximity", "fillnodata", "chips", "overview_level",
         "overviews", "terrain", "texture", "color_relief", "stretch",
         "classify", "kmeans", "flow_accumulation", "fill_sinks",
-        "basins", "stream_order", "cloud_shadow", "unmix", "hotspots"])
+        "basins", "stream_order", "cloud_shadow", "unmix", "hotspots",
+        "local_moran"])
 
     def __init__(self, df: DataFrame, mask_specs: tuple = (),
                  log: tuple = (), mask_dropped: bool = False):
@@ -797,6 +798,16 @@ class Pipeline:
         from vrtility_spark import autocorr as _autocorr
         return self._next(_autocorr.hotspots(self.df), (),
                           "hotspots", {})
+
+    def local_moran(self) -> "Pipeline":
+        """Local Moran's I cluster/outlier map (autocorr.local_moran,
+        Anselin 1995 LISA): same moments-closure + radius-1 halo
+        exchange as hotspots; output stacks 2B rawf32/-9999 bands —
+        I_i value planes then HH/LL/HL/LH quadrant codes. Bundleable.
+        Pending masks flush first."""
+        from vrtility_spark import autocorr as _autocorr
+        return self._next(_autocorr.local_moran(self.df), (),
+                          "local_moran", {})
 
     def texture(self, metric: str = "contrast", radius: int = 2,
                 levels: int = 8, lo: float = 0.0, hi: float = 1.0,
