@@ -2893,6 +2893,34 @@ def q_image_local_moran(spark, sf_dir):
         qcnt("bytes", "w", "h", "fmt", F.lit(0)).alias("nodata_px"))
 
 
+def q_image_quality_stats(spark, sf_dir):
+    """Per-scene image quality statistics (imagestats.quality_stats):
+    blur (variance of Laplacian), Shannon entropy, exposure-clipping
+    fractions, contrast moments, and footprint validity per (scene,
+    band) in ONE zero-shuffle Arrow pass — the laion/DataComp-style
+    curation gate for image training data (companion to the Gopher
+    text-quality signals). Pinned against constants computed
+    Spark-free by replaying the loop-oracle-gated quality_np over the
+    same fixture rows (tools/gen_oracle_constants.py); the reference
+    collects scenes without content screening
+    (/root/reference/R/vrt-collect.R), so this extends it per the
+    training-data mandate."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, imagestats, schema
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=1, ny=1, w=16, h=16))
+    st = imagestats.quality_stats(images)
+    return st.select(
+        "image_id", "band", "n_valid",
+        F.round("valid_frac", 6).alias("valid_frac_r"),
+        F.round("mean", 4).alias("mean_r"),
+        F.round("std", 4).alias("std_r"),
+        F.round("blur_var", 2).alias("blur_r"),
+        F.round("entropy", 6).alias("entropy_r"),
+        F.round("dark_frac", 6).alias("dark_r"),
+        F.round("bright_frac", 6).alias("bright_r"))
+
+
 def q_image_fillsinks(spark, sf_dir):
     """Masked median composite → distributed depression filling
     (hydrology.fill_sinks): chaotic relaxation of per-tile
@@ -3531,6 +3559,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocorr_global": q_autocorr_global,
         "image_hotspots": q_image_hotspots,
         "image_local_moran": q_image_local_moran,
+        "image_quality_stats": q_image_quality_stats,
         "image_cloudshadow": q_image_cloudshadow,
         "image_change": q_image_change,
         "image_unmix": q_image_unmix,

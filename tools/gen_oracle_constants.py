@@ -2180,6 +2180,38 @@ def image_local_moran_rows():
     return sorted(rows, key=lambda d: d["cell_id"])
 
 
+def image_quality_rows():
+    """Per-scene image quality statistics replicated without Spark:
+    imagestats.quality_np (loop-/closed-form-gated in tests/
+    test_imagestats.py) replayed over the nx=1 ny=1 fixture rows —
+    every statistic is a deterministic function of one scene's pixels,
+    so the constants pin the distributed Arrow pass row-for-row."""
+    from vrtility_spark import imagestats
+
+    pdf = datagen.images_pandas(nx=1, ny=1, w=16, h=16)
+    rows = []
+    for _, row in pdf.iterrows():
+        arr = codec.decode(row["bytes"], int(row.w), int(row.h),
+                           row.fmt)
+        nd = np.asarray(row.band_nodata, dtype=np.float64)
+        A = codec.to_float_masked(arr, nd)
+        for bi, st in enumerate(
+                imagestats.quality_np(A, 0.0, 65535.0, 0.02)):
+            n_valid, vf, mean, std, blur, ent, dk, br = st
+            rows.append({
+                "image_id": row.image_id, "band": bi,
+                "n_valid": n_valid,
+                "valid_frac_r": round(vf, 6),
+                "mean_r": round(mean, 4),
+                "std_r": round(std, 4),
+                "blur_r": round(blur, 2),
+                "entropy_r": round(ent, 6),
+                "dark_r": round(dk, 6),
+                "bright_r": round(br, 6),
+            })
+    return sorted(rows, key=lambda d: (d["image_id"], d["band"]))
+
+
 def image_basins_rows():
     """Masked median composite → D8 flowdir → watershed basins
     replicated without Spark: per-zone mosaics NaN-padded and coded
@@ -3181,6 +3213,12 @@ def main() -> None:
             image_local_moran_rows(),
             ["cell_id", "n_scenes", "payload_len", "li_sum", "hh_px",
              "ll_px", "hl_px", "lh_px", "nodata_px"]),
+        # per-scene curation statistics: pins the zero-shuffle Arrow
+        # pass row-for-row against the driver-side kernel replay
+        "image_quality_stats": values_sql(
+            image_quality_rows(),
+            ["image_id", "band", "n_valid", "valid_frac_r", "mean_r",
+             "std_r", "blur_r", "entropy_r", "dark_r", "bright_r"]),
         # composite -> flowdir -> watershed basins: pins the
         # boundary-graph pointer jumping against the mosaic kernel
         "image_basins": values_sql(
