@@ -2893,6 +2893,78 @@ def q_image_local_moran(spark, sf_dir):
         qcnt("bytes", "w", "h", "fmt", F.lit(0)).alias("nodata_px"))
 
 
+def q_image_irmad(spark, sf_dir):
+    """Two epoch composites (months ≤ 4 vs ≥ 5) → IR-MAD change
+    detection (mad.irmad, Nielsen 2007): canonical correlation of the
+    stacked pixel vector fitted from per-tile sufficient-statistic
+    blocks summed as EXACT decimals (bit-deterministic under any
+    partitioning), one reweighting iteration, applied as ONE
+    tile_algebra pass → (B+1)-plane rawf32/-9999 tiles (MAD variates
+    + χ² change plane). Pinned against constants computed Spark-free
+    by replaying the same per-tile blocks through Python Decimal
+    HALF_UP at the same 1e-6 grid (tools/gen_oracle_constants.py);
+    extends the reference's stacked-pair pixel-function change family
+    (R/vrt-stack.R + R/zvrt-pixel-funs.R) with the multivariate,
+    illumination-invariant detector."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, mad, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+
+    def epoch(pred):
+        return (Pipeline(images.filter(pred))
+                .set_maskfun("int", datagen.S2_MASK_VALUES)
+                .warp(cell_res=datagen.TILE_RES)
+                .composite("median")
+                .df)
+
+    early = epoch(F.month("datetime") <= 4)
+    late = epoch(F.month("datetime") >= 5)
+    out, _model = mad.irmad(early, late, n_iter=1)
+
+    @F.pandas_udf("double")
+    def psum(b: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series,
+             which: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f, k in zip(b, w, h, fmt, which):
+            dec = codec.decode(x, int(wi), int(hi), f).astype(np.float64)
+            nb = dec.shape[0] - 1
+            if k == 0:  # MAD variate sum
+                v = dec[:nb][dec[:nb] != -9999.0]
+            else:       # chi2 sum
+                v = dec[nb][dec[nb] != -9999.0]
+            res.append(round(float(v.sum()), 4))
+        return pd.Series(res)
+
+    @F.pandas_udf("long")
+    def pcnt(b: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series,
+             which: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f, k in zip(b, w, h, fmt, which):
+            dec = codec.decode(x, int(wi), int(hi), f).astype(np.float64)
+            nb = dec.shape[0] - 1
+            chi2 = dec[nb]
+            if k == 0:
+                res.append(int((chi2[chi2 != -9999.0] > 11.0705).sum()))
+            elif k == 1:
+                res.append(int((chi2 != -9999.0).sum()))
+            else:
+                res.append(int((chi2 == -9999.0).sum()))
+        return pd.Series(res)
+
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        psum("bytes", "w", "h", "fmt", F.lit(0)).alias("mad_sum"),
+        psum("bytes", "w", "h", "fmt", F.lit(1)).alias("chi2_sum"),
+        pcnt("bytes", "w", "h", "fmt", F.lit(0)).alias("change_px"),
+        pcnt("bytes", "w", "h", "fmt", F.lit(1)).alias("valid_px"),
+        pcnt("bytes", "w", "h", "fmt", F.lit(2)).alias("nodata_px"))
+
+
 def q_image_quality_stats(spark, sf_dir):
     """Per-scene image quality statistics (imagestats.quality_stats):
     blur (variance of Laplacian), Shannon entropy, exposure-clipping
@@ -3560,6 +3632,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_hotspots": q_image_hotspots,
         "image_local_moran": q_image_local_moran,
         "image_quality_stats": q_image_quality_stats,
+        "image_irmad": q_image_irmad,
         "image_cloudshadow": q_image_cloudshadow,
         "image_change": q_image_change,
         "image_unmix": q_image_unmix,

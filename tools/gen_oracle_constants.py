@@ -2180,6 +2180,90 @@ def image_local_moran_rows():
     return sorted(rows, key=lambda d: d["cell_id"])
 
 
+def _epoch_composite_tiles(date_pred):
+    """Masked median composite tiles of the fixture scenes passing
+    ``date_pred(datetime) -> bool`` — per-cell float-masked arrays +
+    (band_nodata, n_scenes) meta; the two-epoch preamble of the
+    IR-MAD constants."""
+    pdf = _grouped_fixture()
+    pdf = pdf[pdf["datetime"].map(date_pred)]
+    tiles: dict[int, np.ndarray] = {}
+    meta: dict[int, tuple] = {}
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        with np.errstate(all="ignore"):
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                out = composite.REDUCERS["median"](_masked_stack(grp, nd))
+        enc = codec.from_float(out, nd, "uint16")
+        tiles[int(cell_id)] = codec.to_float_masked(enc, nd)
+        meta[int(cell_id)] = (nd, len(grp))
+    return tiles, meta
+
+
+def image_irmad_rows():
+    """Two epoch composites (months ≤ 4 vs ≥ 5) → IR-MAD change
+    planes replicated without Spark: per-tile sufficient-statistic
+    blocks from mad.pair_moments_np (loop-/identity-gated in tests/
+    test_mad.py), summed with Python Decimal quantized HALF_UP at the
+    same 1e-6 grid Spark's double→DECIMAL(38,6) cast uses (both sides
+    round the SHORTEST decimal repr of the double), solved with the
+    deterministic mad.solve_mad, applied with mad.mad_np, and cropped
+    through the exact rawf32/-9999 round trip. Checksums: rounded MAD
+    and χ² sums, χ²(B)>11.0705 (95 %) change count, valid/nodata
+    counts."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from vrtility_spark import mad
+
+    early, metaE = _epoch_composite_tiles(lambda d: d.month <= 4)
+    late, _metaL = _epoch_composite_tiles(lambda d: d.month >= 5)
+    cids = sorted(set(early) & set(late))
+    q6 = Decimal("0.000001")
+
+    model = None
+    for _ in range(2):  # n_iter=1 -> two moments passes
+        acc = None
+        for cid in cids:
+            blk = mad.pair_moments_np(early[cid], late[cid], model)
+            dec = [Decimal(repr(float(v))).quantize(
+                q6, rounding=ROUND_HALF_UP) for v in blk]
+            acc = dec if acc is None else [a + b
+                                           for a, b in zip(acc, dec)]
+        flat = np.array([float(v) for v in acc])
+        nb2 = int(round((np.sqrt(9 + 8 * (flat.size - 1)) - 3) / 2))
+        s0 = flat[0]
+        s1 = flat[1:1 + nb2]
+        s2 = np.zeros((nb2, nb2))
+        iu = np.triu_indices(nb2)
+        s2[iu] = flat[1 + nb2:]
+        s2 = s2 + np.triu(s2, 1).T
+        model = mad.solve_mad(s0, s1, s2, nb2 // 2)
+
+    rows = []
+    for cid in cids:
+        planes = mad.mad_np(early[cid], late[cid], model)
+        payload = codec.encode(
+            codec.from_float(planes, -9999.0, "float32"), "rawf32")
+        h, w = planes.shape[1], planes.shape[2]
+        dec = codec.decode(payload, w, h, "rawf32").astype(np.float64)
+        nb = model.nb
+        madv = dec[:nb][dec[:nb] != -9999.0]
+        chi2 = dec[nb][dec[nb] != -9999.0]
+        rows.append({
+            "cell_id": cid, "n_scenes": metaE[cid][1],
+            "payload_len": len(payload),
+            "mad_sum": round(float(madv.sum()), 4),
+            "chi2_sum": round(float(chi2.sum()), 4),
+            "change_px": int((chi2 > 11.0705).sum()),
+            "valid_px": int(chi2.size),
+            "nodata_px": int((dec[nb] == -9999.0).sum()),
+        })
+    return sorted(rows, key=lambda d: d["cell_id"])
+
+
 def image_quality_rows():
     """Per-scene image quality statistics replicated without Spark:
     imagestats.quality_np (loop-/closed-form-gated in tests/
@@ -3213,6 +3297,13 @@ def main() -> None:
             image_local_moran_rows(),
             ["cell_id", "n_scenes", "payload_len", "li_sum", "hh_px",
              "ll_px", "hl_px", "lh_px", "nodata_px"]),
+        # two epoch composites -> IR-MAD: pins the decimal-summed
+        # sufficient-statistic fit + canonical solve + applied change
+        # planes against the Decimal-replaying driver twin
+        "image_irmad": values_sql(
+            image_irmad_rows(),
+            ["cell_id", "n_scenes", "payload_len", "mad_sum",
+             "chi2_sum", "change_px", "valid_px", "nodata_px"]),
         # per-scene curation statistics: pins the zero-shuffle Arrow
         # pass row-for-row against the driver-side kernel replay
         "image_quality_stats": values_sql(
