@@ -2965,6 +2965,69 @@ def q_image_irmad(spark, sf_dir):
         pcnt("bytes", "w", "h", "fmt", F.lit(2)).alias("nodata_px"))
 
 
+def q_image_radcal(spark, sf_dir):
+    """Epoch composites → automatic radiometric normalization
+    (mad.radcal, Canty & Nielsen 2008 RadCal): the IR-MAD fit plus
+    ONE extra χ²-weighted decimal-exact moments pass feeds a per-band
+    orthogonal (major-axis) regression — change pixels carry ~zero
+    weight, so the calibration rests on the invariant background —
+    then the late epoch rewrites into the early epoch's radiometry
+    via a ZERO-shuffle broadcast-model Arrow map (rawf32/-9999).
+    Pinned against constants replaying the same Decimal-grid fit and
+    rewrite Spark-free (tools/gen_oracle_constants.py); the output
+    columns also pin the broadcast gain/offset/corr coefficients
+    themselves."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, mad, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+
+    def epoch(pred):
+        return (Pipeline(images.filter(pred))
+                .set_maskfun("int", datagen.S2_MASK_VALUES)
+                .warp(cell_res=datagen.TILE_RES)
+                .composite("median")
+                .df)
+
+    early = epoch(F.month("datetime") <= 4)
+    late = epoch(F.month("datetime") >= 5)
+    out, rc, _mm = mad.radcal(early, late, n_iter=1)
+
+    @F.pandas_udf("double")
+    def vsum(b: pd.Series, w: pd.Series, h: pd.Series,
+             fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f in zip(b, w, h, fmt):
+            dec = codec.decode(x, int(wi), int(hi), f).astype(np.float64)
+            res.append(round(float(dec[dec != -9999.0].sum()), 4))
+        return pd.Series(res)
+
+    @F.pandas_udf("long")
+    def vcnt(b: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series,
+             which: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f, k in zip(b, w, h, fmt, which):
+            dec = codec.decode(x, int(wi), int(hi), f).astype(np.float64)
+            if k == 0:
+                res.append(int((dec != -9999.0).sum()))
+            else:
+                res.append(int((dec == -9999.0).sum()))
+        return pd.Series(res)
+
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        vsum("bytes", "w", "h", "fmt").alias("pix_sum"),
+        vcnt("bytes", "w", "h", "fmt", F.lit(0)).alias("valid_px"),
+        vcnt("bytes", "w", "h", "fmt", F.lit(1)).alias("nodata_px"),
+        F.lit(round(float(rc.gain[0]), 6)).alias("gain0_r"),
+        F.lit(round(float(rc.offset[0]), 4)).alias("offset0_r"),
+        F.lit(round(float(rc.corr[0]), 6)).alias("corr0_r"))
+
+
 def q_image_quality_stats(spark, sf_dir):
     """Per-scene image quality statistics (imagestats.quality_stats):
     blur (variance of Laplacian), Shannon entropy, exposure-clipping
@@ -3633,6 +3696,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_local_moran": q_image_local_moran,
         "image_quality_stats": q_image_quality_stats,
         "image_irmad": q_image_irmad,
+        "image_radcal": q_image_radcal,
         "image_cloudshadow": q_image_cloudshadow,
         "image_change": q_image_change,
         "image_unmix": q_image_unmix,

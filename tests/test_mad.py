@@ -194,3 +194,105 @@ def test_distributed_matches_mosaic_twin(spark):
         mad.fit_irmad(left.filter("cell_id < 0"), right, n_iter=0)
     with pytest.raises(ValueError, match="missing column"):
         mad.fit_irmad(left.drop("nodata"), right)
+
+
+def _np_weighted_radcal(F1, F2, wins, n_iter):
+    """Driver replay of fit_radcal: irmad fit (per-tile quantized)
+    then one weighted moments pass through the same blocks."""
+    m = mad.irmad_np(F1, F2, n_iter=n_iter, tiles=wins)
+    acc = None
+    for (y0, y1, x0, x1) in wins:
+        blk = mad.pair_moments_np(F1[:, y0:y1, x0:x1],
+                                  F2[:, y0:y1, x0:x1], m)
+        acc = blk if acc is None else acc + blk
+    nb = F1.shape[0]
+    nb2 = 2 * nb
+    s0 = acc[0]
+    s1 = acc[1:1 + nb2]
+    s2 = np.zeros((nb2, nb2))
+    iu = np.triu_indices(nb2)
+    s2[iu] = acc[1 + nb2:]
+    s2 = s2 + np.triu(s2, 1).T
+    return mad.solve_radcal(s0, s1, s2, nb), m
+
+
+def test_radcal_exact_affine():
+    """Y = 2X + 100 exactly → gains 2 / offsets 100 recovered to
+    machine precision and the corrected Y equals X."""
+    X = RNG.uniform(100, 5000, (3, 16, 16))
+    Y = 2.0 * X + 100.0
+    wins = [(0, 16, 0, 16)]
+    rc, _m = _np_weighted_radcal(X, Y, wins, n_iter=0)
+    np.testing.assert_allclose(rc.gain, 2.0, rtol=1e-9)
+    np.testing.assert_allclose(rc.offset, 100.0, rtol=1e-6)
+    np.testing.assert_allclose(rc.corr, 1.0, rtol=1e-9)
+    np.testing.assert_allclose(mad.radcal_np(Y, rc), X, rtol=1e-9)
+
+
+def test_radcal_change_robustness():
+    """A planted change block must not drag the gain: the IR-MAD
+    weighted fit stays near the true affine while the unweighted
+    (all-pixels) orthogonal regression drifts visibly further."""
+    X = np.round(RNG.uniform(500, 5000, (2, 32, 32)))
+    Y = 1.5 * X + 50.0 + RNG.normal(0, 10, X.shape)
+    Y[:, 8:24, 8:24] += 4000.0  # 25% of pixels changed
+    wins = [(0, 32, 0, 32)]
+    rc, _ = _np_weighted_radcal(X, Y, wins, n_iter=3)
+    # unweighted twin: moments with no model (weights = 1)
+    blk = mad.pair_moments_np(X, Y, None)
+    nb2 = 4
+    s2 = np.zeros((nb2, nb2))
+    iu = np.triu_indices(nb2)
+    s2[iu] = blk[1 + nb2:]
+    s2 = s2 + np.triu(s2, 1).T
+    naive = mad.solve_radcal(blk[0], blk[1:1 + nb2], s2, 2)
+    err_w = np.abs(rc.gain - 1.5).max()
+    err_n = np.abs(naive.gain - 1.5).max()
+    assert err_w < 0.05
+    assert err_w < err_n / 2
+
+
+def test_radcal_distributed(spark):
+    """Distributed fit_radcal ≡ the driver replay; the applied
+    normalization is byte-exact vs radcal_np through the
+    rawf32/-9999 round trip; degenerate correlation raises."""
+    zone, res, w, h = 70, 3, 8, 8
+    G1 = np.round(RNG.uniform(500, 50000, (2, 2 * h, 2 * w)))
+    G2 = np.round(np.clip(1.2 * G1 + 300.0
+                          + RNG.normal(0, 200, G1.shape), 1, 60000))
+    left = spark.createDataFrame(
+        pd.DataFrame(_tile_rows(G1, zone, res, w, h)), TILE_SCHEMA)
+    right = spark.createDataFrame(
+        pd.DataFrame(_tile_rows(G2, zone, res, w, h)), TILE_SCHEMA)
+    F1 = G1.astype(np.float64)
+    F2 = G2.astype(np.float64)
+    wins = [(iy * h, (iy + 1) * h, ix * w, (ix + 1) * w)
+            for ix in range(2) for iy in range(2)]
+    want, _wm = _np_weighted_radcal(F1, F2, wins, n_iter=1)
+    out, rc, _mm = mad.radcal(left, right, n_iter=1)
+    np.testing.assert_allclose(rc.gain, want.gain, rtol=1e-7)
+    np.testing.assert_allclose(rc.offset, want.offset, rtol=1e-5)
+    assert abs(rc.gain[0] - 1.2) < 0.05
+    zmap = mad.radcal_np(F2, rc)
+    rows = {r.cell_id: r for r in out.collect()}
+    for ix in range(2):
+        for iy in range(2):
+            cid = int(cells.encode_np(zone, res, ix, iy))
+            r = rows[cid]
+            assert r.fmt == "rawf32" and r.nodata == -9999.0
+            dec = codec.decode(r.bytes, w, h, "rawf32")
+            exp = zmap[:, iy * h:(iy + 1) * h,
+                       ix * w:(ix + 1) * w].astype(np.float32)
+            np.testing.assert_array_equal(dec, exp)
+    # degenerate (constant) side -> loud refusal (no usable
+    # correlation to calibrate on; surfaces as the singular-covariance
+    # guard inside the shared IR-MAD fit)
+    G3 = np.full(G1.shape, 777.0)
+    other = spark.createDataFrame(
+        pd.DataFrame(_tile_rows(G3, zone, res, w, h)), TILE_SCHEMA)
+    with pytest.raises(ValueError, match="radcal band|singular"):
+        mad.fit_radcal(left, other, n_iter=0)
+    # the per-band guard itself: zero cross-covariance moments
+    s2z = np.diag([1.0, 1.0, 1.0, 1.0])
+    with pytest.raises(ValueError, match="radcal band"):
+        mad.solve_radcal(1.0, np.zeros(4), s2z, 2)

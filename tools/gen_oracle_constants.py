@@ -2203,6 +2203,33 @@ def _epoch_composite_tiles(date_pred):
     return tiles, meta
 
 
+def _decimal_moments(early, late, cids, model):
+    """One Decimal-summed moments pass over per-tile blocks — the
+    exact replay of the distributed DECIMAL(38,6) agg: both sides
+    round the SHORTEST decimal repr of each per-tile double HALF_UP
+    onto the 1e-6 grid, then sum exactly."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from vrtility_spark import mad
+
+    q6 = Decimal("0.000001")
+    acc = None
+    for cid in cids:
+        blk = mad.pair_moments_np(early[cid], late[cid], model)
+        dec = [Decimal(repr(float(v))).quantize(
+            q6, rounding=ROUND_HALF_UP) for v in blk]
+        acc = dec if acc is None else [a + b for a, b in zip(acc, dec)]
+    flat = np.array([float(v) for v in acc])
+    nb2 = int(round((np.sqrt(9 + 8 * (flat.size - 1)) - 3) / 2))
+    s0 = flat[0]
+    s1 = flat[1:1 + nb2]
+    s2 = np.zeros((nb2, nb2))
+    iu = np.triu_indices(nb2)
+    s2[iu] = flat[1 + nb2:]
+    s2 = s2 + np.triu(s2, 1).T
+    return s0, s1, s2, nb2 // 2
+
+
 def image_irmad_rows():
     """Two epoch composites (months ≤ 4 vs ≥ 5) → IR-MAD change
     planes replicated without Spark: per-tile sufficient-statistic
@@ -2214,33 +2241,15 @@ def image_irmad_rows():
     through the exact rawf32/-9999 round trip. Checksums: rounded MAD
     and χ² sums, χ²(B)>11.0705 (95 %) change count, valid/nodata
     counts."""
-    from decimal import ROUND_HALF_UP, Decimal
-
     from vrtility_spark import mad
 
     early, metaE = _epoch_composite_tiles(lambda d: d.month <= 4)
     late, _metaL = _epoch_composite_tiles(lambda d: d.month >= 5)
     cids = sorted(set(early) & set(late))
-    q6 = Decimal("0.000001")
-
     model = None
     for _ in range(2):  # n_iter=1 -> two moments passes
-        acc = None
-        for cid in cids:
-            blk = mad.pair_moments_np(early[cid], late[cid], model)
-            dec = [Decimal(repr(float(v))).quantize(
-                q6, rounding=ROUND_HALF_UP) for v in blk]
-            acc = dec if acc is None else [a + b
-                                           for a, b in zip(acc, dec)]
-        flat = np.array([float(v) for v in acc])
-        nb2 = int(round((np.sqrt(9 + 8 * (flat.size - 1)) - 3) / 2))
-        s0 = flat[0]
-        s1 = flat[1:1 + nb2]
-        s2 = np.zeros((nb2, nb2))
-        iu = np.triu_indices(nb2)
-        s2[iu] = flat[1 + nb2:]
-        s2 = s2 + np.triu(s2, 1).T
-        model = mad.solve_mad(s0, s1, s2, nb2 // 2)
+        s0, s1, s2, nb = _decimal_moments(early, late, cids, model)
+        model = mad.solve_mad(s0, s1, s2, nb)
 
     rows = []
     for cid in cids:
@@ -2260,6 +2269,48 @@ def image_irmad_rows():
             "change_px": int((chi2 > 11.0705).sum()),
             "valid_px": int(chi2.size),
             "nodata_px": int((dec[nb] == -9999.0).sum()),
+        })
+    return sorted(rows, key=lambda d: d["cell_id"])
+
+
+def image_radcal_rows():
+    """Epoch composites → IR-MAD-driven radiometric normalization
+    replicated without Spark: the same Decimal-summed fit as
+    image_irmad_rows, one extra χ²-weighted moments pass into
+    mad.solve_radcal (closed-form-gated in tests/test_mad.py), the
+    late epoch rewritten with mad.radcal_np through the exact
+    rawf32/-9999 round trip. Checksums: rounded corrected-pixel sum
+    per cell plus the global per-band gain/offset/corr coefficients
+    repeated as literal columns (pinning the broadcast model
+    itself)."""
+    from vrtility_spark import mad
+
+    early, _metaE = _epoch_composite_tiles(lambda d: d.month <= 4)
+    late, metaL = _epoch_composite_tiles(lambda d: d.month >= 5)
+    cids = sorted(set(early) & set(late))
+    model = None
+    for _ in range(2):  # n_iter=1
+        s0, s1, s2, nb = _decimal_moments(early, late, cids, model)
+        model = mad.solve_mad(s0, s1, s2, nb)
+    s0, s1, s2, nb = _decimal_moments(early, late, cids, model)
+    rc = mad.solve_radcal(s0, s1, s2, nb)
+    rows = []
+    for cid in cids:
+        out = mad.radcal_np(late[cid], rc)
+        payload = codec.encode(
+            codec.from_float(out, -9999.0, "float32"), "rawf32")
+        h, w = out.shape[1], out.shape[2]
+        dec = codec.decode(payload, w, h, "rawf32").astype(np.float64)
+        valid = dec[dec != -9999.0]
+        rows.append({
+            "cell_id": cid, "n_scenes": metaL[cid][1],
+            "payload_len": len(payload),
+            "pix_sum": round(float(valid.sum()), 4),
+            "valid_px": int(valid.size),
+            "nodata_px": int((dec == -9999.0).sum()),
+            "gain0_r": round(float(rc.gain[0]), 6),
+            "offset0_r": round(float(rc.offset[0]), 4),
+            "corr0_r": round(float(rc.corr[0]), 6),
         })
     return sorted(rows, key=lambda d: d["cell_id"])
 
@@ -3304,6 +3355,14 @@ def main() -> None:
             image_irmad_rows(),
             ["cell_id", "n_scenes", "payload_len", "mad_sum",
              "chi2_sum", "change_px", "valid_px", "nodata_px"]),
+        # epoch composites -> IR-MAD-weighted orthogonal regression:
+        # pins the weighted moments pass, the per-band solve, and the
+        # broadcast-model rewrite
+        "image_radcal": values_sql(
+            image_radcal_rows(),
+            ["cell_id", "n_scenes", "payload_len", "pix_sum",
+             "valid_px", "nodata_px", "gain0_r", "offset0_r",
+             "corr0_r"]),
         # per-scene curation statistics: pins the zero-shuffle Arrow
         # pass row-for-row against the driver-side kernel replay
         "image_quality_stats": values_sql(

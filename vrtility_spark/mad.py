@@ -388,6 +388,117 @@ def fit_irmad(left: DataFrame, right: DataFrame, n_iter: int = 2,
             joined.unpersist()
 
 
+@dataclass(frozen=True)
+class RadCalModel:
+    """Per-band orthogonal-regression normalization ``y ≈ gain·x +
+    offset`` fitted on IR-MAD no-change-weighted pixels; apply
+    ``(y − offset)/gain`` to move the right collection into the left
+    collection's radiometry."""
+    gain: np.ndarray
+    offset: np.ndarray
+    corr: np.ndarray   # weighted per-band correlation (diagnostic)
+    n_eff: float
+
+
+def solve_radcal(s0: float, s1: np.ndarray, s2: np.ndarray,
+                 nb: int) -> RadCalModel:
+    """Per-band orthogonal (Deming, equal error variances) regression
+    from the weighted stacked moments: the slope is the major-axis
+    solution ``(σyy − σxx + √((σyy − σxx)² + 4σxy²)) / (2σxy)`` —
+    symmetric in x and y, unlike OLS, which is the standard RadCal
+    choice (Canty & Nielsen 2008). Bands with |σxy| ~ 0 (no no-change
+    correlation to calibrate on) are refused loudly."""
+    if s0 <= 0:
+        raise ValueError("solve_radcal: zero effective sample mass")
+    mu = s1 / s0
+    cov = s2 / s0 - np.outer(mu, mu)
+    gain = np.empty(nb)
+    corr = np.empty(nb)
+    for i in range(nb):
+        sxx = cov[i, i]
+        syy = cov[nb + i, nb + i]
+        sxy = cov[i, nb + i]
+        den = np.sqrt(max(sxx, 0.0) * max(syy, 0.0))
+        if den <= 0 or abs(sxy) <= _EIG_EPS * den:
+            raise ValueError(
+                f"radcal band {i}: no usable no-change correlation "
+                f"(sxx={sxx:.3g}, syy={syy:.3g}, sxy={sxy:.3g})")
+        gain[i] = ((syy - sxx + np.sqrt((syy - sxx) ** 2
+                                        + 4.0 * sxy * sxy))
+                   / (2.0 * sxy))
+        corr[i] = sxy / den
+    offset = mu[nb:] - gain * mu[:nb]
+    return RadCalModel(gain=gain, offset=offset, corr=corr,
+                       n_eff=float(s0))
+
+
+def radcal_np(Y: np.ndarray, model: RadCalModel) -> np.ndarray:
+    """Apply the normalization to one NaN-masked ``(B, H, W)`` array:
+    ``(y − offset)/gain`` per band."""
+    if Y.shape[0] != model.gain.size:
+        raise ValueError(
+            f"band count mismatch: model {model.gain.size}, tile "
+            f"{Y.shape[0]}")
+    return ((Y - model.offset.reshape(-1, 1, 1))
+            / model.gain.reshape(-1, 1, 1))
+
+
+def fit_radcal(left: DataFrame, right: DataFrame, n_iter: int = 2,
+               key: str = "cell_id", broadcast_right: bool = False,
+               cache: bool = False) -> tuple[RadCalModel, MADModel]:
+    """IR-MAD-driven radiometric normalization fit: run the IR-MAD
+    iterations, then ONE more χ²-weighted moments pass whose weighted
+    per-band moments feed the orthogonal regression — change pixels
+    carry ~zero weight, so the fit calibrates on the invariant
+    background only (the whole point vs a naive all-pixels
+    regression)."""
+    mad_model = fit_irmad(left, right, n_iter=n_iter, key=key,
+                          broadcast_right=broadcast_right, cache=cache)
+    joined, lnames = _joined_pair(left, right, key, broadcast_right)
+    s0, s1, s2, nb = _fit_pass(joined, lnames, mad_model)
+    return solve_radcal(s0, s1, s2, nb), mad_model
+
+
+def radcal(left: DataFrame, right: DataFrame, n_iter: int = 2,
+           key: str = "cell_id", broadcast_right: bool = False,
+           cache: bool = False) -> tuple[DataFrame, RadCalModel,
+                                         MADModel]:
+    """Fit + apply: returns ``(normalized_right, radcal_model,
+    mad_model)`` — the right collection rewritten into the left's
+    radiometry as rawf32/-9999 tiles by a ZERO-shuffle narrow map
+    (the broadcast model is 3B floats; no join, the corpus streams
+    through one Arrow pass)."""
+    rc, mm = fit_radcal(left, right, n_iter=n_iter, key=key,
+                        broadcast_right=broadcast_right, cache=cache)
+    lnames = [f.name for f in right.schema.fields]
+    out_schema = right.schema
+
+    def apply_map(batches: Iterable[pd.DataFrame]) \
+            -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_rows = []
+            for row in pdf[lnames].itertuples(index=False):
+                arr = codec.decode(row.bytes, int(row.w), int(row.h),
+                                   row.fmt)
+                nd = codec.row_band_meta(row, len(arr), "band_nodata",
+                                         codec.nodata_scalar(row.nodata))
+                Y = codec.to_float_masked(arr, nd)
+                out = radcal_np(Y, rc)
+                payload = codec.from_float(out, _SENTINEL, "float32")
+                d = {n: getattr(row, n) for n in lnames}
+                d["bytes"] = codec.encode(payload, "rawf32")
+                d["fmt"] = "rawf32"
+                d["nodata"] = _SENTINEL
+                if "band_nodata" in lnames:
+                    d["band_nodata"] = None
+                out_rows.append(d)
+            yield pd.DataFrame(out_rows, columns=lnames)
+
+    return right.mapInPandas(apply_map, out_schema), rc, mm
+
+
 def irmad(left: DataFrame, right: DataFrame, n_iter: int = 2,
           key: str = "cell_id", broadcast_right: bool = False,
           cache: bool = False) -> tuple[DataFrame, MADModel]:
