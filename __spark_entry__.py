@@ -3469,6 +3469,31 @@ def q_zonal_majority(spark, sf_dir):
                       F.col("count").alias("cnt"), "total")
 
 
+def q_zonal_percentile(spark, sf_dir):
+    """EXACT per-(AOI, band) interpolated percentiles
+    (zonal.zonal_percentile — terra::zonal(fun=quantile) / QGIS zonal
+    median) over the masked median composite: the shared broadcast
+    cover join + exact value-count merge, then a cumulative window
+    and pure interpolated-rank expressions reproduce
+    np.percentile(method='linear') without ever gathering a pixel
+    multiset. Pinned against the multiset twin on the same tiles
+    (tools/gen_oracle_constants.py)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema, zonal
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    tiles = (Pipeline(images)
+             .set_maskfun("int", datagen.S2_MASK_VALUES)
+             .warp(cell_res=datagen.TILE_RES)
+             .composite("median").df)
+    aoi = schema.aoi_df(spark, datagen.aoi_pandas(nx=2, ny=2))
+    out = zonal.zonal_percentile(tiles, aoi, datagen.TILE_RES,
+                                 qs=(0.25, 0.5, 0.75))
+    return out.select("aoi_id", "band", "q",
+                      F.round("value", 6).alias("value_r"), "total")
+
+
 def q_zonal_stats(spark, sf_dir):
     """Masked median composite → zonal statistics per AOI polygon
     (zonal.zonal_stats): AOI parts explode to cover cells (pure
@@ -3697,6 +3722,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_quality_stats": q_image_quality_stats,
         "image_irmad": q_image_irmad,
         "image_radcal": q_image_radcal,
+        "zonal_percentile": q_zonal_percentile,
         "image_cloudshadow": q_image_cloudshadow,
         "image_change": q_image_change,
         "image_unmix": q_image_unmix,

@@ -380,3 +380,60 @@ def test_zonal_majority_distributed(spark):
     # majority count never exceeds the total, and totals match stats
     for (aid, b), (v, c, tot) in got.items():
         assert 0 < c <= tot
+
+
+def test_zonal_percentile_distributed(spark):
+    """Exact interpolated percentiles ≡ np.percentile(method='linear')
+    on the per-AOI inside-pixel multiset; median of a tiny AOI; guard
+    paths."""
+    size = cells.cell_size(RES)
+    rows, mosaics = _tiles(16, 16, [(ix, iy) for ix in range(2)
+                                    for iy in range(2)], seed=11)
+    aoi_rows = [
+        {"aoi_id": "p1", "zone": ZONE,
+         "geom_wkt": _rect_wkt(0.2 * size, 0.3 * size,
+                               1.7 * size, 1.9 * size)},
+        {"aoi_id": "p2", "zone": ZONE,
+         "geom_wkt": _rect_wkt(0.1 * size, 0.1 * size,
+                               0.6 * size, 0.5 * size)},
+    ]
+    for a in aoi_rows:
+        from vrtility_spark.datagen import _wkt_coords
+        xs, ys = _wkt_coords(a["geom_wkt"])
+        a.update(xmin=min(xs), ymin=min(ys), xmax=max(xs), ymax=max(ys))
+    tiles = spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+    aoi = spark.createDataFrame(pd.DataFrame(aoi_rows), AOI_SCHEMA)
+    qs = (0.0, 0.25, 0.5, 0.9, 1.0)
+    got = {(r.aoi_id, r.band, r.q): (r.value, r.total)
+           for r in zonal.zonal_percentile(tiles, aoi, RES,
+                                           qs=qs).collect()}
+    # driver-side multiset twin
+    vals: dict = {}
+    for a in aoi_rows:
+        ring = parse_wkt_polygon(a["geom_wkt"])
+        for cid, (A, x0, y0, x1, y1) in mosaics.items():
+            if (x1 <= a["xmin"] or x0 >= a["xmax"]
+                    or y1 <= a["ymin"] or y0 >= a["ymax"]):
+                continue
+            for b, v, c in zonal.value_counts_np(A, ring, x0, y0,
+                                                 x1, y1):
+                vals.setdefault((a["aoi_id"], b), []).extend([v] * c)
+    assert len(got) == len(vals) * len(qs)
+    for (aid, b), pix in vals.items():
+        arr = np.asarray(pix)
+        for q in qs:
+            v, tot = got[(aid, b, q)]
+            assert tot == arr.size
+            np.testing.assert_allclose(
+                v, np.percentile(arr, q * 100, method="linear"),
+                rtol=1e-9, atol=1e-9)
+    # q=0 / q=1 are exact min/max
+    for (aid, b), pix in vals.items():
+        assert got[(aid, b, 0.0)][0] == min(pix)
+        assert got[(aid, b, 1.0)][0] == max(pix)
+    with pytest.raises(ValueError, match="fractions"):
+        zonal.zonal_percentile(tiles, aoi, RES, qs=(1.5,))
+    with pytest.raises(ValueError, match="duplicate"):
+        zonal.zonal_percentile(tiles, aoi, RES, qs=(0.5, 0.5))
+    with pytest.raises(ValueError, match="fractions"):
+        zonal.zonal_percentile(tiles, aoi, RES, qs=())

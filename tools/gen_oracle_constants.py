@@ -2315,6 +2315,58 @@ def image_radcal_rows():
     return sorted(rows, key=lambda d: d["cell_id"])
 
 
+def zonal_percentile_rows():
+    """Masked median composite → exact per-AOI interpolated
+    percentiles replicated without Spark: the same composite tiles
+    and bbox cover as zonal_rows, the per-(aoi, band) inside-pixel
+    multiset rebuilt from zonal.value_counts_np (loop-gated in
+    tests/test_zonal.py), quantiles via np.percentile(method=
+    'linear') — the identical interpolation the engine's cumulative-
+    window expressions implement."""
+    from vrtility_spark import zonal
+    from vrtility_spark.join import parse_wkt_polygon
+
+    pdf = _grouped_fixture()
+    tiles: dict[int, np.ndarray] = {}
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort")
+        nd = np.asarray(grp.iloc[0].band_nodata, dtype=np.float64)
+        with np.errstate(all="ignore"):
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                out = composite.REDUCERS["median"](_masked_stack(grp, nd))
+        tiles[int(cell_id)] = codec.to_float_masked(
+            codec.from_float(out, nd, "uint16"), nd)
+    vals: dict[tuple, list] = {}
+    for a in datagen.aoi_pandas(nx=2, ny=2).itertuples(index=False):
+        zone_a = int(a.srs.split(":")[1])
+        ring = parse_wkt_polygon(a.geom_wkt)
+        for cid, A in tiles.items():
+            zone, res, ix, iy = (int(v) for v in cells.decode_np(cid))
+            if zone != zone_a:
+                continue
+            size = cells.cell_size(res)
+            x0, y0 = ix * size, iy * size
+            if (x0 + size <= a.xmin or x0 >= a.xmax
+                    or y0 + size <= a.ymin or y0 >= a.ymax):
+                continue
+            for b, v, c in zonal.value_counts_np(
+                    A, ring, x0, y0, x0 + size, y0 + size):
+                vals.setdefault((a.aoi_id, b), []).extend([v] * c)
+    rows = []
+    for (aoi_id, band), pix in sorted(vals.items()):
+        arr = np.asarray(pix)
+        for q in (0.25, 0.5, 0.75):
+            rows.append({
+                "aoi_id": aoi_id, "band": band, "q": q,
+                "value_r": round(float(np.percentile(
+                    arr, q * 100, method="linear")), 6),
+                "total": int(arr.size),
+            })
+    return rows
+
+
 def image_quality_rows():
     """Per-scene image quality statistics replicated without Spark:
     imagestats.quality_np (loop-/closed-form-gated in tests/
@@ -3412,6 +3464,12 @@ def main() -> None:
             ["region_id", "pixel_count", "perimeter", "n_tiles",
              "level", "level_min", "level_max",
              "xmin", "ymin", "xmax", "ymax"]),
+        # median composite -> exact per-AOI interpolated percentiles:
+        # pins the cumulative-window rank expressions against the
+        # np.percentile multiset twin
+        "zonal_percentile": values_sql(
+            zonal_percentile_rows(),
+            ["aoi_id", "band", "q", "value_r", "total"]),
         # classified median -> per-AOI modal class: pins the exact
         # value-count partials and the deterministic argmax
         "zonal_majority": values_sql(

@@ -197,22 +197,13 @@ def value_counts_np(A: np.ndarray, ring: np.ndarray,
     return out
 
 
-def zonal_majority(tiles: DataFrame, aoi: DataFrame, res: int,
-                   key: str = "cell_id",
-                   broadcast_aoi: bool = True) -> DataFrame:
-    """Per-(AOI, band) modal pixel value — QGIS "zonal statistics:
-    majority" / terra::zonal(fun=modal) for class planes (land-cover
-    share reports, dominant-class maps). Continuous bands should be
-    :func:`algebra.classify`-ed first; the partials here carry one row
-    per DISTINCT value per (AOI, tile, band), which is tiny for class
-    planes and degenerate for continuous data.
-
-    Same broadcast cover join as every zonal operator (tile rows never
-    move); partial value counts merge with a decomposable sum and the
-    mode is one window argmax — ties break to the SMALLEST value, so
-    the result is deterministic. Output: ``(aoi_id, band, value,
-    count, total)`` where ``total`` counts all valid inside-pixels.
-    """
+def _merged_value_counts(tiles: DataFrame, aoi: DataFrame, res: int,
+                         key: str, broadcast_aoi: bool) -> DataFrame:
+    """Exact per-(AOI, band, value) counts of valid inside-pixels —
+    the shared back half of :func:`zonal_majority` and
+    :func:`zonal_percentile`: the standard cover join, one narrow map
+    emitting :func:`value_counts_np` rows, one decomposable-sum
+    merge."""
     joined = _aoi_tile_join(tiles, aoi, int(res), key, broadcast_aoi)
 
     def emit(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
@@ -244,8 +235,27 @@ def zonal_majority(tiles: DataFrame, aoi: DataFrame, res: int,
 
     partials = joined.mapInPandas(
         emit, schema="aoi_id string, band int, value double, count long")
-    counts = (partials.groupBy("aoi_id", "band", "value")
-              .agg(F.sum("count").alias("count")))
+    return (partials.groupBy("aoi_id", "band", "value")
+            .agg(F.sum("count").alias("count")))
+
+
+def zonal_majority(tiles: DataFrame, aoi: DataFrame, res: int,
+                   key: str = "cell_id",
+                   broadcast_aoi: bool = True) -> DataFrame:
+    """Per-(AOI, band) modal pixel value — QGIS "zonal statistics:
+    majority" / terra::zonal(fun=modal) for class planes (land-cover
+    share reports, dominant-class maps). Continuous bands should be
+    :func:`algebra.classify`-ed first; the partials here carry one row
+    per DISTINCT value per (AOI, tile, band), which is tiny for class
+    planes and degenerate for continuous data.
+
+    Same broadcast cover join as every zonal operator (tile rows never
+    move); partial value counts merge with a decomposable sum and the
+    mode is one window argmax — ties break to the SMALLEST value, so
+    the result is deterministic. Output: ``(aoi_id, band, value,
+    count, total)`` where ``total`` counts all valid inside-pixels.
+    """
+    counts = _merged_value_counts(tiles, aoi, res, key, broadcast_aoi)
     win = Window.partitionBy("aoi_id", "band") \
         .orderBy(F.desc("count"), F.asc("value"))
     tot = Window.partitionBy("aoi_id", "band")
@@ -254,6 +264,65 @@ def zonal_majority(tiles: DataFrame, aoi: DataFrame, res: int,
             .withColumn("_rn", F.row_number().over(win))
             .where("_rn = 1")
             .select("aoi_id", "band", "value", "count", "total"))
+
+
+def zonal_percentile(tiles: DataFrame, aoi: DataFrame, res: int,
+                     qs=(0.25, 0.5, 0.75), key: str = "cell_id",
+                     broadcast_aoi: bool = True) -> DataFrame:
+    """EXACT per-(AOI, band) percentiles — terra::zonal(fun=quantile)
+    / QGIS zonal median, with ``numpy.percentile``'s default linear
+    interpolation, but computed from decomposable value counts so no
+    pixel multiset is ever gathered: the shared cover join + merged
+    counts, then a cumulative window and pure interpolated-rank
+    expressions. The same integer-family caveat as
+    :func:`zonal_majority` applies (one count row per distinct value
+    per tile — bounded ≤ 65536 for raw16/png payloads, degenerate for
+    continuous rawf32; :func:`stretch`-bin or classify those first).
+
+    Output: ``(aoi_id, band, q, value, total)``, one row per
+    requested quantile, byte-deterministic (counts are exact integer
+    sums; the interpolation reads only the sorted distinct values).
+    """
+    qs = [float(q) for q in qs]
+    if not qs or not all(0.0 <= q <= 1.0 for q in qs):
+        raise ValueError(f"qs must be fractions in [0, 1], got {qs}")
+    if len(set(qs)) != len(qs):
+        raise ValueError(f"duplicate quantiles: {qs}")
+    counts = _merged_value_counts(tiles, aoi, res, key, broadcast_aoi)
+    wcum = (Window.partitionBy("aoi_id", "band").orderBy("value")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wtot = Window.partitionBy("aoi_id", "band")
+    d = (counts.withColumn("cum", F.sum("count").over(wcum))
+         .withColumn("total", F.sum("count").over(wtot)))
+    # numpy 'linear': rank r = q·(total−1); bracket the two distinct
+    # values whose cumulative counts straddle floor(r)/ceil(r) and
+    # interpolate by the fractional rank. min(when(...)) aggregates
+    # are rank selections over the sorted value axis — no collect, no
+    # second shuffle beyond the one tiny groupBy.
+    aggs = []
+    for i, q in enumerate(qs):
+        r = F.lit(q) * (F.col("total") - F.lit(1))
+        rlo = F.floor(r)
+        aggs.append(F.min(F.when(F.col("cum") >= rlo + 1,
+                                 F.col("value"))).alias(f"_vlo{i}"))
+        aggs.append(F.min(F.when(F.col("cum") >= rlo + 2,
+                                 F.col("value"))).alias(f"_vhi{i}"))
+    g = d.groupBy("aoi_id", "band").agg(F.max("total").alias("total"),
+                                        *aggs)
+    vals = []
+    for i, q in enumerate(qs):
+        r = F.lit(q) * (F.col("total") - F.lit(1))
+        frac = r - F.floor(r)
+        vhi = F.coalesce(F.col(f"_vhi{i}"), F.col(f"_vlo{i}"))
+        vals.append(F.round(
+            F.col(f"_vlo{i}") + frac * (vhi - F.col(f"_vlo{i}")),
+            9).alias(f"_p{i}"))
+    g = g.select("aoi_id", "band", "total", *vals)
+    stack = ", ".join(f"{q!r}D, _p{i}" for i, q in enumerate(qs))
+    return g.select(
+        "aoi_id", "band",
+        F.expr(f"stack({len(qs)}, {stack})").alias("q", "value"),
+        "total").select("aoi_id", "band", "q", "value", "total")
 
 
 def zonal_stats(tiles: DataFrame, aoi: DataFrame, res: int,
