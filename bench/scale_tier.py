@@ -1,7 +1,8 @@
 #!/usr/bin/env python
-"""sf0.1 → sf1 scale-tier check for the three slowest bench families
+"""sf0.1 → sf1 scale-tier check for the slowest bench families
 (VERDICT r4 item #5): dedup_corpus, near_dup_clusters,
-image_polygonize_pipeline.
+image_polygonize_pipeline — plus the flowacc, ANN-training, and
+IR-MAD families added as they landed.
 
 Near-linear wall growth at 10x the input confirms the capped-pair /
 seam-volume O-claims with data; superlinear growth would expose a
@@ -151,6 +152,32 @@ def flowacc_shape(spark, nx: int, ny: int):
     return images, n, run
 
 
+def irmad_shape(spark, nx: int, ny: int):
+    """Two epoch composites → IR-MAD fit (n_iter=1) + applied change
+    planes at a given grid size: per-iteration cost is one
+    tile_algebra-shaped join + an O(tiles) decimal agg, so wall
+    should track the tile count linearly — a hidden pixel collect or
+    quadratic agg would show superlinear."""
+    images = datagen.images_spark(spark, zones=(30, 31, 27), nx=nx,
+                                  ny=ny, n_dates=5, w=64, h=64).cache()
+    n = images.count()
+    from pyspark.sql import functions as SF
+
+    from vrtility_spark import mad as _mad
+
+    def epoch(pred):
+        return (Pipeline(images.filter(pred))
+                .warp(cell_res=datagen.TILE_RES)
+                .composite("median").df)
+
+    def run():
+        early = epoch(SF.month("datetime") <= 4)
+        late = epoch(SF.month("datetime") >= 5)
+        out, _m = _mad.irmad(early, late, n_iter=1)
+        return out
+    return images, n, run
+
+
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
@@ -233,6 +260,21 @@ def main() -> None:
     imgs_s.unpersist()
     ratio = n_s / n_b
     results["image_flowacc_pipeline"] = {
+        "base_sec": base, "scaled_sec": big,
+        "base_scenes": n_b, "scaled_scenes": n_s,
+        "input_ratio": round(ratio, 3),
+        "wall_ratio": round(big / base, 3),
+        "wall_per_input": round(big / base / ratio, 3),
+    }
+
+    imgs_b, n_b, run_b = irmad_shape(spark, 8, 8)
+    base = time_key(run_b, reps)
+    imgs_b.unpersist()
+    imgs_s, n_s, run_s = irmad_shape(spark, 25, 25)
+    big = time_key(run_s, reps)
+    imgs_s.unpersist()
+    ratio = n_s / n_b
+    results["image_irmad_pipeline"] = {
         "base_sec": base, "scaled_sec": big,
         "base_scenes": n_b, "scaled_scenes": n_s,
         "input_ratio": round(ratio, 3),
