@@ -157,3 +157,41 @@ def test_quality_filter(spark):
     assert "void" not in {r.image_id for r in keep3.collect()}
     with pytest.raises(ValueError, match="no thresholds"):
         imagestats.quality_filter(sdf)
+    # bands selector: restricting the gate to the noisy band lets
+    # oneband back through; bad selections raise
+    keep4 = imagestats.quality_filter(sdf, min_entropy=0.5, bands=(0,))
+    assert "oneband" in {r.image_id for r in keep4.collect()}
+    got = imagestats.quality_stats(sdf, bands=(1,)).collect()
+    assert {r.band for r in got} == {1}
+    with pytest.raises(ValueError, match="invalid band"):
+        imagestats.quality_stats(sdf, bands=(-1,))
+    with pytest.raises(Exception, match="exceeds"):
+        imagestats.quality_stats(sdf, bands=(9,)).collect()
+
+
+def test_pipeline_quality_filter_bundles(spark, tmp_path):
+    """The curation gate as a logged Pipeline verb: drops the planted
+    blank scene, and the bundle replays to the identical scene set."""
+    from vrtility_spark.pipeline import Pipeline
+
+    pdf = datagen.images_pandas(nx=1, ny=1, w=16, h=16)
+    blank = pdf.iloc[[0]].copy()
+    blank["image_id"] = "blank_plant"
+    blank["bytes"] = [codec.encode(
+        np.full((len(pdf.iloc[0].band_nodata), 16, 16), 30000,
+                dtype=np.uint16), "raw16")]
+    df = schema.images_df(spark, pd.concat([pdf, blank],
+                                           ignore_index=True))
+    # gate the DATA bands only: the fixture's 5th plane is the S2
+    # mask band, whose class codes all land in one 256-wide bin of
+    # the full uint16 range (entropy 0) — gating it would drop every
+    # scene, which is exactly why the bands selector exists
+    p = Pipeline(df).quality_filter(min_entropy=0.5, bands=(0, 1, 2, 3))
+    ids = {r.image_id for r in p.df.select("image_id").collect()}
+    assert "blank_plant" not in ids
+    assert len(ids) == len(pdf)
+    path = str(tmp_path / "qf.json")
+    p.to_bundle(path)
+    replay = Pipeline.from_bundle(path, df)
+    ids2 = {r.image_id for r in replay.df.select("image_id").collect()}
+    assert ids2 == ids

@@ -109,12 +109,16 @@ def quality_np(A: np.ndarray, lo: float, hi: float,
 
 def quality_stats(df: DataFrame, lo: float = 0.0, hi: float = 65535.0,
                   clip_frac: float = 0.02,
-                  id_col: str = "image_id") -> DataFrame:
+                  id_col: str = "image_id",
+                  bands=None) -> DataFrame:
     """Per-(scene, band) quality statistics table — one zero-shuffle
     Arrow pass over the image table; see the module docstring for the
     signal definitions. ``[lo, hi]`` is the DECLARED value range of
     the payload family (defaults fit raw16/uint16); pass the physical
-    range for rawf32 payloads."""
+    range for rawf32 payloads. ``bands`` restricts the statistics to
+    those plane indices (output rows keep the original index) — gate
+    the DATA bands and leave the QA/mask plane out, whose low-entropy
+    class codes would otherwise fail every scene."""
     if not (np.isfinite(lo) and np.isfinite(hi)) or hi <= lo:
         raise ValueError(f"invalid value range [{lo}, {hi}]")
     if not 0.0 <= clip_frac < 0.5:
@@ -126,6 +130,9 @@ def quality_stats(df: DataFrame, lo: float = 0.0, hi: float = 65535.0,
             raise ValueError(
                 f"quality_stats input is missing column {req!r}")
     lnames = [f.name for f in df.schema.fields]
+    keep = None if bands is None else sorted({int(b) for b in bands})
+    if keep is not None and (not keep or keep[0] < 0):
+        raise ValueError(f"invalid band selection {bands!r}")
     cols = ["image_id", "band", "n_valid", "valid_frac", "mean",
             "std", "blur_var", "entropy", "dark_frac", "bright_frac"]
 
@@ -140,8 +147,17 @@ def quality_stats(df: DataFrame, lo: float = 0.0, hi: float = 65535.0,
                 nd = codec.row_band_meta(row, len(arr), "band_nodata",
                                          codec.nodata_scalar(row.nodata))
                 A = codec.to_float_masked(arr, nd)
-                for bi, stats in enumerate(
-                        quality_np(A, lo, hi, clip_frac)):
+                if keep is not None:
+                    if keep[-1] >= len(A):
+                        raise ValueError(
+                            f"band selection {keep} exceeds the "
+                            f"{len(A)}-band payload")
+                    sel = keep
+                    A = A[sel]
+                else:
+                    sel = range(len(A))
+                for bi, stats in zip(sel, quality_np(A, lo, hi,
+                                                     clip_frac)):
                     rows.append((getattr(row, id_col), bi) + stats)
             yield pd.DataFrame(rows, columns=cols)
 
@@ -155,8 +171,9 @@ def quality_filter(df: DataFrame, min_entropy: float | None = None,
                    min_valid_frac: float | None = None,
                    lo: float = 0.0, hi: float = 65535.0,
                    clip_frac: float = 0.02,
-                   id_col: str = "image_id") -> DataFrame:
-    """Keep scenes where EVERY band passes every given threshold —
+                   id_col: str = "image_id",
+                   bands=None) -> DataFrame:
+    """Keep scenes where EVERY gated band passes every threshold —
     the curation gate. The stats side reduces to one boolean per
     scene (``bool_and`` over bands, map-side combinable) and comes
     back as a semi join on ``id_col``; the corpus side never moves.
@@ -190,7 +207,7 @@ def quality_filter(df: DataFrame, min_entropy: float | None = None,
     for c in conds[1:]:
         ok = ok & c
     passing = (quality_stats(df, lo=lo, hi=hi, clip_frac=clip_frac,
-                             id_col=id_col)
+                             id_col=id_col, bands=bands)
                .groupBy("image_id")
                .agg(F.bool_and(F.coalesce(ok, F.lit(False)))
                     .alias("_pass"))

@@ -53,6 +53,7 @@ class Pipeline:
     #: methods are deliberately absent)
     _BUNDLE_VERBS = frozenset([
         "cloud_filter", "orbit_filter", "drop_duplicates", "date_range",
+        "quality_filter",
         "set_maskfun", "create_mlmask", "subset_bands", "derived_band",
         "thin",
         "set_scale", "reproject", "warp", "regrid", "feather",
@@ -111,6 +112,35 @@ class Pipeline:
         return self._next(_join.cloud_filter(self._df, max_cloud),
                           self._mask_specs, "cloud_filter",
                           {"max_cloud": max_cloud})
+
+    def quality_filter(self, min_entropy: float | None = None,
+                       min_blur_var: float | None = None,
+                       max_dark_frac: float | None = None,
+                       max_bright_frac: float | None = None,
+                       min_valid_frac: float | None = None,
+                       lo: float = 0.0, hi: float = 65535.0,
+                       clip_frac: float = 0.02,
+                       bands=None) -> "Pipeline":
+        """Content-based curation gate (imagestats.quality_filter):
+        keep scenes where EVERY gated band passes every threshold —
+        blur (variance of Laplacian), entropy, exposure clipping,
+        footprint validity. ``bands`` selects the gated planes (gate
+        the data bands, not the low-entropy QA/mask plane). One
+        zero-shuffle stats pass + a semi join; runs BEFORE
+        warp/composite so every downstream stage sees a smaller
+        corpus. Bundleable."""
+        from vrtility_spark import imagestats as _imagestats
+        params = {"min_entropy": min_entropy,
+                  "min_blur_var": min_blur_var,
+                  "max_dark_frac": max_dark_frac,
+                  "max_bright_frac": max_bright_frac,
+                  "min_valid_frac": min_valid_frac,
+                  "lo": lo, "hi": hi, "clip_frac": clip_frac,
+                  "bands": None if bands is None
+                  else [int(b) for b in bands]}
+        return self._next(
+            _imagestats.quality_filter(self._df, **params),
+            self._mask_specs, "quality_filter", params)
 
     def orbit_filter(self, states: Sequence[str]) -> "Pipeline":
         return self._next(_join.orbit_filter(self._df, states),
