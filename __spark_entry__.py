@@ -3107,6 +3107,74 @@ def q_image_fillsinks(spark, sf_dir):
         nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
 
 
+def q_image_costdist(spark, sf_dir):
+    """Masked median composite → distributed cost-distance
+    accumulation (costdist.cost_distance — GRASS r.cost / ArcGIS
+    CostDistance): minimum accumulated cost to the nearest source
+    (band1 >= 6000) over the friction surface band0/256 + 1, stepping
+    at dist * (friction[a] + friction[b]) / 2 along 8-connected
+    paths. Chaotic relaxation of per-tile multi-source Dijkstra
+    fixpoints — only 1-pixel boundary strips (accumulated cost +
+    sender friction pairs) and touched-tile states shuffle; tile
+    bytes are scanned once at seed and once at assembly. Pinned
+    against constants computed Spark-free with the
+    Bellman-Ford-oracle-gated cost_distance_np on assembled per-zone
+    mosaics (tools/gen_oracle_constants.py); the reference delegates
+    raster analysis to external GDAL tooling (R/gdal-options.R)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    out = (Pipeline(images)
+           .set_maskfun("int", datagen.S2_MASK_VALUES)
+           .warp(cell_res=datagen.TILE_RES)
+           .composite("median")
+           .cost_distance(cost_band=0, source_band=1,
+                          source_threshold=6000.0,
+                          cost_scale=1.0 / 256.0, cost_offset=1.0)
+           .df)
+
+    @F.pandas_udf("long")
+    def px4_sum(b: pd.Series, w: pd.Series, h: pd.Series,
+                fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f in zip(b, w, h, fmt):
+            dec = codec.decode(x, int(wi), int(hi), f).astype(np.float64)
+            res.append(int(np.asarray(dec * 4.0, np.int64).sum()))
+        return pd.Series(res)
+
+    @F.pandas_udf("long")
+    def src_px(b: pd.Series, w: pd.Series, h: pd.Series,
+               fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f in zip(b, w, h, fmt):
+            dec = codec.decode(x, int(wi), int(hi), f)
+            res.append(int((dec == np.float32(0.0)).sum()))
+        return pd.Series(res)
+
+    @F.pandas_udf("long")
+    def nd_px(b: pd.Series, w: pd.Series, h: pd.Series,
+              fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f in zip(b, w, h, fmt):
+            dec = codec.decode(x, int(wi), int(hi), f)
+            res.append(int((dec == np.float32(-9999.0)).sum()))
+        return pd.Series(res)
+
+    ps = _pix_sum_udf()
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        ps("bytes", "w", "h", "fmt").alias("pix_sum"),
+        px4_sum("bytes", "w", "h", "fmt").alias("pix4_sum"),
+        src_px("bytes", "w", "h", "fmt").alias("src_px"),
+        nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
+
+
 def q_image_basins(spark, sf_dir):
     """Masked median composite → D8 flowdir → distributed watershed
     basins (hydrology.basins): per-tile drainage chains contract with
@@ -3714,6 +3782,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_flowacc": q_image_flowacc,
         "image_fillsinks": q_image_fillsinks,
         "image_basins": q_image_basins,
+        "image_costdist": q_image_costdist,
         "image_streamorder": q_image_streamorder,
         "image_ssim": q_image_ssim,
         "autocorr_global": q_autocorr_global,

@@ -402,3 +402,46 @@ def basins_walk(codes: np.ndarray, oy: int = 0, ox: int = 0,
                     y, x = ny, nx
                 out[b, sy, sx] = float((oy + y) * span + (ox + x))
     return out
+
+
+def cost_distance_bellman(cost: np.ndarray, src: np.ndarray) -> np.ndarray:
+    """Naive cost distance as the obviously-correct Bellman-Ford
+    fixpoint: ``acc`` starts at 0 on source pixels and +inf elsewhere,
+    then per-pixel sweeps
+    ``acc[p] = min(acc[p], acc[q] + dist * (cost[q] + cost[p]) / 2)``
+    over all 8 neighbors ``q`` until nothing changes — a genuinely
+    different algorithm from the engine's multi-source Dijkstra.
+    Barriers (NaN friction) return NaN; unreachable valid pixels
+    return +inf, matching costdist.cost_distance_np."""
+    cost = np.asarray(cost, np.float64)
+    H, W_ = cost.shape
+    valid = np.isfinite(cost)
+    sq2 = float(np.sqrt(2.0))
+    acc = np.where(np.asarray(src, bool) & valid, 0.0, np.inf)
+    changed = True
+    while changed:
+        changed = False
+        for y in range(H):
+            for x in range(W_):
+                if not valid[y, x]:
+                    continue
+                best = acc[y, x]
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        if dy == 0 and dx == 0:
+                            continue
+                        ny, nx = y + dy, x + dx
+                        if (not (0 <= ny < H and 0 <= nx < W_)
+                                or not valid[ny, nx]):
+                            continue
+                        d = sq2 if (dy != 0 and dx != 0) else 1.0
+                        cand = acc[ny, nx] + d * (cost[ny, nx]
+                                                  + cost[y, x]) / 2.0
+                        if cand < best:
+                            best = cand
+                if best < acc[y, x]:
+                    acc[y, x] = best
+                    changed = True
+    out = acc.copy()
+    out[~valid] = np.nan
+    return out

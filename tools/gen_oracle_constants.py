@@ -1923,6 +1923,45 @@ def image_fillsinks_rows():
     return sorted(rows, key=lambda d: d["cell_id"])
 
 
+def image_costdist_rows(thr=6000.0, scale=1.0 / 256.0, offset=1.0):
+    """Masked median composite → cost-distance accumulation replicated
+    without Spark: per-zone mosaics run through
+    costdist.cost_distance_np (Bellman-Ford-oracle-gated in
+    tests/test_costdist.py) with friction = band0/256 + 1 and sources
+    = band1 >= 6000, cropped back to tiles through the exact
+    rawf32/-9999 round trip — absent neighbors contribute no paths,
+    exactly the distributed operator's convention. Accumulated costs
+    carry sqrt(2) parts, so the checksums are the truncated sum, the
+    quarter-scaled truncated sum (pins the fractional part), the
+    source-pixel count (acc == 0) and the nodata count."""
+    from vrtility_spark import costdist
+
+    h = w = 16
+    zones, meta = _median_zone_mosaics(h, w)
+    rows = []
+    for _zone, lst, G in zones:
+        sv = G[1]
+        cost = np.where(np.isfinite(sv), G[0] * scale + offset, np.nan)
+        src = np.isfinite(sv) & (sv >= thr)
+        acc = costdist.cost_distance_np(cost, src)
+        plane = np.where(np.isfinite(acc), acc, np.nan)[None]
+        for cid, jx, jy in lst:
+            tile = plane[:, jy * h:(jy + 1) * h, jx * w:(jx + 1) * w]
+            payload = codec.encode(
+                codec.from_float(tile, -9999.0, "float32"), "rawf32")
+            dec = codec.decode(payload, w, h, "rawf32").astype(np.float64)
+            _nd, n_scenes = meta[cid]
+            rows.append({
+                "cell_id": cid, "n_scenes": n_scenes,
+                "payload_len": len(payload),
+                "pix_sum": int(np.asarray(dec, np.int64).sum()),
+                "pix4_sum": int(np.asarray(dec * 4.0, np.int64).sum()),
+                "src_px": int((dec == 0.0).sum()),
+                "nodata_px": int((dec == -9999.0).sum()),
+            })
+    return sorted(rows, key=lambda d: d["cell_id"])
+
+
 def image_streamorder_rows():
     """Masked median composite → D8 flowdir → Strahler stream order
     replicated without Spark: per-zone mosaics NaN-padded, coded with
@@ -3371,6 +3410,13 @@ def main() -> None:
             image_fillsinks_rows(),
             ["cell_id", "n_scenes", "payload_len", "pix_sum",
              "pix4_sum", "nodata_px"]),
+        # composite -> cost distance: pins the additive-geodesic
+        # strip-exchange relaxation against multi-source Dijkstra on
+        # the mosaic
+        "image_costdist": values_sql(
+            image_costdist_rows(),
+            ["cell_id", "n_scenes", "payload_len", "pix_sum",
+             "pix4_sum", "src_px", "nodata_px"]),
         # composite -> flowdir -> Strahler order: pins the cross-tile
         # topological wavefront against the mosaic Kahn kernel
         "image_streamorder": values_sql(

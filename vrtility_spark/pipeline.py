@@ -66,7 +66,7 @@ class Pipeline:
         "overviews", "terrain", "texture", "color_relief", "stretch",
         "classify", "kmeans", "flow_accumulation", "fill_sinks",
         "basins", "stream_order", "cloud_shadow", "unmix", "hotspots",
-        "local_moran"])
+        "local_moran", "cost_distance"])
 
     def __init__(self, df: DataFrame, mask_specs: tuple = (),
                  log: tuple = (), mask_dropped: bool = False):
@@ -799,6 +799,40 @@ class Pipeline:
                           reliable=bool(reliable),
                           checkpoint_dir=checkpoint_dir),
             (), "basins", {"max_rounds": int(max_rounds)})
+
+    def cost_distance(self, cost_band: int = 0, source_band: int = 1,
+                      source_threshold: float = 1.0,
+                      cost_scale: float = 1.0, cost_offset: float = 0.0,
+                      max_rounds: int = 256, reliable: bool = False,
+                      checkpoint_dir: str | None = None) -> "Pipeline":
+        """Cost-distance accumulation (costdist.cost_distance — GRASS
+        r.cost / ArcGIS CostDistance): minimum accumulated cost from
+        every pixel to the nearest source along 8-connected paths,
+        stepping at ``dist * (friction[a] + friction[b]) / 2``.
+        ``cost_band`` holds the (affine-rescaled, strictly positive)
+        friction, ``source_band >= source_threshold`` marks sources;
+        nodata in either band is a barrier. Chaotic-relaxation rounds
+        shuffle only 1-pixel boundary strips and touched-tile states.
+        Output a single rawf32 plane with the -9999 sentinel
+        (nodata/barrier or unreachable). Bundleable (durability knobs
+        are runtime policy). Pending masks flush first."""
+        from vrtility_spark import costdist as _cd
+        return self._next(
+            _cd.cost_distance(self.df, cost_band=int(cost_band),
+                              source_band=int(source_band),
+                              source_threshold=float(source_threshold),
+                              cost_scale=float(cost_scale),
+                              cost_offset=float(cost_offset),
+                              max_rounds=int(max_rounds),
+                              reliable=bool(reliable),
+                              checkpoint_dir=checkpoint_dir),
+            (), "cost_distance",
+            {"cost_band": int(cost_band),
+             "source_band": int(source_band),
+             "source_threshold": float(source_threshold),
+             "cost_scale": float(cost_scale),
+             "cost_offset": float(cost_offset),
+             "max_rounds": int(max_rounds)})
 
     def stream_order(self, max_rounds: int = 128,
                      reliable: bool = False,
