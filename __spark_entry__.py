@@ -3175,6 +3175,50 @@ def q_image_costdist(spark, sf_dir):
         nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
 
 
+def q_image_mlc(spark, sf_dir):
+    """Masked median composite → threshold-derived training labels
+    (algebra.classify of band 1) → supervised Gaussian
+    maximum-likelihood classification (supervised.mlc — the
+    ERDAS/ENVI/terra MLC, GEE ee.Classifier train→classify loop the
+    reference has no counterpart for): the fit is ONE narrow Arrow
+    pass emitting per-class sufficient statistics summed as exact
+    DECIMAL(38,6) (bit-identical model under any partitioning — the
+    mad.py policy), the classify a zero-shuffle broadcast-model map
+    (raw16 class plane, 65535 nodata). Pinned against constants
+    computed Spark-free with the naive-oracle-gated supervised.py
+    kernels on assembled per-zone mosaics with ONE global model
+    (tools/gen_oracle_constants.py)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import algebra, datagen, schema, supervised
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    comp = (Pipeline(images)
+            .set_maskfun("int", datagen.S2_MASK_VALUES)
+            .warp(cell_res=datagen.TILE_RES)
+            .composite("median")
+            .df)
+    labels = algebra.classify(comp, [3000.0, 4500.0], band=1)
+    out = supervised.mlc(comp, labels, broadcast_labels=True)
+
+    @F.pandas_udf("long")
+    def nd_px(b: pd.Series, w: pd.Series, h: pd.Series,
+              fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec, supervised as sup
+        res = []
+        for x, wi, hi, f in zip(b, w, h, fmt):
+            dec = codec.decode(x, int(wi), int(hi), f)
+            res.append(int((dec == sup.NODATA_CLASS).sum()))
+        return pd.Series(res)
+
+    ps = _pix_sum_udf()
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        ps("bytes", "w", "h", "fmt").alias("pix_sum"),
+        nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
+
+
 def q_image_basins(spark, sf_dir):
     """Masked median composite → D8 flowdir → distributed watershed
     basins (hydrology.basins): per-tile drainage chains contract with
@@ -3783,6 +3827,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_fillsinks": q_image_fillsinks,
         "image_basins": q_image_basins,
         "image_costdist": q_image_costdist,
+        "image_mlc": q_image_mlc,
         "image_streamorder": q_image_streamorder,
         "image_ssim": q_image_ssim,
         "autocorr_global": q_autocorr_global,

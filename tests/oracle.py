@@ -445,3 +445,59 @@ def cost_distance_bellman(cost: np.ndarray, src: np.ndarray) -> np.ndarray:
     out = acc.copy()
     out[~valid] = np.nan
     return out
+
+
+def mlc_fit_naive(X: np.ndarray, L: np.ndarray, reg: float = 0.0):
+    """Naive per-class Gaussian fit: gather each class's pixels with
+    Python loops, mean = np.mean, covariance = the explicit
+    sum-of-outer-products MLE — a genuinely different float path from
+    the engine's sufficient-statistic assembly. Returns
+    {class: (n, mean, cov)}."""
+    B, H, W_ = X.shape
+    rows: dict[int, list] = {}
+    for y in range(H):
+        for x in range(W_):
+            if not np.isfinite(L[y, x]):
+                continue
+            v = X[:, y, x]
+            if not np.all(np.isfinite(v)):
+                continue
+            rows.setdefault(int(L[y, x]), []).append(v.copy())
+    out = {}
+    for c, vs in rows.items():
+        A = np.stack(vs)
+        mu = A.mean(axis=0)
+        cov = np.zeros((B, B))
+        for v in vs:
+            d = v - mu
+            cov += np.outer(d, d)
+        cov = cov / len(vs) + reg * np.eye(B)
+        out[c] = (len(vs), mu, cov)
+    return out
+
+
+def mlc_predict_naive(X: np.ndarray, model: dict,
+                      method: str = "mlc") -> np.ndarray:
+    """Naive per-pixel classification: explicit loops over pixels and
+    classes, quadratic form via nested dot products."""
+    B, H, W_ = X.shape
+    out = np.full((H, W_), np.nan)
+    classes = sorted(model)
+    for y in range(H):
+        for x in range(W_):
+            v = X[:, y, x]
+            if not np.all(np.isfinite(v)):
+                continue
+            best, best_g = None, -np.inf
+            for c in classes:
+                m = model[c]
+                d = v - m["mean"]
+                if method == "mlc":
+                    g = (m["logprior"] - 0.5 * m["logdet"]
+                         - 0.5 * float(d @ m["inv"] @ d))
+                else:
+                    g = -float(d @ d)
+                if g > best_g:
+                    best, best_g = c, g
+            out[y, x] = float(best)
+    return out

@@ -1962,6 +1962,49 @@ def image_costdist_rows(thr=6000.0, scale=1.0 / 256.0, offset=1.0):
     return sorted(rows, key=lambda d: d["cell_id"])
 
 
+def image_mlc_rows(breaks=(3000.0, 4500.0), band=1):
+    """Masked median composite → threshold-derived training labels →
+    supervised Gaussian ML classification replicated without Spark via
+    supervised.py's OWN kernels (sufficient-statistic fit + einsum
+    classify, each naive-oracle-gated in tests/test_supervised.py):
+    labels = algebra.classify_np of band 1, the model is fitted
+    GLOBALLY over every zone's labeled pixels (merged sufficient
+    statistics — exact integer sums, so the distributed decimal agg
+    reproduces them bit-for-bit), then every mosaic classifies against
+    the one broadcast model and crops back to raw16 tiles. Class ids
+    are small exact integers, so the checksums are the plain pixel
+    sum and the nodata count."""
+    from vrtility_spark import algebra, supervised
+
+    h = w = 16
+    zones, meta = _median_zone_mosaics(h, w)
+    parts = []
+    labs = {}
+    for zone, _lst, G in zones:
+        L = algebra.classify_np(G[band][None], list(breaks))[0]
+        labs[zone] = L
+        parts.append(supervised.tile_class_stats_np(G, L))
+    model = supervised.fit_from_stats_np(supervised.merge_stats(parts))
+    rows = []
+    for zone, lst, G in zones:
+        lab = supervised.classify_np(G, model)
+        plane = np.where(np.isnan(lab), float(supervised.NODATA_CLASS),
+                         lab)[None].astype(np.uint16)
+        for cid, jx, jy in lst:
+            tile = plane[:, jy * h:(jy + 1) * h, jx * w:(jx + 1) * w]
+            payload = codec.encode(tile, "raw16")
+            dec = codec.decode(payload, w, h, "raw16")
+            _nd, n_scenes = meta[cid]
+            rows.append({
+                "cell_id": cid, "n_scenes": n_scenes,
+                "payload_len": len(payload),
+                "pix_sum": int(np.asarray(dec, np.int64).sum()),
+                "nodata_px": int(
+                    (dec == supervised.NODATA_CLASS).sum()),
+            })
+    return sorted(rows, key=lambda d: d["cell_id"])
+
+
 def image_streamorder_rows():
     """Masked median composite → D8 flowdir → Strahler stream order
     replicated without Spark: per-zone mosaics NaN-padded, coded with
@@ -3417,6 +3460,13 @@ def main() -> None:
             image_costdist_rows(),
             ["cell_id", "n_scenes", "payload_len", "pix_sum",
              "pix4_sum", "src_px", "nodata_px"]),
+        # composite -> threshold labels -> supervised Gaussian ML
+        # classification: pins the exact-decimal distributed fit +
+        # broadcast classify against the merged-stats mosaic model
+        "image_mlc": values_sql(
+            image_mlc_rows(),
+            ["cell_id", "n_scenes", "payload_len", "pix_sum",
+             "nodata_px"]),
         # composite -> flowdir -> Strahler order: pins the cross-tile
         # topological wavefront against the mosaic Kahn kernel
         "image_streamorder": values_sql(
