@@ -3503,6 +3503,36 @@ def q_grid_idw(spark, sf_dir):
         nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
 
 
+def q_grid_kriging(spark, sf_dir):
+    """Ordinary kriging (kriging.krige_points — the gstat /
+    terra::interpolate / ArcGIS Kriging twin, the model-based upgrade
+    of grid_idw): variogram AUTOFIT included — pair generation is the
+    bounded cover-explosion join (no all-pairs), the binned
+    semivariogram sums as exact DECIMAL(38,6) (bit-identical model
+    under any partitioning — the mad.py policy), the WLS fit is a
+    deterministic range-candidate scan with exact 2x2 normal-equation
+    solves, and each tile's surface solves identity-padded batched OK
+    systems over its pid-sorted candidates. Pinned against constants
+    replicating the WHOLE train→interpolate chain Spark-free
+    (tools/gen_oracle_constants.py, naive-all-pairs + krige_np —
+    each oracle-gated in tests/test_kriging.py). The reference
+    delegates interpolation to external tooling entirely."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, gridding, kriging
+    pts = spark.createDataFrame(
+        gridding.demo_grid_points(),
+        "point_id long, zone long, x double, y double, value double")
+    out = kriging.krige_points(pts, datagen.TILE_RES, 16, 16,
+                               radius=60000.0, max_lag=60000.0,
+                               n_lags=8, max_points=8)
+    fsum, nd_px = _float_payload_udfs()
+    return out.select(
+        "cell_id", "n_points",
+        F.length("bytes").alias("payload_len"),
+        F.round(fsum("bytes", "w", "h", "fmt"), 3).alias("fsum"),
+        nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
+
+
 GRID_IDW_RADIUS = 6144.0  # 1.5 px at TILE_RES/16px tiles
 CONTOUR_BREAKS = [2000.0, 3500.0, 5000.0]
 
@@ -3868,6 +3898,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_fillnodata": q_image_fillnodata,
         "point_sample": q_point_sample,
         "grid_idw": q_grid_idw,
+        "grid_kriging": q_grid_kriging,
         "contour_polygons": q_contour_polygons,
         "zonal_majority": q_zonal_majority,
         "image_hillshade_md": q_image_hillshade_md,

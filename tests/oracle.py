@@ -501,3 +501,47 @@ def mlc_predict_naive(X: np.ndarray, model: dict,
                     best, best_g = c, g
             out[y, x] = float(best)
     return out
+
+
+def krige_naive(xs, ys, vs, x0, y0, size, w, h, vmodel,
+                radius, max_points=16, min_points=1):
+    """Naive per-pixel ordinary kriging: explicit loops, per-pixel
+    stable nearest-k selection, one np.linalg.solve per pixel — a
+    genuinely different assembly path from the engine's batched
+    identity-padded systems."""
+    from vrtility_spark.kriging import variogram_np
+    xs = np.asarray(xs, float)
+    ys = np.asarray(ys, float)
+    vs = np.asarray(vs, float)
+    out = np.full((h, w), np.nan)
+    for iy in range(h):
+        for ix in range(w):
+            cx = x0 + (ix + 0.5) * size / w
+            cy = y0 + (iy + 0.5) * size / h
+            d2 = (xs - cx) ** 2 + (ys - cy) ** 2
+            inside = d2 <= radius ** 2
+            if inside.sum() < min_points:
+                continue
+            dm = np.where(inside, d2, np.inf)
+            sel = np.argsort(dm, kind="stable")[:max_points]
+            sel = sel[np.isfinite(dm[sel])]
+            n = len(sel)
+            A = np.zeros((n + 1, n + 1))
+            for a in range(n):
+                for b_ in range(n):
+                    dd = np.hypot(xs[sel[a]] - xs[sel[b_]],
+                                  ys[sel[a]] - ys[sel[b_]])
+                    A[a, b_] = float(variogram_np(
+                        dd, vmodel["nugget"], vmodel["psill"],
+                        vmodel["range"], vmodel["model"]))
+            A[n, :n] = 1.0
+            A[:n, n] = 1.0
+            rhs = np.zeros(n + 1)
+            for a in range(n):
+                rhs[a] = float(variogram_np(
+                    np.sqrt(d2[sel[a]]), vmodel["nugget"],
+                    vmodel["psill"], vmodel["range"], vmodel["model"]))
+            rhs[n] = 1.0
+            wt = np.linalg.solve(A, rhs)
+            out[iy, ix] = float((wt[:n] * vs[sel]).sum())
+    return out[None]

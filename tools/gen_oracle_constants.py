@@ -1962,6 +1962,66 @@ def image_costdist_rows(thr=6000.0, scale=1.0 / 256.0, offset=1.0):
     return sorted(rows, key=lambda d: d["cell_id"])
 
 
+def grid_kriging_rows(radius=60000.0, max_lag=60000.0, n_lags=8,
+                      max_points=8):
+    """Ordinary kriging of the deterministic demo point set replicated
+    without Spark, INCLUDING the variogram autofit: the empirical
+    semivariogram is the all-pairs quantized twin
+    (kriging.variogram_pairs_naive, per zone, bins merged — exactly
+    what the distributed decimal pair sum produces, oracle-gated in
+    tests/test_kriging.py), fit_variogram_np picks the same
+    deterministic WLS model, and each cover cell's surface comes from
+    krige_np over its pid-sorted candidates — pinning the whole
+    train→interpolate chain. Checksums as grid_idw."""
+    from vrtility_spark import gridding, kriging
+
+    res, w, h = datagen.TILE_RES, 16, 16
+    size = cells.cell_size(res)
+    pts = gridding.demo_grid_points()
+    sum_d = np.zeros(n_lags)
+    sum_dv2 = np.zeros(n_lags)
+    cnt = np.zeros(n_lags, np.int64)
+    for zone in sorted({p[1] for p in pts}):
+        zp = [p for p in pts if p[1] == zone]
+        sd, sv, c = kriging.variogram_pairs_naive(
+            [p[2] for p in zp], [p[3] for p in zp],
+            [p[4] for p in zp], max_lag, n_lags)
+        sum_d += sd
+        sum_dv2 += sv
+        cnt += c
+    with np.errstate(invalid="ignore"):
+        mean_lags = np.where(cnt > 0, sum_d / np.maximum(cnt, 1),
+                             np.nan)
+        gamma = np.where(cnt > 0,
+                         sum_dv2 / (2.0 * np.maximum(cnt, 1)), np.nan)
+    vm = kriging.fit_variogram_np(mean_lags, gamma, cnt, "spherical")
+    cover: dict[int, list] = {}
+    for pid, zone, x, y, v in pts:
+        for cid in cells.cover_bbox_np(zone, x - radius, y - radius,
+                                       x + radius, y + radius, res):
+            cover.setdefault(int(cid), []).append((pid, x, y, v))
+    rows = []
+    for cid, lst in sorted(cover.items()):
+        lst = sorted(lst)  # pid order == the kernel's sort
+        _z, _r, ix, iy = (int(t) for t in cells.decode_np(cid))
+        surf = kriging.krige_np(
+            [t[1] for t in lst], [t[2] for t in lst],
+            [t[3] for t in lst], ix * size, iy * size, size, w, h,
+            vm, radius, max_points)
+        enc = codec.encode(
+            codec.from_float(surf, kriging.OUT_NODATA, "float32"),
+            "rawf32")
+        dec = codec.decode(enc, w, h, "rawf32").astype(np.float64)
+        valid = dec[dec != kriging.OUT_NODATA]
+        rows.append({
+            "cell_id": cid, "n_points": len(lst),
+            "payload_len": len(enc),
+            "fsum": _round_half_up(float(np.round(valid, 3).sum()), 3),
+            "nodata_px": int((dec == kriging.OUT_NODATA).sum()),
+        })
+    return rows
+
+
 def image_mlc_rows(breaks=(3000.0, 4500.0), band=1):
     """Masked median composite → threshold-derived training labels →
     supervised Gaussian ML classification replicated without Spark via
@@ -3551,6 +3611,11 @@ def main() -> None:
         # the sorted-order accumulation, and the storage round trip
         "grid_idw": values_sql(
             grid_idw_rows(),
+            ["cell_id", "n_points", "payload_len", "fsum", "nodata_px"]),
+        # demo points -> decimal variogram -> WLS fit -> OK solve:
+        # pins the whole train->interpolate kriging chain
+        "grid_kriging": values_sql(
+            grid_kriging_rows(),
             ["cell_id", "n_points", "payload_len", "fsum", "nodata_px"]),
         # median band 0 -> classify -> polygonize: pins the fused
         # digitize map and the level-bound mapping through the same
