@@ -3175,6 +3175,71 @@ def q_image_costdist(spark, sf_dir):
         nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
 
 
+def q_image_costalloc(spark, sf_dir):
+    """Cost ALLOCATION as a verb composition (ArcGIS CostAllocation):
+    masked median composite → distributed cost distance with the D8
+    backlink plane (costdist.backlink_np — derived per tile from the
+    converged state's halo, zero extra rounds) → band subset →
+    hydrology.basins pointer-walk on the backlink codes, labeling
+    every reachable pixel with the zone-global id of the source pixel
+    it reaches cheapest. Pinned against constants computed Spark-free
+    with cost_distance_np + backlink_np + basins_np on assembled
+    per-zone mosaics (tools/gen_oracle_constants.py)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, hydrology, schema
+    from vrtility_spark.bands import subset_band_index
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    cd = (Pipeline(images)
+          .set_maskfun("int", datagen.S2_MASK_VALUES)
+          .warp(cell_res=datagen.TILE_RES)
+          .composite("median")
+          .cost_distance(cost_band=0, source_band=1,
+                         source_threshold=6000.0,
+                         cost_scale=1.0 / 256.0, cost_offset=1.0,
+                         backlink=True)
+          .df)
+    out = hydrology.basins(subset_band_index(cd, 1))
+
+    @F.pandas_udf("long")
+    def lab_sum(b: pd.Series, w: pd.Series, h: pd.Series,
+                fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f in zip(b, w, h, fmt):
+            dec = codec.decode(x, int(wi), int(hi), f)
+            res.append(int(np.asarray(dec, np.int64).sum()))
+        return pd.Series(res)
+
+    @F.pandas_udf("long")
+    def n_alloc(b: pd.Series, w: pd.Series, h: pd.Series,
+                fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f in zip(b, w, h, fmt):
+            dec = codec.decode(x, int(wi), int(hi), f)
+            res.append(int(len(np.unique(dec[dec != -9999.0]))))
+        return pd.Series(res)
+
+    @F.pandas_udf("long")
+    def nd_px(b: pd.Series, w: pd.Series, h: pd.Series,
+              fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f in zip(b, w, h, fmt):
+            dec = codec.decode(x, int(wi), int(hi), f)
+            res.append(int((dec == -9999.0).sum()))
+        return pd.Series(res)
+
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        lab_sum("bytes", "w", "h", "fmt").alias("lab_sum"),
+        n_alloc("bytes", "w", "h", "fmt").alias("n_alloc"),
+        nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
+
+
 def q_image_mlc(spark, sf_dir):
     """Masked median composite → threshold-derived training labels
     (algebra.classify of band 1) → supervised Gaussian
@@ -3858,6 +3923,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_basins": q_image_basins,
         "image_costdist": q_image_costdist,
         "image_mlc": q_image_mlc,
+        "image_costalloc": q_image_costalloc,
         "image_streamorder": q_image_streamorder,
         "image_ssim": q_image_ssim,
         "autocorr_global": q_autocorr_global,

@@ -274,3 +274,115 @@ def test_pipeline_verb_and_bundle(spark, tmp_path, tiny_images):
     a = {r.cell_id: bytes(r.bytes) for r in rows}
     b = {r.cell_id: bytes(r.bytes) for r in replay.df.collect()}
     assert a == b
+
+
+# ------------------------------------------------- backlink / allocation ----
+
+def test_backlink_predecessor_property():
+    # for every reachable non-source pixel p with backlink code c:
+    # acc[q] + step(q, p) == acc[p] EXACTLY (same float expression)
+    from vrtility_spark.terrain import D8_CODES
+    cost = np.round(RNG.uniform(1, 50, size=(10, 12)))
+    cost[RNG.random(cost.shape) < 0.08] = np.nan
+    src = RNG.random(cost.shape) < 0.06
+    src &= np.isfinite(cost)
+    if not src.any():
+        src[0, 0] = True
+    acc = costdist.cost_distance_np(cost, src)
+    bl = costdist.backlink_np(cost, acc)
+    code_map = {c: (dy, dx) for c, dy, dx in D8_CODES}
+    H, W = cost.shape
+    checked = 0
+    for y in range(H):
+        for x in range(W):
+            if not np.isfinite(bl[y, x]) or bl[y, x] == 0:
+                continue
+            dy, dx = code_map[int(bl[y, x])]
+            qy, qx = y + dy, x + dx
+            assert 0 <= qy < H and 0 <= qx < W
+            d = np.sqrt(2.0) if (dy and dx) else 1.0
+            assert acc[qy, qx] + d * (cost[qy, qx] + cost[y, x]) / 2.0 \
+                == acc[y, x]
+            checked += 1
+    assert checked > 20
+    # sources are 0, barriers NaN, unreachable NaN
+    assert (bl[src] == 0).all()
+    assert np.isnan(bl[~np.isfinite(cost)]).all()
+
+
+def test_backlink_uniform_points_at_source():
+    # single source, friction 1: the pixel due east of the source
+    # walks WEST (code 16), the one due north walks SOUTH (code 64)
+    cost = np.ones((5, 5))
+    src = np.zeros((5, 5), bool)
+    src[2, 2] = True
+    acc = costdist.cost_distance_np(cost, src)
+    bl = costdist.backlink_np(cost, acc)
+    assert bl[2, 2] == 0
+    assert bl[2, 3] == 16.0   # east neighbor -> points west
+    assert bl[2, 1] == 1.0    # west neighbor -> points east
+    assert bl[1, 2] == 64.0   # north neighbor -> points south (dy=+1)
+    assert bl[3, 2] == 4.0    # south neighbor -> points north
+    assert bl[1, 1] == 128.0  # NW corner -> points SE
+
+
+def test_distributed_backlink_matches_mosaic(spark):
+    h = w = 8
+    positions = [(0, 0), (1, 0), (0, 1), (1, 1)]
+    rows, cost, srcp = _cd_tiles(h, w, positions,
+                                 sources=[(2, 2), (13, 11)])
+    df = spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+    c = np.where(np.isfinite(srcp), cost, np.nan)
+    src = np.isfinite(srcp) & (srcp >= THR)
+    accM = costdist.cost_distance_np(c, src)
+    blM = costdist.backlink_np(c, accM)
+    out = costdist.cost_distance(df, source_threshold=THR,
+                                 backlink=True).collect()
+    assert all(r.fmt == "rawf32" for r in out)
+    got = _collect_tiles(out)
+    for ix, iy in positions:
+        cid = int(cells.encode_np(ZONE, RES, ix, iy))
+        assert got[cid].shape[0] == 2
+        wantA = np.where(np.isfinite(accM), accM, np.nan)[
+            iy * h:(iy + 1) * h, ix * w:(ix + 1) * w]
+        np.testing.assert_allclose(
+            got[cid][0], wantA.astype(np.float32), rtol=0, atol=0,
+            equal_nan=True)
+        wantB = blM[iy * h:(iy + 1) * h, ix * w:(ix + 1) * w]
+        np.testing.assert_allclose(
+            got[cid][1], wantB.astype(np.float32), rtol=0, atol=0,
+            equal_nan=True)
+
+
+def test_cost_allocation_via_basins(spark):
+    # ArcGIS CostAllocation as a composition: backlink plane -> basins
+    # labels every pixel by the zone-global id of the source pixel its
+    # backlink walk reaches — compare against basins_np on the mosaic
+    from vrtility_spark import hydrology
+    from vrtility_spark.bands import subset_band_index
+    h = w = 8
+    positions = [(0, 0), (1, 0)]
+    rows, cost, srcp = _cd_tiles(h, w, positions,
+                                 sources=[(3, 2), (5, 13)])
+    df = spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+    c = np.where(np.isfinite(srcp), cost, np.nan)
+    src = np.isfinite(srcp) & (srcp >= THR)
+    accM = costdist.cost_distance_np(c, src)
+    blM = costdist.backlink_np(c, accM)
+    want = hydrology.basins_np(blM[None])
+    cd = costdist.cost_distance(df, source_threshold=THR,
+                                backlink=True)
+    alloc = hydrology.basins(subset_band_index(cd, 1))
+    got = _collect_tiles(alloc.collect())
+    for ix, iy in positions:
+        cid = int(cells.encode_np(ZONE, RES, ix, iy))
+        np.testing.assert_allclose(
+            got[cid], want[:, iy * h:(iy + 1) * h,
+                           ix * w:(ix + 1) * w],
+            rtol=0, atol=0, equal_nan=True)
+    # every reachable pixel is allocated to an actual source pixel
+    sy, sx = np.nonzero(src)
+    src_labels = {float(y * hydrology.BASIN_SPAN + x)
+                  for y, x in zip(sy.tolist(), sx.tolist())}
+    lab = want[0][np.isfinite(want[0])]
+    assert set(np.unique(lab)) <= src_labels

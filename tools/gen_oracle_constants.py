@@ -2022,6 +2022,46 @@ def grid_kriging_rows(radius=60000.0, max_lag=60000.0, n_lags=8,
     return rows
 
 
+def image_costalloc_rows(thr=6000.0, scale=1.0 / 256.0, offset=1.0):
+    """Masked median composite → cost distance with backlink →
+    watershed walk on the backlink plane = cost ALLOCATION (ArcGIS
+    CostAllocation as a composition): every reachable pixel labeled by
+    the zone-global id of the source pixel its Dijkstra-predecessor
+    walk reaches. Replicated without Spark via cost_distance_np +
+    backlink_np + hydrology.basins_np (each oracle-gated in
+    tests/test_costdist.py / test_fillsinks_basins.py) on per-zone
+    mosaics, cropped through the exact rawf64/-9999 round trip.
+    Labels are exact integers: checksums are the plain sum, the
+    distinct-label count and the nodata count."""
+    from vrtility_spark import costdist, hydrology
+
+    h = w = 16
+    zones, meta = _median_zone_mosaics(h, w)
+    rows = []
+    for _zone, lst, G in zones:
+        sv = G[1]
+        cost = np.where(np.isfinite(sv), G[0] * scale + offset, np.nan)
+        src = np.isfinite(sv) & (sv >= thr)
+        acc = costdist.cost_distance_np(cost, src)
+        bl = costdist.backlink_np(cost, acc)
+        lab = hydrology.basins_np(bl[None])
+        for cid, jx, jy in lst:
+            tile = lab[:, jy * h:(jy + 1) * h, jx * w:(jx + 1) * w]
+            payload = codec.encode(
+                codec.from_float(tile, -9999.0, "float64"), "rawf64")
+            dec = codec.decode(payload, w, h, "rawf64")
+            _nd, n_scenes = meta[cid]
+            valid = dec[dec != -9999.0]
+            rows.append({
+                "cell_id": cid, "n_scenes": n_scenes,
+                "payload_len": len(payload),
+                "lab_sum": int(np.asarray(dec, np.int64).sum()),
+                "n_alloc": int(len(np.unique(valid))),
+                "nodata_px": int((dec == -9999.0).sum()),
+            })
+    return sorted(rows, key=lambda d: d["cell_id"])
+
+
 def image_mlc_rows(breaks=(3000.0, 4500.0), band=1):
     """Masked median composite → threshold-derived training labels →
     supervised Gaussian ML classification replicated without Spark via
@@ -3520,6 +3560,11 @@ def main() -> None:
             image_costdist_rows(),
             ["cell_id", "n_scenes", "payload_len", "pix_sum",
              "pix4_sum", "src_px", "nodata_px"]),
+        # cost distance + backlink -> basins walk = cost allocation
+        "image_costalloc": values_sql(
+            image_costalloc_rows(),
+            ["cell_id", "n_scenes", "payload_len", "lab_sum",
+             "n_alloc", "nodata_px"]),
         # composite -> threshold labels -> supervised Gaussian ML
         # classification: pins the exact-decimal distributed fit +
         # broadcast classify against the merged-stats mosaic model

@@ -158,6 +158,44 @@ def _cd_local(cost: np.ndarray, src: np.ndarray,
     return np.where(valid, acc, np.nan)
 
 
+def backlink_np(cost: np.ndarray, acc: np.ndarray,
+                halo_acc: np.ndarray | None = None,
+                halo_cost: np.ndarray | None = None) -> np.ndarray:
+    """D8 backlink codes (ArcGIS ``CostBackLink``) derived from a
+    CONVERGED accumulated-cost plane: each reachable non-source pixel
+    points at the predecessor ``q`` minimizing
+    ``acc[q] + dist · (cost[q] + cost[p]) / 2`` — by the Dijkstra
+    fixpoint this minimum EQUALS ``acc[p]`` (same float expression as
+    the relaxation, so the argmin is exact, no tolerance) — with ties
+    to the smallest D8 code (:data:`terrain.D8_CODES` convention, so
+    :func:`hydrology.basins` can walk the result directly: walking
+    backlinks lands on a source = cost ALLOCATION). Sources (acc 0)
+    code 0; nodata/unreachable NaN. ``halo_acc``/``halo_cost`` supply
+    the cross-tile ring in the distributed assembly (absent → no
+    out-of-plane predecessors)."""
+    from vrtility_spark.terrain import D8_CODES
+    H, W_ = cost.shape
+    pad_acc = (halo_acc.copy() if halo_acc is not None
+               else np.full((H + 2, W_ + 2), np.inf))
+    pad_cost = (halo_cost.copy() if halo_cost is not None
+                else np.full((H + 2, W_ + 2), np.inf))
+    pad_acc[1:-1, 1:-1] = np.where(np.isfinite(acc), acc, np.inf)
+    pad_cost[1:-1, 1:-1] = np.where(np.isfinite(cost), cost, np.inf)
+    best = np.full((H, W_), np.inf)
+    code_out = np.zeros((H, W_))
+    for code, dy, dx in D8_CODES:   # ascending: first strict winner
+        q_acc = pad_acc[1 + dy:1 + dy + H, 1 + dx:1 + dx + W_]
+        q_cost = pad_cost[1 + dy:1 + dy + H, 1 + dx:1 + dx + W_]
+        d = _SQRT2 if (dy != 0 and dx != 0) else 1.0
+        cand = q_acc + d * (q_cost + cost) / 2.0
+        better = cand < best
+        code_out = np.where(better, float(code), code_out)
+        best = np.where(better, cand, best)
+    out = np.where(acc == 0.0, 0.0, code_out)
+    out[~(np.isfinite(acc) & np.isfinite(cost))] = np.nan
+    return out
+
+
 def _check_friction(cost: np.ndarray) -> None:
     bad = np.isfinite(cost) & (cost <= 0.0)
     if bad.any():
@@ -192,6 +230,7 @@ def cost_distance(df: DataFrame, key: str = "cell_id",
                   cost_band: int = 0, source_band: int = 1,
                   source_threshold: float = 1.0,
                   cost_scale: float = 1.0, cost_offset: float = 0.0,
+                  backlink: bool = False,
                   max_rounds: int = 256, reliable: bool = False,
                   checkpoint_dir: str | None = None) -> DataFrame:
     """Distributed cost-distance accumulation over a one-row-per-cell
@@ -205,8 +244,14 @@ def cost_distance(df: DataFrame, key: str = "cell_id",
     and ``source_band`` (``value >= source_threshold`` marks sources)
     address planes of the SAME tile — rasterize sources first with
     :func:`vrtility_spark.rasterize.rasterize` + ``vrt_stack`` if they
-    arrive as vectors. ``reliable``/``checkpoint_dir`` select durable
-    checkpoints for the round states (the same policy knob as
+    arrive as vectors. ``backlink=True`` appends a second plane of D8
+    predecessor codes (:func:`backlink_np` — ArcGIS ``CostBackLink``;
+    derived per tile from the converged state's halo, so it needs no
+    extra rounds) — chain ``bands.subset_band_index(out, 1)`` into
+    :func:`hydrology.basins` for cost ALLOCATION (every pixel labeled
+    by the source it reaches cheapest, ArcGIS ``CostAllocation``).
+    ``reliable``/``checkpoint_dir`` select durable checkpoints for
+    the round states (the same policy knob as
     ``hydrology.fill_sinks``)."""
     names = df.columns
     for req in (key, "bytes", "w", "h", "fmt", "nodata"):
@@ -429,8 +474,12 @@ def cost_distance(df: DataFrame, key: str = "cell_id",
             out = []
             for row in pdf.itertuples(index=False):
                 H, W_ = int(row.h), int(row.w)
-                acc, _ha, _hc = _unpack_state(row.state, H, W_)
+                acc, ha, hc = _unpack_state(row.state, H, W_)
                 plane = np.where(np.isfinite(acc), acc, np.nan)[None]
+                if backlink:
+                    cost, _src = _planes(row)
+                    bl = backlink_np(cost, acc, ha, hc)
+                    plane = np.concatenate([plane, bl[None]])
                 d = {c: getattr(row, c) for c in names if c != key}
                 d[key] = int(row.cell)
                 d["bytes"] = codec.encode(

@@ -803,6 +803,7 @@ class Pipeline:
     def cost_distance(self, cost_band: int = 0, source_band: int = 1,
                       source_threshold: float = 1.0,
                       cost_scale: float = 1.0, cost_offset: float = 0.0,
+                      backlink: bool = False,
                       max_rounds: int = 256, reliable: bool = False,
                       checkpoint_dir: str | None = None) -> "Pipeline":
         """Cost-distance accumulation (costdist.cost_distance — GRASS
@@ -813,9 +814,12 @@ class Pipeline:
         friction, ``source_band >= source_threshold`` marks sources;
         nodata in either band is a barrier. Chaotic-relaxation rounds
         shuffle only 1-pixel boundary strips and touched-tile states.
-        Output a single rawf32 plane with the -9999 sentinel
-        (nodata/barrier or unreachable). Bundleable (durability knobs
-        are runtime policy). Pending masks flush first."""
+        Output a rawf32 accumulated-cost plane (-9999 sentinel where
+        nodata/barrier or unreachable), plus a D8 predecessor-code
+        plane when ``backlink=True`` (chain ``.subset_bands([1])`` →
+        ``.basins()`` for ArcGIS-style cost allocation). Bundleable
+        (durability knobs are runtime policy). Pending masks flush
+        first."""
         from vrtility_spark import costdist as _cd
         return self._next(
             _cd.cost_distance(self.df, cost_band=int(cost_band),
@@ -823,6 +827,7 @@ class Pipeline:
                               source_threshold=float(source_threshold),
                               cost_scale=float(cost_scale),
                               cost_offset=float(cost_offset),
+                              backlink=bool(backlink),
                               max_rounds=int(max_rounds),
                               reliable=bool(reliable),
                               checkpoint_dir=checkpoint_dir),
@@ -832,6 +837,7 @@ class Pipeline:
              "source_threshold": float(source_threshold),
              "cost_scale": float(cost_scale),
              "cost_offset": float(cost_offset),
+             "backlink": bool(backlink),
              "max_rounds": int(max_rounds)})
 
     def stream_order(self, max_rounds: int = 128,
