@@ -3240,6 +3240,58 @@ def q_image_costalloc(spark, sf_dir):
         nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
 
 
+def q_image_otsu(spark, sf_dir):
+    """Masked median composite → automatic Otsu thresholding
+    (threshold.threshold_classify — scikit-image threshold_otsu / the
+    GEE auto-threshold recipe): ONE Arrow pass emits per-tile exact
+    value counts, a map-side-combinable groupBy merges the global
+    histogram (bit-identical at any partitioning — integer payloads
+    need no binning), the driver scans every split for the
+    between-class-variance maximum, and algebra.classify applies the
+    cut in a zero-shuffle map (0/1 plane + threshold provenance
+    column). Pinned against constants replicating histogram → otsu_np
+    → classify_np on merged zone mosaics
+    (tools/gen_oracle_constants.py)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema, threshold
+    from vrtility_spark.pipeline import Pipeline
+    comp = (Pipeline(schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16)))
+        .set_maskfun("int", datagen.S2_MASK_VALUES)
+        .warp(cell_res=datagen.TILE_RES)
+        .composite("median")
+        .df)
+    out = threshold.threshold_classify(comp, band=0, method="otsu")
+
+    @F.pandas_udf("long")
+    def cls_sum(b: pd.Series, w: pd.Series, h: pd.Series,
+                fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f in zip(b, w, h, fmt):
+            dec = codec.decode(x, int(wi), int(hi), f)
+            res.append(int(np.asarray(dec[dec != np.float32(-9999.0)],
+                                      np.int64).sum()))
+        return pd.Series(res)
+
+    @F.pandas_udf("long")
+    def nd_px(b: pd.Series, w: pd.Series, h: pd.Series,
+              fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f in zip(b, w, h, fmt):
+            dec = codec.decode(x, int(wi), int(hi), f)
+            res.append(int((dec == np.float32(-9999.0)).sum()))
+        return pd.Series(res)
+
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        cls_sum("bytes", "w", "h", "fmt").alias("pix_sum"),
+        nd_px("bytes", "w", "h", "fmt").alias("nodata_px"),
+        F.round("threshold", 6).alias("threshold"))
+
+
 def q_image_mlc(spark, sf_dir):
     """Masked median composite → threshold-derived training labels
     (algebra.classify of band 1) → supervised Gaussian
@@ -3924,6 +3976,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_costdist": q_image_costdist,
         "image_mlc": q_image_mlc,
         "image_costalloc": q_image_costalloc,
+        "image_otsu": q_image_otsu,
         "image_streamorder": q_image_streamorder,
         "image_ssim": q_image_ssim,
         "autocorr_global": q_autocorr_global,

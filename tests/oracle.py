@@ -545,3 +545,23 @@ def krige_naive(xs, ys, vs, x0, y0, size, w, h, vmodel,
             wt = np.linalg.solve(A, rhs)
             out[iy, ix] = float((wt[:n] * vs[sel]).sum())
     return out[None]
+
+
+def otsu_naive(values, counts) -> float:
+    """Naive Otsu: try every split of the sorted histogram with
+    explicit loops and recomputed class moments."""
+    order = np.argsort(np.asarray(values, float), kind="stable")
+    v = np.asarray(values, float)[order]
+    c = np.asarray(counts, float)[order]
+    best_k, best_crit = None, -1.0
+    for k in range(len(v) - 1):
+        w0 = c[:k + 1].sum()
+        w1 = c[k + 1:].sum()
+        if w0 == 0 or w1 == 0:
+            continue
+        mu0 = (c[:k + 1] * v[:k + 1]).sum() / w0
+        mu1 = (c[k + 1:] * v[k + 1:]).sum() / w1
+        crit = w0 * w1 * (mu0 - mu1) ** 2
+        if crit > best_crit:
+            best_k, best_crit = k, crit
+    return float((v[best_k] + v[best_k + 1]) / 2.0)

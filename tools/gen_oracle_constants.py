@@ -2062,6 +2062,44 @@ def image_costalloc_rows(thr=6000.0, scale=1.0 / 256.0, offset=1.0):
     return sorted(rows, key=lambda d: d["cell_id"])
 
 
+def image_otsu_rows(band=0):
+    """Masked median composite → global exact histogram → Otsu cut →
+    0/1 classify, replicated without Spark via threshold.py's OWN
+    kernels (naive-oracle-gated in tests/test_threshold.py): the
+    histogram merges every zone's band-0 values (exactly what the
+    distributed value-count groupBy produces on integer payloads),
+    otsu_np picks the cut, classify_np applies it per mosaic. Class
+    planes are 0/1 ints: checksums are the pixel sum (= class-1
+    count), the nodata count, and the shared threshold (round-6)."""
+    from vrtility_spark import algebra, threshold
+
+    h = w = 16
+    zones, meta = _median_zone_mosaics(h, w)
+    allv = np.concatenate([G[band][np.isfinite(G[band])]
+                           for _z, _l, G in zones])
+    u, c = threshold.histogram_naive(allv)
+    t = threshold.otsu_np(u, c)
+    rows = []
+    for _zone, lst, G in zones:
+        cls = algebra.classify_np(G[band][None],
+                                  [float(np.nextafter(t, np.inf))])
+        for cid, jx, jy in lst:
+            tile = cls[:, jy * h:(jy + 1) * h, jx * w:(jx + 1) * w]
+            payload = codec.encode(
+                codec.from_float(tile, -9999.0, "float32"), "rawf32")
+            dec = codec.decode(payload, w, h, "rawf32")
+            _nd, n_scenes = meta[cid]
+            rows.append({
+                "cell_id": cid, "n_scenes": n_scenes,
+                "payload_len": len(payload),
+                "pix_sum": int(np.asarray(dec[dec != -9999.0],
+                                          np.int64).sum()),
+                "nodata_px": int((dec == -9999.0).sum()),
+                "threshold": _round_half_up(t, 6),
+            })
+    return sorted(rows, key=lambda d: d["cell_id"])
+
+
 def image_mlc_rows(breaks=(3000.0, 4500.0), band=1):
     """Masked median composite → threshold-derived training labels →
     supervised Gaussian ML classification replicated without Spark via
@@ -3565,6 +3603,12 @@ def main() -> None:
             image_costalloc_rows(),
             ["cell_id", "n_scenes", "payload_len", "lab_sum",
              "n_alloc", "nodata_px"]),
+        # composite -> exact global histogram -> Otsu -> classify:
+        # pins the auto-threshold chain end to end
+        "image_otsu": values_sql(
+            image_otsu_rows(),
+            ["cell_id", "n_scenes", "payload_len", "pix_sum",
+             "nodata_px", "threshold"]),
         # composite -> threshold labels -> supervised Gaussian ML
         # classification: pins the exact-decimal distributed fit +
         # broadcast classify against the merged-stats mosaic model
