@@ -3704,6 +3704,56 @@ def q_rasterize_aoi(spark, sf_dir):
         burned("bytes", "w", "h", "fmt").alias("burned_px"))
 
 
+def q_image_allocation(spark, sf_dir):
+    """Euclidean allocation (proximity.allocation — GRASS
+    r.grow.distance value output / ArcGIS EucAllocation, the
+    straight-line sibling of the cost allocation chain): fixture AOIs
+    rasterize with per-feature burn values, then every pixel within
+    max_dist of a burned pixel takes its nearest seed's value via the
+    argmin-carrying separable EDT riding the SAME focal halo exchange
+    as proximity (two-plane strips: class + value). Deterministic tie
+    rule (min d², northernmost, leftmost) walk-oracle-gated in
+    tests/test_proximity.py; pinned against constants replicating
+    burn → per-zone mosaic → allocation_np Spark-free
+    (tools/gen_oracle_constants.py)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, proximity, rasterize, schema
+    aoi = schema.aoi_df(spark, datagen.aoi_pandas(nx=2, ny=2)) \
+        .withColumn("burnv", F.length("aoi_id").cast("double"))
+    ras = rasterize.rasterize_aoi(aoi, datagen.TILE_RES, 16, 16,
+                                  burn="burnv")
+    out = proximity.allocation(ras, band=0,
+                               values=(3.0, 5.0, 7.0, 8.0, 9.0),
+                               max_dist=4.0)
+
+    @F.pandas_udf("long")
+    def alloc_sum(b: pd.Series, w: pd.Series, h: pd.Series,
+                  fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f in zip(b, w, h, fmt):
+            dec = codec.decode(x, int(wi), int(hi), f)
+            res.append(int(np.asarray(dec[dec != np.float32(-9999.0)],
+                                      np.int64).sum()))
+        return pd.Series(res)
+
+    @F.pandas_udf("long")
+    def nd_px(b: pd.Series, w: pd.Series, h: pd.Series,
+              fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f in zip(b, w, h, fmt):
+            dec = codec.decode(x, int(wi), int(hi), f)
+            res.append(int((dec == np.float32(-9999.0)).sum()))
+        return pd.Series(res)
+
+    return out.select(
+        "cell_id", "n_parts",
+        F.length("bytes").alias("payload_len"),
+        alloc_sum("bytes", "w", "h", "fmt").alias("alloc_sum"),
+        nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
+
+
 def q_zonal_majority(spark, sf_dir):
     """Per-(AOI, band) modal pixel value (zonal.zonal_majority — the
     QGIS majority / terra modal zonal statistic) over the masked
@@ -4000,6 +4050,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_dedup": q_image_phash_dedup,
         "image_anomaly": q_image_anomaly,
         "rasterize_aoi": q_rasterize_aoi,
+        "image_allocation": q_image_allocation,
         "image_medoid_composite": q_image_medoid_composite,
         "image_hls_composite": q_image_hls_composite,
         "image_regrid_composite": q_image_regrid_composite,

@@ -565,3 +565,34 @@ def otsu_naive(values, counts) -> float:
         if crit > best_crit:
             best_k, best_crit = k, crit
     return float((v[best_k] + v[best_k + 1]) / 2.0)
+
+
+def allocation_walk(P: np.ndarray, V: np.ndarray, values,
+                    max_dist: float) -> np.ndarray:
+    """Naive Euclidean allocation: for every pixel, loop over every
+    candidate offset, track the best (d², then lowest dy, then
+    leftmost source x) and copy that target's value — the explicit
+    twin of the engine's separable carry rules."""
+    H, W = P.shape
+    r = int(np.ceil(max_dist))
+    tgt = np.isin(P, np.asarray(list(values), float))
+    out = np.full((H, W), np.nan)
+    for y in range(H):
+        for x in range(W):
+            best = None  # (d2, dy, sx)
+            for dy in range(-r, r + 1):
+                sy = y + dy
+                if not 0 <= sy < H:
+                    continue
+                for sx in range(W):
+                    if not tgt[sy, sx]:
+                        continue
+                    d2 = dy * dy + (sx - x) ** 2
+                    if d2 > max_dist ** 2:
+                        continue
+                    cand = (d2, dy, abs(sx - x), sx)
+                    if best is None or cand < best:
+                        best = cand
+            if best is not None:
+                out[y, x] = V[y + best[1], best[3]]
+    return out

@@ -8,6 +8,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
+import oracle
 from vrtility_spark import cells, codec, proximity
 from vrtility_spark.proximity import OUT_NODATA, proximity_np
 
@@ -197,3 +198,76 @@ def test_positive_band_index_and_nonsquare_guard(spark):
         "w": 8, "h": 4, "fmt": FMT, "nodata": 999.0}]), TILE_SCHEMA)
     with pytest.raises(Exception, match="non-square"):
         proximity.proximity(df2, values=[7.0], max_dist=2.0).collect()
+
+
+# ------------------------------------------------- euclidean allocation ----
+
+def test_allocation_kernel_matches_walk_oracle():
+    rng = np.random.default_rng(77)
+    P = np.where(rng.random((12, 14)) < 0.08, 1.0, 0.0)
+    V = np.round(rng.uniform(10, 99, (12, 14)))
+    got = proximity.allocation_np(P, V, (1.0,), 5.0)
+    want = oracle.allocation_walk(P, V, (1.0,), 5.0)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_allocation_two_seeds_split_plane():
+    # two seeds at opposite ends: the plane splits at the midline,
+    # ties (equidistant) go to the northern/leftmost seed
+    P = np.zeros((5, 9))
+    P[2, 0] = P[2, 8] = 1.0
+    V = np.zeros((5, 9))
+    V[2, 0], V[2, 8] = 7.0, 9.0
+    out = proximity.allocation_np(P, V, (1.0,), 10.0)
+    assert (out[:, :4] == 7.0).all()
+    assert (out[:, 5:] == 9.0).all()
+    assert (out[:, 4] == 7.0).all()     # exact midline: left seed wins
+
+
+def test_allocation_cap_and_empty():
+    P = np.zeros((6, 6))
+    P[0, 0] = 1.0
+    V = np.full((6, 6), 3.0)
+    out = proximity.allocation_np(P, V, (1.0,), 2.0)
+    assert out[0, 0] == 3.0 and np.isnan(out[5, 5])
+    out2 = proximity.allocation_np(np.zeros((4, 4)), V[:4, :4],
+                                   (1.0,), 2.0)
+    assert np.isnan(out2).all()
+
+
+def test_allocation_distributed_matches_mosaic(spark):
+    # seeds near seams: strips must carry BOTH planes so the value of
+    # a cross-seam nearest seed propagates
+    h = w = 8
+    positions = [(0, 0), (1, 0), (0, 1), (1, 1)]
+    rng = np.random.default_rng(55)
+    cls = np.where(rng.random((16, 16)) < 0.06, 1.0, 0.0)
+    cls[7, 8] = cls[8, 7] = 1.0          # seam-adjacent seeds
+    val = np.round(rng.uniform(10, 99, (16, 16)))
+    rows = []
+    for ix, iy in positions:
+        sl = np.s_[iy * h:(iy + 1) * h, ix * w:(ix + 1) * w]
+        tile = np.stack([cls[sl] + 1.0, val[sl]])  # +1: keep 0 valid
+        rows.append({"cell_id": int(cells.encode_np(ZONE, RES, ix, iy)),
+                     "bytes": codec.encode(tile.astype(np.uint16),
+                                           "raw16"),
+                     "w": w, "h": h, "fmt": "raw16", "nodata": 0.0})
+    df = spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+    out = proximity.allocation(df, band=0, value_band=1,
+                               values=(2.0,), max_dist=4.0)
+    got = {r.cell_id: codec.to_float_masked(
+        codec.decode(r.bytes, r.w, r.h, r.fmt), r.nodata)
+        for r in out.collect()}
+    r = 4
+    padP = np.full((16 + 2 * r, 16 + 2 * r), np.nan)
+    padV = padP.copy()
+    padP[r:-r, r:-r] = cls + 1.0
+    padV[r:-r, r:-r] = val
+    wantM = proximity.allocation_np(padP, padV, (2.0,), 4.0)[
+        r:-r, r:-r]
+    for ix, iy in positions:
+        cid = int(cells.encode_np(ZONE, RES, ix, iy))
+        want = wantM[iy * h:(iy + 1) * h,
+                     ix * w:(ix + 1) * w].astype(np.float32)[None]
+        np.testing.assert_allclose(got[cid], want, rtol=0, atol=0,
+                                   equal_nan=True)

@@ -797,6 +797,76 @@ def rasterize_rows():
     return rows
 
 
+def image_allocation_rows(max_dist=4.0):
+    """Fixture AOIs burned with per-feature values (len(aoi_id) —
+    distinct per feature) → Euclidean allocation: every pixel within
+    max_dist of a burned pixel labeled with its nearest seed's burn
+    value (ties: min d², northernmost, leftmost — the separable-carry
+    rule, walk-oracle-gated in tests/test_proximity.py). Replicated
+    Spark-free: the same PIP burn per covered cell, per-zone mosaics
+    over the covered-cell bounding grid (absent cells NaN = void),
+    allocation_np on the r-padded mosaic, cropped to tiles through
+    the rawf32/-9999 round trip."""
+    from vrtility_spark import proximity, rasterize
+    from vrtility_spark.join import parse_wkt_polygon, \
+        points_in_polygon_np
+
+    w = h = 16
+    r = int(np.ceil(max_dist))
+    agg: dict[int, list] = {}
+    for a in datagen.aoi_pandas(nx=2, ny=2).itertuples(index=False):
+        zone = int(a.srs.split(":")[1])
+        for cid in cells.cover_bbox_np(zone, a.xmin, a.ymin,
+                                       a.xmax, a.ymax,
+                                       datagen.TILE_RES):
+            agg.setdefault(int(cid), []).append(
+                (a.geom_wkt, float(len(a.aoi_id))))
+    tiles: dict[int, np.ndarray] = {}
+    nparts: dict[int, int] = {}
+    for cid, parts in agg.items():
+        _, res, ix, iy = (int(v) for v in cells.decode_np(cid))
+        size = cells.cell_size(res)
+        gx, gy = rasterize._pixel_centers(w, h, ix * size, iy * size,
+                                          size)
+        canvas = np.full((h, w), np.nan)
+        for wkt, bv in parts:
+            hit = points_in_polygon_np(gx, gy, parse_wkt_polygon(wkt))
+            canvas[hit] = np.fmax(canvas[hit], bv)   # merge=max
+        tiles[cid] = canvas
+        nparts[cid] = len(parts)
+    by_zone: dict[int, list] = {}
+    for cid in tiles:
+        zone, _res, ix, iy = (int(v) for v in cells.decode_np(cid))
+        by_zone.setdefault(zone, []).append((cid, ix, iy))
+    burns = tuple(sorted({bv for parts in agg.values()
+                          for _w, bv in parts}))
+    rows = []
+    for zone, lst in sorted(by_zone.items()):
+        x0 = min(ix for _, ix, _ in lst)
+        y0 = min(iy for _, _, iy in lst)
+        gw = max(ix for _, ix, _ in lst) - x0 + 1
+        gh = max(iy for _, _, iy in lst) - y0 + 1
+        G = np.full((gh * h + 2 * r, gw * w + 2 * r), np.nan)
+        for cid, ix, iy in lst:
+            G[r + (iy - y0) * h:r + (iy - y0 + 1) * h,
+              r + (ix - x0) * w:r + (ix - x0 + 1) * w] = tiles[cid]
+        alloc = proximity.allocation_np(G, G, burns, max_dist)
+        for cid, ix, iy in lst:
+            tile = alloc[r + (iy - y0) * h:r + (iy - y0 + 1) * h,
+                         r + (ix - x0) * w:r + (ix - x0 + 1) * w][None]
+            payload = codec.encode(
+                codec.from_float(tile, -9999.0, "float32"), "rawf32")
+            dec = codec.decode(payload, w, h, "rawf32")
+            rows.append({
+                "cell_id": cid, "n_parts": nparts[cid],
+                "payload_len": len(payload),
+                "alloc_sum": int(np.asarray(
+                    dec[dec != -9999.0], np.int64).sum()),
+                "nodata_px": int((dec == -9999.0).sum()),
+            })
+    return sorted(rows, key=lambda d: d["cell_id"])
+
+
 def image_periodic_rows():
     """Quarterly masked median composites replicated Spark-free: the
     fixture's scenes grouped by (cell, calendar quarter) through the
@@ -3875,6 +3945,12 @@ def main() -> None:
             ["cell_id", "n_scenes", "payload_len", "frac_sum",
              "nodata_px"]),
         # vector->raster: AOI polygons burned into cover-cell tiles
+        # per-feature burn -> euclidean allocation: pins the
+        # argmin-carrying separable EDT through the focal halo
+        "image_allocation": values_sql(
+            image_allocation_rows(),
+            ["cell_id", "n_parts", "payload_len", "alloc_sum",
+             "nodata_px"]),
         "rasterize_aoi": values_sql(
             rasterize_rows(),
             ["cell_id", "n_parts", "payload_len", "burned_px"]),

@@ -118,6 +118,25 @@ def subset_band_index(df: DataFrame, index: int) -> DataFrame:
     return _payload_map(df, fn)
 
 
+def subset_band_indices(df: DataFrame, indices: Sequence[int]) -> DataFrame:
+    """Keep planes by positional index, in the given order (negative
+    ok) — the multi-plane sibling of :func:`subset_band_index`."""
+    idx_in = [int(i) for i in indices]
+
+    def fn(arr, row):
+        idx = [i if i >= 0 else len(arr) + i for i in idx_in]
+        for i, raw in zip(idx, idx_in):
+            if not 0 <= i < len(arr):
+                raise ValueError(
+                    f"band index {raw} out of range for "
+                    f"{len(arr)}-plane tile")
+        names = ([list(row.bands)[i] for i in idx]
+                 if getattr(row, "bands", None) is not None else None)
+        return arr[idx], names, idx
+
+    return _payload_map(df, fn)
+
+
 def move_band(df: DataFrame, band: str, position: int) -> DataFrame:
     """vrt_move_band: move one plane to a 1-based position."""
     def fn(arr, row):

@@ -70,6 +70,89 @@ def proximity_np(P: np.ndarray, values: Sequence[float],
     return D
 
 
+def allocation_np(P: np.ndarray, V: np.ndarray,
+                  values: Sequence[float],
+                  max_dist: float) -> np.ndarray:
+    """Euclidean ALLOCATION (GRASS ``r.grow.distance`` value output /
+    ArcGIS ``EucAllocation``): for each pixel of the padded single
+    ``(Hp, Wp)`` class plane ``P``, the VALUE (from plane ``V``) of
+    the nearest pixel whose class is in ``values``, NaN beyond
+    ``max_dist``. Same separable scans as :func:`proximity_np`, with
+    the argmin carried: row passes keep the nearest in-row target's
+    x (left wins exact ties), the column pass keeps the first-minimum
+    dy in ``-r..r`` order — so the tie rule is (min d², then
+    northernmost row, then leftmost target), replicated by the naive
+    oracle in tests."""
+    if not float(max_dist) >= 1.0:
+        raise ValueError("max_dist must be >= 1 pixel")
+    r = int(np.ceil(float(max_dist)))
+    Hp, Wp = P.shape
+    tgt = np.isin(P, np.asarray(list(values), dtype=np.float64))
+    G = np.full((Hp, Wp), np.inf)
+    IX = np.full((Hp, Wp), -1, dtype=np.int64)
+    ys, xs = np.nonzero(tgt)
+    G[tgt] = 0.0
+    IX[ys, xs] = xs
+    for i in range(1, Wp):
+        better = G[:, i - 1] + 1.0 < G[:, i]
+        G[:, i] = np.where(better, G[:, i - 1] + 1.0, G[:, i])
+        IX[:, i] = np.where(better, IX[:, i - 1], IX[:, i])
+    for i in range(Wp - 2, -1, -1):
+        better = G[:, i + 1] + 1.0 < G[:, i]   # strict: left wins ties
+        G[:, i] = np.where(better, G[:, i + 1] + 1.0, G[:, i])
+        IX[:, i] = np.where(better, IX[:, i + 1], IX[:, i])
+    G2 = np.minimum(G, float(r) + 1.0) ** 2
+    pad = np.full((Hp + 2 * r, Wp), np.inf)
+    pad[r:r + Hp, :] = G2
+    from numpy.lib.stride_tricks import sliding_window_view
+    win = sliding_window_view(pad, 2 * r + 1, axis=0)  # (Hp, Wp, 2r+1)
+    dy2 = (np.arange(-r, r + 1, dtype=np.float64) ** 2)
+    tot = win + dy2
+    amin = tot.argmin(axis=-1)               # first min: lowest dy
+    best = np.take_along_axis(tot, amin[..., None], -1)[..., 0]
+    src_y = np.clip(np.arange(Hp)[:, None] + amin - r, 0, Hp - 1)
+    src_x = IX[src_y, np.arange(Wp)[None, :]]
+    ok = (best <= float(max_dist) ** 2) & (src_x >= 0)
+    out = np.full((Hp, Wp), np.nan)
+    oy, ox = np.nonzero(ok)
+    out[oy, ox] = V[src_y[oy, ox], src_x[oy, ox]]
+    return out
+
+
+def allocation(df: DataFrame, band: int = 0,
+               value_band: int | None = None,
+               values: Sequence[float] = (1.0,),
+               max_dist: float = 8.0,
+               key: str = "cell_id") -> DataFrame:
+    """Distributed Euclidean allocation: every pixel labeled with the
+    VALUE of its nearest target-class pixel within ``max_dist``
+    pixels (nodata beyond) — the straight-line sibling of
+    :func:`vrtility_spark.costdist.cost_distance`'s
+    backlink→basins cost allocation. ``band`` picks the class plane,
+    ``value_band`` the plane whose value is propagated (default: the
+    class plane itself — rasterized AOI ids give "nearest AOI per
+    pixel"). Rides the SAME focal halo exchange as :func:`proximity`
+    with a two-plane strip (class + value); output rawf32/-9999."""
+    md = float(max_dist)
+    r = int(np.ceil(md))
+    vals = tuple(float(v) for v in values)
+    vb = int(value_band) if value_band is not None else int(band)
+
+    def kernel(P: np.ndarray, meta: dict) -> np.ndarray:
+        h, w = meta["h"], meta["w"]
+        if h != w:
+            raise ValueError(
+                "allocation: tile has non-square pixels on a square "
+                "cell; resample to a square grid first")
+        out = allocation_np(P[0], P[1], vals, md)
+        return out[r:r + h, r:r + w][None]
+
+    from vrtility_spark.bands import subset_band_indices
+    two = subset_band_indices(df, [int(band), vb])
+    return focal_filter(two, op=kernel, radius=r, fill=True, key=key,
+                        out_fmt="rawf32", out_nodata=OUT_NODATA)
+
+
 def proximity(df: DataFrame, band: int = 0,
               values: Sequence[float] = (1.0,), max_dist: float = 8.0,
               units: str = "pixels", beyond: str = "clip",
