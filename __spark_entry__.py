@@ -1780,6 +1780,26 @@ def q_cross_dup(spark, sf_dir):
         "dup_windows", F.round("dup_frac", 6).alias("dup_frac"))
 
 
+def q_dup_span_scrub(spark, sf_dir):
+    """Exact-substring SPAN scrub (crossdup.scrub_dup_spans — the
+    token-level member of the Lee et al. 2022 deduplicate-text-
+    datasets family, remove-all-occurrences variant): every token
+    covered by a 5-gram shared by >= 2 distinct documents is cut and
+    the survivors rejoin in order. Pure Catalyst expressions — shingle
+    hash groupBy, one covered-position explode, a (doc, pos)
+    left-anti join, an ordered re-agg; the duplicated-shingle set is
+    duplication-sized, never corpus-sized. SQL-exact against the
+    string-shingle DuckDB twin (hashes vs strings: identical modulo
+    xxhash64 collisions, none at this scale)."""
+    from vrtility_spark import crossdup
+    d = _t(spark, sf_dir, "documents")
+    out = crossdup.scrub_dup_spans(d, n=CROSSDUP_N)
+    return out.select(
+        "doc_id", F.md5("text_scrubbed").alias("scrub_md5"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"))
+
+
 def q_image_histmatch(spark, sf_dir):
     """Histogram matching (histmatch.histogram_match): remap the
     first-valid composites so their per-band value distribution matches
@@ -4076,6 +4096,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_viewshed": q_image_viewshed,
         "image_histmatch": q_image_histmatch,
         "cross_dup_ngrams": q_cross_dup,
+        "dup_span_scrub": q_dup_span_scrub,
         "bm25_search": q_bm25,
     }
 
@@ -4777,6 +4798,43 @@ def oracle_sql() -> dict[str, str]:
                               / b.n_windows
                          else 0.0 end, 6) as dup_frac
             from base b left join dup u using (doc_id)
+        """,
+        "dup_span_scrub": """
+            with words as (
+              select doc_id, string_split(text, ' ') as w from documents
+            ), occ as (
+              select doc_id, i - 1 as pos,
+                     concat_ws(' ', w[i], w[i+1], w[i+2],
+                               w[i+3], w[i+4]) as g
+              from words,
+                   unnest(range(1, greatest(len(w) - 3, 1))) as t(i)
+            ), dup as (
+              select g from occ group by g
+              having count(distinct doc_id) >= 2
+            ), cov as (
+              select distinct o.doc_id, o.pos + jj as pos
+              from occ o join dup using (g),
+                   unnest(range(0, 5)) as u(jj)
+            ), toks as (
+              select doc_id, i - 1 as pos, w[i] as tok
+              from words, unnest(range(1, len(w) + 1)) as t(i)
+            ), keep as (
+              select t.doc_id, t.pos, t.tok from toks t
+              where not exists (
+                select 1 from cov c
+                where c.doc_id = t.doc_id and c.pos = t.pos)
+            ), reb as (
+              select doc_id, count(*) as kept,
+                     string_agg(tok, ' ' order by pos) as txt
+              from keep group by doc_id
+            ), base as (
+              select doc_id, len(string_split(text, ' ')) as n_tokens
+              from documents
+            )
+            select b.doc_id, md5(coalesce(r.txt, '')) as scrub_md5,
+                   b.n_tokens,
+                   b.n_tokens - coalesce(r.kept, 0) as n_removed
+            from base b left join reb r using (doc_id)
         """,
         "embedding_topk": """
             with pairs as (

@@ -89,3 +89,64 @@ def test_filter_and_validation(spark):
         cross_duplicates(docs, min_docs=1)
     with pytest.raises(ValueError, match="n must"):
         cross_duplicates(docs, n=0)
+
+
+# --------------------------------------------------- span-level scrub ----
+
+def _scrub_fixture(spark):
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, f"intro one {shared} tail one"),
+        (2, f"{shared} something else entirely here"),
+        (3, "totally unrelated text with many words here"),
+        (4, "short doc"),                       # below n: untouched
+        (5, f"{shared}"),                       # fully duplicated
+        (6, "repeat me repeat me repeat me repeat me repeat me"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_scrub_removes_shared_span_everywhere(spark):
+    from vrtility_spark.crossdup import scrub_dup_spans
+    out = {r.doc_id: r for r in
+           scrub_dup_spans(_scrub_fixture(spark), n=5).collect()}
+    assert out[1].text_scrubbed == "intro one tail one"
+    assert out[1].n_removed == 5 and out[1].n_tokens == 9
+    assert out[2].text_scrubbed == "something else entirely here"
+    assert out[3].text_scrubbed.startswith("totally unrelated")
+    assert out[3].n_removed == 0
+    assert out[4].text_scrubbed == "short doc"   # < n words: untouched
+    assert out[5].text_scrubbed == "" and out[5].n_removed == 5
+
+
+def test_scrub_ignores_within_doc_repeats(spark):
+    # doc 6 repeats its own 5-gram but no OTHER doc shares it:
+    # min_docs counts distinct documents, so nothing is removed
+    from vrtility_spark.crossdup import scrub_dup_spans
+    out = {r.doc_id: r for r in
+           scrub_dup_spans(_scrub_fixture(spark), n=5).collect()}
+    assert out[6].n_removed == 0
+
+
+def test_scrub_overlapping_windows_merge(spark):
+    # two docs share a 7-word run: windows overlap, coverage is the
+    # UNION of spans (7 tokens), not 3 windows x 5
+    from vrtility_spark.crossdup import scrub_dup_spans
+    run = "one two three four five six seven"
+    df = spark.createDataFrame(
+        [(1, f"head {run} tail"), (2, f"{run} x y z")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in scrub_dup_spans(df, n=5).collect()}
+    assert out[1].text_scrubbed == "head tail"
+    assert out[1].n_removed == 7
+
+
+def test_scrub_validation_and_determinism(spark):
+    from vrtility_spark.crossdup import scrub_dup_spans
+    df = _scrub_fixture(spark)
+    with pytest.raises(ValueError, match="min_docs"):
+        scrub_dup_spans(df, min_docs=1)
+    a = sorted(map(tuple, scrub_dup_spans(df, n=5).collect()))
+    b = sorted(map(tuple,
+                   scrub_dup_spans(df.repartition(7), n=5).collect()))
+    assert a == b

@@ -100,3 +100,74 @@ def cross_dup_filter(df: DataFrame, text_col: str = "text",
            .where(F.col("dup_frac") > float(max_frac))
            .select(id_col))
     return df.join(bad, id_col, "left_anti")
+
+
+def scrub_dup_spans(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", n: int = 5,
+                    min_docs: int = 2) -> DataFrame:
+    """Exact-substring span scrub — the token-level member of the
+    Lee et al. 2022 "Deduplicating Training Data Makes Language
+    Models Better" family (deduplicate-text-datasets): every token
+    covered by ANY word ``n``-gram that appears in ``>= min_docs``
+    DISTINCT documents is removed from the text, and the survivors
+    rejoin in order. This is the remove-ALL-occurrences variant
+    (simpler and partitioning-invariant; Lee et al.'s keep-one-copy
+    variant needs a global occurrence ranking — use
+    :func:`cross_dup_filter` to drop whole boilerplate-heavy docs
+    instead when provenance matters).
+
+    Pure Catalyst expressions end to end — shingle hashes
+    (:func:`textquality.word_ngrams` + ``xxhash64``, the one
+    canonical tokenization), a distinct-doc count per shingle, one
+    position-explode of the covered windows, a left-anti join on
+    ``(doc, pos)``, and an ordered re-agg. No Python touches a row.
+    At 100 TB: two shuffles (shingle groupBy, per-doc rebuild), both
+    on keys with natural cardinality; the duplicated-shingle set is
+    the only thing joined back and it is corpus-duplication-sized,
+    not corpus-sized.
+
+    Returns ``(id_col, text_scrubbed, n_tokens, n_removed)`` — every
+    input document keeps a row (fully-duplicated docs come back with
+    an empty string, docs shorter than ``n`` words unchanged)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_docs < 2:
+        raise ValueError(
+            f"min_docs must be >= 2 (cross-document), got {min_docs}")
+    from vrtility_spark.textquality import word_ngrams
+    words = df.select(id_col, F.split(F.col(text_col), " ").alias("w"))
+    toks = words.select(
+        id_col, F.posexplode("w").alias("pos", "tok"))
+    occ = words.select(
+        id_col,
+        F.posexplode(word_ngrams(n)).alias("pos", "_g")) \
+        .select(id_col, "pos", F.xxhash64("_g").alias("sh"))
+    dup = (occ.groupBy("sh")
+           .agg(F.countDistinct(id_col).alias("_nd"))
+           .where(F.col("_nd") >= int(min_docs))
+           .select("sh"))
+    covered = (occ.join(dup, "sh")
+               .select(id_col,
+                       F.explode(F.sequence(
+                           F.col("pos"),
+                           F.col("pos") + F.lit(int(n) - 1)))
+                       .alias("pos"))
+               .distinct())
+    keep = toks.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = (keep.groupBy(id_col)
+               .agg(F.count("*").alias("_kept"),
+                    F.concat_ws(" ", F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("pos", "tok"))),
+                        lambda s: s.tok)).alias("text_scrubbed")))
+    base = df.select(id_col,
+                     F.size(F.split(F.col(text_col), " "))
+                     .alias("n_tokens"))
+    return (base.join(rebuilt, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("text_scrubbed", F.lit(""))
+                .alias("text_scrubbed"),
+                "n_tokens",
+                (F.col("n_tokens")
+                 - F.coalesce("_kept", F.lit(0))).alias("n_removed")))
