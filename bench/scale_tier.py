@@ -178,6 +178,41 @@ def irmad_shape(spark, nx: int, ny: int):
     return images, n, run
 
 
+def kriging_shape(spark, n_zones: int, per_zone: int = 2000,
+                  span: int = 131072):
+    """Ordinary kriging (autofit + solve) at constant POINT DENSITY
+    over ``n_zones`` independent zones, each holding the same
+    deterministic ``per_zone``-point lattice (x is a bijective
+    modular map of the in-zone index — coprime multiplier over the
+    power-of-two span — so no duplicate coordinates can make an OK
+    system singular). Pair volume (density x lag-disk area) and krige
+    tile count both scale exactly with the zone count, so wall should
+    be linear; superlinear would expose an all-pairs or a
+    cross-zone leak."""
+    from pyspark.sql import functions as SF
+
+    from vrtility_spark import kriging as _kg
+
+    ids = spark.range(n_zones * per_zone)
+    lx = SF.col("id") % per_zone
+    pts = ids.select(
+        SF.col("id").alias("point_id"),
+        (SF.lit(30) + (SF.col("id") / per_zone).cast("long"))
+        .alias("zone"),
+        ((lx * 40961 + 12289) % span).cast("double").alias("x"),
+        ((lx * 24593 + 4099) % span).cast("double").alias("y"),
+        (((SF.col("id") * 73 + 29) % 400) / 4.0 + 10.0)
+        .alias("value")).cache()
+    n = pts.count()
+
+    def run():
+        out = _kg.krige_points(pts, datagen.TILE_RES, 16, 16,
+                               radius=60000.0, max_lag=60000.0,
+                               n_lags=8, max_points=8)
+        _force(out)
+    return pts, n, run
+
+
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
@@ -277,6 +312,21 @@ def main() -> None:
     results["image_irmad_pipeline"] = {
         "base_sec": base, "scaled_sec": big,
         "base_scenes": n_b, "scaled_scenes": n_s,
+        "input_ratio": round(ratio, 3),
+        "wall_ratio": round(big / base, 3),
+        "wall_per_input": round(big / base / ratio, 3),
+    }
+
+    pts_b, n_b, run_b = kriging_shape(spark, 1)
+    base = time_call(run_b, reps)
+    pts_b.unpersist()
+    pts_s, n_s, run_s = kriging_shape(spark, 10)
+    big = time_call(run_s, reps)
+    pts_s.unpersist()
+    ratio = n_s / n_b
+    results["kriging_pipeline"] = {
+        "base_sec": base, "scaled_sec": big,
+        "base_points": n_b, "scaled_points": n_s,
         "input_ratio": round(ratio, 3),
         "wall_ratio": round(big / base, 3),
         "wall_per_input": round(big / base / ratio, 3),
