@@ -271,3 +271,23 @@ def test_allocation_distributed_matches_mosaic(spark):
                      ix * w:(ix + 1) * w].astype(np.float32)[None]
         np.testing.assert_allclose(got[cid], want, rtol=0, atol=0,
                                    equal_nan=True)
+
+
+def test_allocation_pipeline_verb_and_bundle(spark, tmp_path,
+                                             tiny_images):
+    from vrtility_spark import datagen
+    from vrtility_spark.pipeline import Pipeline
+    p = (Pipeline(tiny_images)
+         .set_maskfun("int", datagen.S2_MASK_VALUES)
+         .warp(cell_res=datagen.TILE_RES)
+         .composite("median")
+         .auto_threshold(band=1)          # 0/1 seed plane
+         .allocation(band=0, values=(1.0,), max_dist=3.0))
+    rows = p.df.collect()
+    assert rows and all(r.fmt == "rawf32" for r in rows)
+    bp = str(tmp_path / "alloc.json")
+    p.to_bundle(bp)
+    replay = Pipeline.from_bundle(bp, tiny_images)
+    a = {r.cell_id: bytes(r.bytes) for r in rows}
+    b = {r.cell_id: bytes(r.bytes) for r in replay.df.collect()}
+    assert a == b

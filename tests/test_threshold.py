@@ -139,3 +139,23 @@ def test_threshold_classify_end_to_end(spark):
         want = np.where(np.isnan(src), np.nan,
                         (src > t).astype(float))
         np.testing.assert_array_equal(cls, want)
+
+
+def test_pipeline_verb_and_bundle(spark, tmp_path, tiny_images):
+    from vrtility_spark import datagen
+    from vrtility_spark.pipeline import Pipeline
+    p = (Pipeline(tiny_images)
+         .set_maskfun("int", datagen.S2_MASK_VALUES)
+         .warp(cell_res=datagen.TILE_RES)
+         .composite("median")
+         .auto_threshold(band=0, method="otsu"))
+    rows = p.df.collect()
+    assert rows and all(r.fmt == "rawf32" for r in rows)
+    ts = {r.threshold for r in rows}
+    assert len(ts) == 1                  # one global cut
+    bp = str(tmp_path / "otsu.json")
+    p.to_bundle(bp)
+    replay = Pipeline.from_bundle(bp, tiny_images)
+    a = {r.cell_id: bytes(r.bytes) for r in rows}
+    b = {r.cell_id: bytes(r.bytes) for r in replay.df.collect()}
+    assert a == b

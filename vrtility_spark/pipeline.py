@@ -66,7 +66,8 @@ class Pipeline:
         "overviews", "terrain", "texture", "color_relief", "stretch",
         "classify", "kmeans", "flow_accumulation", "fill_sinks",
         "basins", "stream_order", "cloud_shadow", "unmix", "hotspots",
-        "local_moran", "cost_distance"])
+        "local_moran", "cost_distance", "auto_threshold",
+        "allocation"])
 
     def __init__(self, df: DataFrame, mask_specs: tuple = (),
                  log: tuple = (), mask_dropped: bool = False):
@@ -839,6 +840,48 @@ class Pipeline:
              "cost_offset": float(cost_offset),
              "backlink": bool(backlink),
              "max_rounds": int(max_rounds)})
+
+    def auto_threshold(self, band: int = 0, method: str = "otsu",
+                       bins: int | None = None) -> "Pipeline":
+        """Automatic histogram thresholding
+        (threshold.threshold_classify — scikit-image threshold_otsu /
+        threshold_isodata): the exact global histogram of ``band``
+        (one combinable value-count agg), the Otsu/IsoData cut, and a
+        zero-shuffle 0/1 classify with the cut riding as a
+        ``threshold`` provenance column. Bundleable. Pending masks
+        flush first."""
+        from vrtility_spark import threshold as _th
+        return self._next(
+            _th.threshold_classify(self.df, band=int(band),
+                                   method=method,
+                                   bins=None if bins is None
+                                   else int(bins)),
+            (), "auto_threshold",
+            {"band": int(band), "method": str(method),
+             "bins": None if bins is None else int(bins)})
+
+    def allocation(self, band: int = 0, value_band: int | None = None,
+                   values=(1.0,), max_dist: float = 8.0) -> "Pipeline":
+        """Euclidean allocation (proximity.allocation — GRASS
+        r.grow.distance value output / ArcGIS EucAllocation): every
+        pixel within ``max_dist`` px of a target-class pixel takes its
+        nearest seed's value (argmin-carrying capped separable EDT
+        over the focal halo, deterministic min-d²/northernmost/
+        leftmost tie rule). Output rawf32/-9999. Bundleable. Pending
+        masks flush first."""
+        from vrtility_spark import proximity as _px
+        return self._next(
+            _px.allocation(self.df, band=int(band),
+                           value_band=None if value_band is None
+                           else int(value_band),
+                           values=tuple(float(v) for v in values),
+                           max_dist=float(max_dist)),
+            (), "allocation",
+            {"band": int(band),
+             "value_band": None if value_band is None
+             else int(value_band),
+             "values": [float(v) for v in values],
+             "max_dist": float(max_dist)})
 
     def stream_order(self, max_rounds: int = 128,
                      reliable: bool = False,
