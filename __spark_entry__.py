@@ -3508,6 +3508,77 @@ def q_image_tri(spark, sf_dir):
                     "tpi_sum", "rough_sum", "nodata_px"))
 
 
+def q_image_curvature(spark, sf_dir):
+    """Masked median composite → Zevenbergen–Thorne surface curvature
+    (terrain.terrain ops 'curvature'/'profile_curvature'/
+    'plan_curvature' — the ArcGIS Curvature tool gdaldem lacks)
+    through the focal halo exchange, so the quartic-coefficient
+    windows cross tile seams exactly as on one mosaic.  The three
+    products share one composite and join on cell_id.  Explicit 30 m
+    pixel size (Landsat GSD).  Pinned against constants computed
+    Spark-free on assembled per-zone mosaics with the loop-/
+    closed-form-gated kernels (tools/gen_oracle_constants.py).  The
+    reference delegates terrain products to GDAL utilities outside
+    its pipeline (R/gdal-options.R)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema, terrain
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    base = (Pipeline(images)
+            .set_maskfun("int", datagen.S2_MASK_VALUES)
+            .warp(cell_res=datagen.TILE_RES)
+            .composite("median")
+            .df)
+    fs, nd_px = _float_payload_udfs()
+
+    def sums(op, name):
+        out = terrain.terrain(base, op, pixel_size=30.0)
+        return out.select(
+            "cell_id", "n_scenes",
+            F.length("bytes").alias("payload_len"),
+            fs("bytes", "w", "h", "fmt").alias(f"{name}_sum"),
+            nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
+
+    curv = sums("curvature", "curv")
+    prof = sums("profile_curvature", "prof").select("cell_id", "prof_sum")
+    plan = sums("plan_curvature", "plan").select("cell_id", "plan_sum")
+    return (curv.join(prof, "cell_id").join(plan, "cell_id")
+            .select("cell_id", "n_scenes", "payload_len", "curv_sum",
+                    "prof_sum", "plan_sum", "nodata_px"))
+
+
+def q_image_twi(spark, sf_dir):
+    """Masked median composite → topographic wetness index
+    (hydrology.twi_from_dem: D8 flowdir → distributed cross-tile flow
+    accumulation ‖ slope → ONE cell-keyed join + narrow Arrow combine,
+    TWI = ln(a / tan β), Beven & Kirkby 1979).  The two derivative
+    branches share the composite; only fixed-size boundary-mass
+    records and the final join shuffle — tile payloads never do
+    beyond the cell-keyed stages.  Pinned against constants computed
+    Spark-free on per-zone mosaics through the identical f32
+    inter-stage round trip (tools/gen_oracle_constants.py).  The
+    reference leaves wetness products to external GDAL/SAGA tooling."""
+    _ensure_shipped(spark)
+    from vrtility_spark import cells, datagen, hydrology, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    base = (Pipeline(images)
+            .set_maskfun("int", datagen.S2_MASK_VALUES)
+            .warp(cell_res=datagen.TILE_RES)
+            .composite("median")
+            .df)
+    ps = cells.cell_size(datagen.TILE_RES) / 16
+    out = hydrology.twi_from_dem(base, pixel_size=ps, fill=False)
+    fs, nd_px = _float_payload_udfs()
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        fs("bytes", "w", "h", "fmt").alias("twi_sum"),
+        nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
+
+
 _RELIEF_RAMP = ((0.0, 0.0, 0.0, 128.0), (5.0, 0.0, 255.0, 0.0),
                 (20.0, 255.0, 255.0, 0.0), (60.0, 255.0, 255.0, 255.0))
 
@@ -4085,6 +4156,8 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "video_features": q_video_features,
         "image_tri": q_image_tri,
+        "image_curvature": q_image_curvature,
+        "image_twi": q_image_twi,
         "image_fillnodata": q_image_fillnodata,
         "point_sample": q_point_sample,
         "grid_idw": q_grid_idw,

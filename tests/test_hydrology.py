@@ -214,3 +214,75 @@ def test_cross_tile_cycle_diagnosed(spark):
     sdf = spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
     with pytest.raises(ValueError, match="CROSS-TILE cycle"):
         hydrology.flow_accumulation(sdf, max_rounds=6).count()
+
+
+# ------------------------------------- topographic wetness (TWI) ----
+
+def test_twi_kernel_closed_form_east_plane():
+    # z = -3x at unit pixel size: tan(beta) = 3 exactly, acc at
+    # column j counts the j-1 valid pixels west -> a = j, so
+    # TWI = ln(j / 3) column by column
+    H = W = 8
+    x = np.arange(W, dtype=np.float64)
+    G = np.tile(-3.0 * x, (H, 1))[None]
+    codes = terrain.flow_direction_np(_pad(G), 1.0, 1.0)
+    acc = hydrology.flow_accumulation_np(codes)
+    slope = terrain.slope_np(_pad(G), 1.0, 1.0)
+    twi = hydrology.twi_np(acc, slope, 1.0)
+    for j in range(1, W - 1):
+        np.testing.assert_allclose(twi[0, 1:-1, j], np.log(j / 3.0),
+                                   rtol=1e-12, atol=1e-14)
+    # NaN propagates from either input; flat ground clamps tan(beta)
+    assert np.isnan(twi[0, 0]).all()
+    flat_twi = hydrology.twi_np(np.zeros((1, 2, 2)),
+                                np.zeros((1, 2, 2)), 10.0,
+                                min_tanb=1e-3)
+    np.testing.assert_allclose(flat_twi, np.log(10.0 / 1e-3))
+
+
+def test_twi_distributed_matches_mosaic(spark):
+    # full chain (no fill: random terrain keeps its sinks so acc
+    # geography is interesting) vs the same kernels on one mosaic,
+    # replicating the rawf32 round trip each distributed stage makes
+    h = w = 16
+    positions = [(0, 0), (1, 0), (0, 1), (1, 1)]
+    rows, G = _dem_tiles(h, w, positions, seed=101)
+    df = spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+    size = cells.cell_size(RES)
+    sx, sy = size / w, size / h
+    ps = size / w
+    out = {r.cell_id: r
+           for r in hydrology.twi_from_dem(
+               df, fill=False, pixel_size=ps).collect()}
+    assert len(out) == len(positions)
+    codes = terrain.flow_direction_np(_pad(G), sx, sy)
+    acc32 = hydrology.flow_accumulation_np(codes).astype(np.float32)
+    slope32 = terrain.slope_np(_pad(G), sx, sy).astype(np.float32)
+    want_all = hydrology.twi_np(acc32.astype(np.float64),
+                                slope32.astype(np.float64), ps)
+    for ix, iy in positions:
+        cid = int(cells.encode_np(ZONE, RES, ix, iy))
+        r = out[cid]
+        assert r.fmt == "rawf32" and r.nodata == -9999.0
+        got = codec.to_float_masked(
+            codec.decode(r.bytes, r.w, r.h, r.fmt), r.nodata)
+        want = want_all[:, iy * h:(iy + 1) * h, ix * w:(ix + 1) * w]
+        np.testing.assert_allclose(got, want.astype(np.float32),
+                                   rtol=1e-6, equal_nan=True)
+
+
+def test_twi_from_dem_derives_pixel_size_and_fills(spark):
+    # pixel_size omitted -> derived from the grid; fill=True routes
+    # through fill_sinks first (flowacc then has no interior sinks on
+    # a filled random DEM beyond flats' epsilon-drains)
+    h = w = 16
+    rows, G = _dem_tiles(h, w, [(0, 0), (1, 0)], seed=7)
+    df = spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+    auto = hydrology.twi_from_dem(df, fill=False).collect()
+    size = cells.cell_size(RES)
+    explicit = {r.cell_id: r for r in hydrology.twi_from_dem(
+        df, fill=False, pixel_size=size / w).collect()}
+    for r in auto:
+        assert r.bytes == explicit[r.cell_id].bytes
+    filled = hydrology.twi_from_dem(df).collect()
+    assert len(filled) == 2 and all(r.fmt == "rawf32" for r in filled)

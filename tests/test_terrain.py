@@ -453,3 +453,117 @@ def test_illumination_is_unscaled_hillshade():
     il_flat = terrain.illumination_np(flat, 3.0, 3.0, altitude=35.0)
     np.testing.assert_allclose(il_flat[np.isfinite(il_flat)],
                                np.sin(np.radians(35.0)), rtol=1e-12)
+
+
+# --------------------------- Zevenbergen-Thorne curvature products ----
+
+def _loop_curvature_oracle(G, sx, sy, mode):
+    """Per-pixel Z&T curvature with plain loops (strict any-NaN
+    window; Esri sign/x100 conventions, flat profile/plan -> 0)."""
+    B, H, W = G.shape
+    P = _pad(G)
+    out = np.full((B, H, W), np.nan)
+    for b in range(B):
+        for i in range(H):
+            for j in range(W):
+                win = P[b, i:i + 3, j:j + 3]
+                if np.isnan(win).any():
+                    continue
+                z = win[1, 1]
+                zS, zN = win[0, 1], win[2, 1]          # row 0 = south
+                zW, zE = win[1, 0], win[1, 2]
+                zSW, zSE = win[0, 0], win[0, 2]
+                zNW, zNE = win[2, 0], win[2, 2]
+                D = ((zW + zE) / 2 - z) / sx ** 2
+                E = ((zN + zS) / 2 - z) / sy ** 2
+                Fc = (-zNW + zNE + zSW - zSE) / (4 * sx * sy)
+                Gx = (zE - zW) / (2 * sx)
+                Hy = (zN - zS) / (2 * sy)
+                if mode == "total":
+                    out[b, i, j] = -200.0 * (D + E)
+                    continue
+                den = Gx * Gx + Hy * Hy
+                if den == 0:
+                    out[b, i, j] = 0.0
+                elif mode == "profile":
+                    out[b, i, j] = 200.0 * (D * Gx ** 2 + E * Hy ** 2
+                                            + Fc * Gx * Hy) / den
+                else:
+                    out[b, i, j] = -200.0 * (D * Hy ** 2 + E * Gx ** 2
+                                             - Fc * Gx * Hy) / den
+    return out
+
+
+@pytest.mark.parametrize("mode", ["total", "profile", "plan"])
+def test_curvature_matches_loop_oracle(mode):
+    G = np.round(RNG.uniform(0, 400, size=(2, 7, 9)))
+    G[0, 3, 4] = np.nan
+    got = terrain.curvature_np(_pad(G), 3.0, 5.0, mode=mode)
+    want = _loop_curvature_oracle(G, 3.0, 5.0, mode)
+    np.testing.assert_allclose(got, want, rtol=1e-12, equal_nan=True)
+
+
+def test_curvature_closed_forms():
+    # paraboloid z = x^2 + y^2 at unit pixel size (a bowl): D = E = 1
+    # exactly (the quadratic is reproduced exactly by central
+    # differences), so total = -400 everywhere; along the +x axis
+    # (y = 0) the slope line is the x axis: profile = +200 (upwardly
+    # concave, flow decelerating outward), plan = -200 (converging).
+    H = W = 9
+    y, x = np.mgrid[0:H, 0:W].astype(np.float64)
+    x -= W // 2
+    y -= H // 2
+    bowl = (x * x + y * y)[None]
+    interior = (slice(1, -1), slice(1, -1))
+    tot = terrain.curvature_np(_pad(bowl), 1.0, 1.0, "total")
+    np.testing.assert_allclose(tot[0][interior], -400.0, rtol=1e-12)
+    prof = terrain.curvature_np(_pad(bowl), 1.0, 1.0, "profile")
+    plan = terrain.curvature_np(_pad(bowl), 1.0, 1.0, "plan")
+    mid = H // 2
+    assert prof[0, mid, mid + 2] == pytest.approx(200.0)
+    assert plan[0, mid, mid + 2] == pytest.approx(-200.0)
+    # an inclined PLANE has zero curvature of every kind
+    plane = np.tile(3.0 * np.arange(W, dtype=np.float64), (H, 1))[None]
+    for mode in ("total", "profile", "plan"):
+        v = terrain.curvature_np(_pad(plane), 1.0, 1.0, mode)
+        np.testing.assert_allclose(v[0][interior], 0.0, atol=1e-10)
+    # flat ground: profile/plan take the 0 convention (not NaN)
+    flat = np.full((1, 6, 6), 5.0)
+    for mode in ("profile", "plan"):
+        v = terrain.curvature_np(_pad(flat), 1.0, 1.0, mode)
+        np.testing.assert_allclose(v[0][interior], 0.0)
+    with pytest.raises(ValueError):
+        terrain.curvature_np(_pad(flat), 1.0, 1.0, "tangential")
+
+
+def test_curvature_yflip_invariant():
+    # the products may not depend on which row the engine calls south:
+    # F and H flip sign together under a y-flip and every term is
+    # even in (F, H) jointly
+    G = np.round(RNG.uniform(0, 400, size=(1, 8, 8)))
+    for mode in ("total", "profile", "plan"):
+        a = terrain.curvature_np(_pad(G), 2.0, 3.0, mode)
+        b = terrain.curvature_np(_pad(G[:, ::-1, :]), 2.0, 3.0, mode)
+        np.testing.assert_allclose(a, b[:, ::-1, :], rtol=1e-12,
+                                   equal_nan=True)
+
+
+@pytest.mark.parametrize("op", ["curvature", "profile_curvature",
+                                "plan_curvature"])
+def test_curvature_distributed_matches_mosaic(spark, op):
+    h = w = 16
+    positions = [(0, 0), (1, 0), (0, 1), (1, 1)]
+    rows, G = _grid_tiles(h, w, positions, seed=47)
+    df = spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+    size = cells.cell_size(RES)
+    sx, sy = size / w, size / h
+    out = {r.cell_id: r for r in terrain.terrain(df, op).collect()}
+    want_all = terrain.terrain_np(_pad(G), op, sx, sy)
+    for (ix, iy) in positions:
+        cid = int(cells.encode_np(ZONE, RES, ix, iy))
+        r = out[cid]
+        got = codec.to_float_masked(
+            codec.decode(r.bytes, r.w, r.h, r.fmt), r.nodata)
+        want = want_all[:, iy * h:(iy + 1) * h, ix * w:(ix + 1) * w]
+        np.testing.assert_allclose(got, want.astype(np.float32),
+                                   rtol=1e-6, equal_nan=True)

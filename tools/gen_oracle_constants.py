@@ -2849,6 +2849,94 @@ def image_tri_rows():
     return sorted(rows, key=lambda d: d["cell_id"])
 
 
+def image_curvature_rows(pixel_size: float = 30.0):
+    """Masked median composite → Zevenbergen–Thorne total/profile/plan
+    curvature replicated without Spark: per-zone mosaics padded and
+    reduced with terrain.curvature_np (loop-/closed-form-gated in
+    tests/test_terrain.py), each cropped back to tiles through the
+    exact rawf32/-9999 round trip.  Explicit 30 m pixel size (the
+    Landsat GSD) keeps the ×100 curvature products in round-number
+    range.  Checksums are sum(round(v, 3)) in f64 over valid pixels in
+    payload order plus the shared -9999 count (the three products
+    share one window-validity geography)."""
+    from vrtility_spark import terrain
+
+    h = w = 16
+    zones, meta = _median_zone_mosaics(h, w)
+    rows = []
+    for _zone, lst, G in zones:
+        nb = G.shape[0]
+        P = np.full((nb, G.shape[1] + 2, G.shape[2] + 2), np.nan)
+        P[:, 1:-1, 1:-1] = G
+        prods = {
+            "curv": terrain.curvature_np(P, pixel_size, pixel_size,
+                                         "total"),
+            "prof": terrain.curvature_np(P, pixel_size, pixel_size,
+                                         "profile"),
+            "plan": terrain.curvature_np(P, pixel_size, pixel_size,
+                                         "plan")}
+        for cid, jx, jy in lst:
+            row = {"cell_id": cid, "n_scenes": meta[cid][1]}
+            for name, full in prods.items():
+                tile = full[:, jy * h:(jy + 1) * h, jx * w:(jx + 1) * w]
+                payload = codec.encode(
+                    codec.from_float(tile, -9999.0, "float32"), "rawf32")
+                dec = codec.decode(payload, w, h, "rawf32") \
+                    .astype(np.float64)
+                valid = dec[dec != -9999.0]
+                row[f"{name}_sum"] = float(np.round(valid, 3).sum())
+                row["payload_len"] = len(payload)
+                row["nodata_px"] = int((dec == -9999.0).sum())
+            rows.append({k: row[k] for k in
+                         ("cell_id", "n_scenes", "payload_len",
+                          "curv_sum", "prof_sum", "plan_sum",
+                          "nodata_px")})
+    return sorted(rows, key=lambda d: d["cell_id"])
+
+
+def image_twi_rows():
+    """Masked median composite → topographic wetness index replicated
+    without Spark: per-zone mosaics run through flow_direction_np →
+    flow_accumulation_np and slope_np (both oracle-gated in their own
+    suites), each branch cast through float32 — the distributed
+    chain's rawf32 inter-stage round trip — then combined with
+    hydrology.twi_np and cropped back to tiles through the exact
+    rawf32/-9999 round trip.  Checksum = sum(round(v, 3)) in f64 over
+    valid pixels plus the -9999 count."""
+    from vrtility_spark import hydrology, terrain
+
+    h = w = 16
+    size = cells.cell_size(datagen.TILE_RES)
+    sx, sy = size / w, size / h
+    ps = size / w
+    zones, meta = _median_zone_mosaics(h, w)
+    rows = []
+    for _zone, lst, G in zones:
+        nb = G.shape[0]
+        P = np.full((nb, G.shape[1] + 2, G.shape[2] + 2), np.nan)
+        P[:, 1:-1, 1:-1] = G
+        codes = terrain.flow_direction_np(P, sx, sy)
+        acc = hydrology.flow_accumulation_np(codes) \
+            .astype(np.float32).astype(np.float64)
+        slope = terrain.slope_np(P, sx, sy) \
+            .astype(np.float32).astype(np.float64)
+        twi = hydrology.twi_np(acc, slope, ps)
+        for cid, jx, jy in lst:
+            tile = twi[:, jy * h:(jy + 1) * h, jx * w:(jx + 1) * w]
+            payload = codec.encode(
+                codec.from_float(tile, -9999.0, "float32"), "rawf32")
+            dec = codec.decode(payload, w, h, "rawf32").astype(np.float64)
+            valid = dec[dec != -9999.0]
+            _nd, n_scenes = meta[cid]
+            rows.append({
+                "cell_id": cid, "n_scenes": n_scenes,
+                "payload_len": len(payload),
+                "twi_sum": float(np.round(valid, 3).sum()),
+                "nodata_px": int((dec == -9999.0).sum()),
+            })
+    return sorted(rows, key=lambda d: d["cell_id"])
+
+
 def image_colorrelief_rows():
     """Composite → slope → color-relief replicated without Spark:
     per-zone mosaics reduced with terrain.slope_np, cropped back to
@@ -3754,6 +3842,18 @@ def main() -> None:
             image_tri_rows(),
             ["cell_id", "n_scenes", "payload_len", "tri_sum",
              "tpi_sum", "rough_sum", "nodata_px"]),
+        # composite -> Z&T total/profile/plan curvature: pins the
+        # quartic-coefficient kernels through the same halo exchange
+        "image_curvature": values_sql(
+            image_curvature_rows(),
+            ["cell_id", "n_scenes", "payload_len", "curv_sum",
+             "prof_sum", "plan_sum", "nodata_px"]),
+        # composite -> flowdir -> flowacc + slope -> TWI: pins the
+        # two-branch wetness chain incl. the f32 inter-stage round trip
+        "image_twi": values_sql(
+            image_twi_rows(),
+            ["cell_id", "n_scenes", "payload_len", "twi_sum",
+             "nodata_px"]),
         # composite -> spatial IDW gap-fill: pins the gdal_fillnodata
         # twin (fill + smoothing crossing tile seams) byte-for-byte
         "image_fillnodata": values_sql(

@@ -388,6 +388,65 @@ def stream_mask(df: DataFrame, threshold: float, band: int = 0,
     return classify(df, [float(threshold)], band=band, key=key)
 
 
+def twi_np(acc: np.ndarray, slope_deg: np.ndarray, pixel_size: float,
+           min_tanb: float = 1e-3) -> np.ndarray:
+    """Topographic wetness index kernel (Beven & Kirkby 1979):
+    ``TWI = ln(a / tan β)`` over NaN-masked upstream-count and
+    slope-degree arrays.  ``a`` is the specific catchment area per
+    unit contour width, ``(upstream + 1) · pixel_size`` (the +1 is
+    the pixel's own area; D8 contour width = one pixel edge); ``tan β``
+    is clamped to ``min_tanb`` so flat pixels read as very wet instead
+    of +inf (the standard TOPMODEL treatment).  NaN wherever either
+    input is."""
+    with np.errstate(invalid="ignore"):
+        a = (np.asarray(acc, dtype=np.float64) + 1.0) * float(pixel_size)
+        tanb = np.maximum(np.tan(np.deg2rad(slope_deg)),
+                          float(min_tanb))
+        return np.log(a / tanb)
+
+
+def topographic_wetness(acc_df: DataFrame, slope_df: DataFrame,
+                        pixel_size: float, min_tanb: float = 1e-3,
+                        key: str = "cell_id") -> DataFrame:
+    """TWI tile table from a flow-accumulation table
+    (:func:`flow_accumulation`) and a slope table
+    (``terrain(df, "slope")``, degrees): ONE cell-keyed equi-join +
+    narrow Arrow combine (:func:`vrtility_spark.algebra.tile_algebra`
+    with the :func:`twi_np` kernel) — no extra shuffle beyond the
+    join, payloads decode only inside the map.  ``pixel_size`` is the
+    ground sample distance in the catchment-area unit (explicit, not
+    derived per cell: TWI mixes the two inputs' geometry, so the
+    caller states the grid once)."""
+    def op(A, S):
+        return twi_np(A, S, pixel_size, min_tanb=min_tanb)
+    from vrtility_spark.algebra import tile_algebra
+    return tile_algebra(acc_df, slope_df, op=op, key=key)
+
+
+def twi_from_dem(dem_df: DataFrame, pixel_size: float | None = None,
+                 min_tanb: float = 1e-3, fill: bool = True,
+                 key: str = "cell_id", **acc_kwargs) -> DataFrame:
+    """The full wetness chain from a DEM tile table: (optional)
+    depression filling → D8 flow directions → distributed flow
+    accumulation → slope → :func:`topographic_wetness`.  The two
+    derivative branches share the filled DEM; ``pixel_size`` defaults
+    to the grid's uniform GSD derived from the FIRST tile row (all
+    tiles on one warp grid share it — mixed grids must pass it
+    explicitly)."""
+    from vrtility_spark import cells, terrain
+    dem = fill_sinks(dem_df, key=key) if fill else dem_df
+    if pixel_size is None:
+        first = dem_df.select(key, "w").first()
+        _, res, _, _ = (int(v) for v in
+                        cells.decode_np(first[0]))
+        pixel_size = cells.cell_size(res) / int(first[1])
+    codes = terrain.terrain(dem, "flowdir", key=key)
+    acc = flow_accumulation(codes, key=key, **acc_kwargs)
+    slope = terrain.terrain(dem, "slope", key=key)
+    return topographic_wetness(acc, slope, pixel_size,
+                               min_tanb=min_tanb, key=key)
+
+
 # ------------------------------------------------------- sink filling ----
 
 #: halo marker: this padded position is nodata/off-mosaic — an OUTLET

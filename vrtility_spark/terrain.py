@@ -1,5 +1,7 @@
 """Terrain derivatives — the gdaldem menu over tiled rasters:
-slope / aspect / hillshade / D8 flowdir / TPI / TRI / roughness.
+slope / aspect / hillshade / D8 flowdir / TPI / TRI / roughness,
+plus Zevenbergen–Thorne total/profile/plan curvature (the ArcGIS
+Curvature tool gdaldem lacks).
 
 The gdaldem family as distributed operators: Horn's 3x3 finite
 differences (the GDAL default) for the gradient products, plus the
@@ -43,7 +45,8 @@ from vrtility_spark import cells
 from vrtility_spark.focal import focal_filter
 
 TERRAIN_OPS = ("slope", "aspect", "hillshade", "hillshade_md",
-               "illumination", "flowdir", "tpi", "tri", "roughness")
+               "illumination", "flowdir", "tpi", "tri", "roughness",
+               "curvature", "profile_curvature", "plan_curvature")
 
 
 # ------------------------------------------------------ NumPy kernels ----
@@ -218,6 +221,66 @@ def roughness_np(P: np.ndarray, sx: float = 1.0,
     return out
 
 
+def _zt_coeffs(P: np.ndarray, sx: float, sy: float):
+    """Zevenbergen & Thorne (1987) partial-quartic coefficients of the
+    padded ``(B, H+2, W+2)`` array: ``(D, E, F, G, H, any-invalid)``
+    each ``(B, H, W)``.  D/E are the half second derivatives along
+    x/y, F the twist, G/H the central first derivatives — the five
+    terms every curvature product is built from.  Anisotropic
+    spacings supported; row 0 is the SOUTH edge (the engine's grid
+    convention), and every curvature product below is invariant to
+    that choice (F and H flip sign together under a y-flip)."""
+    Wv, z, bad = _window_3x3(P)
+    zSW, zS, zSE = Wv[..., 0, 0], Wv[..., 0, 1], Wv[..., 0, 2]
+    zW_, zE_ = Wv[..., 1, 0], Wv[..., 1, 2]
+    zNW, zN, zNE = Wv[..., 2, 0], Wv[..., 2, 1], Wv[..., 2, 2]
+    D = ((zW_ + zE_) / 2.0 - z) / (sx * sx)
+    E = ((zN + zS) / 2.0 - z) / (sy * sy)
+    Fc = (-zNW + zNE + zSW - zSE) / (4.0 * sx * sy)
+    G = (zE_ - zW_) / (2.0 * sx)
+    H = (zN - zS) / (2.0 * sy)
+    return D, E, Fc, G, H, bad
+
+
+def curvature_np(P: np.ndarray, sx: float, sy: float,
+                 mode: str = "total") -> np.ndarray:
+    """Surface curvature (Zevenbergen & Thorne 1987; the classic
+    ArcGIS Curvature tool, ×100 output convention, which gdaldem
+    lacks) of the padded ``(B, H+2, W+2)`` array.
+
+    * ``total``  : ``-200·(D + E)`` — positive where the surface is
+      upwardly convex (a peak), negative in a bowl;
+    * ``profile``: curvature in the steepest-descent direction,
+      ``200·(D·G² + E·H² + F·G·H)/(G² + H²)`` — positive where flow
+      DEcelerates (upwardly concave along the slope line), the sign
+      convention of the Esri tool; flat pixels (G = H = 0) are 0;
+    * ``plan``   : curvature across the slope (of the contour line),
+      ``-200·(D·H² + E·G² − F·G·H)/(G² + H²)`` — negative where flow
+      converges (hollows), positive on noses; flat pixels are 0.
+
+    Units are 1/(100·length-unit) (the ×100 makes metre DEMs read in
+    round numbers).  NaN under the same strict any-invalid-sample
+    window rule as every gradient product."""
+    D, E, Fc, G, H, bad = _zt_coeffs(P, sx, sy)
+    if mode == "total":
+        out = -200.0 * (D + E)
+    else:
+        den = G * G + H * H
+        with np.errstate(invalid="ignore", divide="ignore"):
+            if mode == "profile":
+                out = 200.0 * (D * G * G + E * H * H + Fc * G * H) / den
+            elif mode == "plan":
+                out = -200.0 * (D * H * H + E * G * G - Fc * G * H) / den
+            else:
+                raise ValueError(
+                    f"unknown curvature mode {mode!r}; "
+                    "known: total, profile, plan")
+        out = np.where(den == 0.0, 0.0, out)  # Esri flat convention
+    out = np.asarray(out, dtype=np.float64)
+    out[bad] = np.nan
+    return out
+
+
 def terrain_np(P: np.ndarray, op: str, sx: float, sy: float,
                units: str = "degrees", azimuth: float = 315.0,
                altitude: float = 45.0, alg: str = "riley") -> np.ndarray:
@@ -240,6 +303,12 @@ def terrain_np(P: np.ndarray, op: str, sx: float, sy: float,
         return tri_np(P, sx, sy, alg=alg)
     if op == "roughness":
         return roughness_np(P, sx, sy)
+    if op == "curvature":
+        return curvature_np(P, sx, sy, mode="total")
+    if op == "profile_curvature":
+        return curvature_np(P, sx, sy, mode="profile")
+    if op == "plan_curvature":
+        return curvature_np(P, sx, sy, mode="plan")
     raise KeyError(f"unknown terrain op {op!r}; known: {TERRAIN_OPS}")
 
 
