@@ -3508,6 +3508,47 @@ def q_image_tri(spark, sf_dir):
                     "tpi_sum", "rough_sum", "nodata_px"))
 
 
+def q_image_focal_stats(spark, sf_dir):
+    """Masked median composite → focal std / range / majority
+    (focal.focal_filter, radius 1, fill=True — the ArcGIS
+    FocalStatistics menu beyond mean/min/max/median): population std
+    and range ride the integral-image path, majority the
+    sorted-window count path with smallest-value tie-break; all three
+    share one composite, each is a single cell-keyed halo shuffle,
+    joined on cell_id.  Pinned against constants computed Spark-free
+    on assembled per-zone mosaics (tools/gen_oracle_constants.py).
+    The reference has no focal-statistics stage at all — spatial
+    windows are this engine's twin of its temporal ones
+    (R/vrt-hampel.R)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, focal, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    base = (Pipeline(images)
+            .set_maskfun("int", datagen.S2_MASK_VALUES)
+            .warp(cell_res=datagen.TILE_RES)
+            .composite("median")
+            .df)
+    fs, nd_px = _float_payload_udfs()
+
+    def sums(op, name):
+        out = focal.focal_filter(base, op=op, radius=1, fill=True,
+                                 out_fmt="rawf32", out_nodata=-9999.0)
+        return out.select(
+            "cell_id", "n_scenes",
+            F.length("bytes").alias("payload_len"),
+            fs("bytes", "w", "h", "fmt").alias(f"{name}_sum"),
+            nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
+
+    std = sums("std", "std")
+    rng = sums("range", "rng").select("cell_id", "rng_sum")
+    maj = sums("majority", "maj").select("cell_id", "maj_sum")
+    return (std.join(rng, "cell_id").join(maj, "cell_id")
+            .select("cell_id", "n_scenes", "payload_len", "std_sum",
+                    "rng_sum", "maj_sum", "nodata_px"))
+
+
 def q_image_curvature(spark, sf_dir):
     """Masked median composite → Zevenbergen–Thorne surface curvature
     (terrain.terrain ops 'curvature'/'profile_curvature'/
@@ -4158,6 +4199,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_tri": q_image_tri,
         "image_curvature": q_image_curvature,
         "image_twi": q_image_twi,
+        "image_focal_stats": q_image_focal_stats,
         "image_fillnodata": q_image_fillnodata,
         "point_sample": q_point_sample,
         "grid_idw": q_grid_idw,

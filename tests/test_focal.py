@@ -48,9 +48,17 @@ def focal_loop(G: np.ndarray, op: str, r: int, weights=None,
                                               else 1.0) \
                             if not (normalize and w[v].sum() == 0) else np.nan
                         continue
+                    if op == "majority":
+                        vals, cnts = np.unique(win[v],
+                                               return_counts=True)
+                        out[b, y, x] = vals[cnts.argmax()]
+                        continue
+                    if op == "range":
+                        out[b, y, x] = np.nanmax(win) - np.nanmin(win)
+                        continue
                     f = {"mean": np.nanmean, "sum": np.nansum,
                          "min": np.nanmin, "max": np.nanmax,
-                         "median": np.nanmedian}[op]
+                         "median": np.nanmedian, "std": np.nanstd}[op]
                     out[b, y, x] = f(win)
     return out
 
@@ -62,15 +70,53 @@ def _rand(shape, nan_frac=0.25):
 
 
 @pytest.mark.parametrize("op", ["mean", "sum", "count", "min", "max",
-                                "median"])
+                                "median", "std", "range", "majority"])
 @pytest.mark.parametrize("r", [1, 2])
 def test_focal_np_matches_loop(op, r):
     G = _rand((2, 9, 11))
+    if op == "majority":
+        # class-like raster: few distinct values so ties actually occur
+        G = np.where(np.isnan(G), np.nan, np.round(G / 200) * 200)
     P = np.full((2, 9 + 2 * r, 11 + 2 * r), np.nan)
     P[:, r:r + 9, r:r + 11] = G
     got = focal.focal_np(P, op, r)
     want = focal_loop(G, op, r)
-    np.testing.assert_allclose(got, want, rtol=1e-12, equal_nan=True)
+    rtol = 1e-9 if op == "std" else 1e-12  # integral-image cancellation
+    np.testing.assert_allclose(got, want, rtol=rtol, atol=1e-9,
+                               equal_nan=True)
+
+
+def test_focal_std_range_majority_closed_forms():
+    # constant plane: std 0, range 0, majority the constant
+    C = np.full((1, 6, 6), 7.0)
+    P = np.full((1, 8, 8), np.nan)
+    P[:, 1:-1, 1:-1] = C
+    interior = (slice(1, -1), slice(1, -1))
+    assert np.allclose(focal.focal_np(P, "std", 1)[0][interior], 0.0)
+    assert np.allclose(focal.focal_np(P, "range", 1)[0][interior], 0.0)
+    assert np.allclose(focal.focal_np(P, "majority", 1)[0], 7.0)
+    # majority tie -> SMALLEST value: a checkerboard of 1/2 has a
+    # 5-vs-4 split per full window; corner windows (2x2 in-domain)
+    # tie 2-2 and must resolve to 1
+    cb = np.indices((5, 5)).sum(axis=0) % 2 + 1.0
+    Pcb = np.full((1, 7, 7), np.nan)
+    Pcb[0, 1:-1, 1:-1] = cb
+    mj = focal.focal_np(Pcb, "majority", 1)[0]
+    assert mj[0, 0] == 1.0  # 2-2 tie among {1,2} -> 1
+    assert mj[2, 2] == cb[2, 2]  # 5-vs-4: center value wins
+    # all-NaN window -> NaN majority/std/range
+    hole = np.full((1, 5, 5), np.nan)
+    hole[0, 0, 0] = 3.0
+    Ph = np.full((1, 7, 7), np.nan)
+    Ph[:, 1:-1, 1:-1] = hole
+    assert np.isnan(focal.focal_np(Ph, "majority", 1)[0, 4, 4])
+    assert np.isnan(focal.focal_np(Ph, "std", 1)[0, 4, 4])
+    # std is POPULATION std (ddof=0): two samples 0/2 -> std 1
+    two = np.full((1, 3, 3), np.nan)
+    two[0, 1, 0], two[0, 1, 2] = 0.0, 2.0
+    Pt = np.full((1, 5, 5), np.nan)
+    Pt[:, 1:-1, 1:-1] = two
+    assert focal.focal_np(Pt, "std", 1)[0, 1, 1] == pytest.approx(1.0)
 
 
 def test_focal_np_conv_matches_loop():
@@ -151,7 +197,9 @@ def _expected_tiles(G, op, r, h, w, positions, fill, **kw):
 
 
 @pytest.mark.parametrize("op,fill", [("mean", False), ("median", True),
-                                     ("max", False)])
+                                     ("max", False), ("std", True),
+                                     ("majority", False),
+                                     ("range", True)])
 def test_halo_exchange_matches_global_mosaic(spark, op, fill):
     # full 3x3 grid: every interior boundary crosses tiles — byte parity
     # with the single-array computation proves the halo plumbing

@@ -2849,6 +2849,46 @@ def image_tri_rows():
     return sorted(rows, key=lambda d: d["cell_id"])
 
 
+def image_focal_stats_rows():
+    """Masked median composite → focal std / range / majority
+    (radius 1, fill=True) replicated without Spark: per-zone mosaics
+    padded and reduced with focal.focal_np (loop-oracle-gated in
+    tests/test_focal.py), cropped back to tiles through the exact
+    rawf32/-9999 round trip.  Checksums are sum(round(v, 3)) in f64
+    over valid pixels per product plus each product's own -9999 count
+    (std/range share the >=1-valid-sample geography; majority too,
+    listed once)."""
+    from vrtility_spark import focal
+
+    h = w = 16
+    zones, meta = _median_zone_mosaics(h, w)
+    rows = []
+    for _zone, lst, G in zones:
+        nb = G.shape[0]
+        P = np.full((nb, G.shape[1] + 2, G.shape[2] + 2), np.nan)
+        P[:, 1:-1, 1:-1] = G
+        prods = {"std": focal.focal_np(P, "std", 1),
+                 "rng": focal.focal_np(P, "range", 1),
+                 "maj": focal.focal_np(P, "majority", 1)}
+        for cid, jx, jy in lst:
+            row = {"cell_id": cid, "n_scenes": meta[cid][1]}
+            for name, full in prods.items():
+                tile = full[:, jy * h:(jy + 1) * h, jx * w:(jx + 1) * w]
+                payload = codec.encode(
+                    codec.from_float(tile, -9999.0, "float32"), "rawf32")
+                dec = codec.decode(payload, w, h, "rawf32") \
+                    .astype(np.float64)
+                valid = dec[dec != -9999.0]
+                row[f"{name}_sum"] = float(np.round(valid, 3).sum())
+                row["payload_len"] = len(payload)
+                row["nodata_px"] = int((dec == -9999.0).sum())
+            rows.append({k: row[k] for k in
+                         ("cell_id", "n_scenes", "payload_len",
+                          "std_sum", "rng_sum", "maj_sum",
+                          "nodata_px")})
+    return sorted(rows, key=lambda d: d["cell_id"])
+
+
 def image_curvature_rows(pixel_size: float = 30.0):
     """Masked median composite → Zevenbergen–Thorne total/profile/plan
     curvature replicated without Spark: per-zone mosaics padded and
@@ -3842,6 +3882,12 @@ def main() -> None:
             image_tri_rows(),
             ["cell_id", "n_scenes", "payload_len", "tri_sum",
              "tpi_sum", "rough_sum", "nodata_px"]),
+        # composite -> focal std/range/majority: pins the widened
+        # focal-statistics menu through the same halo exchange
+        "image_focal_stats": values_sql(
+            image_focal_stats_rows(),
+            ["cell_id", "n_scenes", "payload_len", "std_sum",
+             "rng_sum", "maj_sum", "nodata_px"]),
         # composite -> Z&T total/profile/plan curvature: pins the
         # quartic-coefficient kernels through the same halo exchange
         "image_curvature": values_sql(

@@ -43,7 +43,8 @@ from pyspark.sql import types as T
 
 from vrtility_spark import cells, codec
 
-FOCAL_OPS = ("mean", "sum", "count", "min", "max", "median", "conv")
+FOCAL_OPS = ("mean", "sum", "count", "min", "max", "median", "conv",
+             "std", "range", "majority")
 
 # helper columns carried through the halo shuffle (dropped on output)
 _H_DEST, _H_SX, _H_SY, _H_STRIP, _H_SH, _H_SW, _H_NB = (
@@ -94,13 +95,45 @@ def focal_np(P: np.ndarray, op: str, radius: int,
                 out = s / c
         out[c == 0] = np.nan
         return out
-    if op in ("min", "max", "median"):
+    if op == "std":
+        # population std (ArcGIS FocalStatistics STD convention) via
+        # the same integral images: sqrt(E[x^2] - E[x]^2), variance
+        # clamped at 0 against float cancellation
+        V = np.isfinite(P)
+        A0 = np.where(V, P, 0.0)
+        s = _win_sum(A0, k)
+        s2 = _win_sum(A0 * A0, k)
+        c = _win_sum(V.astype(np.float64), k)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            m = s / c
+            out = np.sqrt(np.maximum(s2 / c - m * m, 0.0))
+        out[c == 0] = np.nan
+        return out
+    if op in ("min", "max", "median", "range"):
         from numpy.lib.stride_tricks import sliding_window_view
         Wv = sliding_window_view(P, (k, k), axis=(1, 2))  # (B,H,W,k,k)
-        f = {"min": np.nanmin, "max": np.nanmax, "median": np.nanmedian}[op]
         with warnings.catch_warnings():
             warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN windows
+            if op == "range":
+                return (np.nanmax(Wv, axis=(-2, -1))
+                        - np.nanmin(Wv, axis=(-2, -1)))
+            f = {"min": np.nanmin, "max": np.nanmax,
+                 "median": np.nanmedian}[op]
             return f(Wv, axis=(-2, -1))
+    if op == "majority":
+        # most frequent valid value, ties -> smallest (deterministic);
+        # NaN when the window holds no valid sample.  Sort each
+        # window's k^2 samples ascending (NaN sorts last), count
+        # equals pairwise (k^2 small, so O(k^4) vector ops beat any
+        # per-window Python loop), take the FIRST index achieving the
+        # max count — ascending order makes that the smallest value.
+        from numpy.lib.stride_tricks import sliding_window_view
+        Wv = sliding_window_view(P, (k, k), axis=(1, 2))
+        S = np.sort(Wv.reshape(*Wv.shape[:3], k * k), axis=-1)
+        counts = (S[..., None, :] == S[..., :, None]).sum(axis=-1)
+        idx = counts.argmax(axis=-1)  # first max: smallest value wins
+        out = np.take_along_axis(S, idx[..., None], axis=-1)[..., 0]
+        return out  # all-NaN window: counts all 0, idx 0, S[0] = NaN
     if op == "conv":
         if weights is None:
             raise ValueError("op='conv' needs a (2r+1, 2r+1) weights array")
