@@ -3508,6 +3508,52 @@ def q_image_tri(spark, sf_dir):
                     "tpi_sum", "rough_sum", "nodata_px"))
 
 
+def q_image_flowlength(spark, sf_dir):
+    """Masked median composite → D8 flowdir → downstream flow length
+    (hydrology.flow_length — ArcGIS FlowLength): per-pixel along-path
+    distance to the drainage stop via basins' tile-boundary functional
+    graph with ADDITIVE weights — in-tile pointer doubling carries
+    EXACT packed step-type counts (E/W, N/S, diagonal in one int64),
+    cross-tile pointer jumping accumulates (partial, fallback) count
+    pairs in O(log chain-in-tiles) rounds, and metres are computed
+    once at paint — so the distributed result matches the mosaic
+    kernel bit-for-bit.  Only perimeter-sized node rows shuffle.
+    Pinned against constants computed Spark-free on per-zone mosaics
+    (tools/gen_oracle_constants.py); the reference delegates hydrology
+    to external GDAL/SAGA tooling (R/gdal-options.R)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    out = (Pipeline(images)
+           .set_maskfun("int", datagen.S2_MASK_VALUES)
+           .warp(cell_res=datagen.TILE_RES)
+           .composite("median")
+           .terrain("flowdir")
+           .flow_length()
+           .df)
+    fs, nd_px = _float_payload_udfs()
+
+    @F.pandas_udf("double")
+    def fmax(b: pd.Series, w: pd.Series, h: pd.Series,
+             fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f in zip(b, w, h, fmt):
+            dec = codec.decode(x, int(wi), int(hi), f).astype(np.float64)
+            v = dec[dec != -9999.0]
+            res.append(float(np.round(v, 3).max()) if v.size else 0.0)
+        return pd.Series(res)
+
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        fs("bytes", "w", "h", "fmt").alias("len_sum"),
+        fmax("bytes", "w", "h", "fmt").alias("len_max"),
+        nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
+
+
 def q_image_focal_stats(spark, sf_dir):
     """Masked median composite → focal std / range / majority
     (focal.focal_filter, radius 1, fill=True — the ArcGIS
@@ -4200,6 +4246,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_curvature": q_image_curvature,
         "image_twi": q_image_twi,
         "image_focal_stats": q_image_focal_stats,
+        "image_flowlength": q_image_flowlength,
         "image_fillnodata": q_image_fillnodata,
         "point_sample": q_point_sample,
         "grid_idw": q_grid_idw,

@@ -286,3 +286,132 @@ def test_twi_from_dem_derives_pixel_size_and_fills(spark):
         assert r.bytes == explicit[r.cell_id].bytes
     filled = hydrology.twi_from_dem(df).collect()
     assert len(filled) == 2 and all(r.fmt == "rawf32" for r in filled)
+
+
+# --------------------------------------- downstream flow length ----
+
+def flow_length_walk(codes, sx, sy):
+    """Naive per-pixel walking oracle: follow the D8 path summing step
+    lengths in walk order until a sink, a nodata target, or the plane
+    edge."""
+    step = {c: (dy, dx) for c, dy, dx in terrain.D8_CODES}
+    B, H, W = codes.shape
+    out = np.full((B, H, W), np.nan)
+    for b in range(B):
+        c = codes[b]
+        for y in range(H):
+            for x in range(W):
+                if not np.isfinite(c[y, x]):
+                    continue
+                total, cy, cx = 0.0, y, x
+                while True:
+                    code = int(c[cy, cx])
+                    if code == 0:
+                        break
+                    dy, dx = step[code]
+                    ny, nx = cy + dy, cx + dx
+                    if not (0 <= ny < H and 0 <= nx < W) \
+                            or not np.isfinite(c[ny, nx]):
+                        break
+                    total += float(np.hypot(dx * sx, dy * sy))
+                    cy, cx = ny, nx
+                out[b, y, x] = total
+    return out
+
+
+def test_flow_length_kernel_matches_walk():
+    G = np.round(RNG.uniform(0, 500, size=(2, 12, 14)))
+    G[RNG.random(G.shape) < 0.08] = np.nan
+    codes = terrain.flow_direction_np(_pad(G), 2.0, 3.0)
+    got = hydrology.flow_length_np(codes, 2.0, 3.0)
+    want = flow_length_walk(codes, 2.0, 3.0)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9,
+                               equal_nan=True)
+
+
+def test_flow_length_east_plane_closed_form():
+    # z = -x: every valid pixel flows E; length at column j is the
+    # remaining eastward run (W-2-j valid columns ahead) times sx
+    H = W = 8
+    x = np.arange(W, dtype=np.float64)
+    G = np.tile(-x, (H, 1))[None]
+    codes = terrain.flow_direction_np(_pad(G), 2.5, 1.0)
+    fl = hydrology.flow_length_np(codes, 2.5, 1.0)[0]
+    for j in range(1, W - 1):
+        np.testing.assert_allclose(fl[1:-1, j], (W - 2 - j) * 2.5)
+    # a sink pixel has length exactly 0
+    bowl = ((np.mgrid[0:9, 0:9][0] - 4) ** 2
+            + (np.mgrid[0:9, 0:9][1] - 4) ** 2).astype(np.float64)[None]
+    cb = terrain.flow_direction_np(_pad(bowl), 1.0, 1.0)
+    fb = hydrology.flow_length_np(cb, 1.0, 1.0)[0]
+    assert fb[4, 4] == 0.0
+    assert fb[4, 6] == 2.0 and fb[6, 6] == pytest.approx(2 * np.sqrt(2))
+
+
+@pytest.mark.parametrize("tilt", [None, "east"])
+def test_flow_length_distributed_matches_mosaic(spark, tilt):
+    # byte parity with the mosaic kernel — the packed-count design
+    # makes the distributed sums EXACT integers, so f32 encodes agree
+    # bit-for-bit, seams and missing-neighbor fallbacks included
+    h = w = 16
+    positions = [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0)]
+    rows, G = _dem_tiles(h, w, positions, seed=67, tilt=tilt)
+    df = spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+    size = cells.cell_size(RES)
+    sx, sy = size / w, size / h
+    codes_df = terrain.terrain(df, "flowdir")
+    out = {r.cell_id: r
+           for r in hydrology.flow_length(codes_df).collect()}
+    assert len(out) == len(positions)
+    codes = terrain.flow_direction_np(_pad(G), sx, sy)
+    want_all = hydrology.flow_length_np(codes, sx, sy)
+    for ix, iy in positions:
+        cid = int(cells.encode_np(ZONE, RES, ix, iy))
+        r = out[cid]
+        assert r.fmt == "rawf32" and r.nodata == hydrology.OUT_NODATA
+        got = codec.to_float_masked(
+            codec.decode(r.bytes, r.w, r.h, r.fmt), r.nodata)
+        want = want_all[:, iy * h:(iy + 1) * h, ix * w:(ix + 1) * w]
+        np.testing.assert_array_equal(
+            np.asarray(got, np.float32),
+            want.astype(np.float32))
+
+
+def test_flow_length_explicit_pixel_size(spark):
+    rows, G = _dem_tiles(16, 16, [(0, 0), (1, 0)], seed=5,
+                         tilt="east")
+    df = spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+    codes_df = terrain.terrain(df, "flowdir", pixel_size=2.0)
+    out = {r.cell_id: r
+           for r in hydrology.flow_length(
+               codes_df, pixel_size=2.0).collect()}
+    codes = terrain.flow_direction_np(_pad(G), 2.0, 2.0)
+    want_all = hydrology.flow_length_np(codes, 2.0, 2.0)
+    for ix, iy in [(0, 0), (1, 0)]:
+        cid = int(cells.encode_np(ZONE, RES, ix, iy))
+        r = out[cid]
+        got = codec.to_float_masked(
+            codec.decode(r.bytes, r.w, r.h, r.fmt), r.nodata)
+        want = want_all[:, iy * 16:(iy + 1) * 16, ix * 16:(ix + 1) * 16]
+        np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                      want.astype(np.float32))
+
+
+def test_flow_length_pipeline_verb_and_bundle(spark, tmp_path,
+                                              tiny_images):
+    from vrtility_spark import datagen
+    from vrtility_spark.pipeline import Pipeline
+    p = (Pipeline(tiny_images)
+         .set_maskfun("int", datagen.S2_MASK_VALUES)
+         .warp(cell_res=datagen.TILE_RES)
+         .composite("median")
+         .terrain("flowdir")
+         .flow_length())
+    rows = p.df.collect()
+    assert len(rows) == 12 and rows[0].fmt == "rawf32"
+    bp = str(tmp_path / "flowlen.json")
+    p.to_bundle(bp)
+    replay = Pipeline.from_bundle(bp, tiny_images)
+    a = {r.cell_id: bytes(r.bytes) for r in rows}
+    b = {r.cell_id: bytes(r.bytes) for r in replay.df.collect()}
+    assert a == b

@@ -1960,6 +1960,48 @@ def image_flowacc_rows(stream_threshold: float = 5.0):
     return sorted(rows, key=lambda d: d["cell_id"])
 
 
+def image_flowlength_rows():
+    """Masked median composite → D8 flowdir → downstream flow length
+    replicated without Spark: per-zone mosaics coded with
+    terrain.flow_direction_np and measured with
+    hydrology.flow_length_np (walk-oracle-gated in
+    tests/test_hydrology.py), cropped back to tiles through the exact
+    rawf32/-9999 round trip.  The packed-step-count design makes the
+    distributed sums exact integers, so these constants pin the
+    cross-tile pointer jumping bit-for-bit.  Checksums are
+    sum(round(v, 3)) in f64 over valid pixels, the rounded max, and
+    the nodata count."""
+    from vrtility_spark import hydrology, terrain
+
+    h = w = 16
+    size = cells.cell_size(datagen.TILE_RES)
+    sx, sy = size / w, size / h
+    zones, meta = _median_zone_mosaics(h, w)
+    rows = []
+    for _zone, lst, G in zones:
+        nb = G.shape[0]
+        P = np.full((nb, G.shape[1] + 2, G.shape[2] + 2), np.nan)
+        P[:, 1:-1, 1:-1] = G
+        fl = hydrology.flow_length_np(
+            terrain.flow_direction_np(P, sx, sy), sx, sy)
+        for cid, jx, jy in lst:
+            tile = fl[:, jy * h:(jy + 1) * h, jx * w:(jx + 1) * w]
+            payload = codec.encode(
+                codec.from_float(tile, -9999.0, "float32"), "rawf32")
+            dec = codec.decode(payload, w, h, "rawf32").astype(np.float64)
+            valid = dec[dec != -9999.0]
+            _nd, n_scenes = meta[cid]
+            rows.append({
+                "cell_id": cid, "n_scenes": n_scenes,
+                "payload_len": len(payload),
+                "len_sum": float(np.round(valid, 3).sum()),
+                "len_max": (float(np.round(valid, 3).max())
+                            if valid.size else 0.0),
+                "nodata_px": int((dec == -9999.0).sum()),
+            })
+    return sorted(rows, key=lambda d: d["cell_id"])
+
+
 def image_fillsinks_rows():
     """Masked median composite → depression filling replicated without
     Spark: per-zone mosaics filled with hydrology.fill_sinks_np
@@ -3783,6 +3825,12 @@ def main() -> None:
             image_flowacc_rows(),
             ["cell_id", "n_scenes", "payload_len", "acc_sum",
              "acc_max", "stream_px", "nodata_px"]),
+        # composite -> flowdir -> downstream flow length: pins the
+        # packed-count pointer jumping against the mosaic kernel
+        "image_flowlength": values_sql(
+            image_flowlength_rows(),
+            ["cell_id", "n_scenes", "payload_len", "len_sum",
+             "len_max", "nodata_px"]),
         # composite -> depression filling: pins the cross-tile
         # strip-exchange relaxation against priority-flood on the mosaic
         "image_fillsinks": values_sql(

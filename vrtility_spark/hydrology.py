@@ -1175,6 +1175,360 @@ def basins(df: DataFrame, key: str = "cell_id",
             .mapInPandas(paint, schema=out_schema))
 
 
+# --------------------------------------------- downstream flow length ----
+
+#: exact flow-length packing: a D8 path's length is fully determined
+#: by its integer step-type counts (E/W steps at sx, N/S steps at sy,
+#: diagonals at hypot(sx, sy)); the triple packs into one int64 —
+#: addition is EXACT and order-free, so distributed partial sums can
+#: associate any way they like and still match the mosaic kernel
+#: bit-for-bit once converted to metres (one shared expression, at
+#: paint only)
+_FL_SHIFT = 21
+_FL_MASK = (1 << _FL_SHIFT) - 1
+#: D8 code -> packed single-step increment
+_FL_STEP = {1: 1, 16: 1,                                   # E/W
+            4: 1 << _FL_SHIFT, 64: 1 << _FL_SHIFT,          # N/S
+            2: 1 << (2 * _FL_SHIFT), 8: 1 << (2 * _FL_SHIFT),
+            32: 1 << (2 * _FL_SHIFT), 128: 1 << (2 * _FL_SHIFT)}
+
+
+def _fl_metres(packed: np.ndarray, sx: float, sy: float) -> np.ndarray:
+    """Packed step counts → float64 length. The ONE place counts meet
+    floats — both the mosaic kernel and the distributed paint call
+    this same expression, so their outputs are bit-identical."""
+    p = np.asarray(packed, np.int64)
+    n_ew = (p & _FL_MASK).astype(np.float64)
+    n_ns = ((p >> _FL_SHIFT) & _FL_MASK).astype(np.float64)
+    n_dg = ((p >> (2 * _FL_SHIFT)) & _FL_MASK).astype(np.float64)
+    return n_ew * sx + n_ns * sy + n_dg * float(np.hypot(sx, sy))
+
+
+def _packed_counts(c: np.ndarray):
+    """Pointer doubling with additive packed step counts for one
+    ``(H, W)`` D8 code plane: returns ``(rep, cnt, dest)`` where
+    ``rep[p]`` is p's in-plane stopping pixel (exactly
+    :func:`_resolve_reps`) and ``cnt[p]`` the packed step counts of
+    the chain p → rep[p].  O(n log n), no pixel loop."""
+    H, W_ = c.shape
+    n = H * W_
+    if n >= _FL_MASK:
+        raise ValueError(
+            f"flow_length: tile of {n} pixels overflows the "
+            f"2^{_FL_SHIFT} per-type step budget; use smaller tiles")
+    dest, _off = _dest_tables(c)
+    valid = np.isfinite(c).ravel()
+    nxt = np.arange(n)
+    inb = (dest >= 0) & valid
+    follow = inb.copy()
+    follow[inb] = valid[dest[inb]]     # a nodata target stops the walk
+    nxt[follow] = dest[follow]
+    cnt = np.zeros(n, np.int64)
+    cv = c.ravel()
+    for code, step in _FL_STEP.items():
+        cnt[follow & (cv == code)] = step
+    while True:
+        cnt = cnt + cnt[nxt]           # len(p → nxt²(p)); reps stay 0
+        nxt2 = nxt[nxt]
+        if np.array_equal(nxt2, nxt):
+            return nxt, cnt, dest
+        nxt = nxt2
+
+
+def flow_length_np(codes: np.ndarray, sx: float, sy: float) -> np.ndarray:
+    """Whole-mosaic reference kernel: ``(B, H, W)`` D8 code planes
+    (NaN = nodata) → float64 DOWNSTREAM flow length (ArcGIS FlowLength
+    downstream / GRASS r.stream.distance to outlet): the along-path
+    distance from each pixel's center to the center of the terminal
+    pixel its drainage path stops at (sink, drain into nodata, or off
+    the mosaic edge — the :func:`basins` outlet conventions), with
+    cardinal steps at ``sx``/``sy`` and diagonals at ``hypot(sx, sy)``.
+    Terminal pixels are 0.  The naive per-pixel walking twin lives in
+    tests/test_hydrology.py."""
+    codes = np.asarray(codes, np.float64)
+    if codes.ndim != 3:
+        raise ValueError("expected (bands, h, w) code planes")
+    B, H, W_ = codes.shape
+    out = np.full((B, H, W_), np.nan)
+    for b in range(B):
+        c = codes[b]
+        _rep, cnt, _dest = _packed_counts(c)
+        ln = _fl_metres(cnt, sx, sy).reshape(H, W_)
+        out[b] = np.where(np.isfinite(c), ln, np.nan)
+    return out
+
+
+def flow_length(df: DataFrame, key: str = "cell_id",
+                pixel_size: float | tuple[float, float] | None = None,
+                max_rounds: int = 64, reliable: bool = False,
+                checkpoint_dir: str | None = None) -> DataFrame:
+    """Distributed downstream flow length over a one-row-per-cell tile
+    table of D8 codes (the output of ``terrain(df, 'flowdir')``) —
+    ArcGIS FlowLength (downstream), distributed.  Output schema ==
+    input schema with the payload replaced by ``rawf32`` lengths
+    (``-9999`` sentinel), ``pixel_size`` defaulting to each cell's own
+    ground sample distance like :func:`vrtility_spark.terrain.terrain`.
+
+    Spark-first plan — :func:`basins`' tile-boundary functional graph
+    with ADDITIVE weights: per-tile pointer doubling contracts every
+    chain onto its stop carrying exact packed step-type counts
+    (:func:`_packed_counts` — E/W, N/S and diagonal step counts pack
+    into one int64, so every partial sum is exact integer arithmetic
+    and association order cannot perturb the result); edge-entry nodes
+    then pointer-jump across tiles accumulating ``(partial-to-target,
+    fallback-if-target-absent)`` count pairs in O(log chain-in-tiles)
+    rounds; paint adds each pixel's in-tile counts to its rep's
+    resolved downstream counts and converts to metres ONCE.  Node +
+    ref rows are O(perimeter · bands) per tile; tile bytes never
+    shuffle.  Missing/nodata targets outlet at the last valid pixel,
+    exactly the basins fallback."""
+    names = df.columns
+    for req in (key, "bytes", "w", "h", "fmt", "nodata"):
+        if req not in names:
+            raise ValueError(f"flow_length input is missing column "
+                             f"{req!r}")
+    ps = pixel_size
+    if ps is not None and np.isscalar(ps):
+        ps = (float(ps), float(ps))
+
+    def _ckpt(d, eager):
+        return truncate_lineage(d, eager=eager, reliable=reliable,
+                                checkpoint_dir=checkpoint_dir)
+
+    slim_cols = [F.col(key).alias("cell"), "bytes", "w", "h", "fmt",
+                 "nodata"]
+    if "band_nodata" in names:
+        slim_cols.append("band_nodata")
+    tiles_slim = _ckpt(df.select(*slim_cols), True)
+
+    _K_NODE, _K_REF = 0, 1
+    seed_schema = T.StructType([
+        T.StructField("cell", T.LongType()),
+        T.StructField("kind", T.IntegerType()),   # 0 node / 1 ref
+        T.StructField("band", T.IntegerType()),
+        T.StructField("flat", T.LongType()),
+        T.StructField("done", T.BooleanType()),
+        T.StructField("acc", T.LongType()),   # packed: final len when
+        T.StructField("fb", T.LongType()),    # done, else partial/fb
+        T.StructField("nxt_cell", T.LongType()),
+        T.StructField("nxt_flat", T.LongType()),
+    ])
+
+    def _decode_codes(row) -> np.ndarray:
+        arr = codec.decode(row.bytes, int(row.w), int(row.h), row.fmt)
+        nd = codec.row_band_meta(row, len(arr), "band_nodata",
+                                 codec.nodata_scalar(row.nodata))
+        return codec.to_float_masked(arr, nd)
+
+    def _contract(row):
+        """Per band: ``(c, rep, cnt, term_set, exits)`` where exits
+        maps each off-tile rep to ``(nxt_cell, nxt_flat,
+        packed_crossing_step)``."""
+        C = _decode_codes(row)
+        B, H, W_ = C.shape
+        zone, res, ix, iy = (int(v) for v in cells.decode_np(row.cell))
+        per_band = []
+        for b in range(B):
+            c = C[b]
+            rep, cnt, dest = _packed_counts(c)
+            _dest, off_flat = _dest_tables(c)
+            uniq = np.unique(rep[np.isfinite(c).ravel()])
+            term: set[int] = set()
+            exits: dict[int, tuple[int, int, int]] = {}
+            cv = c.ravel()
+            for r in uniq.tolist():
+                d = int(dest[r])
+                if d <= _OFF_BASE:
+                    k = int(_OFF_BASE - d)
+                    cdy, cdx = k // 3 - 1, k % 3 - 1
+                    ncell = cells.neighbor_cell(zone, res, ix, iy,
+                                                cdx, cdy)
+                    if ncell is None:      # zone edge: outlet here
+                        term.add(r)
+                    else:
+                        exits[r] = (int(ncell), int(off_flat[r]),
+                                    int(_FL_STEP[int(cv[r])]))
+                else:
+                    term.add(r)
+            per_band.append((c, rep, cnt, term, exits))
+        return per_band, (B, H, W_)
+
+    def seed(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                per_band, (B, H, W_) = _contract(row)
+                edge = np.zeros((H, W_), bool)
+                edge[0, :] = edge[-1, :] = True
+                edge[:, 0] = edge[:, -1] = True
+                eflat = np.flatnonzero(edge.ravel())
+                for b, (c, rep, cnt, term, exits) in \
+                        enumerate(per_band):
+                    vmask = np.isfinite(c).ravel()
+                    for e in eflat.tolist():
+                        if not vmask[e]:
+                            continue
+                        r = int(rep[e])
+                        base = int(cnt[e])
+                        if r in term:
+                            out.append({
+                                "cell": int(row.cell), "kind": _K_NODE,
+                                "band": b, "flat": int(e), "done": True,
+                                "acc": base, "fb": base,
+                                "nxt_cell": None, "nxt_flat": None})
+                        else:
+                            nc, nf, stp = exits[r]
+                            out.append({
+                                "cell": int(row.cell), "kind": _K_NODE,
+                                "band": b, "flat": int(e),
+                                "done": False, "acc": base + stp,
+                                "fb": base, "nxt_cell": nc,
+                                "nxt_flat": nf})
+                    for nc, nf in {(v[0], v[1]) for v in exits.values()}:
+                        out.append({
+                            "cell": int(row.cell), "kind": _K_REF,
+                            "band": b, "flat": None, "done": False,
+                            "acc": None, "fb": None, "nxt_cell": nc,
+                            "nxt_flat": nf})
+            if out:
+                pdf2 = pd.DataFrame(
+                    out, columns=[f.name for f in seed_schema.fields])
+                for col, dt in (("cell", "Int64"), ("kind", "Int32"),
+                                ("band", "Int32"), ("flat", "Int64"),
+                                ("acc", "Int64"), ("fb", "Int64"),
+                                ("nxt_cell", "Int64"),
+                                ("nxt_flat", "Int64")):
+                    pdf2[col] = pd.array(pdf2[col], dtype=dt)
+                yield pdf2
+
+    seeded = _ckpt(tiles_slim.mapInPandas(seed, schema=seed_schema),
+                   False)
+    nodes = seeded.where(F.col("kind") == _K_NODE) \
+        .select("cell", "band", "flat", "done", "acc", "fb",
+                "nxt_cell", "nxt_flat")
+    refs = seeded.where(F.col("kind") == _K_REF) \
+        .select(F.col("cell").alias("src"), "band",
+                F.col("nxt_cell").alias("tcell"),
+                F.col("nxt_flat").alias("tflat"))
+
+    rounds = 0
+    pending = nodes.where(~F.col("done")).count()
+    while pending:
+        rounds += 1
+        if rounds > max_rounds:
+            raise ValueError(
+                f"flow_length did not converge in {max_rounds} "
+                f"pointer-jumping rounds ({pending} boundary nodes "
+                "pending) — chains double per round, so this means a "
+                "CROSS-TILE CYCLE in the D8 codes (steepest-descent "
+                "flowdir cannot cycle; inspect these planes).")
+        tgt = nodes.select(
+            F.col("cell").alias("t_cell"), F.col("band").alias("t_band"),
+            F.col("flat").alias("t_flat"), F.col("done").alias("t_done"),
+            F.col("acc").alias("t_acc"), F.col("fb").alias("t_fb"),
+            F.col("nxt_cell").alias("t_nxt_cell"),
+            F.col("nxt_flat").alias("t_nxt_flat"))
+        und = nodes.where(~F.col("done"))
+        jumped = (und.join(
+            tgt, (und.nxt_cell == tgt.t_cell) & (und.band == tgt.t_band)
+            & (und.nxt_flat == tgt.t_flat), "left")
+            .select(
+                "cell", "band", "flat",
+                F.when(F.col("t_cell").isNull() | F.col("t_done"),
+                       F.lit(True)).otherwise(F.lit(False))
+                 .alias("done"),
+                # absent target: outlet at own rep (fallback counts);
+                # done target: donate its final counts; live target:
+                # extend the partial through it
+                F.when(F.col("t_cell").isNull(), F.col("fb"))
+                 .when(F.col("t_done"), F.col("acc") + F.col("t_acc"))
+                 .otherwise(F.col("acc") + F.col("t_acc")).alias("acc"),
+                F.when(F.col("t_cell").isNull() | F.col("t_done"),
+                       F.lit(None).cast("long"))
+                 .otherwise(F.col("acc") + F.col("t_fb")).alias("fb"),
+                F.when(F.col("t_cell").isNotNull() & ~F.col("t_done"),
+                       F.col("t_nxt_cell")).alias("nxt_cell"),
+                F.when(F.col("t_cell").isNotNull() & ~F.col("t_done"),
+                       F.col("t_nxt_flat")).alias("nxt_flat")))
+        nodes = _ckpt(nodes.where(F.col("done")).unionByName(jumped),
+                      False)
+        pending = nodes.where(~F.col("done")).count()
+
+    resolved = nodes.select(
+        F.col("cell").alias("tcell"), F.col("band").alias("band"),
+        F.col("flat").alias("tflat"), F.col("acc").alias("rlen"))
+    ref_lens = (refs.join(resolved, ["tcell", "band", "tflat"], "left")
+                .select(F.col("src").alias("cell"), "band", "tcell",
+                        "tflat", F.col("rlen").alias("rlen")))
+    per_cell = ref_lens.groupBy("cell").agg(
+        F.collect_list(F.struct("band", "tcell", "tflat",
+                                "rlen")).alias("lut"))
+
+    in_fields = [T.StructField(f.name, f.dataType, True)
+                 for f in df.schema.fields]
+    out_schema = T.StructType(in_fields)
+    meta_null = [c for c in ("band_scale", "band_offset", "band_nodata")
+                 if c in names]
+
+    def paint(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            out = []
+            has_lut = "lut" in pdf.columns
+            for row in pdf.itertuples(index=False):
+                per_band, (B, H, W_) = _contract(row)
+                if ps is None:
+                    _, res, _, _ = (int(v) for v in
+                                    cells.decode_np(row.cell))
+                    size = cells.cell_size(res)
+                    sx, sy = size / W_, size / H
+                else:
+                    sx, sy = ps
+                lut: dict[tuple[int, int, int], int | None] = {}
+                if has_lut and isinstance(row.lut, (list, np.ndarray)):
+                    for s in row.lut:
+                        v = s["rlen"]
+                        lut[(int(s["band"]), int(s["tcell"]),
+                             int(s["tflat"]))] = (
+                            None if v is None or codec.pd_isna(v)
+                            else int(v))
+                plane = np.full((B, H, W_), np.nan)
+                for b, (c, rep, cnt, term, exits) in \
+                        enumerate(per_band):
+                    # packed downstream counts FROM each rep onward
+                    down = np.zeros(H * W_, np.int64)
+                    for r, (nc, nf, stp) in exits.items():
+                        if (b, nc, nf) not in lut:
+                            raise ValueError(
+                                f"flow_length: exit ({nc},{nf}) band "
+                                f"{b} in cell {row.cell} has no REF "
+                                "row after pointer jumping — internal "
+                                "invariant violated")
+                        got = lut[(b, nc, nf)]
+                        # NULL = target node absent: outlet at rep
+                        down[r] = 0 if got is None else stp + got
+                    vsel = np.isfinite(c).ravel()
+                    total = cnt + down[rep]
+                    ln = np.where(vsel, _fl_metres(total, sx, sy),
+                                  np.nan)
+                    plane[b] = ln.reshape(H, W_)
+                d = {c2: getattr(row, c2) for c2 in names if c2 != key}
+                d[key] = int(row.cell)
+                d["bytes"] = codec.encode(
+                    codec.from_float(plane, OUT_NODATA, np.float32),
+                    "rawf32")
+                d["fmt"] = "rawf32"
+                d["nodata"] = OUT_NODATA
+                for c2 in meta_null:
+                    d[c2] = None
+                out.append(d)
+            if out:
+                yield pd.DataFrame(out, columns=names)
+
+    return (df.withColumnRenamed(key, "cell")
+            .join(per_cell, "cell", "left")
+            .mapInPandas(paint, schema=out_schema))
+
+
 # --------------------------------------------- Strahler stream order ----
 
 def _order_solve(c: np.ndarray,

@@ -65,7 +65,8 @@ class Pipeline:
         "proximity", "fillnodata", "chips", "overview_level",
         "overviews", "terrain", "texture", "color_relief", "stretch",
         "classify", "kmeans", "flow_accumulation", "fill_sinks",
-        "basins", "stream_order", "cloud_shadow", "unmix", "hotspots",
+        "basins", "stream_order", "flow_length", "cloud_shadow",
+        "unmix", "hotspots",
         "local_moran", "cost_distance", "auto_threshold",
         "allocation"])
 
@@ -783,6 +784,28 @@ class Pipeline:
                               checkpoint_dir=checkpoint_dir),
             (), "fill_sinks", {"eps": float(eps),
                                "max_rounds": int(max_rounds)})
+
+    def flow_length(self, pixel_size=None, max_rounds: int = 64,
+                    reliable: bool = False,
+                    checkpoint_dir: str | None = None) -> "Pipeline":
+        """Downstream flow length (hydrology.flow_length) over a
+        flow-direction tile table (chain ``.terrain('flowdir')``
+        first): per-pixel along-path distance to the drainage stop via
+        in-tile pointer doubling with EXACT packed step counts +
+        cross-tile pointer jumping (O(log chain) rounds, perimeter
+        node rows only). Output rawf32 metres with the -9999
+        sentinel. Bundleable. Pending masks flush first."""
+        from vrtility_spark import hydrology as _hydro
+        ps = None if pixel_size is None else (
+            float(pixel_size) if not isinstance(pixel_size, (tuple, list))
+            else tuple(float(v) for v in pixel_size))
+        return self._next(
+            _hydro.flow_length(self.df, pixel_size=ps,
+                               max_rounds=int(max_rounds),
+                               reliable=bool(reliable),
+                               checkpoint_dir=checkpoint_dir),
+            (), "flow_length", {"pixel_size": (list(ps) if isinstance(
+                ps, tuple) else ps), "max_rounds": int(max_rounds)})
 
     def basins(self, max_rounds: int = 64, reliable: bool = False,
                checkpoint_dir: str | None = None) -> "Pipeline":
