@@ -1079,6 +1079,33 @@ def q_ann_pq(spark, sf_dir):
                     "rank"))
 
 
+def q_ann_sq(spark, sf_dir):
+    """SQ8 scalar quantization (sq.train_sq/sq_encode/sq_search): the
+    middle tier of the ANN memory ladder — 64-dim float vectors become
+    64 uint8 codes (4× over float32), trained by an EXACT order-free
+    per-dimension min/max fold (one (2, d) block per partition is all
+    that shuffles — the model is bit-identical under any
+    partitioning), searched by decoded-dot asymmetric scoring with
+    per-partition top-shortlist partials, exact rerank over the
+    shortlist.  Driven with a corpus-wide shortlist + rerank, where SQ
+    search IS brute force by construction — closed-form SQL oracle
+    (the embedding_topk shape); realistic-shortlist recall and the
+    error bound are pytest-gated (tests/test_sq.py).  The reference
+    has no vector search; this quadrant comes from the training-data
+    brief."""
+    _ensure_shipped(spark)
+    from vrtility_spark import sq
+    e = _t(spark, sf_dir, "embeddings")
+    model = sq.train_sq(e, "embedding")
+    enc = sq.sq_encode(e, "embedding", model)
+    n = e.count()
+    q = e.where(F.col("vec_id") < 10)
+    return (sq.sq_search(enc, q, model, "embedding", "vec_id", "vec_id",
+                         k=5, shortlist=n, rerank=True, rank_round=6)
+            .select("q_id", "id", F.round("sim", 6).alias("sim_r"),
+                    "rank"))
+
+
 def _pix_sum_udf():
     """Deterministic payload checksum: int64 sum of every decoded pixel
     — pins pixel CONTENT (not just length) against the constants-table
@@ -4179,6 +4206,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_clusters": q_embedding_dup_clusters,
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
+        "ann_sq": q_ann_sq,
         "image_median_composite": q_image_median_composite,
         "image_std_composite": q_image_std_composite,
         "image_remedian_composite": q_image_remedian_composite,
@@ -5150,4 +5178,7 @@ def oracle_sql() -> dict[str, str]:
     # the distributed-queries kNN path shares q_knn's exact-top-k
     # contract, fixture, and output schema — one oracle, two engines
     out["knn_distributed"] = out["knn"]
+    # SQ8 at corpus-wide shortlist + rerank shares ann_pq's
+    # exact-top-k contract and output schema — one oracle, two engines
+    out["ann_sq"] = out["ann_pq"]
     return out
