@@ -3581,6 +3581,86 @@ def q_image_flowlength(spark, sf_dir):
         nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
 
 
+def q_image_watershed(spark, sf_dir):
+    """Masked median composite → D8 flowdir → watershed from pour
+    points (hydrology.watershed — ArcGIS Watershed): pour points map
+    to pixels with the pointsample pure-expression world→pixel
+    mapping, broadcast onto the code scan and burned as forced sinks
+    in one narrow Arrow map, the existing basins operator contracts
+    every drainage path onto its terminal (pointer doubling +
+    cross-tile pointer jumping), and a zero-shuffle relabel rewrites
+    outlet terminals to outlet ids (smallest id wins a shared pixel,
+    paths reaching no outlet go nodata).  Outlets include a
+    duplicate-pixel tie and an off-coverage inert point.  Pinned
+    against constants computed Spark-free on per-zone mosaics
+    (tools/gen_oracle_constants.py); the reference delegates hydrology
+    to external GDAL/SAGA tooling (R/gdal-options.R)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import cells, datagen, hydrology, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    codes = (Pipeline(images)
+             .set_maskfun("int", datagen.S2_MASK_VALUES)
+             .warp(cell_res=datagen.TILE_RES)
+             .composite("median")
+             .terrain("flowdir")
+             .df)
+    pxs = cells.cell_size(datagen.TILE_RES) / 16
+    pts = []
+    for zone in (30, 31, 27):
+        for tx in range(2):
+            for ty in range(2):
+                pts.append((zone * 100 + tx * 10 + ty, zone,
+                            (tx * 16 + 8 + 0.5) * pxs,
+                            (ty * 16 + 8 + 0.5) * pxs))
+        pts.append((9999, zone, (8 + 0.5) * pxs, (8 + 0.5) * pxs))
+        pts.append((8888, zone, (7 * 16 + 1.5) * pxs,
+                    (7 * 16 + 2.5) * pxs))
+    outlets = spark.createDataFrame(
+        pd.DataFrame(pts, columns=["outlet_id", "zone", "x", "y"]))
+    nb = len(datagen.S2_BANDS)
+    out = hydrology.watershed(codes, outlets,
+                              grid=(datagen.TILE_RES, 16, 16, nb))
+
+    @F.pandas_udf("long")
+    def lab_sum(b: pd.Series, w: pd.Series, h: pd.Series,
+                fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f in zip(b, w, h, fmt):
+            dec = codec.decode(x, int(wi), int(hi), f).astype(np.float64)
+            res.append(int(dec[dec != -9999.0].sum()))
+        return pd.Series(res)
+
+    @F.pandas_udf("long")
+    def n_lab(b: pd.Series, w: pd.Series, h: pd.Series,
+              fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f in zip(b, w, h, fmt):
+            dec = codec.decode(x, int(wi), int(hi), f).astype(np.float64)
+            res.append(int((dec != -9999.0).sum()))
+        return pd.Series(res)
+
+    @F.pandas_udf("long")
+    def nd_px(b: pd.Series, w: pd.Series, h: pd.Series,
+              fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f in zip(b, w, h, fmt):
+            dec = codec.decode(x, int(wi), int(hi), f).astype(np.float64)
+            res.append(int((dec == -9999.0).sum()))
+        return pd.Series(res)
+
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        lab_sum("bytes", "w", "h", "fmt").alias("lab_sum"),
+        n_lab("bytes", "w", "h", "fmt").alias("n_lab"),
+        nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
+
+
 def q_image_focal_stats(spark, sf_dir):
     """Masked median composite → focal std / range / majority
     (focal.focal_filter, radius 1, fill=True — the ArcGIS
@@ -4275,6 +4355,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_twi": q_image_twi,
         "image_focal_stats": q_image_focal_stats,
         "image_flowlength": q_image_flowlength,
+        "image_watershed": q_image_watershed,
         "image_fillnodata": q_image_fillnodata,
         "point_sample": q_point_sample,
         "grid_idw": q_grid_idw,

@@ -415,3 +415,147 @@ def test_flow_length_pipeline_verb_and_bundle(spark, tmp_path,
     a = {r.cell_id: bytes(r.bytes) for r in rows}
     b = {r.cell_id: bytes(r.bytes) for r in replay.df.collect()}
     assert a == b
+
+
+# --------------------------------------- watershed from pour points ----
+
+def _ws_outlets(positions, h, w):
+    """Deterministic pour points in world coords: one mid-tile outlet
+    per listed tile + one off-coverage point (inert) + a duplicate
+    pixel (smallest id must win)."""
+    size = cells.cell_size(RES)
+    pxs = size / w
+    pts = []
+    oid = 0
+    for ix, iy in positions:
+        x = (ix * w + w // 2 + 0.5) * pxs
+        y = (iy * h + h // 2 + 0.5) * pxs
+        pts.append((oid, ZONE, x, y))
+        oid += 1
+    # duplicate of outlet 0's pixel with a LARGER id: must lose
+    pts.append((99, ZONE, pts[0][2], pts[0][3]))
+    # far outside the covered tiles (but in-zone): labels nobody
+    pts.append((50, ZONE, (len(positions) + 3) * w * pxs + pxs,
+                pxs * 1.5))
+    return pts
+
+
+def test_watershed_np_matches_composed_kernels():
+    G = np.round(RNG.uniform(0, 500, size=(1, 12, 12)))
+    codes = terrain.flow_direction_np(_pad(G), 1.0, 1.0)
+    pixels = [(4, 4), (8, 8), (4, 4)]
+    ids = [7, 3, 1]                       # duplicate pixel: id 1 wins
+    ws = hydrology.watershed_np(codes, pixels, ids)
+    burned = hydrology.burn_outlets_np(codes, pixels)
+    lab = hydrology.basins_np(burned)
+    # every pixel labeled 1 or 3 drains exactly to that outlet pixel
+    for oid, (py, px) in ((1, (4, 4)), (3, (8, 8))):
+        sel = ws[0] == oid
+        assert sel[py, px] or not np.isfinite(codes[0, py, px])
+        g = int(py * hydrology.BASIN_SPAN + px)
+        np.testing.assert_array_equal(sel, lab[0] == g)
+    assert not (ws[0] == 7).any()         # lost the shared pixel
+    # pixels reaching no outlet are NaN, nodata stays NaN
+    assert np.isnan(ws[0][np.isnan(codes[0])]).all()
+
+
+def test_watershed_east_plane_columns():
+    # z = -x: everything flows E; an outlet at column j captures
+    # exactly the columns <= j of its row band... all rows, since
+    # each row drains independently east through column j
+    H = W = 10
+    x = np.arange(W, dtype=np.float64)
+    G = np.tile(-x, (H, 1))[None]
+    codes = terrain.flow_direction_np(_pad(G), 1.0, 1.0)
+    ws = hydrology.watershed_np(codes, [(5, 6)], [4])
+    got = ws[0]
+    # row 5 columns 1..6 reach the outlet; other rows never do
+    assert all(got[5, j] == 4 for j in range(1, 7))
+    assert np.isnan(got[5, 7])            # downstream of the outlet
+    assert np.isnan(got[3, 3])
+
+
+def test_watershed_distributed_matches_mosaic(spark):
+    h = w = 16
+    positions = [(0, 0), (1, 0), (0, 1), (1, 1)]
+    rows, G = _dem_tiles(h, w, positions, seed=29)
+    df = spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+    codes_df = terrain.terrain(df, "flowdir")
+    pts = _ws_outlets(positions, h, w)
+    outlets = spark.createDataFrame(
+        pd.DataFrame(pts, columns=["outlet_id", "zone", "x", "y"]))
+    out = {r.cell_id: r
+           for r in hydrology.watershed(codes_df, outlets).collect()}
+    assert len(out) == len(positions)
+    size = cells.cell_size(RES)
+    sx, sy = size / w, size / h
+    codes = terrain.flow_direction_np(_pad(G), sx, sy)
+    pxs = size / w
+    pixels, ids = [], []
+    for oid, _zone, x, y in pts:
+        gx, gy = int(np.floor(x / pxs)), int(np.floor(y / pxs))
+        if gy < G.shape[1] and gx < G.shape[2]:
+            pixels.append((gy, gx))
+            ids.append(oid)
+    want_all = hydrology.watershed_np(codes, pixels, ids)
+    for ix, iy in positions:
+        cid = int(cells.encode_np(ZONE, RES, ix, iy))
+        r = out[cid]
+        assert r.fmt == "rawf64" and r.nodata == hydrology.OUT_NODATA
+        got = codec.to_float_masked(
+            codec.decode(r.bytes, r.w, r.h, r.fmt), r.nodata)
+        want = want_all[:, iy * h:(iy + 1) * h, ix * w:(ix + 1) * w]
+        np.testing.assert_array_equal(got, want)
+
+
+def test_watershed_cross_seam_capture(spark):
+    # east ramp over two tiles, outlet in the EAST tile: west-tile
+    # pixels in the same rows must carry the outlet id across the seam
+    h = w = 8
+    positions = [(0, 0), (1, 0)]
+    rows, G = _dem_tiles(h, w, positions, tilt="east")
+    df = spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+    codes_df = terrain.terrain(df, "flowdir")
+    size = cells.cell_size(RES)
+    pxs = size / w
+    x = (w + 3 + 0.5) * pxs               # column 11, east tile
+    y = (3 + 0.5) * pxs                   # row 3
+    outlets = spark.createDataFrame(
+        pd.DataFrame([(42, ZONE, x, y)],
+                     columns=["outlet_id", "zone", "x", "y"]))
+    out = {r.cell_id: r
+           for r in hydrology.watershed(codes_df, outlets).collect()}
+    west = out[int(cells.encode_np(ZONE, RES, 0, 0))]
+    Lw = codec.to_float_masked(
+        codec.decode(west.bytes, west.w, west.h, west.fmt), west.nodata)
+    assert (Lw[0, 3, 1:] == 42.0).all()   # row 3 west of the outlet
+    assert np.isnan(Lw[0, 5, 3])          # other rows: no outlet
+
+
+def test_watershed_same_pixel_in_two_zones_stays_separate(spark):
+    # equal LOCAL pixel positions in DIFFERENT zones are distinct
+    # terminals: zone A's outlet id must never label zone B's pixels
+    h = w = 8
+    size = cells.cell_size(RES)
+    pxs = size / w
+    all_rows = []
+    for zone in (51, 52):
+        rng_rows, _G = _dem_tiles(h, w, [(0, 0)], tilt="east")
+        for r in rng_rows:
+            r = dict(r)
+            r["cell_id"] = int(cells.encode_np(zone, RES, 0, 0))
+            all_rows.append(r)
+    df = spark.createDataFrame(pd.DataFrame(all_rows), TILE_SCHEMA)
+    codes_df = terrain.terrain(df, "flowdir")
+    x, y = (5 + 0.5) * pxs, (3 + 0.5) * pxs   # same pixel, both zones
+    outlets = spark.createDataFrame(
+        pd.DataFrame([(1, 51, x, y), (2, 52, x, y)],
+                     columns=["outlet_id", "zone", "x", "y"]))
+    out = {r.cell_id: r
+           for r in hydrology.watershed(codes_df, outlets).collect()}
+    for zone, oid in ((51, 1.0), (52, 2.0)):
+        r = out[int(cells.encode_np(zone, RES, 0, 0))]
+        L = codec.to_float_masked(
+            codec.decode(r.bytes, r.w, r.h, r.fmt), r.nodata)
+        labs = set(L[np.isfinite(L)].tolist())
+        assert labs == {oid}

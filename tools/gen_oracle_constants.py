@@ -2002,6 +2002,73 @@ def image_flowlength_rows():
     return sorted(rows, key=lambda d: d["cell_id"])
 
 
+def _ws_outlet_list():
+    """Deterministic pour points for the watershed oracle/query: one
+    mid-tile outlet per (zone, tile) of the 2x2 fixture grid
+    (id = zone·100 + tx·10 + ty), a duplicate of zone-tile (0,0)'s
+    pixel with id 9999 (must LOSE the smallest-id tie) and one
+    far-off-coverage point per zone (inert)."""
+    from vrtility_spark import datagen
+    pxs = cells.cell_size(datagen.TILE_RES) / 16
+    pts = []
+    for zone in (30, 31, 27):
+        for tx in range(2):
+            for ty in range(2):
+                x = (tx * 16 + 8 + 0.5) * pxs
+                y = (ty * 16 + 8 + 0.5) * pxs
+                pts.append((zone * 100 + tx * 10 + ty, zone, x, y))
+        pts.append((9999, zone, (8 + 0.5) * pxs, (8 + 0.5) * pxs))
+        pts.append((8888, zone, (7 * 16 + 1.5) * pxs, (7 * 16 + 2.5) * pxs))
+    return pts
+
+
+def image_watershed_rows():
+    """Masked median composite → D8 flowdir → watershed from pour
+    points replicated without Spark: per-zone mosaics coded with
+    terrain.flow_direction_np, outlets burned as forced sinks and
+    labeled with hydrology.watershed_np (composed-kernel-gated in
+    tests/test_hydrology.py).  Checksums are the exact int sum of the
+    labels, the labeled-pixel count, and the nodata count."""
+    from vrtility_spark import hydrology, terrain
+
+    h = w = 16
+    size = cells.cell_size(datagen.TILE_RES)
+    sx, sy = size / w, size / h
+    pxs = size / w
+    zones, meta = _median_zone_mosaics(h, w)
+    by_zone_pts: dict[int, list] = {}
+    for oid, zone, x, y in _ws_outlet_list():
+        by_zone_pts.setdefault(zone, []).append((oid, x, y))
+    rows = []
+    for zone, lst, G in zones:
+        nb = G.shape[0]
+        P = np.full((nb, G.shape[1] + 2, G.shape[2] + 2), np.nan)
+        P[:, 1:-1, 1:-1] = G
+        codes = terrain.flow_direction_np(P, sx, sy)
+        pixels, ids = [], []
+        for oid, x, y in by_zone_pts.get(zone, []):
+            gx, gy = int(np.floor(x / pxs)), int(np.floor(y / pxs))
+            if gy < G.shape[1] and gx < G.shape[2]:
+                pixels.append((gy, gx))
+                ids.append(oid)
+        ws = hydrology.watershed_np(codes, pixels, ids)
+        for cid, jx, jy in lst:
+            tile = ws[:, jy * h:(jy + 1) * h, jx * w:(jx + 1) * w]
+            payload = codec.encode(
+                codec.from_float(tile, -9999.0, "float64"), "rawf64")
+            dec = codec.decode(payload, w, h, "rawf64").astype(np.float64)
+            valid = dec[dec != -9999.0]
+            _nd, n_scenes = meta[cid]
+            rows.append({
+                "cell_id": cid, "n_scenes": n_scenes,
+                "payload_len": len(payload),
+                "lab_sum": int(valid.sum()),
+                "n_lab": int(valid.size),
+                "nodata_px": int((dec == -9999.0).sum()),
+            })
+    return sorted(rows, key=lambda d: d["cell_id"])
+
+
 def image_fillsinks_rows():
     """Masked median composite → depression filling replicated without
     Spark: per-zone mosaics filled with hydrology.fill_sinks_np
@@ -3831,6 +3898,12 @@ def main() -> None:
             image_flowlength_rows(),
             ["cell_id", "n_scenes", "payload_len", "len_sum",
              "len_max", "nodata_px"]),
+        # composite -> flowdir -> pour-point watershed: pins the
+        # burn + basins + relabel composition incl. ties/inert outlets
+        "image_watershed": values_sql(
+            image_watershed_rows(),
+            ["cell_id", "n_scenes", "payload_len", "lab_sum",
+             "n_lab", "nodata_px"]),
         # composite -> depression filling: pins the cross-tile
         # strip-exchange relaxation against priority-flood on the mosaic
         "image_fillsinks": values_sql(

@@ -1175,6 +1175,182 @@ def basins(df: DataFrame, key: str = "cell_id",
             .mapInPandas(paint, schema=out_schema))
 
 
+# --------------------------------------- watershed from pour points ----
+
+def burn_outlets_np(codes: np.ndarray, pixels) -> np.ndarray:
+    """Force code 0 (sink) at the given ``[(py, px), ...]`` pixels of
+    every band where the code is valid — the mosaic twin of the
+    distributed burn (an outlet on a nodata pixel is inert, matching
+    ArcGIS Watershed's behavior on masked cells)."""
+    out = np.asarray(codes, np.float64).copy()
+    for py, px in pixels:
+        sel = np.isfinite(out[:, py, px])
+        out[sel, py, px] = 0.0
+    return out
+
+
+def watershed_np(codes: np.ndarray, pixels, outlet_ids,
+                 oy: int = 0, ox: int = 0) -> np.ndarray:
+    """Whole-mosaic reference kernel: D8 codes + pour points at
+    ``[(py, px), ...]`` (plane coordinates) with parallel
+    ``outlet_ids`` → float64 planes holding the id of the FIRST pour
+    point each pixel's drainage path reaches (ArcGIS Watershed), NaN
+    when the path reaches none (or the pixel is nodata).  Two outlets
+    on one pixel: smallest id wins."""
+    burned = burn_outlets_np(codes, pixels)
+    lab = basins_np(burned, oy=oy, ox=ox)
+    lut: dict[int, int] = {}
+    for (py, px), oid in zip(pixels, outlet_ids):
+        g = int(_basin_label(np.array([oy + py]), np.array([ox + px]))[0])
+        if g not in lut or int(oid) < lut[g]:
+            lut[g] = int(oid)
+    out = np.full(lab.shape, np.nan)
+    for g, oid in lut.items():
+        out[lab == g] = float(oid)
+    return out
+
+
+def watershed(codes_df: DataFrame, outlets: DataFrame,
+              key: str = "cell_id", id_col: str = "outlet_id",
+              zone_col: str = "zone", x_col: str = "x",
+              y_col: str = "y", grid: tuple | None = None,
+              max_rounds: int = 64, reliable: bool = False,
+              checkpoint_dir: str | None = None) -> DataFrame:
+    """ArcGIS Watershed, distributed: label every valid pixel of a D8
+    code tile table with the id of the first pour point its drainage
+    path reaches; paths that reach no pour point are nodata.
+
+    Spark-first composition — three existing primitives, no new
+    cross-tile machinery: (1) pour points map to their nearest pixel
+    with the :mod:`vrtility_spark.pointsample` pure-expression
+    world→pixel mapping, pre-aggregate per cell and BROADCAST onto the
+    code scan, where one narrow Arrow map burns them as forced sinks
+    (code 0; an outlet on a nodata pixel is inert); (2)
+    :func:`basins` contracts every drainage path onto its terminal
+    pixel — burned outlets are now terminals whose zone-global label
+    is known in advance; (3) a zero-shuffle relabel map rewrites
+    outlet labels to outlet ids (smallest id wins a shared pixel) and
+    everything else to nodata.  The pour-point table is driver-sized
+    (a watershed delineation has thousands of gauges, not billions) —
+    the pixel table never is.  Output ``rawf64`` ids, ``-9999``
+    sentinel."""
+    from vrtility_spark.pointsample import _tile_meta
+    if grid is not None:
+        res, w, h, _nb = (int(v) for v in grid)
+    else:
+        res, w, h, _nb = _tile_meta(codes_df, key)
+    if w != h:
+        raise ValueError("watershed: non-square pixels; resample first")
+    size = cells.cell_size(res)
+    pxs = size / w
+    n_global = (1 << res) * w
+    names = codes_df.columns
+
+    gx = F.floor(F.col(x_col) / F.lit(pxs)).cast("long")
+    gy = F.floor(F.col(y_col) / F.lit(pxs)).cast("long")
+    inzone = ((gx >= 0) & (gx < n_global) & (gy >= 0) & (gy < n_global))
+    pts = (outlets.where(inzone)
+           .select(F.col(id_col).cast("long").alias("_oid"),
+                   F.col(zone_col).cast("long").alias("_zone"),
+                   gx.alias("_gpx"), gy.alias("_gpy")))
+    cell = cells.encode_cols(F.col("_zone"), res,
+                             F.floor(F.col("_gpx") / w).cast("long"),
+                             F.floor(F.col("_gpy") / w).cast("long"))
+    per_cell = (pts.withColumn(key, cell)
+                .groupBy(key)
+                .agg(F.collect_list(F.struct(
+                    "_oid",
+                    (F.col("_gpx") % w).alias("lpx"),
+                    (F.col("_gpy") % w).alias("lpy"))).alias("_outl")))
+
+    in_fields = [T.StructField(f.name, f.dataType, True)
+                 for f in codes_df.schema.fields]
+    out_schema = T.StructType(in_fields)
+
+    def burn(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_rows = []
+            for _, row in pdf.iterrows():
+                d = {c: row[c] for c in names}
+                lst = row["_outl"]
+                if isinstance(lst, (list, np.ndarray)) and len(lst):
+                    arr = codec.decode(row["bytes"], int(row["w"]),
+                                       int(row["h"]), row["fmt"])
+                    nd = codec.row_band_meta(
+                        row, len(arr), "band_nodata",
+                        codec.nodata_scalar(row["nodata"]))
+                    C = codec.to_float_masked(arr, nd)
+                    px = [(int(s["lpy"]), int(s["lpx"])) for s in lst]
+                    C = burn_outlets_np(C, px)
+                    d["bytes"] = codec.encode(
+                        codec.from_float(C, OUT_NODATA, np.float32),
+                        "rawf32")
+                    d["fmt"] = "rawf32"
+                    d["nodata"] = OUT_NODATA
+                    for c in ("band_scale", "band_offset",
+                              "band_nodata"):
+                        if c in names:
+                            d[c] = None
+                out_rows.append(d)
+            yield pd.DataFrame(out_rows, columns=names)
+
+    burned = (codes_df.join(F.broadcast(per_cell), key, "left")
+              .mapInPandas(burn, schema=out_schema))
+    lab = basins(burned, key=key, max_rounds=max_rounds,
+                 reliable=reliable, checkpoint_dir=checkpoint_dir)
+
+    # outlet global-label -> id LUT per ZONE (basins labels are
+    # zone-global pixel ids, so equal pixel positions in different
+    # zones are distinct terminals); driver-sized, smallest id wins
+    prow = pts.select("_oid", "_zone", "_gpx", "_gpy").collect()
+    lut: dict[int, dict[int, int]] = {}
+    for r in prow:
+        g = int(_basin_label(np.array([int(r["_gpy"])]),
+                             np.array([int(r["_gpx"])]))[0])
+        z = lut.setdefault(int(r["_zone"]), {})
+        if g not in z or int(r["_oid"]) < z[g]:
+            z[g] = int(r["_oid"])
+
+    def relabel(batches: Iterable[pd.DataFrame]):
+        kv = {z: (np.array(sorted(m), np.int64),
+                  np.array([m[k] for k in sorted(m)], np.int64))
+              for z, m in lut.items()}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_rows = []
+            for _, row in pdf.iterrows():
+                zone = int(cells.decode_np(int(row[key]))[0])
+                keys, vals = kv.get(zone, (np.empty(0, np.int64),
+                                           np.empty(0, np.int64)))
+                arr = codec.decode(row["bytes"], int(row["w"]),
+                                   int(row["h"]), row["fmt"])
+                L = codec.to_float_masked(
+                    arr, codec.nodata_scalar(row["nodata"]))
+                out = np.full(L.shape, np.nan)
+                if keys.size:
+                    fin = np.isfinite(L)
+                    li = L[fin].astype(np.int64)
+                    pos = np.searchsorted(keys, li)
+                    pos = np.clip(pos, 0, len(keys) - 1)
+                    hit = keys[pos] == li
+                    tmp = np.full(li.shape, np.nan)
+                    tmp[hit] = vals[pos[hit]].astype(np.float64)
+                    out[fin] = tmp
+                d = {c: row[c] for c in names}
+                d["bytes"] = codec.encode(
+                    codec.from_float(out, OUT_NODATA, np.float64),
+                    "rawf64")
+                d["fmt"] = "rawf64"
+                d["nodata"] = OUT_NODATA
+                out_rows.append(d)
+            yield pd.DataFrame(out_rows, columns=names)
+
+    return lab.mapInPandas(relabel, schema=out_schema)
+
+
 # --------------------------------------------- downstream flow length ----
 
 #: exact flow-length packing: a D8 path's length is fully determined
