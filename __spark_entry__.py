@@ -3581,6 +3581,52 @@ def q_image_flowlength(spark, sf_dir):
         nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
 
 
+def q_image_upstream_length(spark, sf_dir):
+    """Masked median composite → D8 flowdir → UPSTREAM flow length
+    (hydrology.upstream_flow_length — ArcGIS FlowLength upstream):
+    the longest headwater-to-here path per pixel via stream_order's
+    cross-tile topological wavefront carrying flow_length's exact
+    packed step counts — a pixel resolves only after ALL upstream
+    contributions arrive, arrivals fold into a max-by-metres merge
+    with deterministic tie-break, and every cross-tile value is exact
+    integer packing, so the distributed result matches the mosaic
+    kernel bit-for-bit.  Pinned against constants computed Spark-free
+    on per-zone mosaics (tools/gen_oracle_constants.py); the
+    reference delegates hydrology to external tooling
+    (R/gdal-options.R)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema
+    from vrtility_spark.pipeline import Pipeline
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    out = (Pipeline(images)
+           .set_maskfun("int", datagen.S2_MASK_VALUES)
+           .warp(cell_res=datagen.TILE_RES)
+           .composite("median")
+           .terrain("flowdir")
+           .upstream_flow_length()
+           .df)
+    fs, nd_px = _float_payload_udfs()
+
+    @F.pandas_udf("double")
+    def fmax(b: pd.Series, w: pd.Series, h: pd.Series,
+             fmt: pd.Series) -> pd.Series:
+        from vrtility_spark import codec
+        res = []
+        for x, wi, hi, f in zip(b, w, h, fmt):
+            dec = codec.decode(x, int(wi), int(hi), f).astype(np.float64)
+            v = dec[dec != -9999.0]
+            res.append(float(np.round(v, 3).max()) if v.size else 0.0)
+        return pd.Series(res)
+
+    return out.select(
+        "cell_id", "n_scenes",
+        F.length("bytes").alias("payload_len"),
+        fs("bytes", "w", "h", "fmt").alias("len_sum"),
+        fmax("bytes", "w", "h", "fmt").alias("len_max"),
+        nd_px("bytes", "w", "h", "fmt").alias("nodata_px"))
+
+
 def q_image_watershed(spark, sf_dir):
     """Masked median composite → D8 flowdir → watershed from pour
     points (hydrology.watershed — ArcGIS Watershed): pour points map
@@ -4356,6 +4402,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_focal_stats": q_image_focal_stats,
         "image_flowlength": q_image_flowlength,
         "image_watershed": q_image_watershed,
+        "image_upstream_length": q_image_upstream_length,
         "image_fillnodata": q_image_fillnodata,
         "point_sample": q_point_sample,
         "grid_idw": q_grid_idw,

@@ -559,3 +559,119 @@ def test_watershed_same_pixel_in_two_zones_stays_separate(spark):
             codec.decode(r.bytes, r.w, r.h, r.fmt), r.nodata)
         labs = set(L[np.isfinite(L)].tolist())
         assert labs == {oid}
+
+
+# ----------------------------------------------- upstream flow length ----
+
+def upstream_flow_length_relax(codes, sx, sy):
+    """Naive Bellman-Ford-style relaxation oracle for the longest
+    upstream path: iterate ufl[q] = max(ufl[q], ufl[p] + step(p, q))
+    over every edge until fixpoint."""
+    step = {c: (dy, dx) for c, dy, dx in terrain.D8_CODES}
+    B, H, W = codes.shape
+    out = np.full((B, H, W), np.nan)
+    for b in range(B):
+        c = codes[b]
+        ufl = np.where(np.isfinite(c), 0.0, np.nan)
+        for _ in range(H * W + 2):
+            nxt = ufl.copy()
+            for y in range(H):
+                for x in range(W):
+                    code = c[y, x]
+                    if not np.isfinite(code) or code == 0:
+                        continue
+                    dy, dx = step[int(code)]
+                    ny, nx_ = y + dy, x + dx
+                    if not (0 <= ny < H and 0 <= nx_ < W) \
+                            or not np.isfinite(c[ny, nx_]):
+                        continue
+                    cand = ufl[y, x] + np.hypot(dx * sx, dy * sy)
+                    if cand > nxt[ny, nx_]:
+                        nxt[ny, nx_] = cand
+            if np.array_equal(np.nan_to_num(nxt), np.nan_to_num(ufl)):
+                break
+            ufl = nxt
+        out[b] = ufl
+    return out
+
+
+def test_ufl_kernel_matches_relaxation():
+    G = np.round(RNG.uniform(0, 500, size=(2, 10, 12)))
+    G[RNG.random(G.shape) < 0.08] = np.nan
+    codes = terrain.flow_direction_np(_pad(G), 2.0, 3.0)
+    got = hydrology.upstream_flow_length_np(codes, 2.0, 3.0)
+    want = upstream_flow_length_relax(codes, 2.0, 3.0)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9,
+                               equal_nan=True)
+
+
+def test_ufl_closed_forms():
+    # east plane: column j has j-1 valid columns upstream (west)
+    H = W = 8
+    x = np.arange(W, dtype=np.float64)
+    G = np.tile(-x, (H, 1))[None]
+    codes = terrain.flow_direction_np(_pad(G), 2.0, 2.0)
+    u = hydrology.upstream_flow_length_np(codes, 2.0, 2.0)[0]
+    for j in range(1, W - 1):
+        np.testing.assert_allclose(u[1:-1, j], (j - 1) * 2.0)
+    # bowl: the center sink's longest path comes from a corner of the
+    # valid interior — two diagonal steps at unit pixels = 2*sqrt(2)
+    g = np.mgrid[0:9, 0:9]
+    bowl = ((g[0] - 4) ** 2 + (g[1] - 4) ** 2).astype(np.float64)[None]
+    cb = terrain.flow_direction_np(_pad(bowl), 1.0, 1.0)
+    ub = hydrology.upstream_flow_length_np(cb, 1.0, 1.0)[0]
+    assert ub[4, 4] == pytest.approx(3 * np.sqrt(2))
+    # headwaters (ridge pixels nothing drains into) are exactly 0
+    assert ub[1, 1] == 0.0
+
+
+@pytest.mark.parametrize("tilt", [None, "east"])
+def test_ufl_distributed_matches_mosaic(spark, tilt):
+    # byte parity: packed-count exactness holds across the wavefront
+    h = w = 16
+    positions = [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0)]
+    rows, G = _dem_tiles(h, w, positions, seed=83, tilt=tilt)
+    df = spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+    codes_df = terrain.terrain(df, "flowdir")
+    out = {r.cell_id: r
+           for r in hydrology.upstream_flow_length(codes_df).collect()}
+    assert len(out) == len(positions)
+    size = cells.cell_size(RES)
+    sx, sy = size / w, size / h
+    codes = terrain.flow_direction_np(_pad(G), sx, sy)
+    want_all = hydrology.upstream_flow_length_np(codes, sx, sy)
+    for ix, iy in positions:
+        cid = int(cells.encode_np(ZONE, RES, ix, iy))
+        r = out[cid]
+        assert r.fmt == "rawf32" and r.nodata == hydrology.OUT_NODATA
+        got = codec.to_float_masked(
+            codec.decode(r.bytes, r.w, r.h, r.fmt), r.nodata)
+        want = want_all[:, iy * h:(iy + 1) * h, ix * w:(ix + 1) * w]
+        np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                      want.astype(np.float32))
+
+
+def test_ufl_multi_seam_and_guard(spark):
+    # 4-tile east ramp: the east tile's lengths accumulate across 3
+    # seams; a 1-round budget must fail loudly
+    h = w = 8
+    positions = [(0, 0), (1, 0), (2, 0), (3, 0)]
+    rows, G = _dem_tiles(h, w, positions, tilt="east")
+    df = spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+    codes_df = terrain.terrain(df, "flowdir")
+    out = {r.cell_id: r
+           for r in hydrology.upstream_flow_length(codes_df).collect()}
+    size = cells.cell_size(RES)
+    codes = terrain.flow_direction_np(_pad(G), size / w, size / h)
+    want_all = hydrology.upstream_flow_length_np(codes, size / w,
+                                                 size / h)
+    for ix, iy in positions:
+        cid = int(cells.encode_np(ZONE, RES, ix, iy))
+        r = out[cid]
+        got = codec.to_float_masked(
+            codec.decode(r.bytes, r.w, r.h, r.fmt), r.nodata)
+        want = want_all[:, iy * h:(iy + 1) * h, ix * w:(ix + 1) * w]
+        np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                      want.astype(np.float32))
+    with pytest.raises(ValueError, match="did not converge"):
+        hydrology.upstream_flow_length(codes_df, max_rounds=1)

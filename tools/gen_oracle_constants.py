@@ -2069,6 +2069,45 @@ def image_watershed_rows():
     return sorted(rows, key=lambda d: d["cell_id"])
 
 
+def image_upstream_length_rows():
+    """Masked median composite → D8 flowdir → UPSTREAM flow length
+    replicated without Spark: per-zone mosaics coded with
+    terrain.flow_direction_np and measured with
+    hydrology.upstream_flow_length_np (relaxation-oracle-gated in
+    tests/test_hydrology.py), cropped back to tiles through the exact
+    rawf32/-9999 round trip.  Packed counts make the distributed
+    wavefront exact, so these constants pin it bit-for-bit."""
+    from vrtility_spark import hydrology, terrain
+
+    h = w = 16
+    size = cells.cell_size(datagen.TILE_RES)
+    sx, sy = size / w, size / h
+    zones, meta = _median_zone_mosaics(h, w)
+    rows = []
+    for _zone, lst, G in zones:
+        nb = G.shape[0]
+        P = np.full((nb, G.shape[1] + 2, G.shape[2] + 2), np.nan)
+        P[:, 1:-1, 1:-1] = G
+        fl = hydrology.upstream_flow_length_np(
+            terrain.flow_direction_np(P, sx, sy), sx, sy)
+        for cid, jx, jy in lst:
+            tile = fl[:, jy * h:(jy + 1) * h, jx * w:(jx + 1) * w]
+            payload = codec.encode(
+                codec.from_float(tile, -9999.0, "float32"), "rawf32")
+            dec = codec.decode(payload, w, h, "rawf32").astype(np.float64)
+            valid = dec[dec != -9999.0]
+            _nd, n_scenes = meta[cid]
+            rows.append({
+                "cell_id": cid, "n_scenes": n_scenes,
+                "payload_len": len(payload),
+                "len_sum": float(np.round(valid, 3).sum()),
+                "len_max": (float(np.round(valid, 3).max())
+                            if valid.size else 0.0),
+                "nodata_px": int((dec == -9999.0).sum()),
+            })
+    return sorted(rows, key=lambda d: d["cell_id"])
+
+
 def image_fillsinks_rows():
     """Masked median composite → depression filling replicated without
     Spark: per-zone mosaics filled with hydrology.fill_sinks_np
@@ -3904,6 +3943,12 @@ def main() -> None:
             image_watershed_rows(),
             ["cell_id", "n_scenes", "payload_len", "lab_sum",
              "n_lab", "nodata_px"]),
+        # composite -> flowdir -> upstream flow length: pins the
+        # packed-count topological wavefront against the mosaic kernel
+        "image_upstream_length": values_sql(
+            image_upstream_length_rows(),
+            ["cell_id", "n_scenes", "payload_len", "len_sum",
+             "len_max", "nodata_px"]),
         # composite -> depression filling: pins the cross-tile
         # strip-exchange relaxation against priority-flood on the mosaic
         "image_fillsinks": values_sql(

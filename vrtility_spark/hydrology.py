@@ -1705,6 +1705,370 @@ def flow_length(df: DataFrame, key: str = "cell_id",
             .mapInPandas(paint, schema=out_schema))
 
 
+# ----------------------------------------------- upstream flow length ----
+
+def _ufl_solve(c: np.ndarray, sx: float, sy: float,
+               ext_need: np.ndarray | None = None,
+               ext_len: np.ndarray | None = None):
+    """Vectorized Kahn sweep for the LONGEST upstream path length of
+    one ``(H, W)`` D8 code plane: every pixel resolves only after ALL
+    its upstream contributions arrived (internal in-degree + declared
+    externals), carrying exact packed step counts; the max runs on the
+    metre value with a smallest-packed tie-break, so the result is
+    deterministic even when distinct step mixes measure equal.
+    Returns ``(best_packed, done, dest, off_flat)``."""
+    H, W_ = c.shape
+    n = H * W_
+    dest, off_flat = _dest_tables(c)
+    valid = np.isfinite(c).ravel()
+    indeg = np.zeros(n, np.int64)
+    src = np.flatnonzero(valid & (dest >= 0))
+    tgt = dest[src]
+    ok = valid[tgt]                 # draining into nodata: dropped
+    np.add.at(indeg, tgt[ok], 1)
+    if ext_need is not None:
+        indeg = indeg + ext_need.astype(np.int64)
+    stepp = np.zeros(n, np.int64)   # packed step to each pixel's dest
+    cv = c.ravel()
+    for code, sp in _FL_STEP.items():
+        stepp[cv == code] = sp
+    best = (np.zeros(n, np.int64) if ext_len is None
+            else ext_len.astype(np.int64, copy=True))
+    bm = _fl_metres(best, sx, sy)
+    done = np.zeros(n, bool)
+    frontier = np.flatnonzero(valid & (indeg == 0))
+    guard = 0
+    while frontier.size:
+        done[frontier] = True
+        mv = dest[frontier] >= 0
+        q = dest[frontier[mv]]
+        cand = best[frontier[mv]] + stepp[frontier[mv]]
+        vq = valid[q]
+        q, cand = q[vq], cand[vq]
+        if q.size:
+            cm = _fl_metres(cand, sx, sy)
+            wave_m = np.full(n, -1.0)
+            np.maximum.at(wave_m, q, cm)
+            sel = cm == wave_m[q]
+            wave_p = np.full(n, np.iinfo(np.int64).max)
+            np.minimum.at(wave_p, q[sel], cand[sel])
+            arr = np.zeros(n, np.int64)
+            np.add.at(arr, q, 1)
+            uq = np.unique(q)
+            better = ((wave_m[uq] > bm[uq])
+                      | ((wave_m[uq] == bm[uq])
+                         & (wave_p[uq] < best[uq])))
+            bu = uq[better]
+            best[bu] = wave_p[bu]
+            bm[bu] = wave_m[bu]
+            indeg[uq] -= arr[uq]
+            frontier = uq[(indeg[uq] == 0) & ~done[uq]]
+        else:
+            frontier = np.empty(0, np.int64)
+        guard += 1
+        if guard > n + 8:
+            raise ValueError(
+                "upstream_flow_length: cycle detected in D8 codes — "
+                "input is not a flowdir product (steepest descent "
+                "cannot cycle); fix the code plane first")
+    return best, done, dest, off_flat
+
+
+def upstream_flow_length_np(codes: np.ndarray, sx: float,
+                            sy: float) -> np.ndarray:
+    """Whole-mosaic reference kernel: ``(B, H, W)`` D8 code planes
+    (NaN = nodata) → float64 UPSTREAM flow length (ArcGIS FlowLength
+    upstream): the length of the LONGEST along-path distance from any
+    headwater down to each pixel — headwaters are 0, each step adds
+    ``sx``/``sy``/``hypot(sx, sy)``.  The naive relaxation twin lives
+    in tests/test_hydrology.py."""
+    codes = np.asarray(codes, np.float64)
+    if codes.ndim != 3:
+        raise ValueError("expected (bands, h, w) code planes")
+    B, H, W_ = codes.shape
+    out = np.full((B, H, W_), np.nan)
+    for b in range(B):
+        c = codes[b]
+        best, done, _dest, _off = _ufl_solve(c, sx, sy)
+        valid = np.isfinite(c).ravel()
+        if np.any(valid & ~done):
+            raise ValueError(
+                "upstream_flow_length: unresolved pixels after the "
+                "sweep — cycle in the D8 codes")
+        m = _fl_metres(best, sx, sy)
+        out[b] = np.where(valid, m, np.nan).reshape(H, W_)
+    return out
+
+
+def upstream_flow_length(df: DataFrame, key: str = "cell_id",
+                         pixel_size: float | tuple[float, float] | None
+                         = None,
+                         max_rounds: int = 128, reliable: bool = False,
+                         checkpoint_dir: str | None = None) -> DataFrame:
+    """Distributed upstream (longest-headwater-path) flow length over
+    a one-row-per-cell tile table of D8 codes — ArcGIS FlowLength
+    (upstream), distributed.  Output ``rawf32`` metres, ``-9999``
+    sentinel.
+
+    Spark-first plan — :func:`stream_order`'s cross-tile TOPOLOGICAL
+    WAVEFRONT (a pixel's longest upstream path, like its Strahler
+    order, needs ALL upstream contributions before it can resolve)
+    carrying :func:`flow_length`'s exact packed step counts: a DECL
+    pass gives every tile its exact external in-degree per entry
+    pixel; each round, tiles with genuinely-new arrivals re-run the
+    same vectorized Kahn sweep as the mosaic kernel
+    (:func:`_ufl_solve` — arrived packed lengths fold into the
+    max-by-metres merge, un-arrived externals block), and resolved
+    edge-exits emit packed ``(length + crossing step)`` records,
+    deduplicated by one anti-join.  Convergence = zero new arrivals;
+    rounds = tile-graph depth.  All cross-tile arithmetic is exact
+    integer packing, so the result matches the mosaic kernel
+    bit-for-bit."""
+    names = df.columns
+    for req in (key, "bytes", "w", "h", "fmt", "nodata"):
+        if req not in names:
+            raise ValueError(f"upstream_flow_length input is missing "
+                             f"column {req!r}")
+    ps = pixel_size
+    if ps is not None and np.isscalar(ps):
+        ps = (float(ps), float(ps))
+
+    def _ckpt(d, eager):
+        return truncate_lineage(d, eager=eager, reliable=reliable,
+                                checkpoint_dir=checkpoint_dir)
+
+    slim_cols = [F.col(key).alias("cell"), "bytes", "w", "h", "fmt",
+                 "nodata"]
+    if "band_nodata" in names:
+        slim_cols.append("band_nodata")
+    tiles_slim = _ckpt(df.select(*slim_cols), True)
+
+    _UF_DECL, _UF_LEN = 0, 1
+    rec_schema = T.StructType([
+        T.StructField("cell", T.LongType()),    # destination tile
+        T.StructField("kind", T.IntegerType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("py", T.IntegerType()),   # entry pixel in dest
+        T.StructField("px", T.IntegerType()),
+        T.StructField("src", T.LongType()),
+        T.StructField("sflat", T.LongType()),
+        T.StructField("ulen", T.LongType()),    # packed counts
+    ])
+    _rec_cols = [f.name for f in rec_schema.fields]
+
+    def _rec_pdf(rows: list[dict]) -> pd.DataFrame:
+        pdf = pd.DataFrame(rows, columns=_rec_cols)
+        for col, dt in (("cell", "Int64"), ("kind", "Int32"),
+                        ("band", "Int32"), ("py", "Int32"),
+                        ("px", "Int32"), ("src", "Int64"),
+                        ("sflat", "Int64"), ("ulen", "Int64")):
+            pdf[col] = pd.array(pdf[col], dtype=dt)
+        return pdf
+
+    def _decode_codes(row) -> np.ndarray:
+        arr = codec.decode(row.bytes, int(row.w), int(row.h), row.fmt)
+        nd = codec.row_band_meta(row, len(arr), "band_nodata",
+                                 row.nodata)
+        return codec.to_float_masked(arr, nd)
+
+    def _cell_ps(row, H: int, W_: int) -> tuple[float, float]:
+        if ps is not None:
+            return ps
+        _, res, _, _ = (int(v) for v in cells.decode_np(row.cell))
+        size = cells.cell_size(res)
+        return size / W_, size / H
+
+    def _fold_ext(row, B: int, n: int, W_: int, sx: float, sy: float):
+        """need/arrival struct lists → (ext_need, ext_len)."""
+        ext_need = np.zeros((B, n), np.int64)
+        ext_len = np.zeros((B, n), np.int64)
+        ext_m = np.zeros((B, n), np.float64)
+        nd = getattr(row, "need", None)
+        if isinstance(nd, (list, np.ndarray)):
+            for s in nd:
+                b, f = int(s["band"]), int(s["py"]) * W_ + int(s["px"])
+                if not (0 <= b < B and 0 <= f < n):
+                    raise ValueError(
+                        f"upstream_flow_length: declared inflow at "
+                        f"band {b} flat {f} is outside the tile of "
+                        f"cell {row.cell} — mixed tile dims are not "
+                        "supported")
+                ext_need[b, f] += 1
+        ar = getattr(row, "arr", None)
+        if isinstance(ar, (list, np.ndarray)):
+            for s in ar:
+                b, f = int(s["band"]), int(s["py"]) * W_ + int(s["px"])
+                v = int(s["ulen"])
+                m = float(_fl_metres(np.array([v]), sx, sy)[0])
+                ext_need[b, f] -= 1
+                # max by metres, tie -> smaller packed (the _ufl_solve
+                # rule); arrivals always measure > 0, so the 0 init
+                # ("nothing arrived") never shadows one
+                if (m > ext_m[b, f]
+                        or (m == ext_m[b, f] and v < ext_len[b, f])):
+                    ext_m[b, f] = m
+                    ext_len[b, f] = v
+        return ext_need, ext_len
+
+    def _tile_solve(row):
+        C = _decode_codes(row)
+        B, H, W_ = C.shape
+        n = H * W_
+        zone, res, ix, iy = (int(v) for v in cells.decode_np(row.cell))
+        sx, sy = _cell_ps(row, H, W_)
+        ext_need, ext_len = _fold_ext(row, B, n, W_, sx, sy)
+        lens = np.zeros((B, n), np.int64)
+        dones = np.zeros((B, n), bool)
+        emits: list[dict] = []
+        for b in range(B):
+            c = C[b]
+            best, done, dest, off_flat = _ufl_solve(
+                c, sx, sy, ext_need[b], ext_len[b])
+            lens[b] = best
+            dones[b] = done
+            stepp = np.zeros(n, np.int64)
+            cv = c.ravel()
+            for code, sp in _FL_STEP.items():
+                stepp[cv == code] = sp
+            ex = np.flatnonzero(done & (dest <= _OFF_BASE)
+                                & np.isfinite(c).ravel())
+            for p in ex.tolist():
+                k = int(_OFF_BASE - dest[p])
+                cdy, cdx = k // 3 - 1, k % 3 - 1
+                ncell = cells.neighbor_cell(zone, res, ix, iy, cdx, cdy)
+                if ncell is None:
+                    continue       # zone edge: the void absorbs
+                f = int(off_flat[p])
+                emits.append({"cell": int(ncell), "kind": _UF_LEN,
+                              "band": b, "py": f // W_, "px": f % W_,
+                              "src": int(row.cell), "sflat": int(p),
+                              "ulen": int(best[p] + stepp[p])})
+        return lens, dones, C, emits
+
+    def declare(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                C = _decode_codes(row)
+                B, H, W_ = C.shape
+                zone, res, ix, iy = (int(v)
+                                     for v in cells.decode_np(row.cell))
+                for b in range(B):
+                    dest, off_flat = _dest_tables(C[b])
+                    valid = np.isfinite(C[b]).ravel()
+                    ex = np.flatnonzero(valid & (dest <= _OFF_BASE))
+                    for p in ex.tolist():
+                        k = int(_OFF_BASE - dest[p])
+                        cdy, cdx = k // 3 - 1, k % 3 - 1
+                        ncell = cells.neighbor_cell(zone, res, ix, iy,
+                                                    cdx, cdy)
+                        if ncell is None:
+                            continue
+                        f = int(off_flat[p])
+                        out.append({"cell": int(ncell),
+                                    "kind": _UF_DECL, "band": b,
+                                    "py": f // W_, "px": f % W_,
+                                    "src": int(row.cell),
+                                    "sflat": int(p), "ulen": None})
+            if out:
+                yield _rec_pdf(out)
+
+    def solve_round(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                _lens, _dones, _C, emits = _tile_solve(row)
+                out.extend(emits)
+            if out:
+                yield _rec_pdf(out)
+
+    decls = _ckpt(tiles_slim.mapInPandas(declare, schema=rec_schema),
+                  False)
+    need = (decls.groupBy("cell")
+            .agg(F.collect_list(F.struct("band", "py", "px"))
+                 .alias("need")))
+
+    arrive_key = ["cell", "band", "py", "px", "src", "sflat"]
+    arrived = None
+    arr_grouped = None
+    work = tiles_slim.join(need, "cell", "left")
+    step = _ckpt(work.mapInPandas(solve_round, schema=rec_schema),
+                 False)
+    new = step.select(*arrive_key, "ulen")
+    n_new = new.count()
+    rounds = 0
+    while n_new:
+        rounds += 1
+        if rounds > max_rounds:
+            sample = [(int(r.cell), int(r.band), int(r.py), int(r.px))
+                      for r in new.limit(5).collect()]
+            raise ValueError(
+                f"upstream_flow_length did not converge in "
+                f"{max_rounds} rounds ({n_new} boundary records still "
+                "arriving). EITHER a drainage path crosses more tiles "
+                "than max_rounds — raise it (rounds are cheap: only "
+                "touched tiles re-solve) — OR the code planes contain "
+                "a CROSS-TILE cycle; flowdir-derived codes cannot "
+                f"cycle. Sample arrivals: {sample}")
+        arrived = _ckpt(new if arrived is None
+                        else arrived.unionByName(new), False)
+        arr_grouped = (arrived.groupBy("cell")
+                       .agg(F.collect_list(
+                           F.struct("band", "py", "px", "ulen"))
+                           .alias("arr")))
+        touched = new.select("cell").distinct()
+        work = (tiles_slim.join(touched, "cell")
+                .join(need, "cell", "left")
+                .join(arr_grouped, "cell", "left"))
+        step = work.mapInPandas(solve_round, schema=rec_schema)
+        new = _ckpt(step.select(*arrive_key, "ulen")
+                    .join(arrived, arrive_key, "left_anti"), False)
+        n_new = new.count()
+
+    in_fields = [T.StructField(f.name, f.dataType, True)
+                 for f in df.schema.fields]
+    out_schema = T.StructType(in_fields)
+    meta_null = [c for c in ("band_scale", "band_offset", "band_nodata")
+                 if c in names]
+
+    def paint(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                lens, dones, C, _emits = _tile_solve(row)
+                B, H, W_ = C.shape
+                sx, sy = _cell_ps(row, H, W_)
+                valid = np.isfinite(C).reshape(B, -1)
+                if np.any(valid & ~dones):
+                    b, f = [int(v[0]) for v in
+                            np.nonzero(valid & ~dones)]
+                    raise ValueError(
+                        f"upstream_flow_length: pixel ({f // W_},"
+                        f"{f % W_}) band {b} of cell {row.cell} never "
+                        "resolved after convergence — CROSS-TILE "
+                        "CYCLE in the code planes")
+                m = _fl_metres(lens, sx, sy)
+                plane = np.where(valid, m, np.nan).reshape(B, H, W_)
+                d = {c2: getattr(row, c2) for c2 in names if c2 != key}
+                d[key] = int(row.cell)
+                d["bytes"] = codec.encode(
+                    codec.from_float(plane, OUT_NODATA, np.float32),
+                    "rawf32")
+                d["fmt"] = "rawf32"
+                d["nodata"] = OUT_NODATA
+                for c2 in meta_null:
+                    d[c2] = None
+                out.append(d)
+            if out:
+                yield pd.DataFrame(out, columns=names)
+
+    work_final = (df.withColumnRenamed(key, "cell")
+                  .join(need, "cell", "left"))
+    if arr_grouped is not None:
+        work_final = work_final.join(arr_grouped, "cell", "left")
+    return work_final.mapInPandas(paint, schema=out_schema)
+
+
 # --------------------------------------------- Strahler stream order ----
 
 def _order_solve(c: np.ndarray,

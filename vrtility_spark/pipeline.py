@@ -65,7 +65,8 @@ class Pipeline:
         "proximity", "fillnodata", "chips", "overview_level",
         "overviews", "terrain", "texture", "color_relief", "stretch",
         "classify", "kmeans", "flow_accumulation", "fill_sinks",
-        "basins", "stream_order", "flow_length", "cloud_shadow",
+        "basins", "stream_order", "flow_length",
+        "upstream_flow_length", "cloud_shadow",
         "unmix", "hotspots",
         "local_moran", "cost_distance", "auto_threshold",
         "allocation"])
@@ -806,6 +807,30 @@ class Pipeline:
                                checkpoint_dir=checkpoint_dir),
             (), "flow_length", {"pixel_size": (list(ps) if isinstance(
                 ps, tuple) else ps), "max_rounds": int(max_rounds)})
+
+    def upstream_flow_length(self, pixel_size=None,
+                             max_rounds: int = 128,
+                             reliable: bool = False,
+                             checkpoint_dir: str | None = None
+                             ) -> "Pipeline":
+        """Upstream (longest-headwater-path) flow length
+        (hydrology.upstream_flow_length) over a flow-direction tile
+        table: the stream_order topological wavefront carrying
+        flow_length's exact packed step counts — distributed output
+        matches the mosaic kernel bit-for-bit. Output rawf32 metres,
+        -9999 sentinel. Bundleable. Pending masks flush first."""
+        from vrtility_spark import hydrology as _hydro
+        ps = None if pixel_size is None else (
+            float(pixel_size) if not isinstance(pixel_size, (tuple, list))
+            else tuple(float(v) for v in pixel_size))
+        return self._next(
+            _hydro.upstream_flow_length(self.df, pixel_size=ps,
+                                        max_rounds=int(max_rounds),
+                                        reliable=bool(reliable),
+                                        checkpoint_dir=checkpoint_dir),
+            (), "upstream_flow_length",
+            {"pixel_size": (list(ps) if isinstance(ps, tuple) else ps),
+             "max_rounds": int(max_rounds)})
 
     def basins(self, max_rounds: int = 64, reliable: bool = False,
                checkpoint_dir: str | None = None) -> "Pipeline":
