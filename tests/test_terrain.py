@@ -96,7 +96,7 @@ def test_hole_poisons_neighbors():
 
 def test_unknown_ops_raise():
     with pytest.raises(KeyError):
-        terrain.terrain_np(np.ones((1, 4, 4)), "curvature", 1.0, 1.0)
+        terrain.terrain_np(np.ones((1, 4, 4)), "ruggedness2", 1.0, 1.0)
     with pytest.raises(ValueError):
         terrain.slope_np(np.ones((1, 4, 4)), 1.0, 1.0, units="radians")
     with pytest.raises(ValueError):
