@@ -4178,6 +4178,46 @@ def q_image_hampel(spark, sf_dir):
                       "caption")
 
 
+def q_image_decompose(spark, sf_dir):
+    """Per-pixel classical seasonal decomposition
+    (timeseries.decompose — the statsmodels seasonal_decompose /
+    BFAST-preprocessing recipe): centered full-period moving-average
+    trend, NaN-skipping per-phase seasonal indices centered to sum 0,
+    residual — three components through the same grouped m2m map as
+    hampel/savgol (one cell-keyed shuffle each, per-timestep rawf32
+    rows; signed components would be clamped by an integer
+    re-encode).  Pinned against constants computed Spark-free from
+    the deterministic fixture (tools/gen_oracle_constants.py); the
+    reference's temporal menu stops at hampel/moving windows
+    (R/vrt-hampel.R)."""
+    _ensure_shipped(spark)
+    from vrtility_spark import datagen, schema, timeseries, warp
+    images = schema.images_df(
+        spark, datagen.images_pandas(nx=2, ny=2, w=16, h=16))
+    base = warp.assign_cells(images, datagen.TILE_RES)
+    fs, nd_px = _float_payload_udfs()
+
+    def sums(component, name):
+        out = timeseries.decompose(base, period=2, component=component)
+        sel = [out["image_id"], out["cell_id"],
+               F.date_format("datetime", "yyyy-MM-dd").alias("dt"),
+               fs("bytes", "w", "h", "fmt").alias(f"{name}_sum")]
+        if component == "trend":
+            sel.insert(3, F.length("bytes").alias("payload_len"))
+        if component == "resid":
+            sel.append(nd_px("bytes", "w", "h", "fmt")
+                       .alias("nodata_px"))
+        return out.select(*sel)
+
+    tr = sums("trend", "tr")
+    se = sums("seasonal", "se")
+    re = sums("resid", "re")
+    keys = ["image_id", "cell_id", "dt"]
+    return (tr.join(se, keys).join(re, keys)
+            .select("image_id", "cell_id", "dt", "payload_len",
+                    "tr_sum", "se_sum", "re_sum", "nodata_px"))
+
+
 def q_image_whittaker(spark, sf_dir):
     """Per-pixel Whittaker–Eilers smoothing + gap interpolation
     (timeseries.whittaker, Eilers 2003): penalized least squares with a
@@ -4403,6 +4443,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_flowlength": q_image_flowlength,
         "image_watershed": q_image_watershed,
         "image_upstream_length": q_image_upstream_length,
+        "image_decompose": q_image_decompose,
         "image_fillnodata": q_image_fillnodata,
         "point_sample": q_point_sample,
         "grid_idw": q_grid_idw,

@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 import oracle
 from vrtility_spark import codec, datagen, schema, timeseries, warp
@@ -263,3 +264,90 @@ def test_spark_whittaker_matches_driver(spark, tiny_images):
                 codec.from_float(want[t], nodata,
                                  codec.dtype_for(r.fmt)), r.fmt)
             assert bytes(og.loc[r.image_id].bytes) == exp
+
+
+# ------------------------------ classical seasonal decomposition ----
+
+def test_decompose_recovers_planted_components():
+    # x_t = (a + b*t) + s_{t mod 4} with sum(s) = 0: on interior rows
+    # the centered 2x4 MA reproduces the line EXACTLY and the phase
+    # means recover s exactly; residual is 0 to float eps
+    T, p = 24, 4
+    t = np.arange(T, dtype=np.float64)
+    s_pat = np.array([3.0, -1.0, -4.0, 2.0])   # sums to 0
+    x = (10.0 + 0.5 * t + s_pat[np.arange(T) % p])[:, None]
+    from vrtility_spark import timeseries as ts
+    tr = ts.decompose_np(x, p, "trend")
+    se = ts.decompose_np(x, p, "seasonal")
+    re = ts.decompose_np(x, p, "resid")
+    interior = slice(2, T - 2)
+    np.testing.assert_allclose(tr[interior, 0],
+                               (10.0 + 0.5 * t)[interior], rtol=1e-12)
+    np.testing.assert_allclose(se[interior, 0],
+                               s_pat[np.arange(T) % p][interior],
+                               rtol=1e-12, atol=1e-10)
+    np.testing.assert_allclose(re[interior, 0], 0.0, atol=1e-9)
+    # edges: trend/resid NaN outside the window, seasonal still tiled
+    assert np.isnan(tr[0, 0]) and np.isnan(re[-1, 0])
+    assert np.isfinite(se[0, 0])
+    # component sum identity wherever all three are finite
+    fin = np.isfinite(tr[:, 0]) & np.isfinite(se[:, 0])
+    np.testing.assert_allclose(
+        (tr + se + re)[fin, 0], x[fin, 0], rtol=1e-12)
+
+
+def test_decompose_nan_and_guards():
+    from vrtility_spark import timeseries as ts
+    T, p = 16, 4
+    x = np.ones((T, 2))
+    x[5, 0] = np.nan
+    tr = ts.decompose_np(x, p, "trend")
+    # any NaN in the centered window poisons that trend row (col 0)
+    assert np.isnan(tr[4, 0]) and np.isnan(tr[6, 0])
+    assert np.isfinite(tr[5, 1])
+    # constant series: odd period, exact identity components
+    c = np.full((15, 1), 7.0)
+    np.testing.assert_allclose(
+        ts.decompose_np(c, 3, "trend")[1:-1, 0], 7.0)
+    np.testing.assert_allclose(
+        ts.decompose_np(c, 3, "seasonal")[:, 0], 0.0, atol=1e-12)
+    with pytest.raises(ValueError, match="component"):
+        ts.decompose_np(x, p, "cycle")
+    with pytest.raises(ValueError, match="period"):
+        ts.decompose_np(x, 1)
+    # series shorter than the window: trend all NaN, seasonal defined
+    short = np.arange(3, dtype=np.float64)[:, None]
+    assert np.isnan(ts.decompose_np(short, 4, "trend")).all()
+
+
+def test_decompose_distributed_matches_driver(spark, tiny_images):
+    from vrtility_spark import codec, datagen, timeseries as ts, warp
+    df = warp.assign_cells(tiny_images, datagen.TILE_RES)
+    out = {(r.image_id, r.cell_id): r
+           for r in ts.decompose(df, period=2,
+                                 component="seasonal").collect()}
+    pdf = df.toPandas()
+    n = 0
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime",
+                              kind="mergesort").reset_index(drop=True)
+        nodata = float(grp.nodata.iloc[0])
+        stack = np.stack([
+            codec.to_float_masked(
+                codec.decode(r.bytes, r.w, r.h, r.fmt), nodata)
+            for r in grp.itertuples(index=False)])
+        Tn, B, H, W = stack.shape
+        want = np.stack([
+            ts.decompose_np(stack[:, b].reshape(Tn, H * W), 2,
+                            "seasonal").reshape(Tn, H, W)
+            for b in range(B)], axis=1)
+        for t in range(Tn):
+            r = out[(grp.image_id.iloc[t], int(cell_id))]
+            assert r.fmt == "rawf32" and r.nodata == -9999.0
+            got = codec.to_float_masked(
+                codec.decode(r.bytes, r.w, r.h, r.fmt), r.nodata)
+            np.testing.assert_array_equal(
+                np.asarray(got, np.float32),
+                want[t].astype(np.float32))
+            n += 1
+    assert n == len(pdf)

@@ -1781,6 +1781,53 @@ def image_hampel_rows():
     return rows
 
 
+def image_decompose_rows(period: int = 2):
+    """Per-timestep classical seasonal decomposition replicated
+    without Spark: per-cell stacks run through
+    timeseries.decompose_np for all three components
+    (closed-form-gated in tests/test_timeseries.py), each encoded
+    through the exact rawf32/-9999 round trip.  Checksums are
+    sum(round(v, 3)) per component plus the trend/resid nodata count
+    (they share the window geography; seasonal stays tiled)."""
+    pdf = _grouped_fixture()
+    rows = []
+    for cell_id, grp in pdf.groupby("cell_id"):
+        grp = grp.sort_values("datetime", kind="mergesort") \
+            .reset_index(drop=True)
+        nodata = float(grp.nodata.iloc[0])
+        stack = np.stack([
+            codec.to_float_masked(
+                codec.decode(r.bytes, r.w, r.h, r.fmt), nodata)
+            for r in grp.itertuples(index=False)])
+        Tn, B, H, W = stack.shape
+        comps = {}
+        for name in ("trend", "seasonal", "resid"):
+            comps[name] = np.stack([
+                timeseries.decompose_np(
+                    stack[:, b].reshape(Tn, H * W), period, name)
+                .reshape(Tn, H, W) for b in range(B)], axis=1)
+        for t in range(Tn):
+            row = {"image_id": grp.image_id.iloc[t],
+                   "cell_id": int(cell_id),
+                   "dt": f"{grp.datetime.iloc[t]:%Y-%m-%d}"}
+            for name, short in (("trend", "tr"), ("seasonal", "se"),
+                                ("resid", "re")):
+                payload = codec.encode(
+                    codec.from_float(comps[name][t], -9999.0,
+                                     "float32"), "rawf32")
+                dec = codec.decode(payload, W, H, "rawf32") \
+                    .astype(np.float64)
+                valid = dec[dec != -9999.0]
+                row[f"{short}_sum"] = float(np.round(valid, 3).sum())
+                row["payload_len"] = len(payload)
+                row["nodata_px"] = int((dec == -9999.0).sum())
+            rows.append({k: row[k] for k in
+                         ("image_id", "cell_id", "dt", "payload_len",
+                          "tr_sum", "se_sum", "re_sum", "nodata_px")})
+    return sorted(rows, key=lambda d: (d["cell_id"], d["dt"],
+                                       d["image_id"]))
+
+
 def image_whittaker_rows():
     pdf = _grouped_fixture()
     rows = []
@@ -4048,6 +4095,12 @@ def main() -> None:
             image_tri_rows(),
             ["cell_id", "n_scenes", "payload_len", "tri_sum",
              "tpi_sum", "rough_sum", "nodata_px"]),
+        # per-timestep seasonal decomposition: pins trend/seasonal/
+        # residual planes through the m2m grouped map, rawf32 retype
+        "image_decompose": values_sql(
+            image_decompose_rows(),
+            ["image_id", "cell_id", "dt", "payload_len", "tr_sum",
+             "se_sum", "re_sum", "nodata_px"]),
         # composite -> focal std/range/majority: pins the widened
         # focal-statistics menu through the same halo exchange
         "image_focal_stats": values_sql(

@@ -60,7 +60,8 @@ class Pipeline:
         "composite",
         "composite_period", "trend", "mk_trend", "break_detect",
         "harmonic", "gapfill",
-        "hampel", "savgol", "whittaker", "split_cells", "focal",
+        "hampel", "savgol", "whittaker", "decompose", "split_cells",
+        "focal",
         "morphology", "sieve",
         "proximity", "fillnodata", "chips", "overview_level",
         "overviews", "terrain", "texture", "color_relief", "stretch",
@@ -1076,6 +1077,18 @@ class Pipeline:
         return self._next(_ts.savgol(self.df, window, polyorder), (),
                           "savgol", {"window": int(window),
                                      "polyorder": int(polyorder)})
+
+    def decompose(self, period: int,
+                  component: str = "trend") -> "Pipeline":
+        """Per-pixel classical seasonal decomposition along the time
+        axis (timeseries.decompose): centered full-period moving
+        average trend, NaN-skipping per-phase seasonal indices
+        centered to sum 0, residual = x - trend - seasonal; rawf32
+        per-timestep outputs (signed components)."""
+        return self._next(_ts.decompose(self.df, period, component),
+                          (), "decompose",
+                          {"period": int(period),
+                           "component": str(component)})
 
     def whittaker(self, lam: float = 5.0, d: int = 2) -> "Pipeline":
         """Per-pixel Whittaker–Eilers smoothing + NaN gap interpolation

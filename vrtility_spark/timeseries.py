@@ -22,6 +22,8 @@ the (time × pixels) matrix shape of ``singleband_m2m``
 
 from __future__ import annotations
 
+import warnings
+
 from typing import Callable
 
 import numpy as np
@@ -261,13 +263,21 @@ from vrtility_spark.composite import MAX_STACK_BYTES  # one shared budget
 def singleband_m2m(df: DataFrame,
                    m2m_fun: Callable[[np.ndarray], np.ndarray],
                    key: str = "cell_id",
-                   max_stack_bytes: int | None = MAX_STACK_BYTES) -> DataFrame:
+                   max_stack_bytes: int | None = MAX_STACK_BYTES,
+                   out_fmt: str | None = None,
+                   out_nodata: float = -9999.0) -> DataFrame:
     """Grouped many-to-many map: per cell, stack the time series, apply
     ``m2m_fun`` to each band's (time × pixels) matrix, emit one row per
     input timestep — the ``singleband_m2m`` driver
     (R/singleband-many-to-many.R:138-257) as a single
     ``groupBy().applyInPandas`` with exploded output. The per-timestep
     sink becomes ``write.partitionBy("datetime")``.
+
+    ``out_fmt`` re-types the per-timestep payloads (e.g. ``"rawf32"``
+    with the ``out_nodata`` sentinel) for kernels whose outputs leave
+    the input's integer range — signed decomposition components would
+    be destroyed by a uint16 re-encode; default keeps the input codec
+    (the smoother/filter contract).
     """
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("datetime", kind="mergesort").reset_index(drop=True)
@@ -306,6 +316,9 @@ def singleband_m2m(df: DataFrame,
             m2m_fun(stack[:, b].reshape(Tn, H * W)).reshape(Tn, H, W)
             for b in range(B)
         ], axis=1)
+        o_fmt = out_fmt or fmt
+        o_nd = out_nodata if out_fmt else nodata
+        o_dtype = codec.dtype_for(o_fmt) if out_fmt else dtype
         rows = []
         for t in range(Tn):
             rows.append({
@@ -313,8 +326,8 @@ def singleband_m2m(df: DataFrame,
                 "cell_id": int(pdf[key].iloc[t]),
                 "datetime": pdf.datetime.iloc[t],
                 "bytes": codec.encode(
-                    codec.from_float(filtered[t], nodata, dtype), fmt),
-                "w": w, "h": h, "fmt": fmt, "nodata": nodata,
+                    codec.from_float(filtered[t], o_nd, o_dtype), o_fmt),
+                "w": w, "h": h, "fmt": o_fmt, "nodata": o_nd,
                 "caption": pdf.caption.iloc[t],
             })
         return pd.DataFrame(rows)
@@ -403,3 +416,72 @@ def locf_col(col, order_col, partition_cols):
     w = (Window.partitionBy(*partition_cols).orderBy(order_col)
          .rowsBetween(Window.unboundedPreceding, 0))
     return F.last(col, ignorenulls=True).over(w)
+
+
+DECOMPOSE_COMPONENTS = ("trend", "seasonal", "resid")
+
+
+def decompose_np(X: np.ndarray, period: int,
+                 component: str = "trend") -> np.ndarray:
+    """Classical additive seasonal decomposition along axis 0 of the
+    ``(T, P)`` series matrix (the statsmodels ``seasonal_decompose``
+    recipe, the moving-average core of STL/BFAST preprocessing):
+
+    * ``trend``    — centered moving average of one full period
+      (even periods use the 2×p MA with half-weight ends); rows whose
+      window leaves the series, or whose window holds ANY NaN, are
+      NaN — averages are never invented at edges or across gaps;
+    * ``seasonal`` — per-phase mean of the detrended series over the
+      available cycles (NaN-skipping), centered to sum 0 across
+      phases, tiled back over the timeline;
+    * ``resid``    — ``x − trend − seasonal``.
+
+    Vectorized: one sliding-window product + a per-phase mean;
+    O(T·P·p)."""
+    if component not in DECOMPOSE_COMPONENTS:
+        raise ValueError(f"unknown component {component!r}; known: "
+                         f"{DECOMPOSE_COMPONENTS}")
+    p = int(period)
+    if p < 2:
+        raise ValueError("period must be >= 2")
+    Xf = np.asarray(X, dtype=np.float64)
+    T, P = Xf.shape
+    if p % 2:
+        wts = np.full(p, 1.0 / p)
+    else:
+        wts = np.concatenate(([0.5], np.ones(p - 1), [0.5])) / p
+    win = len(wts)
+    half = win // 2
+    trend = np.full((T, P), np.nan)
+    if T >= win:
+        from numpy.lib.stride_tricks import sliding_window_view
+        Wv = sliding_window_view(Xf, win, axis=0)   # (T-win+1, P, win)
+        tm = np.einsum("tpw,w->tp", Wv, wts)
+        ok = np.isfinite(Wv).all(axis=-1)
+        trend[half:T - half] = np.where(ok, tm, np.nan)
+    if component == "trend":
+        return trend
+    det = Xf - trend
+    seas = np.full((p, P), np.nan)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN phase
+        for j in range(p):
+            if det[j::p].size:
+                seas[j] = np.nanmean(det[j::p], axis=0)
+        seas = seas - np.nanmean(seas, axis=0, keepdims=True)
+    seasonal = seas[np.arange(T) % p]
+    if component == "seasonal":
+        return seasonal
+    return Xf - trend - seasonal
+
+
+def decompose(df: DataFrame, period: int, component: str = "trend",
+              key: str = "cell_id") -> DataFrame:
+    """Per-pixel classical seasonal decomposition of an image time
+    series via :func:`singleband_m2m` (one cell-keyed shuffle,
+    per-timestep output rows) — ``rawf32``/``-9999`` payloads, since
+    seasonal/residual components are signed-near-zero and an integer
+    re-encode would clamp them."""
+    return singleband_m2m(
+        df, lambda X: decompose_np(X, period, component), key=key,
+        out_fmt="rawf32", out_nodata=-9999.0)
