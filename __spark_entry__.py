@@ -1079,6 +1079,32 @@ def q_ann_pq(spark, sf_dir):
                     "rank"))
 
 
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training (bpe.word_counts /
+    bpe.train_bpe — Sennrich et al. 2016, the subword-vocabulary step
+    of an LLM data pipeline): the corpus collapses to a word-frequency
+    table in ONE shuffle, then each merge iteration is a
+    pure-Catalyst adjacent-pair explosion + map-side-combinable sum,
+    a TakeOrdered(1) argmax (exact integer counts, lexicographic
+    tie-break → deterministic under any partitioning) and one narrow
+    Arrow merge map, lineage-truncated per round.  Returns the merge
+    table — the persistable tokenizer artifact.  Pinned against the
+    naive pure-Python trainer on the same deterministic corpus
+    (tools/gen_oracle_constants.py); encode parity and
+    reshard-invariance are pytest-gated (tests/test_bpe_train.py).
+    The reference has no text processing; this quadrant comes from
+    the training-data brief."""
+    _ensure_shipped(spark)
+    from vrtility_spark import bpe, datagen
+    docs = spark.createDataFrame([(datagen.BPE_FIXTURE_TEXT,)],
+                                 "text string")
+    wc = bpe.word_counts(docs, "text")
+    merges = bpe.train_bpe(wc, 40)
+    return (bpe.merges_df(spark, merges)
+            .select("rank", F.col("left").alias("lhs"),
+                    F.col("right").alias("rhs"), "freq"))
+
+
 def q_ann_sq(spark, sf_dir):
     """SQ8 scalar quantization (sq.train_sq/sq_encode/sq_search): the
     middle tier of the ANN memory ladder — 64-dim float vectors become
@@ -4373,6 +4399,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
         "ann_sq": q_ann_sq,
+        "bpe_train": q_bpe_train,
         "image_median_composite": q_image_median_composite,
         "image_std_composite": q_image_std_composite,
         "image_remedian_composite": q_image_remedian_composite,

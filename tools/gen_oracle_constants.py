@@ -1781,6 +1781,20 @@ def image_hampel_rows():
     return rows
 
 
+def bpe_train_rows(n_merges: int = 40):
+    """Distributed BPE training replicated without Spark: the naive
+    pure-Python trainer (pair-parity-gated in tests/test_bpe_train.py)
+    over the same deterministic corpus and whitespace/lowercase word
+    histogram.  Rows are the exact merge table."""
+    from vrtility_spark import bpe
+
+    freqs: dict = {}
+    for w in datagen.BPE_FIXTURE_TEXT.lower().split():
+        freqs[w] = freqs.get(w, 0) + 1
+    return [{"rank": r, "lhs": a, "rhs": b, "freq": f}
+            for r, a, b, f in bpe.train_bpe_py(freqs, n_merges)]
+
+
 def image_decompose_rows(period: int = 2):
     """Per-timestep classical seasonal decomposition replicated
     without Spark: per-cell stacks run through
@@ -4095,6 +4109,10 @@ def main() -> None:
             image_tri_rows(),
             ["cell_id", "n_scenes", "payload_len", "tri_sum",
              "tpi_sum", "rough_sum", "nodata_px"]),
+        # distributed BPE training vs the naive pure-Python trainer
+        "bpe_train": values_sql(
+            bpe_train_rows(),
+            ["rank", "lhs", "rhs", "freq"]),
         # per-timestep seasonal decomposition: pins trend/seasonal/
         # residual planes through the m2m grouped map, rawf32 retype
         "image_decompose": values_sql(
