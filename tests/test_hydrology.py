@@ -675,3 +675,21 @@ def test_ufl_multi_seam_and_guard(spark):
                                       want.astype(np.float32))
     with pytest.raises(ValueError, match="did not converge"):
         hydrology.upstream_flow_length(codes_df, max_rounds=1)
+
+
+def test_twi_pipeline_verb_and_bundle(spark, tmp_path, tiny_images):
+    from vrtility_spark import datagen
+    from vrtility_spark.pipeline import Pipeline
+    p = (Pipeline(tiny_images)
+         .set_maskfun("int", datagen.S2_MASK_VALUES)
+         .warp(cell_res=datagen.TILE_RES)
+         .composite("median")
+         .twi(fill=False))
+    rows = p.df.collect()
+    assert len(rows) == 12 and rows[0].fmt == "rawf32"
+    bp = str(tmp_path / "twi.json")
+    p.to_bundle(bp)
+    replay = Pipeline.from_bundle(bp, tiny_images)
+    a = {r.cell_id: bytes(r.bytes) for r in rows}
+    b = {r.cell_id: bytes(r.bytes) for r in replay.df.collect()}
+    assert a == b

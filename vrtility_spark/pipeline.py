@@ -67,7 +67,7 @@ class Pipeline:
         "overviews", "terrain", "texture", "color_relief", "stretch",
         "classify", "kmeans", "flow_accumulation", "fill_sinks",
         "basins", "stream_order", "flow_length",
-        "upstream_flow_length", "cloud_shadow",
+        "upstream_flow_length", "twi", "cloud_shadow",
         "unmix", "hotspots",
         "local_moran", "cost_distance", "auto_threshold",
         "allocation"])
@@ -832,6 +832,25 @@ class Pipeline:
             (), "upstream_flow_length",
             {"pixel_size": (list(ps) if isinstance(ps, tuple) else ps),
              "max_rounds": int(max_rounds)})
+
+    def twi(self, pixel_size: float | None = None,
+            min_tanb: float = 1e-3, fill: bool = True) -> "Pipeline":
+        """Topographic wetness index from the current table as a DEM
+        (hydrology.twi_from_dem): optional depression filling → D8
+        flowdir → distributed flow accumulation ‖ slope → ONE
+        cell-keyed join + narrow TWI combine. rawf32 output, -9999
+        sentinel. Bundleable. Pending masks flush first."""
+        from vrtility_spark import hydrology as _hydro
+        return self._next(
+            _hydro.twi_from_dem(self.df,
+                                pixel_size=(None if pixel_size is None
+                                            else float(pixel_size)),
+                                min_tanb=float(min_tanb),
+                                fill=bool(fill)),
+            (), "twi", {"pixel_size": (None if pixel_size is None
+                                       else float(pixel_size)),
+                        "min_tanb": float(min_tanb),
+                        "fill": bool(fill)})
 
     def basins(self, max_rounds: int = 64, reliable: bool = False,
                checkpoint_dir: str | None = None) -> "Pipeline":
