@@ -152,6 +152,24 @@ def flowacc_shape(spark, nx: int, ny: int):
     return images, n, run
 
 
+def flowlength_shape(spark, nx: int, ny: int):
+    """Composite → flowdir → downstream flow length at a given grid
+    size: scales the boundary-graph pointer-jumping rounds (node rows
+    O(perimeter), rounds O(log chain-in-tiles)) — the packed-count
+    O-claim to check with data."""
+    images = datagen.images_spark(spark, zones=(30, 31, 27), nx=nx,
+                                  ny=ny, n_dates=5, w=64, h=64).cache()
+    n = images.count()
+
+    def run():
+        return (Pipeline(images)
+                .warp(cell_res=datagen.TILE_RES)
+                .composite("first")
+                .terrain("flowdir")
+                .flow_length().df)
+    return images, n, run
+
+
 def irmad_shape(spark, nx: int, ny: int):
     """Two epoch composites → IR-MAD fit (n_iter=1) + applied change
     planes at a given grid size: per-iteration cost is one
@@ -327,6 +345,48 @@ def main() -> None:
     results["kriging_pipeline"] = {
         "base_sec": base, "scaled_sec": big,
         "base_points": n_b, "scaled_points": n_s,
+        "input_ratio": round(ratio, 3),
+        "wall_ratio": round(big / base, 3),
+        "wall_per_input": round(big / base / ratio, 3),
+    }
+
+    imgs_b, n_b, run_b = flowlength_shape(spark, 8, 8)
+    base = time_key(run_b, reps)
+    imgs_b.unpersist()
+    imgs_s, n_s, run_s = flowlength_shape(spark, 25, 25)
+    big = time_key(run_s, reps)
+    imgs_s.unpersist()
+    ratio = n_s / n_b
+    results["image_flowlength_pipeline"] = {
+        "base_sec": base, "scaled_sec": big,
+        "base_scenes": n_b, "scaled_scenes": n_s,
+        "input_ratio": round(ratio, 3),
+        "wall_ratio": round(big / base, 3),
+        "wall_per_input": round(big / base / ratio, 3),
+    }
+
+    # BPE training family: 20 merges over the base vs the 10x
+    # replicated word histogram (disjoint replica vocabularies -> 10x
+    # the state rows and 10x the pair partials per iteration; the
+    # argmax and merge-map count is FIXED at 20 either way, so
+    # near-flat wall confirms per-iteration cost is overhead + a
+    # linear scan, not anything superlinear in vocab)
+    from vrtility_spark import bpe as _bpe
+    docs_b = spark.read.parquet(
+        os.path.join(BASE_SF, "documents.parquet"))
+    docs_s = spark.read.parquet(
+        os.path.join(scaled_sf, "documents.parquet"))
+    wc_b = _bpe.word_counts(docs_b, "text").cache()
+    wc_s = _bpe.word_counts(docs_s, "text").cache()
+    nb2, ns2 = wc_b.count(), wc_s.count()
+    base = time_call(lambda: _bpe.train_bpe(wc_b, 20), reps)
+    big = time_call(lambda: _bpe.train_bpe(wc_s, 20), reps)
+    wc_b.unpersist()
+    wc_s.unpersist()
+    ratio = ns2 / nb2
+    results["bpe_training"] = {
+        "base_sec": base, "scaled_sec": big,
+        "base_vocab": nb2, "scaled_vocab": ns2,
         "input_ratio": round(ratio, 3),
         "wall_ratio": round(big / base, 3),
         "wall_per_input": round(big / base / ratio, 3),
